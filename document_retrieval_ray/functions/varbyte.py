@@ -1,0 +1,103 @@
+"""Delta-gap + varbyte posting-list codec (vectorized numpy).
+
+Format (north-star posting format, SURVEY.md §1.3):
+
+- a posting list for one term is the pair of arrays ``doc_ids`` (strictly
+  ascending uint64) and ``tfs`` (uint64 >= 1), encoded as ONE varbyte
+  stream of ``2*df`` values: first the ``df`` doc-id gaps
+  (``gap_0 = doc_id_0``, ``gap_i = doc_id_i - doc_id_{i-1}``), then the
+  ``df`` term frequencies.
+- varbyte: little-endian 7-bit groups; the MSB is set on the LAST byte of
+  each value (classic IR varbyte). Values up to 2**63 supported.
+
+Encode and decode are fully vectorized (no per-value Python loop): encode
+scatters 7-bit groups by byte position; decode reconstructs values with a
+segmented ``np.add.reduceat`` over terminator positions.
+
+The reference keeps posting lists as Python ``{term: [doc_id, ...]}`` dicts
+(final_implementation.py:99,113) — this codec replaces that with a compact
+binary representation suitable for Arrow ``binary`` columns and shard files.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = [
+    "varbyte_encode",
+    "varbyte_decode",
+    "encode_postings",
+    "decode_postings",
+]
+
+_MAX_BYTES = 10  # ceil(64/7)
+
+
+def varbyte_encode(values: np.ndarray) -> bytes:
+    """Encode a uint array to a varbyte stream."""
+    arr = np.asarray(values, dtype=np.uint64)
+    if arr.size == 0:
+        return b""
+    if arr.ndim != 1:
+        raise ValueError("varbyte_encode expects a 1-D array")
+    # bytes needed per value: 1 + number of 7-bit groups above the first
+    nb = np.ones(arr.shape, dtype=np.int64)
+    for k in range(1, _MAX_BYTES):
+        nb += (arr >= np.uint64(1) << np.uint64(7 * k)).astype(np.int64)
+    ends = np.cumsum(nb)
+    starts = ends - nb
+    out = np.zeros(int(ends[-1]), dtype=np.uint8)
+    for k in range(int(nb.max())):
+        mask = nb > k
+        out[starts[mask] + k] = (
+            (arr[mask] >> np.uint64(7 * k)) & np.uint64(0x7F)
+        ).astype(np.uint8)
+    out[ends - 1] |= 0x80  # terminator bit on last byte of each value
+    return out.tobytes()
+
+
+def varbyte_decode(buf) -> np.ndarray:
+    """Decode a varbyte stream back to a uint64 array."""
+    data = np.frombuffer(buf, dtype=np.uint8)
+    if data.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    ends = np.nonzero(data & 0x80)[0]
+    if ends.size == 0 or ends[-1] != data.size - 1:
+        raise ValueError("truncated varbyte stream")
+    starts = np.empty_like(ends)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    # position of each byte within its value
+    lens = ends - starts + 1
+    pos = np.arange(data.size, dtype=np.int64) - np.repeat(starts, lens)
+    vals7 = (data & np.uint8(0x7F)).astype(np.uint64) << (
+        np.uint64(7) * pos.astype(np.uint64)
+    )
+    return np.add.reduceat(vals7, starts)
+
+
+def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray) -> bytes:
+    """Delta-gap + varbyte encode a (sorted doc_ids, tfs) posting list."""
+    doc_ids = np.asarray(doc_ids, dtype=np.uint64)
+    tfs = np.asarray(tfs, dtype=np.uint64)
+    if doc_ids.size != tfs.size:
+        raise ValueError("doc_ids and tfs must have equal length")
+    if doc_ids.size == 0:
+        return b""
+    gaps = np.empty_like(doc_ids)
+    gaps[0] = doc_ids[0]
+    if doc_ids.size > 1:
+        diffs = np.diff(doc_ids.astype(np.int64))
+        if (diffs <= 0).any():
+            raise ValueError("doc_ids must be strictly ascending")
+        gaps[1:] = diffs.astype(np.uint64)
+    return varbyte_encode(np.concatenate([gaps, tfs]))
+
+
+def decode_postings(buf, df: int):
+    """Inverse of :func:`encode_postings` → (doc_ids, tfs) uint64 arrays."""
+    vals = varbyte_decode(buf)
+    if vals.size != 2 * df:
+        raise ValueError(f"expected {2*df} values, got {vals.size}")
+    gaps, tfs = vals[:df], vals[df:]
+    return np.cumsum(gaps, dtype=np.uint64), tfs
