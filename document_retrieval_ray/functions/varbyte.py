@@ -28,6 +28,9 @@ __all__ = [
     "varbyte_decode",
     "encode_postings",
     "decode_postings",
+    "encode_blocked_postings",
+    "decode_blocked_postings",
+    "decode_block",
 ]
 
 _MAX_BYTES = 10  # ceil(64/7)
@@ -101,3 +104,62 @@ def decode_postings(buf, df: int):
         raise ValueError(f"expected {2*df} values, got {vals.size}")
     gaps, tfs = vals[:df], vals[df:]
     return np.cumsum(gaps, dtype=np.uint64), tfs
+
+
+# --- block-structured layout (random block access for block-max WAND) ---
+#
+# stream = block_0 ++ block_1 ++ ... where block_b is an independent varbyte
+# stream of 2*count_b values: [gaps of the block..., tfs of the block...].
+# The first gap of block b is relative to the LAST doc id of block b-1
+# (block 0: relative to -0). ``block_off[b]`` is the byte offset of block b;
+# block b spans bytes [block_off[b], block_off[b+1]) (last block: to end).
+
+
+def encode_blocked_postings(doc_ids: np.ndarray, tfs: np.ndarray, block_size: int):
+    """→ (buf: bytes, block_off: list[int]). doc_ids strictly ascending."""
+    doc_ids = np.asarray(doc_ids, dtype=np.uint64)
+    tfs = np.asarray(tfs, dtype=np.uint64)
+    if doc_ids.size != tfs.size:
+        raise ValueError("doc_ids and tfs must have equal length")
+    chunks, offsets = [], []
+    pos = 0
+    prev_last = np.uint64(0)
+    for s in range(0, doc_ids.size, block_size):
+        e = min(s + block_size, doc_ids.size)
+        d = doc_ids[s:e]
+        gaps = np.empty(e - s, dtype=np.uint64)
+        gaps[0] = d[0] - prev_last
+        if e - s > 1:
+            gaps[1:] = np.diff(d.astype(np.int64)).astype(np.uint64)
+        chunk = varbyte_encode(np.concatenate([gaps, tfs[s:e]]))
+        offsets.append(pos)
+        pos += len(chunk)
+        chunks.append(chunk)
+        prev_last = d[-1]
+    return b"".join(chunks), offsets
+
+
+def decode_block(buf, off: int, end: int, count: int, prev_last: int):
+    """Decode one block → (doc_ids, tfs)."""
+    vals = varbyte_decode(bytes(buf[off:end]))
+    if vals.size != 2 * count:
+        raise ValueError(f"expected {2*count} values in block, got {vals.size}")
+    gaps, tfs = vals[:count].copy(), vals[count:]
+    gaps[0] += np.uint64(prev_last)
+    return np.cumsum(gaps, dtype=np.uint64), tfs
+
+
+def decode_blocked_postings(buf, block_off, df: int, block_size: int):
+    """Decode the full block-structured stream → (doc_ids, tfs)."""
+    docs, tfs = [], []
+    prev_last = 0
+    for b, off in enumerate(block_off):
+        end = block_off[b + 1] if b + 1 < len(block_off) else len(buf)
+        count = min(block_size, df - b * block_size)
+        d, t = decode_block(buf, off, end, count, prev_last)
+        docs.append(d)
+        tfs.append(t)
+        prev_last = int(d[-1])
+    if not docs:
+        return np.empty(0, np.uint64), np.empty(0, np.uint64)
+    return np.concatenate(docs), np.concatenate(tfs)

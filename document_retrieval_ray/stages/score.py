@@ -1,0 +1,246 @@
+"""Query-scoring stages — actor-pool ``map_batches`` classes over a
+queries Dataset.
+
+Design (SURVEY.md §3 Ray-native restatement): queries are NOT shuffled;
+each scorer actor lazily loads the per-language index shards it
+encounters and caches them across batches (T3 analog — the reference
+reloads whole per-language models into driver RAM,
+final_implementation.py:290-322; here shards load once per actor). For
+larger-than-RAM indexes the same class runs behind a lang/shard routing
+``groupby``; the partitioning assumption is lang = shard key.
+
+Output schema per result row:
+``(query_id, rank:int64, url, score:float64, score_x:int64)`` where
+``score_x = floor(score * 10^round_dp + 0.5)`` — the fixed-point key used
+for deterministic cross-engine comparison; ranking is on
+(score_x desc, url asc).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..config import BM25Config, TokenizerConfig
+from ..functions.tokenizer import tokenize
+from ..state.index_shard import (
+    LangIndex,
+    score_bm25_taat,
+    score_cosine_taat,
+    score_query_wand,
+    topk_with_ties,
+)
+
+_RESULT_SCHEMA = pa.schema(
+    [
+        ("query_id", pa.string()),
+        ("rank", pa.int64()),
+        ("url", pa.string()),
+        ("score", pa.float64()),
+        ("score_x", pa.int64()),
+    ]
+)
+
+
+class _IndexCache:
+    def __init__(self, index_dir: str):
+        self.index_dir = index_dir
+        self._cache: dict = {}
+
+    def get(self, lang: str):
+        if lang not in self._cache:
+            try:
+                self._cache[lang] = LangIndex(self.index_dir, lang)
+            except FileNotFoundError:
+                self._cache[lang] = None
+        return self._cache[lang]
+
+
+def _rows(query_id, ranks, sel, keys, scores, urls, round_dp):
+    n = len(ranks)
+    return {
+        "query_id": [query_id] * n,
+        "rank": list(ranks),
+        "url": list(urls[sel]),
+        "score": list(scores[sel]),
+        "score_x": [int(k) for k in keys]
+        if round_dp is not None
+        else [0] * n,
+    }
+
+
+def _concat(parts) -> pa.Table:
+    cols = {f.name: [] for f in _RESULT_SCHEMA}
+    for p in parts:
+        for k in cols:
+            cols[k].extend(p[k])
+    return pa.table(
+        {f.name: pa.array(cols[f.name], f.type) for f in _RESULT_SCHEMA},
+        schema=_RESULT_SCHEMA,
+    )
+
+
+class BM25ScorerStage:
+    """map_batches stage: (query_id, query, lang) → top-k result rows."""
+
+    def __init__(
+        self,
+        index_dir: str,
+        cfg: BM25Config = BM25Config(),
+        tokenizer: TokenizerConfig = TokenizerConfig(),
+        round_dp=4,
+        method: str = "taat",  # "taat" | "wand"
+    ):
+        self.cache = _IndexCache(index_dir)
+        self.cfg = cfg
+        self.tok = tokenizer
+        self.round_dp = round_dp
+        self.method = method
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        parts = []
+        qids = batch["query_id"].to_pylist()
+        queries = batch["query"].to_pylist()
+        langs = batch["lang"].to_pylist()
+        for qid, q, lang in zip(qids, queries, langs):
+            idx = self.cache.get(lang)
+            if idx is None:
+                continue
+            tokens = tokenize(q, lang, self.tok.mode)
+            if not tokens:
+                continue
+            if self.method == "wand":
+                top = score_query_wand(idx, tokens, self.cfg, self.cfg.k)
+                if not top:
+                    continue
+                scores = np.array([s for s, _ in top])
+                sel = np.array([d for _, d in top], dtype=np.int64)
+                keys = (
+                    np.floor(scores * (10.0 ** self.round_dp) + 0.5)
+                    if self.round_dp is not None
+                    else scores
+                )
+                order = np.lexsort((idx.urls[sel], -keys))
+                parts.append(
+                    {
+                        "query_id": [qid] * len(order),
+                        "rank": list(range(1, len(order) + 1)),
+                        "url": list(idx.urls[sel[order]]),
+                        "score": list(scores[order]),
+                        "score_x": [int(k) for k in keys[order]],
+                    }
+                )
+            else:
+                scores = score_bm25_taat(idx, tokens, self.cfg)
+                ranks, sel, keys = topk_with_ties(
+                    scores, idx.urls, self.cfg.k, self.round_dp
+                )
+                if len(ranks) == 0:
+                    continue
+                parts.append(
+                    _rows(qid, ranks, sel, keys, scores, idx.urls, self.round_dp)
+                )
+        return _concat(parts)
+
+
+class CosineScorerStage:
+    """TF-IDF cosine top-k (C5), optional BM25 rerank (C3/C6 two-stage)."""
+
+    def __init__(
+        self,
+        index_dir: str,
+        tokenizer: TokenizerConfig = TokenizerConfig(),
+        k: int = 10,
+        candidates: int = 200,
+        rerank: bool = False,
+        rerank_cfg: BM25Config = BM25Config(k1=1.5, b=0.75, idf="cosine"),
+        round_dp=4,
+    ):
+        self.cache = _IndexCache(index_dir)
+        self.tok = tokenizer
+        self.k = k
+        self.candidates = candidates
+        self.rerank = rerank
+        self.rcfg = rerank_cfg
+        self.round_dp = round_dp
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        parts = []
+        for qid, q, lang in zip(
+            batch["query_id"].to_pylist(),
+            batch["query"].to_pylist(),
+            batch["lang"].to_pylist(),
+        ):
+            idx = self.cache.get(lang)
+            if idx is None:
+                continue
+            tokens = tokenize(q, lang, self.tok.mode)
+            if not tokens:
+                continue
+            cos = score_cosine_taat(idx, tokens)
+            if not self.rerank:
+                ranks, sel, keys = topk_with_ties(cos, idx.urls, self.k, self.round_dp)
+                if len(ranks):
+                    parts.append(_rows(qid, ranks, sel, keys, cos, idx.urls, self.round_dp))
+                continue
+            # two-stage: cosine top-candidates → BM25 rerank with the C3
+            # doc-length quirk (dl = sum of query-term tfs in the doc,
+            # cosine_similarity_bm25_reranking.py:187)
+            c_ranks, c_sel, _ = topk_with_ties(
+                cos, idx.urls, self.candidates, self.round_dp
+            )
+            if len(c_sel) == 0:
+                continue
+            rescores = self._bm25_rerank(idx, tokens, c_sel)
+            keys = (
+                np.floor(rescores * (10.0 ** self.round_dp) + 0.5)
+                if self.round_dp is not None
+                else rescores
+            )
+            pos = rescores > 0
+            csel, ckeys, cscores = c_sel[pos], keys[pos], rescores[pos]
+            if len(csel) == 0:
+                continue
+            order = np.lexsort((idx.urls[csel], -ckeys))[: self.k]
+            parts.append(
+                {
+                    "query_id": [qid] * len(order),
+                    "rank": list(range(1, len(order) + 1)),
+                    "url": list(idx.urls[csel[order]]),
+                    "score": list(cscores[order]),
+                    "score_x": [int(k) for k in ckeys[order]],
+                }
+            )
+        return _concat(parts)
+
+    def _bm25_rerank(self, idx, tokens, cand: np.ndarray) -> np.ndarray:
+        """C3: iterate query tokens WITH duplicates; idf law 'cosine';
+        doc_length = sum of query-term tfs (duplicates double-count)."""
+        cfg = self.rcfg
+        cand_pos = {int(d): i for i, d in enumerate(cand)}
+        tf_cols = {}
+        for term in set(tokens):
+            p = idx.postings(term)
+            if p is None:
+                continue
+            doc_ids, tfs = p
+            col = np.zeros(len(cand), dtype=np.float64)
+            mask = np.isin(doc_ids, cand)
+            for d, t in zip(doc_ids[mask], tfs[mask]):
+                col[cand_pos[int(d)]] = t
+            tf_cols[term] = col
+        if not tf_cols:
+            return np.zeros(len(cand))
+        dlq = np.zeros(len(cand), dtype=np.float64)
+        for term in tokens:  # duplicates count twice (reference :187)
+            if term in tf_cols:
+                dlq += tf_cols[term]
+        scores = np.zeros(len(cand), dtype=np.float64)
+        for term in tokens:  # duplicates iterate twice
+            if term not in tf_cols:
+                continue
+            tf = tf_cols[term]
+            idf = idx.idf(term, cfg.idf)
+            denom = tf + cfg.k1 * (1.0 - cfg.b + cfg.b * (dlq / idx.avgdl))
+            scores += idf * (tf * (cfg.k1 + 1.0)) / np.where(denom == 0, 1.0, denom)
+        return scores

@@ -1,0 +1,99 @@
+"""Tokenization stage (M1/M2/M7 analog) — actor-pool ``map_batches`` class.
+
+The reference preprocesses with per-row Python over pandas
+(final_implementation.py:59-88 applied in a loop). Here:
+
+- ``simple`` mode runs fully vectorized on Arrow: ``utf8_lower`` →
+  ``replace_substring_regex`` → ``split_pattern`` (zero Python per row).
+- ``reference`` mode needs per-token Python (lemma/stem/bigrams), so the
+  batch loop is over documents, with the stopword/stemmer tables built
+  ONCE per actor in ``__init__`` (T1 analog: the reference rebuilds Okt /
+  WordNetLemmatizer / stopword sets per call — we deliberately don't).
+
+Output schema: input key columns + ``tokens: list<string>`` + ``dl:int64``
+(token count, the doc-length of A3/M8). Empty documents get ``tokens=[]``
+via the single-empty-string sentinel that downstream stages filter.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..config import TokenizerConfig
+from ..functions.stopwords import MERGED_STOPWORDS, STOPWORDS
+from ..functions.tokenizer import tokenize_reference
+
+
+class TokenizeStage:
+    """(url, text, lang, …) → (url, lang, tokens, dl)."""
+
+    def __init__(
+        self,
+        config: TokenizerConfig = TokenizerConfig(),
+        text_col: str = "text",
+        keep_cols=("url", "lang"),
+    ):
+        self.cfg = config
+        self.text_col = text_col
+        self.keep_cols = list(keep_cols)
+        # per-actor state (T1): stopword tables resolved once
+        self.merged_stop = MERGED_STOPWORDS
+        self.en_stop = STOPWORDS["en"]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.cfg.mode == "simple":
+            tokens, dl = self._simple(batch)
+        else:
+            tokens, dl = self._reference(batch)
+        out = batch.select([c for c in self.keep_cols if c in batch.column_names])
+        out = out.append_column("tokens", tokens)
+        out = out.append_column("dl", dl)
+        return out
+
+    # --- vectorized simple mode ---
+    def _simple(self, batch: pa.Table):
+        text = pc.cast(batch[self.text_col], pa.string())
+        low = pc.utf8_lower(text)
+        spaced = pc.replace_substring_regex(low, "[^a-z0-9]+", " ")
+        trimmed = pc.utf8_trim_whitespace(spaced)
+        trimmed = pc.if_else(pc.is_valid(trimmed), trimmed, pa.scalar("", pa.string()))
+        toks = pc.split_pattern(trimmed, " ")
+        # rows that are empty after trim split to [""] — dl counts real tokens
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        empty = pc.equal(trimmed, "").to_numpy(zero_copy_only=False)
+        dl = np.where(empty, 0, lens).astype(np.int64)
+        return toks, pa.array(dl, pa.int64())
+
+    # --- per-row reference mode ---
+    def _reference(self, batch: pa.Table):
+        texts = batch[self.text_col].to_pylist()
+        langs = batch["lang"].to_pylist()
+        toks = [
+            tokenize_reference(t, l, self.cfg.bigram_langs)
+            for t, l in zip(texts, langs)
+        ]
+        dl = pa.array([len(t) for t in toks], pa.int64())
+        return pa.array(toks, pa.list_(pa.string())), dl
+
+
+def flatten_tokens(batch: pa.Table, token_col: str = "tokens"):
+    """(tokens list column) → (parent_row_index ndarray, flat terms StringArray).
+
+    Filters the '' sentinel tokens produced for empty documents.
+    """
+    col = batch[token_col].combine_chunks()
+    if isinstance(col, pa.ChunkedArray):  # defensive; combine_chunks on column
+        col = col.chunk(0)
+    offsets = col.offsets.to_numpy(zero_copy_only=False)
+    values = col.values
+    lens = np.diff(offsets)
+    parent = np.repeat(np.arange(len(col), dtype=np.int64), lens)
+    # account for a possible non-zero start offset of a sliced array
+    start = offsets[0]
+    if start != 0 or len(values) != offsets[-1]:
+        values = values.slice(start, offsets[-1] - start)
+    vals_np = np.asarray(values.to_pandas(), dtype=object)
+    keep = vals_np != ""
+    return parent[keep], vals_np[keep]

@@ -1,0 +1,354 @@
+"""Query-time index shard state + scoring kernels.
+
+``LangIndex`` is the per-language immutable shard a scorer actor loads once
+(T3 analog: the reference reassembles a whole in-RAM BM25 model per
+language from pickle shards, final_implementation.py:223-287; here the
+shard is the Parquet index written by pipelines/build_index.py).
+
+Scoring kernels:
+
+- ``score_bm25_taat``  term-at-a-time numpy accumulation into a dense
+  per-shard score array — exactly the reference's ``calculate_scores``
+  semantics (final_implementation.py:127-145) in vectorized form, with the
+  compat quirks behind BM25Config:
+    * ``compat="reference"``: UNIQUE query terms; denominator
+      ``tf + k1*(1 - b + dl/avgdl)`` (the missing-``b`` quirk at :142)
+    * ``compat="standard"``: duplicate terms weighted by multiplicity;
+      correct ``b*(dl/avgdl)`` (team_run1.py:193)
+  Terms are accumulated in sorted order so distributed and oracle runs
+  sum in the same float64 order (SURVEY.md §7 known-hard #1).
+- ``score_query_wand``  document-at-a-time block-max WAND over the
+  block-structured posting streams: per-term upper bounds from
+  (block_max_tf, block_min_dl) — valid for BOTH formulas since the score
+  is increasing in tf and decreasing in dl; blocks whose bound can't beat
+  the running top-k threshold are skipped without decoding.
+- ``score_cosine_taat``  TF-IDF cosine path (C5,
+  cosine_similarity_bm25_reranking.py:198-226): query weight = idf (tf
+  ignored), doc weight = tf*idf, scores normalized by stored doc norms and
+  the query norm.
+- ``topk_with_ties``   deterministic top-k: rank on the (optionally
+  fixed-point-rounded) score desc, then url asc — the engine's canonical
+  tie-break (replaces the reference's fragile argpartition tie order,
+  final_implementation.py:147-154).
+"""
+
+from __future__ import annotations
+
+import heapq
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from ..config import BM25Config
+from ..functions.varbyte import decode_block, decode_blocked_postings
+from .manifest import read_manifest
+
+IDF_LAWS = {
+    "lucene": lambda N, df: np.log(1.0 + (N - df + 0.5) / (df + 0.5)),
+    "cosine": lambda N, df: np.log((N - df + 0.5) / (df + 0.5)),
+    "sklearn": lambda N, df: np.log((N + 1.0) / (df + 1.0)) + 1.0,
+}
+
+
+class LangIndex:
+    """One language shard, loaded once per scorer actor."""
+
+    def __init__(self, index_dir: str, lang: str, block_size: int = None):
+        m = read_manifest(os.path.join(index_dir, "manifests", str(lang)))
+        if m is None:
+            raise FileNotFoundError(f"no committed manifest for lang={lang}")
+        self.lang = lang
+        self.n_docs = m["n_docs"]
+        self.avgdl = m["avgdl"]
+        self.block_size = block_size or m.get("block_size", 128)
+
+        post = pq.read_table(
+            os.path.join(index_dir, "postings", f"lang={lang}"),
+            columns=["term", "df", "postings", "block_off", "block_last",
+                     "block_max_tf", "block_min_dl"],
+        )
+        self._terms = {t: i for i, t in enumerate(post["term"].to_pylist())}
+        self._df = post["df"].to_numpy(zero_copy_only=False)
+        self._postings = post["postings"].to_pylist()
+        self._block_off = post["block_off"].to_pylist()
+        self._block_last = post["block_last"].to_pylist()
+        self._block_max_tf = post["block_max_tf"].to_pylist()
+        self._block_min_dl = post["block_min_dl"].to_pylist()
+
+        dm = pq.read_table(
+            os.path.join(index_dir, "docmap", f"lang={lang}"),
+            columns=["doc_id", "url", "dl"],
+        )
+        order = np.argsort(dm["doc_id"].to_numpy(zero_copy_only=False))
+        self.urls = np.asarray(dm["url"].to_pandas(), dtype=object)[order]
+        self.dl = dm["dl"].to_numpy(zero_copy_only=False)[order].astype(np.float64)
+
+        norms_dir = os.path.join(index_dir, "norms", f"lang={lang}")
+        if os.path.isdir(norms_dir):
+            nt = pq.read_table(norms_dir, columns=["doc_id", "norm2"])
+            n2 = np.zeros(self.n_docs, dtype=np.float64)
+            n2[nt["doc_id"].to_numpy(zero_copy_only=False)] = nt["norm2"].to_numpy(
+                zero_copy_only=False
+            )
+            self.norms = np.sqrt(n2)
+        else:
+            self.norms = None
+
+    def df(self, term: str):
+        i = self._terms.get(term)
+        return int(self._df[i]) if i is not None else None
+
+    def idf(self, term: str, law: str) -> float:
+        d = self.df(term)
+        if d is None:
+            return 0.0
+        return float(IDF_LAWS[law](float(self.n_docs), float(d)))
+
+    def postings(self, term: str):
+        """Full decode → (doc_ids int64, tfs float64) or None."""
+        i = self._terms.get(term)
+        if i is None:
+            return None
+        d, t = decode_blocked_postings(
+            self._postings[i], self._block_off[i], int(self._df[i]), self.block_size
+        )
+        return d.astype(np.int64), t.astype(np.float64)
+
+    def term_blocks(self, term: str):
+        """Block-level access for WAND: (row_index, n_blocks) or None."""
+        i = self._terms.get(term)
+        if i is None:
+            return None
+        return i, len(self._block_off[i])
+
+
+def _term_weights(tokens, compat: str):
+    """unique terms (reference, final_implementation.py:129) vs
+    multiplicity-weighted (standard, team_run1.py:183-188); sorted for
+    deterministic accumulation order."""
+    if compat == "reference":
+        return [(t, 1.0) for t in sorted(set(tokens))]
+    from collections import Counter
+
+    return sorted(Counter(tokens).items())
+
+
+def _bm25_contrib(tf, dl, cfg: BM25Config, avgdl: float):
+    k1, b = cfg.k1, cfg.b
+    if cfg.compat == "reference":
+        denom = tf + k1 * (1.0 - b + dl / avgdl)  # missing-b quirk (:142)
+    else:
+        denom = tf + k1 * (1.0 - b + b * dl / avgdl)
+    return (tf * (k1 + 1.0)) / denom
+
+
+def score_bm25_taat(idx: LangIndex, tokens, cfg: BM25Config) -> np.ndarray:
+    """Dense score array over the shard's docs."""
+    scores = np.zeros(idx.n_docs, dtype=np.float64)
+    if idx.avgdl <= 0:
+        return scores
+    for term, weight in _term_weights(tokens, cfg.compat):
+        p = idx.postings(term)
+        if p is None:
+            continue
+        doc_ids, tfs = p
+        idf = idx.idf(term, cfg.idf)
+        contrib = weight * idf * _bm25_contrib(tfs, idx.dl[doc_ids], cfg, idx.avgdl)
+        scores[doc_ids] += contrib
+    return scores
+
+
+def score_cosine_taat(idx: LangIndex, tokens, law: str = "cosine") -> np.ndarray:
+    """TF-IDF cosine scores (C5): q[t] = idf(t); d[t] = tf*idf(t)."""
+    if idx.norms is None:
+        raise RuntimeError("index built without cosine norms")
+    scores = np.zeros(idx.n_docs, dtype=np.float64)
+    qterms = sorted(set(tokens))
+    qnorm2 = 0.0
+    for term in qterms:
+        idf = idx.idf(term, law)
+        if idx.df(term) is None:
+            continue
+        qnorm2 += idf * idf
+    if qnorm2 <= 0:
+        return scores
+    for term in qterms:
+        p = idx.postings(term)
+        if p is None:
+            continue
+        doc_ids, tfs = p
+        idf = idx.idf(term, law)
+        scores[doc_ids] += idf * (tfs * idf)
+    qnorm = np.sqrt(qnorm2)
+    safe = np.where(idx.norms > 0, idx.norms, 1.0)
+    out = scores / (safe * qnorm)
+    out[idx.norms == 0] = 0.0
+    return out
+
+
+def topk_with_ties(scores: np.ndarray, urls: np.ndarray, k: int, round_dp=4):
+    """Top-k of positive-score docs; rank on (rounded score desc, url asc).
+
+    Returns (ranks 1..k', doc_indices, score_keys). ``round_dp=None`` ranks
+    on raw float64 scores (oracle rank-identity tests).
+    """
+    pos = np.nonzero(scores > 0)[0]
+    if pos.size == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.float64)
+    s = scores[pos]
+    key = np.floor(s * (10.0 ** round_dp) + 0.5) if round_dp is not None else s
+    # order by (-key, url)
+    order = np.lexsort((urls[pos], -key))
+    take = order[: min(k, order.size)]
+    sel = pos[take]
+    return (
+        np.arange(1, take.size + 1, dtype=np.int64),
+        sel,
+        key[take],
+    )
+
+
+def score_query_wand(idx: LangIndex, tokens, cfg: BM25Config, k: int = 10):
+    """Block-max WAND top-k → list of (doc_id, score), score-desc.
+
+    Exact w.r.t. the TAAT scores for the same cfg (tested); skips decoding
+    blocks whose upper bound cannot enter the current top-k.
+    """
+    if idx.avgdl <= 0:
+        return []
+    terms = _term_weights(tokens, cfg.compat)
+    cursors = []
+    for term, weight in terms:
+        tb = idx.term_blocks(term)
+        if tb is None:
+            continue
+        row, n_blocks = tb
+        idf = idx.idf(term, cfg.idf)
+        if idf <= 0:
+            continue  # non-positive contribution can't help a top-k of positives
+        cursors.append(_Cursor(idx, row, n_blocks, weight * idf))
+    if not cursors:
+        return []
+
+    heap: list = []  # min-heap of (score, doc_id)
+    threshold = 0.0
+    for c in cursors:
+        c.open_block(0, cfg)
+    active = [c for c in cursors if c.current_doc is not None]
+    while active:
+        active.sort(key=lambda c: c.current_doc)
+        # pivot: smallest prefix whose term upper-bound sum exceeds threshold
+        acc = 0.0
+        pivot_i = None
+        for i, c in enumerate(active):
+            acc += c.term_ub
+            if acc > threshold:
+                pivot_i = i
+                break
+        if pivot_i is None:
+            break
+        pivot_doc = active[pivot_i].current_doc
+        if active[0].current_doc == pivot_doc:
+            # fully evaluate pivot_doc
+            score = 0.0
+            for c in active:
+                if c.current_doc == pivot_doc:
+                    score += c.weight_idf * _bm25_contrib(
+                        c.current_tf, idx.dl[pivot_doc], cfg, idx.avgdl
+                    )
+            if score > threshold or len(heap) < k:
+                heapq.heappush(heap, (score, pivot_doc))
+                if len(heap) > k:
+                    heapq.heappop(heap)
+                if len(heap) == k:
+                    threshold = heap[0][0]
+            for c in active:
+                if c.current_doc == pivot_doc:
+                    c.advance(cfg)
+        else:
+            for i in range(pivot_i):
+                active[i].skip_to(pivot_doc, cfg)
+        active = [c for c in active if c.current_doc is not None]
+    return sorted(heap, key=lambda x: (-x[0], x[1]))
+
+
+class _Cursor:
+    """Posting-list cursor with lazy per-block decode."""
+
+    __slots__ = (
+        "idx", "row", "n_blocks", "weight_idf", "block", "pos",
+        "docs", "tfs", "current_doc", "current_tf", "term_ub",
+    )
+
+    def __init__(self, idx: LangIndex, row: int, n_blocks: int, weight_idf: float):
+        self.idx = idx
+        self.row = row
+        self.n_blocks = n_blocks
+        self.weight_idf = weight_idf
+        self.block = -1
+        self.docs = None
+        self.current_doc = None
+        self.term_ub = 0.0  # set in open_block(0): max over blocks
+
+    def _block_bound(self, b: int, cfg: BM25Config) -> float:
+        """Upper bound on this term's contribution within block b: the
+        score is increasing in tf and decreasing in dl under both compat
+        formulas, so (block_max_tf, block_min_dl) bounds it."""
+        mt = self.idx._block_max_tf[self.row][b]
+        md = self.idx._block_min_dl[self.row][b]
+        return self.weight_idf * _bm25_contrib(
+            float(mt), float(md), cfg, self.idx.avgdl
+        )
+
+    def open_block(self, b: int, cfg: BM25Config):
+        if self.block < 0:
+            self.term_ub = max(
+                self._block_bound(i, cfg) for i in range(self.n_blocks)
+            )
+        if b >= self.n_blocks:
+            self.current_doc = None
+            return
+        self.block = b
+        offs = self.idx._block_off[self.row]
+        buf = self.idx._postings[self.row]
+        off = offs[b]
+        end = offs[b + 1] if b + 1 < len(offs) else len(buf)
+        prev_last = self.idx._block_last[self.row][b - 1] if b > 0 else 0
+        count = min(
+            self.idx.block_size,
+            int(self.idx._df[self.row]) - b * self.idx.block_size,
+        )
+        d, t = decode_block(buf, off, end, count, prev_last)
+        self.docs = d.astype(np.int64)
+        self.tfs = t.astype(np.float64)
+        self.pos = 0
+        self.current_doc = int(self.docs[0])
+        self.current_tf = float(self.tfs[0])
+
+    def advance(self, cfg: BM25Config):
+        self.pos += 1
+        if self.pos < len(self.docs):
+            self.current_doc = int(self.docs[self.pos])
+            self.current_tf = float(self.tfs[self.pos])
+        else:
+            self.open_block(self.block + 1, cfg)
+
+    def skip_to(self, target: int, cfg: BM25Config):
+        # block-level skip using block_last (no decode of skipped blocks)
+        b = self.block
+        lasts = self.idx._block_last[self.row]
+        while b < self.n_blocks and lasts[b] < target:
+            b += 1
+        if b != self.block:
+            self.open_block(b, cfg)
+            if self.current_doc is None:
+                return
+        # in-block skip
+        i = int(np.searchsorted(self.docs, target))
+        if i >= len(self.docs):
+            self.open_block(self.block + 1, cfg)
+            return
+        self.pos = i
+        self.current_doc = int(self.docs[i])
+        self.current_tf = float(self.tfs[i])

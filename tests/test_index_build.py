@@ -1,0 +1,129 @@
+"""Index build (Phase 2): shuffle correctness vs the numpy oracle —
+doc ids, docmap, df table, stats, codec round-trip through the shard."""
+
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from document_retrieval_ray.config import IndexConfig, TokenizerConfig
+from document_retrieval_ray.oracle import OracleIndex
+from document_retrieval_ray.state.index_shard import LangIndex
+from document_retrieval_ray.state.manifest import read_manifest
+
+
+@pytest.fixture(scope="module")
+def built(ray_session, tiny_corpus, tmp_path_factory):
+    from document_retrieval_ray.pipelines.build_index import build_index
+
+    index_dir = str(tmp_path_factory.mktemp("index"))
+    cfg = IndexConfig(
+        tokenizer=TokenizerConfig(mode="simple"),
+        num_hash_parts=8,
+        hot_term_threshold=50,   # force salting of Zipf-head terms
+        salt_shift=5,            # doc-range buckets of 32
+        block_size=16,           # force multi-block posting lists
+    )
+    manifests = build_index(
+        tiny_corpus["documents"], index_dir, cfg=cfg, with_cosine_norms=True
+    )
+    return index_dir, cfg, manifests
+
+
+@pytest.fixture(scope="module")
+def oracle(tiny_corpus):
+    docs = pq.read_table(tiny_corpus["documents"])
+    return OracleIndex(docs, TokenizerConfig(mode="simple"), num_hash_parts=8)
+
+
+def test_manifests_committed(built):
+    index_dir, cfg, manifests = built
+    assert manifests
+    for lang, m in manifests.items():
+        assert m["n_docs"] > 0
+        disk = read_manifest(os.path.join(index_dir, "manifests", lang))
+        assert disk is not None and disk["n_docs"] == m["n_docs"]
+
+
+def test_stats_match_oracle(built, oracle):
+    index_dir, cfg, manifests = built
+    assert sorted(manifests) == oracle.langs
+    for lang in oracle.langs:
+        m = manifests[lang]
+        assert m["n_docs"] == oracle.N[lang]
+        assert m["avgdl"] == pytest.approx(oracle.avgdl[lang], rel=1e-12)
+
+
+def test_docmap_matches_oracle(built, oracle):
+    index_dir, _, _ = built
+    for lang in oracle.langs:
+        dm = pq.read_table(os.path.join(index_dir, "docmap", f"lang={lang}"))
+        order = np.argsort(dm["doc_id"].to_numpy(zero_copy_only=False))
+        urls = np.asarray(dm["url"].to_pandas(), dtype=object)[order]
+        assert list(urls) == list(oracle.doc_urls[lang]), lang
+        dls = dm["dl"].to_numpy(zero_copy_only=False)[order]
+        assert list(dls) == list(oracle.dl[lang].astype(int)), lang
+
+
+def test_df_table_matches_oracle(built, oracle):
+    index_dir, _, _ = built
+    for lang in oracle.langs:
+        t = pq.read_table(
+            os.path.join(index_dir, "df", f"lang={lang}"), columns=["term", "df"]
+        )
+        got = dict(zip(t["term"].to_pylist(), t["df"].to_pylist()))
+        assert got == oracle.df[lang], lang
+
+
+def test_postings_roundtrip_matches_oracle(built, oracle):
+    """Decode every posting list from the shard and compare (docids, tfs)
+    against the oracle's Counters — covers salting + merge + codec."""
+    index_dir, cfg, _ = built
+    for lang in oracle.langs:
+        idx = LangIndex(index_dir, lang)
+        assert set(idx._terms) == set(oracle.df[lang]), lang
+        for term in sorted(oracle.df[lang]):
+            got_docs, got_tfs = idx.postings(term)
+            exp_docs, exp_tfs = oracle._postings(lang, term)
+            assert list(got_docs) == list(exp_docs), (lang, term)
+            assert list(got_tfs.astype(int)) == list(exp_tfs.astype(int)), (lang, term)
+            assert idx.df(term) == len(exp_docs)
+            # strictly ascending doc ids even through salted merge
+            assert (np.diff(got_docs) > 0).all() if len(got_docs) > 1 else True
+
+
+def test_hot_terms_were_salted(built, oracle):
+    """The skew path must actually exercise: some term exceeds the
+    threshold in the tiny Zipf corpus."""
+    _, cfg, _ = built
+    max_df = max(max(d.values()) for d in oracle.df.values())
+    assert max_df > cfg.hot_term_threshold, (
+        "fixture no longer exercises the hot-term salting path"
+    )
+
+
+def test_cosine_norms_match_oracle(built, oracle):
+    index_dir, _, _ = built
+    for lang in oracle.langs:
+        idx = LangIndex(index_dir, lang)
+        exp = oracle.cosine_norms(lang)
+        assert idx.norms == pytest.approx(exp, rel=1e-9), lang
+
+
+def test_resume_skips_committed(built, tiny_corpus):
+    """Second build over the same input must be a no-op (all langs skipped)."""
+    from document_retrieval_ray.pipelines.build_index import build_index
+
+    index_dir, cfg, manifests = built
+    before = {
+        lang: os.path.getmtime(os.path.join(index_dir, "manifests", lang, "manifest.json"))
+        for lang in manifests
+    }
+    again = build_index(tiny_corpus["documents"], index_dir, cfg=cfg)
+    assert sorted(again) == sorted(manifests)
+    for lang in manifests:
+        after = os.path.getmtime(
+            os.path.join(index_dir, "manifests", lang, "manifest.json")
+        )
+        assert after == before[lang], f"{lang} was rebuilt"
