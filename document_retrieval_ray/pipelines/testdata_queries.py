@@ -1,0 +1,1010 @@
+"""Driver-testdata query suite: every operator from SURVEY.md §2 (plus the
+training-data extensions) as a Ray pipeline over
+``/root/testdata/sf*/``, each with an EXACTLY mirrored DuckDB oracle SQL.
+
+Matching rules (shared with the SQL strings):
+- tokenization = functions.tokenizer.tokenize_simple ≙ the
+  ``string_split_regex(...)`` expression (tested equal in test_functions).
+- every float is exported fixed-point: ``*_x = floor(v*10000 + 0.5)`` as
+  BIGINT (functions.textstats.fx4); money uses ``*_c`` cents =
+  ``floor(v*100 + 0.5)`` per ROW before integer summation, so sums are
+  exact in both engines.
+- rankings order by (rounded score desc, id asc) in both engines.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from ..config import BM25Config, IndexConfig, TokenizerConfig
+from ..functions.stopwords import EN_SQL_STOPWORDS
+from ..functions.textstats import LANG_MARKERS
+from ..functions.tokenizer import tokenize_simple
+from ..sources.corpus import read_testdata_documents, url_to_docid
+from ..stages.analysis import doc_stats_batch, fingerprint_batch, langid_batch
+from ..stages.dedup import (
+    JaccardVerify,
+    add_simhash,
+    add_text_hash,
+    band_group_pairs,
+    emit_band_rows,
+    simhash_pairs,
+    SHINGLE_N,
+)
+from ..stages.ann import BruteForceTopK, NearDupPairs, final_topk, normalize_rows
+from ..stages.multimodal import binary_meta_batch
+from ..stages.postings import emit_postings
+from ..stages.tokenize import TokenizeStage
+from ..stages.index_build import partial_term_counts
+from ..util import default_pool
+
+# ---------------------------------------------------------------- constants
+
+# embedded retrieval query set (FIXTURES.md F2 shapes over the testdata vocab)
+QUERYSET = [
+    ("q01", "spark join window", "en"),
+    ("q02", "the the spark", "en"),        # duplicate terms
+    ("q03", "hash join zzzunseen", "fr"),  # OOV mix
+    ("q04", "vector stream", "es"),
+    ("q05", "data big query", "zh"),
+    ("q06", "merge sort slow", "de"),
+    ("q07", "dup", "en"),                  # rare marker term
+    ("q08", "the", "fr"),                  # hot term
+]
+SAMPLE_TERMS = ("spark", "join", "window", "dup")
+ANN_QUERY_IDS = (0, 1, 2, 3, 4)
+NEARDUP_COS_THRESHOLD = 0.4
+MINHASH_JACCARD_THRESHOLD = 0.5
+
+# ------------------------------------------------------------ SQL fragments
+
+TOKLIST = (
+    "list_filter(string_split_regex(trim(regexp_replace(lower({col}), "
+    "'[^a-z0-9]+', ' ', 'g')), ' '), x -> x <> '')"
+)
+
+
+def _fx(expr: str, scale: int = 10000) -> str:
+    return f"CAST(floor(({expr})*{scale}.0 + 0.5) AS BIGINT)"
+
+
+_TOK_CTE = (
+    "tok AS (SELECT doc_id, lang, term, count(*) AS tf FROM "
+    "(SELECT doc_id, lang, unnest(" + TOKLIST.format(col="text") + ") AS term "
+    "FROM documents) GROUP BY doc_id, lang, term)"
+)
+_DL_CTE = (
+    "dl AS (SELECT doc_id, lang, len(" + TOKLIST.format(col="text") + ") AS dl "
+    "FROM documents)"
+)
+_STATS_CTE = "stats AS (SELECT lang, count(*) AS n_docs, avg(dl) AS avgdl FROM dl GROUP BY lang)"
+_DF_CTE = "df AS (SELECT lang, term, count(*) AS df FROM tok GROUP BY lang, term)"
+
+
+def _query_values(dedup: bool) -> str:
+    """VALUES rows (query_id, lang, term, w) from QUERYSET; ``dedup`` →
+    unique terms with w=1 (reference C1), else multiplicity weights."""
+    rows = []
+    for qid, text, lang in QUERYSET:
+        toks = tokenize_simple(text)
+        if dedup:
+            items = [(t, 1) for t in sorted(set(toks))]
+        else:
+            c = {}
+            for t in toks:
+                c[t] = c.get(t, 0) + 1
+            items = sorted(c.items())
+        for t, w in items:
+            rows.append(f"('{qid}', '{lang}', '{t}', {w})")
+    return ", ".join(rows)
+
+
+def _bm25_sql(k1: float, b: float, reference_quirk: bool, dedup: bool) -> str:
+    if reference_quirk:
+        denom = f"(tok.tf + {k1}*(1 - {b} + d.dl / s.avgdl))"  # missing-b quirk
+    else:
+        denom = f"(tok.tf + {k1}*(1 - {b} + {b} * d.dl / s.avgdl))"
+    return f"""
+WITH {_TOK_CTE}, {_DL_CTE}, {_STATS_CTE}, {_DF_CTE},
+q(query_id, lang, term, w) AS (VALUES {_query_values(dedup)}),
+scores AS (
+  SELECT q.query_id AS query_id, tok.doc_id AS doc_id,
+         sum( q.w * ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * (tok.tf * ({k1} + 1)) / {denom} ) AS score
+  FROM q
+  JOIN tok ON tok.lang = q.lang AND tok.term = q.term
+  JOIN df ON df.lang = q.lang AND df.term = q.term
+  JOIN dl d ON d.doc_id = tok.doc_id
+  JOIN stats s ON s.lang = q.lang
+  GROUP BY q.query_id, tok.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, {_fx('score')} AS score_x,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY {_fx('score')} DESC, doc_id ASC) AS rank
+  FROM scores WHERE score > 0
+)
+SELECT query_id, rank, doc_id, score_x FROM ranked WHERE rank <= 10
+"""
+
+
+_COSINE_CORE = f"""
+{_TOK_CTE}, {_DL_CTE}, {_STATS_CTE}, {_DF_CTE},
+q(query_id, lang, term, w) AS (VALUES {{qvalues}}),
+idfc AS (
+  SELECT df.lang, df.term, ln((s.n_docs - df.df + 0.5) / (df.df + 0.5)) AS idf
+  FROM df JOIN stats s ON s.lang = df.lang
+),
+norms AS (
+  SELECT tok.doc_id AS doc_id, sqrt(sum(pow(tok.tf * i.idf, 2))) AS nrm
+  FROM tok JOIN idfc i ON i.lang = tok.lang AND i.term = tok.term
+  GROUP BY tok.doc_id
+),
+qidf AS (
+  SELECT DISTINCT q.query_id, q.lang, q.term, i.idf
+  FROM q JOIN idfc i ON i.lang = q.lang AND i.term = q.term
+),
+qnorm AS (SELECT query_id, sqrt(sum(idf*idf)) AS qn FROM qidf GROUP BY query_id),
+dots AS (
+  SELECT qidf.query_id AS query_id, tok.doc_id AS doc_id,
+         sum(qidf.idf * (tok.tf * qidf.idf)) AS dot
+  FROM qidf JOIN tok ON tok.lang = qidf.lang AND tok.term = qidf.term
+  GROUP BY qidf.query_id, tok.doc_id
+),
+cos AS (
+  SELECT d.query_id, d.doc_id, d.dot / (n.nrm * qq.qn) AS score
+  FROM dots d
+  JOIN norms n ON n.doc_id = d.doc_id
+  JOIN qnorm qq ON qq.query_id = d.query_id
+  WHERE n.nrm > 0 AND qq.qn > 0
+)
+"""
+
+
+def _cosine_sql() -> str:
+    return f"""
+WITH {_COSINE_CORE.format(qvalues=_query_values(dedup=True))},
+ranked AS (
+  SELECT query_id, doc_id, {_fx('score')} AS score_x,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY {_fx('score')} DESC, doc_id ASC) AS rank
+  FROM cos WHERE score > 0
+)
+SELECT query_id, rank, doc_id, score_x FROM ranked WHERE rank <= 10
+"""
+
+
+def _cosine_rerank_sql(k1: float = 1.5, b: float = 0.75, candidates: int = 200) -> str:
+    # qd = duplicate-counting query terms (C3 iterates WITH duplicates)
+    return f"""
+WITH {_COSINE_CORE.format(qvalues=_query_values(dedup=True))},
+cand AS (
+  SELECT query_id, doc_id FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY {_fx('score')} DESC, doc_id ASC) AS crank
+    FROM cos WHERE score > 0
+  ) WHERE crank <= {candidates}
+),
+qd(query_id, lang, term, w) AS (VALUES {_query_values(dedup=False)}),
+dlq AS (
+  SELECT c.query_id AS query_id, c.doc_id AS doc_id,
+         coalesce(sum(qd.w * tok.tf), 0) AS dlq
+  FROM cand c
+  JOIN qd ON qd.query_id = c.query_id
+  LEFT JOIN tok ON tok.doc_id = c.doc_id AND tok.lang = qd.lang AND tok.term = qd.term
+  GROUP BY c.query_id, c.doc_id
+),
+rescore AS (
+  SELECT qd.query_id AS query_id, c.doc_id AS doc_id,
+         sum( qd.w * i.idf * (tok.tf * ({k1} + 1))
+              / (tok.tf + {k1} * (1 - {b} + {b} * (dq.dlq / s.avgdl))) ) AS score
+  FROM cand c
+  JOIN qd ON qd.query_id = c.query_id
+  JOIN tok ON tok.doc_id = c.doc_id AND tok.lang = qd.lang AND tok.term = qd.term
+  JOIN idfc i ON i.lang = qd.lang AND i.term = qd.term
+  JOIN dlq dq ON dq.query_id = c.query_id AND dq.doc_id = c.doc_id
+  JOIN stats s ON s.lang = qd.lang
+  GROUP BY qd.query_id, c.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, {_fx('score')} AS score_x,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY {_fx('score')} DESC, doc_id ASC) AS rank
+  FROM rescore WHERE score > 0
+)
+SELECT query_id, rank, doc_id, score_x FROM ranked WHERE rank <= 10
+"""
+
+
+# ------------------------------------------------------------ Ray helpers
+
+
+def _docs(sf_dir: str) -> ray.data.Dataset:
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+
+
+def _dl_batch(batch: pa.Table) -> pa.Table:
+    text = pc.cast(batch["text"], pa.string())
+    low = pc.utf8_lower(text)
+    spaced = pc.replace_substring_regex(low, "[^a-z0-9]+", " ")
+    trimmed = pc.utf8_trim_whitespace(spaced)
+    n_chars = pc.utf8_length(trimmed).to_numpy(zero_copy_only=False)
+    no_sp = pc.utf8_length(pc.replace_substring(trimmed, " ", "")).to_numpy(
+        zero_copy_only=False
+    )
+    dl = np.where(n_chars == 0, 0, (n_chars - no_sp) + 1).astype(np.int64)
+    return pa.table(
+        {"doc_id": batch["doc_id"], "lang": batch["lang"], "dl": pa.array(dl)}
+    )
+
+
+def _tokens_ds(sf_dir: str) -> ray.data.Dataset:
+    """(url, lang, tokens, dl) over the adapted testdata documents."""
+    return read_testdata_documents(sf_dir).map_batches(
+        TokenizeStage,
+        fn_constructor_kwargs={"config": TokenizerConfig(mode="simple")},
+        batch_format="pyarrow",
+        concurrency=default_pool(),
+    )
+
+
+def _postings_ds(sf_dir: str) -> ray.data.Dataset:
+    return _tokens_ds(sf_dir).map_batches(emit_postings, batch_format="pyarrow")
+
+
+def _index_for(sf_dir: str) -> str:
+    """Build (or resume from) the cached index for this sf_dir."""
+    from .build_index import build_index
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    index_dir = f"/tmp/drr_cache/{key}/index"
+    cfg = IndexConfig(
+        tokenizer=TokenizerConfig(mode="simple"),
+        num_hash_parts=16,
+        hot_term_threshold=200,
+        salt_shift=8,
+        block_size=128,
+    )
+    build_index(
+        f"{sf_dir}/documents.parquet",
+        index_dir,
+        cfg=cfg,
+        with_cosine_norms=True,
+        input_ds_factory=lambda: read_testdata_documents(sf_dir),
+    )
+    return index_dir
+
+
+def _query_ds() -> ray.data.Dataset:
+    return ray.data.from_items(
+        [{"query_id": q, "query": t, "lang": l} for q, t, l in QUERYSET]
+    )
+
+
+def _results_to_docids(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.copy()
+    pdf["doc_id"] = pdf["url"].astype(np.int64)
+    return pdf[["query_id", "rank", "doc_id", "score_x"]].sort_values(
+        ["query_id", "rank"]
+    )
+
+
+# ------------------------------------------------------------ Ray queries
+
+
+def q_doc_stats(sf_dir: str):
+    ds = _docs(sf_dir).map_batches(_dl_batch, batch_format="pyarrow")
+    agg = ds.groupby("lang").aggregate(
+        ray.data.aggregate.Count(alias_name="n_docs"),
+        ray.data.aggregate.Mean("dl", alias_name="avgdl"),
+    )
+    pdf = agg.to_pandas()
+    pdf["avgdl_x"] = np.floor(pdf["avgdl"] * 10000.0 + 0.5).astype(np.int64)
+    return pdf[["lang", "n_docs", "avgdl_x"]]
+
+
+def q_doc_lengths(sf_dir: str):
+    return (
+        _docs(sf_dir)
+        .map_batches(_dl_batch, batch_format="pyarrow")
+        .select_columns(["doc_id", "dl"])
+    )
+
+
+def q_term_df(sf_dir: str):
+    partials = _postings_ds(sf_dir).map_batches(
+        partial_term_counts, batch_format="pyarrow"
+    )
+    out = partials.groupby(["lang", "term"]).sum("n")
+    return out.map_batches(
+        lambda t: t.rename_columns(["lang", "term", "df"]), batch_format="pyarrow"
+    )
+
+
+def q_term_idf(sf_dir: str):
+    stats = {r["lang"]: r["n_docs"] for _, r in q_doc_stats(sf_dir).iterrows()}
+    stats_ref = ray.put(stats)
+
+    class AddIdf:
+        def __init__(self):
+            self.stats = ray.get(stats_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            langs = t["lang"].to_pylist()
+            dfs = t["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+            N = np.array([self.stats[l] for l in langs], dtype=np.float64)
+            idf = np.log(1.0 + (N - dfs + 0.5) / (dfs + 0.5))
+            idf_x = np.floor(idf * 10000.0 + 0.5).astype(np.int64)
+            return t.append_column("idf_x", pa.array(idf_x, pa.int64()))
+
+    return q_term_df(sf_dir).map_batches(
+        AddIdf, batch_format="pyarrow", concurrency=default_pool()
+    )
+
+
+def q_postings_sample(sf_dir: str):
+    terms = pa.array(list(SAMPLE_TERMS))
+
+    def pick(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["term"], value_set=terms))
+        return pa.table(
+            {
+                "doc_id": url_to_docid(t["url"]),
+                "term": t["term"],
+                "tf": t["tf"],
+            }
+        )
+
+    return _postings_ds(sf_dir).map_batches(pick, batch_format="pyarrow")
+
+
+def q_vocab(sf_dir: str):
+    out = q_term_df(sf_dir).groupby("lang").count()
+    return out.map_batches(
+        lambda t: t.rename_columns(["lang", "n_terms"]), batch_format="pyarrow"
+    )
+
+
+def q_top_terms(sf_dir: str):
+    def partial_tf(t: pa.Table) -> pa.Table:
+        pdf = pd.DataFrame(
+            {
+                "lang": np.asarray(t["lang"].to_pandas(), dtype=object),
+                "term": np.asarray(t["term"].to_pandas(), dtype=object),
+                "tf": t["tf"].to_numpy(zero_copy_only=False),
+            }
+        )
+        g = pdf.groupby(["lang", "term"], sort=False)["tf"].sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    sums = (
+        _postings_ds(sf_dir)
+        .map_batches(partial_tf, batch_format="pyarrow")
+        .groupby(["lang", "term"])
+        .sum("tf")
+    )
+
+    def top10(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.rename(columns={"sum(tf)": "total_tf"})
+        g = g.sort_values(["total_tf", "term"], ascending=[False, True]).head(10)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["lang", "term", "total_tf", "rank"]]
+
+    return sums.groupby("lang").map_groups(top10, batch_format="pandas")
+
+
+def q_bm25_reference(sf_dir: str):
+    from .query import bm25_search
+
+    index_dir = _index_for(sf_dir)
+    res = bm25_search(
+        _query_ds(), index_dir,
+        cfg=BM25Config(k1=1.5, b=0.75, idf="lucene", compat="reference"),
+        round_dp=4,
+    )
+    return _results_to_docids(res.to_pandas())
+
+
+def q_bm25_standard(sf_dir: str):
+    from .query import bm25_search
+
+    index_dir = _index_for(sf_dir)
+    res = bm25_search(
+        _query_ds(), index_dir,
+        cfg=BM25Config(k1=1.2, b=0.75, idf="lucene", compat="standard"),
+        round_dp=4,
+    )
+    return _results_to_docids(res.to_pandas())
+
+
+def q_bm25_wand(sf_dir: str):
+    from .query import bm25_search
+
+    index_dir = _index_for(sf_dir)
+    res = bm25_search(
+        _query_ds(), index_dir,
+        cfg=BM25Config(k1=1.2, b=0.75, idf="lucene", compat="standard"),
+        round_dp=4, method="wand",
+    )
+    return _results_to_docids(res.to_pandas())
+
+
+def q_cosine(sf_dir: str):
+    from .query import cosine_search
+
+    index_dir = _index_for(sf_dir)
+    res = cosine_search(_query_ds(), index_dir, k=10, rerank=False, round_dp=4)
+    return _results_to_docids(res.to_pandas())
+
+
+def q_cosine_rerank(sf_dir: str):
+    from .query import cosine_search
+
+    index_dir = _index_for(sf_dir)
+    res = cosine_search(
+        _query_ds(), index_dir, k=10, rerank=True, candidates=200, round_dp=4
+    )
+    return _results_to_docids(res.to_pandas())
+
+
+def q_submission(sf_dir: str):
+    """S6 submission sink shape: (query_id, docids = ','-joined top-10)."""
+    pdf = q_bm25_reference(sf_dir).sort_values(["query_id", "rank"])
+    rows = [
+        {"query_id": qid, "docids": ",".join(str(d) for d in g["doc_id"])}
+        for qid, g in pdf.groupby("query_id", sort=True)
+    ]
+    return pd.DataFrame(rows, columns=["query_id", "docids"])
+
+
+def q_dedup_exact(sf_dir: str):
+    ds = _docs(sf_dir).map_batches(
+        lambda t: add_text_hash(t, normalize=False), batch_format="pyarrow"
+    )
+    out = ds.groupby("text_hash").aggregate(
+        ray.data.aggregate.Min("doc_id", alias_name="keep_doc_id"),
+        ray.data.aggregate.Count(alias_name="dup_count"),
+    )
+    return out
+
+
+def q_dedup_normalized(sf_dir: str):
+    ds = _docs(sf_dir).map_batches(
+        lambda t: add_text_hash(t, normalize=True), batch_format="pyarrow"
+    )
+    return ds.groupby("text_hash").aggregate(
+        ray.data.aggregate.Min("doc_id", alias_name="keep_doc_id"),
+        ray.data.aggregate.Count(alias_name="dup_count"),
+    )
+
+
+def q_fingerprint(sf_dir: str):
+    return _docs(sf_dir).map_batches(fingerprint_batch, batch_format="pyarrow")
+
+
+def q_minhash_pairs(sf_dir: str):
+    """MinHash+LSH near-dup pairs, Jaccard-verified (threshold 0.5)."""
+    from ..functions.hashing import shingles as mk_shingles
+
+    bands = _docs(sf_dir).map_batches(emit_band_rows, batch_format="pyarrow")
+    pairs = (
+        bands.groupby(["band_idx", "band_key"])
+        .map_groups(band_group_pairs, batch_format="pandas")
+        .groupby(["a", "b"])
+        .map_groups(lambda g: g.head(1), batch_format="pandas")
+    )
+    # broadcast shingle sets for verification (candidates ≪ corpus; at web
+    # scale this becomes a semi-join against the shingle table by doc_id)
+    docs = _docs(sf_dir).take_all()
+    sh = {
+        r["doc_id"]: set(mk_shingles(tokenize_simple(r["text"] or ""), SHINGLE_N))
+        for r in docs
+    }
+    sh_ref = ray.put(sh)
+    return pairs.map_batches(
+        JaccardVerify,
+        fn_constructor_kwargs={"shingle_ref": sh_ref,
+                               "threshold": MINHASH_JACCARD_THRESHOLD},
+        batch_format="pyarrow",
+        concurrency=default_pool(),
+    )
+
+
+def q_simhash_pairs(sf_dir: str):
+    """SimHash near-dup candidate pairs (Hamming <= 3). Rows-only check
+    (no SQL oracle); numpy-oracle-tested in pytest."""
+    sim = (
+        _docs(sf_dir)
+        .map_batches(add_simhash, batch_format="pyarrow")
+        .select_columns(["doc_id", "simhash", "chunk0", "chunk1", "chunk2", "chunk3"])
+        .to_pandas()
+    )
+    return simhash_pairs(sim, max_hamming=3)
+
+
+def q_embed_neardup(sf_dir: str):
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    all_rows = emb.take_all()
+    ids = np.array([r["vec_id"] for r in all_rows], dtype=np.int64)
+    mat = np.array([r["embedding"] for r in all_rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    ref = ray.put((ids, mat, norms))
+
+    class PairsVsAll:
+        def __init__(self):
+            self.ids, self.mat, self.norms = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            bids = batch["vec_id"].to_numpy(zero_copy_only=False)
+            bmat = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+            bnorm = np.linalg.norm(bmat, axis=1)
+            dots = bmat @ self.mat.T
+            cos = dots / np.outer(np.where(bnorm == 0, 1, bnorm),
+                                  np.where(self.norms == 0, 1, self.norms))
+            take = (cos >= NEARDUP_COS_THRESHOLD) & (bids[:, None] < self.ids[None, :])
+            ai, bi = np.nonzero(take)
+            cx = np.floor(cos[ai, bi] * 10000.0 + 0.5).astype(np.int64)
+            return pa.table(
+                {
+                    "a": pa.array(bids[ai], pa.int64()),
+                    "b": pa.array(self.ids[bi], pa.int64()),
+                    "cos_x": pa.array(cx, pa.int64()),
+                }
+            )
+
+    return emb.map_batches(PairsVsAll, batch_format="pyarrow",
+                           concurrency=default_pool())
+
+
+def q_ann_topk(sf_dir: str):
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    qrows = {
+        r["vec_id"]: r["embedding"]
+        for r in emb.take_all()
+        if r["vec_id"] in ANN_QUERY_IDS
+    }
+    qids = sorted(qrows)
+    qmat = np.array([qrows[q] for q in qids], dtype=np.float64)
+    ref = ray.put((qids, qmat))
+    partial = emb.map_batches(
+        BruteForceTopK,
+        fn_constructor_kwargs={"queries_ref": ref, "k": 10},
+        batch_format="pyarrow",
+        concurrency=default_pool(),
+    )
+    return partial.groupby("query_vec").map_groups(final_topk, batch_format="pandas")
+
+
+def q_token_stats(sf_dir: str):
+    return _docs(sf_dir).map_batches(doc_stats_batch, batch_format="pyarrow")
+
+
+def q_langid(sf_dir: str):
+    return _docs(sf_dir).map_batches(langid_batch, batch_format="pyarrow")
+
+
+def q_binary_meta(sf_dir: str):
+    """Multimodal plumbing: treat utf-8 text bytes as an opaque payload."""
+
+    def to_payload(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "payload": pa.array([(s or "").encode("utf-8") for s in texts],
+                                    pa.binary()),
+            }
+        )
+
+    return (
+        _docs(sf_dir)
+        .map_batches(to_payload, batch_format="pyarrow")
+        .map_batches(binary_meta_batch, batch_format="pyarrow")
+    )
+
+
+def _cents(v: np.ndarray) -> np.ndarray:
+    return np.floor(v * 100.0 + 0.5).astype(np.int64)
+
+
+def q_rel_agg(sf_dir: str):
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        pdf = t.to_pandas()
+        pdf["qty_c"] = _cents(pdf["l_quantity"].to_numpy())
+        pdf["price_c"] = _cents(pdf["l_extendedprice"].to_numpy())
+        pdf["disc_price_c"] = _cents(
+            (pdf["l_extendedprice"].to_numpy()
+             * (1.0 - pdf["l_discount"].to_numpy()))
+        )
+        g = (
+            pdf.groupby(["l_returnflag", "l_linestatus"], sort=False)
+            .agg(n=("qty_c", "size"), qty_c=("qty_c", "sum"),
+                 price_c=("price_c", "sum"), disc_price_c=("disc_price_c", "sum"))
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            ray.data.aggregate.Sum("n", alias_name="n"),
+            ray.data.aggregate.Sum("qty_c", alias_name="qty_c"),
+            ray.data.aggregate.Sum("price_c", alias_name="price_c"),
+            ray.data.aggregate.Sum("disc_price_c", alias_name="disc_price_c"),
+        )
+    )
+    return out
+
+
+def q_rel_join_top(sf_dir: str):
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        pdf = t.to_pandas()
+        pdf["revenue_c"] = _cents(pdf["o_totalprice"].to_numpy())
+        g = (
+            pdf.groupby("o_custkey", sort=False)
+            .agg(revenue_c=("revenue_c", "sum"), n_orders=("revenue_c", "size"))
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    rev = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(
+            ray.data.aggregate.Sum("revenue_c", alias_name="revenue_c"),
+            ray.data.aggregate.Sum("n_orders", alias_name="n_orders"),
+        )
+        .to_pandas()
+    )
+    top = rev.sort_values(
+        ["revenue_c", "o_custkey"], ascending=[False, True]
+    ).head(10).reset_index(drop=True)
+    top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
+    # broadcast-join the small customer dimension for names
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    ).to_pandas()
+    out = top.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    return out[["rank", "c_custkey", "c_name", "revenue_c", "n_orders"]]
+
+
+def q_rel_window(sf_dir: str):
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        pdf = t.to_pandas()
+        pdf["hour_ts"] = (
+            pdf["ts"].dt.floor("h").to_numpy().astype("datetime64[s]").astype(np.int64)
+        )
+        pdf["value_c"] = _cents(pdf["value"].to_numpy())
+        g = (
+            pdf.groupby(["user_id", "hour_ts"], sort=False)
+            .agg(n_events=("value_c", "size"), value_c=("value_c", "sum"))
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["user_id", "hour_ts"])
+        .aggregate(
+            ray.data.aggregate.Sum("n_events", alias_name="n_events"),
+            ray.data.aggregate.Sum("value_c", alias_name="value_c"),
+        )
+    )
+
+
+def q_rel_json(sf_dir: str):
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "props"]
+    )
+
+    def extract(t: pa.Table) -> pa.Table:
+        k = pc.cast(
+            pc.struct_field(
+                pc.extract_regex(pc.cast(t["props"], pa.string()), r"(?P<k>[0-9]+)"),
+                "k",
+            ),
+            pa.int64(),
+        )
+        return pa.table({"event_type": t["event_type"], "k": k})
+
+    return (
+        ds.map_batches(extract, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            ray.data.aggregate.Count(alias_name="n"),
+            ray.data.aggregate.Sum("k", alias_name="sum_k"),
+        )
+    )
+
+
+# ------------------------------------------------------------ registries
+
+QUERIES = {
+    "doc_stats": q_doc_stats,
+    "doc_lengths": q_doc_lengths,
+    "term_df": q_term_df,
+    "term_idf": q_term_idf,
+    "postings_sample": q_postings_sample,
+    "vocab": q_vocab,
+    "top_terms": q_top_terms,
+    "bm25_reference": q_bm25_reference,
+    "bm25_standard": q_bm25_standard,
+    "bm25_wand": q_bm25_wand,
+    "cosine": q_cosine,
+    "cosine_rerank": q_cosine_rerank,
+    "submission": q_submission,
+    "dedup_exact": q_dedup_exact,
+    "dedup_normalized": q_dedup_normalized,
+    "fingerprint": q_fingerprint,
+    "minhash_pairs": q_minhash_pairs,
+    "simhash_pairs": q_simhash_pairs,
+    "embed_neardup": q_embed_neardup,
+    "ann_topk": q_ann_topk,
+    "token_stats": q_token_stats,
+    "langid": q_langid,
+    "binary_meta": q_binary_meta,
+    "rel_agg": q_rel_agg,
+    "rel_join_top": q_rel_join_top,
+    "rel_window": q_rel_window,
+    "rel_json": q_rel_json,
+}
+
+
+def _sql_list(words) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+_TOKS_CTE = "toks AS (SELECT doc_id, lang, " + TOKLIST.format(col="text") + " AS l FROM documents)"
+
+_MINHASH_SQL = f"""
+WITH {_TOKS_CTE},
+shl AS (
+  SELECT doc_id,
+         CASE WHEN len(l) < {SHINGLE_N} THEN [array_to_string(l, ' ')]
+              ELSE list_transform(range(1, len(l) - {SHINGLE_N - 2}),
+                                  i -> array_to_string(list_slice(l, i, i + {SHINGLE_N - 1}), ' '))
+         END AS sh_list
+  FROM toks WHERE len(l) >= 1
+),
+sh AS (SELECT DISTINCT doc_id, unnest(sh_list) AS shingle FROM shl),
+mh AS (
+  SELECT doc_id, s.seed AS seed,
+         min(md5(CAST(s.seed AS VARCHAR) || ':' || shingle)) AS mh
+  FROM sh, (SELECT i AS seed FROM range(0, 8) t(i)) s
+  GROUP BY doc_id, s.seed
+),
+bands AS (
+  SELECT doc_id, (seed // 2) AS band_idx,
+         md5(string_agg(mh, '|' ORDER BY seed)) AS band_key
+  FROM mh GROUP BY doc_id, (seed // 2)
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bands x JOIN bands y
+    ON x.band_idx = y.band_idx AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+),
+inter AS (
+  SELECT c.a AS a, c.b AS b, count(*) AS ni
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.a
+  JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+  GROUP BY c.a, c.b
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+SELECT i.a AS a, i.b AS b,
+       {_fx('CAST(ni AS DOUBLE) / (za.n + zb.n - ni)')} AS jaccard_x
+FROM inter i
+JOIN sizes za ON za.doc_id = i.a
+JOIN sizes zb ON zb.doc_id = i.b
+WHERE CAST(ni AS DOUBLE) / (za.n + zb.n - ni) >= {MINHASH_JACCARD_THRESHOLD}
+"""
+
+_EMB_UNNEST = """
+u AS (
+  SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+n AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM u GROUP BY vec_id)
+"""
+
+_NEARDUP_SQL = f"""
+WITH {_EMB_UNNEST},
+d AS (
+  SELECT ua.vec_id AS a, ub.vec_id AS b, sum(ua.v * ub.v) AS dot
+  FROM u ua JOIN u ub ON ua.i = ub.i AND ua.vec_id < ub.vec_id
+  GROUP BY ua.vec_id, ub.vec_id
+),
+c AS (
+  SELECT d.a AS a, d.b AS b, d.dot / (na.nrm * nb.nrm) AS cos
+  FROM d JOIN n na ON na.vec_id = d.a JOIN n nb ON nb.vec_id = d.b
+  WHERE na.nrm > 0 AND nb.nrm > 0
+)
+SELECT a, b, {_fx('cos')} AS cos_x FROM c WHERE cos >= {NEARDUP_COS_THRESHOLD}
+"""
+
+_ANN_SQL = f"""
+WITH {_EMB_UNNEST},
+d AS (
+  SELECT uq.vec_id AS query_vec, ub.vec_id AS vec_id, sum(uq.v * ub.v) AS dot
+  FROM u uq JOIN u ub ON ub.i = uq.i AND ub.vec_id <> uq.vec_id
+  WHERE uq.vec_id IN {ANN_QUERY_IDS}
+  GROUP BY uq.vec_id, ub.vec_id
+),
+c AS (
+  SELECT d.query_vec, d.vec_id, d.dot / (nq.nrm * nb.nrm) AS cos
+  FROM d JOIN n nq ON nq.vec_id = d.query_vec JOIN n nb ON nb.vec_id = d.vec_id
+  WHERE nq.nrm > 0 AND nb.nrm > 0
+),
+ranked AS (
+  SELECT query_vec, vec_id, {_fx('cos')} AS cos_x,
+         row_number() OVER (PARTITION BY query_vec
+                            ORDER BY {_fx('cos')} DESC, vec_id ASC) AS rank
+  FROM c
+)
+SELECT query_vec, rank, vec_id, cos_x FROM ranked WHERE rank <= 10
+"""
+
+
+def _langid_sql() -> str:
+    hits = ",\n  ".join(
+        f"len(list_filter(l, x -> list_contains({_sql_list(LANG_MARKERS[lang])}, x))) AS hits_{lang}"
+        for lang in sorted(LANG_MARKERS)
+    )
+    langs = sorted(LANG_MARKERS)
+    cases = []
+    for i, lang in enumerate(langs):
+        conds = [f"hits_{lang} >= hits_{other}" for other in langs[i + 1:]]
+        if conds:
+            cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+        else:
+            cases.append(f"ELSE '{lang}'")
+    hit_cols = ", ".join(f"hits_{lang}" for lang in langs)
+    return f"""
+WITH {_TOKS_CTE},
+h AS (SELECT doc_id,
+  {hits}
+FROM toks)
+SELECT doc_id, {hit_cols},
+  CASE {' '.join(cases)} END AS pred_lang
+FROM h
+"""
+
+
+def _token_stats_sql() -> str:
+    stop = _sql_list(EN_SQL_STOPWORDS)
+    mean = "tok_chars/CAST(n_tokens AS DOUBLE)"
+    ratio = "stop_hits/CAST(n_tokens AS DOUBLE)"
+    quality = (
+        f"0.5*least(n_tokens,100)/100.0 + 0.3*(1 - {ratio}) "
+        f"+ 0.2*least({mean},10.0)/10.0"
+    )
+    return f"""
+WITH {_TOKS_CTE},
+s AS (
+  SELECT doc_id, len(l) AS n_tokens, len(array_to_string(l, '')) AS tok_chars,
+         len(list_filter(l, x -> list_contains({stop}, x))) AS stop_hits
+  FROM toks
+)
+SELECT doc_id, n_tokens, tok_chars,
+  CASE WHEN n_tokens = 0 THEN 0 ELSE {_fx(mean)} END AS mean_tok_len_x,
+  CASE WHEN n_tokens = 0 THEN 0 ELSE {_fx(ratio)} END AS stop_ratio_x,
+  CASE WHEN n_tokens = 0 THEN 0 ELSE {_fx(quality)} END AS quality_x
+FROM s
+"""
+
+
+ORACLE_SQL = {
+    "doc_stats": f"WITH {_DL_CTE}, {_STATS_CTE} "
+                 f"SELECT lang, n_docs, {_fx('avgdl')} AS avgdl_x FROM stats",
+    "doc_lengths": f"WITH {_DL_CTE} SELECT doc_id, dl FROM dl",
+    "term_df": f"WITH {_TOK_CTE}, {_DF_CTE} SELECT lang, term, df FROM df",
+    "term_idf": f"WITH {_TOK_CTE}, {_DL_CTE}, {_STATS_CTE}, {_DF_CTE} "
+                f"SELECT df.lang AS lang, df.term AS term, df.df AS df, "
+                f"{_fx('ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))')} AS idf_x "
+                f"FROM df JOIN stats s ON s.lang = df.lang",
+    "postings_sample": f"WITH {_TOK_CTE} SELECT doc_id, term, tf FROM tok "
+                       f"WHERE term IN {SAMPLE_TERMS}",
+    "vocab": f"WITH {_TOK_CTE}, {_DF_CTE} "
+             f"SELECT lang, count(*) AS n_terms FROM df GROUP BY lang",
+    "top_terms": f"""
+WITH {_TOK_CTE},
+tf_sum AS (SELECT lang, term, sum(tf) AS total_tf FROM tok GROUP BY lang, term),
+ranked AS (
+  SELECT lang, term, total_tf,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY total_tf DESC, term ASC) AS rank
+  FROM tf_sum
+)
+SELECT lang, term, total_tf, rank FROM ranked WHERE rank <= 10
+""",
+    "bm25_reference": _bm25_sql(1.5, 0.75, reference_quirk=True, dedup=True),
+    "bm25_standard": _bm25_sql(1.2, 0.75, reference_quirk=False, dedup=False),
+    "bm25_wand": _bm25_sql(1.2, 0.75, reference_quirk=False, dedup=False),
+    "cosine": _cosine_sql(),
+    "cosine_rerank": _cosine_rerank_sql(),
+    "submission": (
+        "SELECT query_id, string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY rank) "
+        "AS docids FROM (" + _bm25_sql(1.5, 0.75, True, True) + ") GROUP BY query_id"
+    ),
+    "dedup_exact": "SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id, "
+                   "count(*) AS dup_count FROM documents GROUP BY md5(text)",
+    "dedup_normalized": (
+        "SELECT md5(array_to_string(" + TOKLIST.format(col="text") + ", ' ')) "
+        "AS text_hash, min(doc_id) AS keep_doc_id, count(*) AS dup_count "
+        "FROM documents GROUP BY 1"
+    ),
+    "fingerprint": f"WITH {_TOKS_CTE} SELECT doc_id, "
+                   f"md5(array_to_string(l, ' ')) AS fp, len(l) AS n_tokens FROM toks",
+    "minhash_pairs": _MINHASH_SQL,
+    # simhash_pairs: rows-only (no SQL oracle; verified by pytest numpy oracle)
+    "embed_neardup": _NEARDUP_SQL,
+    "ann_topk": _ANN_SQL,
+    "token_stats": _token_stats_sql(),
+    "langid": _langid_sql(),
+    "binary_meta": "SELECT doc_id, octet_length(encode(text)) AS n_bytes, "
+                   "md5(text) AS payload_md5 FROM documents",
+    "rel_agg": """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       sum(CAST(floor(l_quantity*100 + 0.5) AS BIGINT)) AS qty_c,
+       sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS price_c,
+       sum(CAST(floor(l_extendedprice*(1 - l_discount)*100 + 0.5) AS BIGINT)) AS disc_price_c
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+""",
+    "rel_join_top": """
+WITH rev AS (
+  SELECT o_custkey, sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS revenue_c,
+         count(*) AS n_orders
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT r.o_custkey, r.revenue_c, r.n_orders,
+         row_number() OVER (ORDER BY r.revenue_c DESC, r.o_custkey ASC) AS rank
+  FROM rev r
+)
+SELECT t.rank AS rank, c.c_custkey AS c_custkey, c.c_name AS c_name,
+       t.revenue_c AS revenue_c, t.n_orders AS n_orders
+FROM ranked t JOIN customer c ON c.c_custkey = t.o_custkey
+WHERE t.rank <= 10
+""",
+    "rel_window": """
+SELECT user_id, CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_ts,
+       count(*) AS n_events,
+       sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS value_c
+FROM events GROUP BY user_id, CAST(epoch(date_trunc('hour', ts)) AS BIGINT)
+""",
+    "rel_json": """
+SELECT event_type, count(*) AS n,
+       sum(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS sum_k
+FROM events GROUP BY event_type
+""",
+}

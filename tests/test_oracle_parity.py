@@ -1,0 +1,97 @@
+"""Replicates the driver's correctness gate locally: every queries() entry
+with an oracle_sql() runs against DuckDB on the same testdata parquet and
+must match row-for-row (order-insensitive, column names included)."""
+
+import os
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="module")
+def entry_module(ray_session):
+    import __ray_entry__
+
+    return __ray_entry__
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(SF_DIR, f"{t}.parquet")
+        if os.path.exists(p):
+            c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return c
+
+
+def _to_pandas(obj) -> pd.DataFrame:
+    import ray.data
+    import pyarrow as pa
+
+    if isinstance(obj, ray.data.Dataset):
+        return obj.to_pandas()
+    if isinstance(obj, pa.Table):
+        return obj.to_pandas()
+    return obj
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def _query_names(entry_module):
+    q = entry_module.queries()
+    o = entry_module.oracle_sql()
+    assert set(o) <= set(q), "oracle_sql keys must be a subset of queries"
+    return sorted(o)
+
+
+def test_all_oracle_keys_subset(entry_module):
+    _query_names(entry_module)
+
+
+@pytest.mark.parametrize(
+    "name",
+    sorted(
+        __import__("document_retrieval_ray.pipelines.testdata_queries",
+                   fromlist=["ORACLE_SQL"]).ORACLE_SQL
+    ),
+)
+def test_query_matches_oracle(entry_module, con, name):
+    ray_fn = entry_module.queries()[name]
+    got = _canon(_to_pandas(ray_fn(SF_DIR)))
+    exp = _canon(con.execute(entry_module.oracle_sql()[name]).fetchdf())
+    assert list(got.columns) == list(exp.columns), (
+        f"{name}: columns {list(got.columns)} != {list(exp.columns)}"
+    )
+    assert len(got) == len(exp), f"{name}: {len(got)} rows != {len(exp)}"
+    try:
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    except AssertionError as e:
+        raise AssertionError(f"{name}: value mismatch\n{e}") from None
+
+
+def test_rows_only_queries_run(entry_module):
+    """Entries without SQL oracles must still run and return rows."""
+    q = entry_module.queries()
+    o = entry_module.oracle_sql()
+    for name in sorted(set(q) - set(o)):
+        out = _to_pandas(q[name](SF_DIR))
+        assert out is not None and len(out) >= 0, name
+
+
+def test_entry_smoke(entry_module):
+    out = _to_pandas(entry_module.entry())
+    assert len(out) >= 0
+    assert "query_id" in out.columns
