@@ -52,4 +52,5 @@ class IndexConfig:
     min_df: int = 1                   # M9 low-frequency-term filter (ranking_with_bm25.py:128-132)
     docs_per_part: int = 1 << 20      # dense-id partition size
     num_hash_parts: int = 32          # url-hash partitions for dense id assignment
+    num_encode_parts: int = 64        # term-hash partitions for the encode shuffle
     tokenizer: TokenizerConfig = field(default_factory=TokenizerConfig)

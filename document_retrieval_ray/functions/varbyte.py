@@ -60,8 +60,12 @@ def varbyte_encode(values: np.ndarray) -> bytes:
 
 
 def varbyte_decode(buf) -> np.ndarray:
-    """Decode a varbyte stream back to a uint64 array."""
-    data = np.frombuffer(buf, dtype=np.uint8)
+    """Decode a varbyte stream back to a uint64 array. Accepts bytes or a
+    uint8 ndarray view (zero-copy slices of a shared buffer)."""
+    if isinstance(buf, np.ndarray):
+        data = buf
+    else:
+        data = np.frombuffer(buf, dtype=np.uint8)
     if data.size == 0:
         return np.empty(0, dtype=np.uint64)
     ends = np.nonzero(data & 0x80)[0]
@@ -141,7 +145,10 @@ def encode_blocked_postings(doc_ids: np.ndarray, tfs: np.ndarray, block_size: in
 
 def decode_block(buf, off: int, end: int, count: int, prev_last: int):
     """Decode one block → (doc_ids, tfs)."""
-    vals = varbyte_decode(bytes(buf[off:end]))
+    if isinstance(buf, np.ndarray):
+        vals = varbyte_decode(buf[off:end])
+    else:
+        vals = varbyte_decode(bytes(buf[off:end]))
     if vals.size != 2 * count:
         raise ValueError(f"expected {2*count} values in block, got {vals.size}")
     gaps, tfs = vals[:count].copy(), vals[count:]

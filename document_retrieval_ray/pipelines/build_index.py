@@ -2,17 +2,22 @@
 
 Pipeline::
 
-    read_parquet(url, text|html, lang)                 [column-pruned read]
+    read_parquet(url, lang)                            [pass 0: counts]
+      → AddPart → groupby(lang, part).count()          [langs + dense-id offsets]
+    read_parquet(url, text|html, lang)                 [pass 1, column-pruned]
       → ExtractText (html corpora only)                [map_batches, Arrow]
       → TokenizeStage                                  [actor pool]
       → AddPart (url-hash partition)                   [map_batches]
       → groupby(lang, part).map_groups(AssignDocIds)   [SHUFFLE 1: doc ids]
-          side-writes docmap/lang=*/part-*.parquet, emits posting triples
-      → triples checkpoint (scratch parquet)           [disk, reused 3x]
-      → partial_term_counts → groupby(lang,term).sum   [SHUFFLE 2: df, partial+final]
-      → AddSalt(hot terms broadcast via ray.put)
-      → groupby(lang, term, salt).map_groups(encode)   [SHUFFLE 3: THE big one]
-      → groupby(lang, term).map_groups(MergeSegments)  [hot-term segment merge]
+          side-writes docmap/ parquet + docmap_stats/ sidecar JSONs,
+          emits posting triples
+      → triples checkpoint (scratch parquet)           [disk, reused 2-3x]
+    triples → partial_term_counts → groupby.sum        [SHUFFLE 2: df]
+      → df materialized once → {df parquet, hot-term set, per-lang term stats}
+    triples → AddSalt(hot broadcast) → add_kpart       [hash-partition terms]
+      → groupby(kpart).map_groups(EncodePartition)     [SHUFFLE 3: THE big one]
+      → [hot terms only] add_kpart(lang,term)
+        → groupby.map_groups(MergePartition)           [segment merge, actor pool]
       → write postings/lang=*/*.parquet
       → per-lang manifest commit (atomic)
 
@@ -20,20 +25,31 @@ Resumability: a language shard whose manifest is committed for the same
 input fingerprint is skipped entirely (reference analog: pickle-existence
 guards, document_ranking_with_bm25.py:452-491 — but transactional here).
 
-Scale notes: the triples checkpoint is a deliberate disk spill so the
-stream is consumed three times (df / norms / encode) without re-tokenizing
-or pinning the corpus in the object store; the df shuffle moves per-batch
-partials, not triples; hot terms (df > hot_term_threshold) are salted into
-doc-range sub-keys so no single groupby task ever sees a stopword-sized
-posting list.
+Scale notes:
+- the triples checkpoint is a deliberate disk spill so the stream is
+  consumed 2-3x (df / encode / optional norms) without re-tokenizing or
+  pinning the corpus in the object store;
+- the df shuffle moves per-batch partials, not triples;
+- global (N, avgdl) stats are exact integer sums over per-partition
+  sidecar JSONs — no extra pass over the corpus;
+- terms are ENCODED per hash partition (whole partitions vectorized), not
+  per term-group: per-group map_groups costs ~5 ms/group of Arrow and
+  scheduling overhead, which at one row per term dominated the build;
+- hot terms (df > hot_term_threshold) are salted into doc-range sub-keys
+  so no single encode task ever sees a stopword-sized posting list; the
+  merge shuffle runs ONLY when hot terms exist, and moves already-encoded
+  compact segments.
 """
 
 from __future__ import annotations
 
+import glob
+import json
 import os
 import shutil
 
 import numpy as np
+import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.dataset as pads
 import ray
@@ -42,34 +58,25 @@ import ray.data
 from ..config import IndexConfig
 from ..stages.extract import ExtractText
 from ..stages.index_build import (
-    AddSalt,
     AssignDocIds,
-    MergeSegments,
+    MergePartition,
+    add_kpart,
     add_part,
-    encode_term_group,
+    add_salt_and_kpart,
+    encode_partition,
+    encode_partition_ids,
     partial_term_counts,
+    vocab_encode_triples,
 )
 from ..stages.tokenize import TokenizeStage
 from ..state.manifest import is_committed, read_manifest, write_manifest
+from ..util import default_pool
 
 IDF_LAWS = {
     "lucene": lambda N, df: np.log(1.0 + (N - df + 0.5) / (df + 0.5)),
     "cosine": lambda N, df: np.log((N - df + 0.5) / (df + 0.5)),
     "sklearn": lambda N, df: np.log((N + 1.0) / (df + 1.0)) + 1.0,
 }
-
-
-def _default_pool() -> int:
-    """Actor-pool size for class stages. A pipeline here runs at most TWO
-    actor pools concurrently plus read/shuffle/write task stages; pools
-    that reserve every CPU deadlock the streaming executor (observed at
-    num_cpus=4: tokenize 2 + assign 2 = 4 → the read task starves
-    forever). Budget: (cpus - 2) / 2 per pool, min 1."""
-    try:
-        cpus = int(ray.cluster_resources().get("CPU", 4))
-    except Exception:
-        cpus = 4
-    return max(1, (cpus - 2) // 2)
 
 
 def _input_fingerprint(input_path) -> str:
@@ -85,6 +92,7 @@ def _input_fingerprint(input_path) -> str:
 def _lang_dirs(index_dir: str):
     return {
         "docmap": os.path.join(index_dir, "docmap"),
+        "docmap_stats": os.path.join(index_dir, "docmap_stats"),
         "postings": os.path.join(index_dir, "postings"),
         "norms": os.path.join(index_dir, "norms"),
         "df": os.path.join(index_dir, "df"),
@@ -95,7 +103,7 @@ def _lang_dirs(index_dir: str):
 def _clean_uncommitted(index_dir: str, langs) -> None:
     d = _lang_dirs(index_dir)
     for lang in langs:
-        for key in ("docmap", "postings", "norms", "df"):
+        for key in ("docmap", "docmap_stats", "postings", "norms", "df"):
             p = os.path.join(d[key], f"lang={lang}")
             if os.path.isdir(p):
                 shutil.rmtree(p)
@@ -119,19 +127,60 @@ def build_index(
     driver testdata shape). Fingerprinting then uses ``input_path`` as an
     opaque label.
     """
+    import time
+
+    _t0 = time.perf_counter()
+    _profile = os.environ.get("DRR_PROFILE") == "1"
+
+    def _mark(name):
+        if _profile:
+            print(f"[build {name}] {time.perf_counter() - _t0:.1f}s", flush=True)
+
     d = _lang_dirs(index_dir)
     if tokenize_concurrency is None:
-        tokenize_concurrency = _default_pool()
+        tokenize_concurrency = default_pool()
     fingerprint = _input_fingerprint(input_path) + f"::tok={cfg.tokenizer.mode}"
 
-    def read_input():
+    def read_input(columns=None):
         if input_ds_factory is not None:
             return input_ds_factory()
-        cols = ["url", "lang"] + (["html"] if extract_html else ["text"])
+        cols = columns or (["url", "lang"] + (["html"] if extract_html else ["text"]))
         return ray.data.read_parquet(input_path, columns=cols)
 
-    # --- which language shards still need building? ---
-    all_langs = sorted(read_input().unique("lang"))
+    # --- pass 0: per-(lang, part) doc counts → langs + dense-id offsets.
+    # Per-batch partial counts summed on the driver (the result is tiny:
+    # langs × num_hash_parts rows) — no shuffle needed.
+    def _partial_counts(t):
+        import pandas as pd
+
+        t = add_part(t.select(["url", "lang"]), cfg.num_hash_parts)
+        g = (
+            pd.DataFrame(
+                {"lang": t["lang"].to_pandas(), "part": t["part"].to_pandas()}
+            )
+            .groupby(["lang", "part"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        import pyarrow as _pa
+
+        return _pa.Table.from_pandas(g, preserve_index=False)
+
+    from collections import Counter as _Counter
+
+    count_acc: dict = _Counter()
+    for row in (
+        read_input()
+        .map_batches(_partial_counts, batch_format="pyarrow")
+        .take_all()
+    ):
+        count_acc[(row["lang"], int(row["part"]))] += int(row["n"])
+    counts = [
+        {"lang": l, "part": p, "count()": n} for (l, p), n in count_acc.items()
+    ]
+    _mark("counts")
+    all_langs = sorted({r["lang"] for r in counts})
+
     todo = [
         l
         for l in all_langs
@@ -146,36 +195,34 @@ def build_index(
         return manifests
     _clean_uncommitted(index_dir, todo)
 
-    docs = read_input()
-    if len(todo) < len(all_langs):
-        import pyarrow as pa
-
-        todo_arr = pa.array(sorted(todo))
-        docs = docs.map_batches(
-            lambda t: t.filter(pc.is_in(t["lang"], value_set=todo_arr)),
-            batch_format="pyarrow",
-        )
-
-    if extract_html:
-        docs = docs.map_batches(ExtractText(), batch_format="pyarrow")
-
-    # --- pass 0: per-(lang, part) doc counts → dense-id offsets ---
-    parted_keys = docs.map_batches(
-        lambda t: add_part(t.select(["url", "lang"]), cfg.num_hash_parts),
-        batch_format="pyarrow",
-    )
-    counts = parted_keys.groupby(["lang", "part"]).count().take_all()
     offsets: dict = {}
     for lang in todo:
-        rows = sorted(
-            ((r["part"], r["count()"]) for r in counts if r["lang"] == lang)
-        )
+        rows = sorted(((r["part"], r["count()"]) for r in counts if r["lang"] == lang))
         acc = 0
         for part, n in rows:
             offsets[(lang, int(part))] = acc
             acc += n
 
-    # --- pass 1: tokenize → assign ids (side-write docmap) → triples ---
+    docs = read_input()
+    if len(todo) < len(all_langs):
+        todo_arr = pa.array(sorted(todo))
+        docs = docs.map_batches(
+            lambda t: t.filter(pc.is_in(t["lang"], value_set=todo_arr)),
+            batch_format="pyarrow",
+        )
+    if extract_html:
+        docs = docs.map_batches(ExtractText(), batch_format="pyarrow")
+
+    # --- pass 1: tokenize → assign ids (side-write docmap+stats) ---
+    #
+    # Two flows:
+    # - "segments" (default when cosine norms aren't needed): each
+    #   (lang, part) group ENCODES its posting segments in place — the
+    #   only remaining shuffle moves compact encoded segments
+    #   (vocab x parts rows), not every posting triple.
+    # - "triples": emits raw triples, checkpointed in the object store and
+    #   consumed by df / norms / encode passes (needed for cosine norms).
+    segments_flow = not with_cosine_norms
     tokens = docs.map_batches(
         TokenizeStage,
         fn_constructor_kwargs={"config": cfg.tokenizer},
@@ -185,116 +232,296 @@ def build_index(
     parted = tokens.map_batches(
         add_part, fn_kwargs={"num_parts": cfg.num_hash_parts}, batch_format="pyarrow"
     )
-    triples = parted.groupby(["lang", "part"]).map_groups(
+    assign_kwargs = {
+        "offsets": offsets,
+        "docmap_dir": d["docmap"],
+        "emit": "segments" if segments_flow else "triples",
+        "block_size": cfg.block_size,
+    }
+    assigned = parted.groupby(["lang", "part"]).map_groups(
         AssignDocIds,
-        fn_constructor_kwargs={"offsets": offsets, "docmap_dir": d["docmap"]},
+        fn_constructor_kwargs=assign_kwargs,
         batch_format="pyarrow",
         concurrency=tokenize_concurrency,
     )
-    triples_dir = os.path.join(index_dir, "_triples")
-    if os.path.isdir(triples_dir):
-        shutil.rmtree(triples_dir)
-    triples.write_parquet(triples_dir)
+    # checkpoint in the OBJECT STORE (zero-copy, spills under pressure) —
+    # the stream is consumed 2-3x and a parquet round-trip through local
+    # disk was pure non-scaling I/O. ``keep_triples`` additionally writes
+    # the triples to disk for inspection (triples flow only).
+    triples_mat = assigned.materialize()
+    if keep_triples and not segments_flow:
+        triples_dir = os.path.join(index_dir, "_triples")
+        if os.path.isdir(triples_dir):
+            shutil.rmtree(triples_dir)
+        triples_mat.write_parquet(triples_dir, min_rows_per_file=500_000)
+    _mark("tokenize_assign_triples")
 
-    # --- pass 2: document frequency (partial combine, then small shuffle) ---
-    partials = ray.data.read_parquet(triples_dir, columns=["lang", "term"]).map_batches(
-        partial_term_counts, batch_format="pyarrow"
-    )
-    df_ds = partials.groupby(["lang", "term"]).sum("n")
-    df_ds = df_ds.map_batches(
-        lambda t: t.rename_columns(["lang", "term", "df"]), batch_format="pyarrow"
-    )
-    df_ds.write_parquet(d["df"], partition_cols=["lang"])
+    # --- stats per lang: exact integer sums over sidecar JSONs ---
+    stats: dict = {}
+    for lang in todo:
+        n_docs = 0
+        sum_dl = 0
+        for p in glob.glob(os.path.join(d["docmap_stats"], f"lang={lang}", "*.json")):
+            with open(p) as f:
+                s = json.load(f)
+            n_docs += s["n_docs"]
+            sum_dl += s["sum_dl"]
+        stats[lang] = {
+            "n_docs": n_docs,
+            "total_tokens": sum_dl,
+            "avgdl": (sum_dl / n_docs) if n_docs else 0.0,
+        }
 
-    # hot terms for skew salting (small driver-side set, broadcast once)
-    hot = [
-        (r["lang"], r["term"])
-        for r in ray.data.read_parquet(d["df"]).filter(
-            expr=f"df > {cfg.hot_term_threshold}"
-        ).take_all()
-    ]
+    # --- pass 2: document frequency. Per-batch partials stream to the
+    # driver and are summed there: the vocabulary is orders of magnitude
+    # smaller than the corpus (Heaps' law), so ONE Ray execution replaces
+    # four (groupby-materialize / parquet write / hot filter / term-stats
+    # aggregate — each execution costs ~2-3s of spin-up). The df parquet,
+    # hot-term set, and per-lang term stats all derive from the same
+    # driver-side table. Falls back to a distributed groupby if the
+    # accumulated vocab exceeds a guard (truly web-scale vocabularies).
+    import pandas as pd
+    from collections import Counter as _C
+
+    if segments_flow:
+        # segment rows already carry per-(lang, term, part) df counts
+        partials = triples_mat.select_columns(["lang", "term", "df"]).map_batches(
+            lambda t: t.rename_columns(["lang", "term", "n"]),
+            batch_format="pyarrow",
+        )
+    else:
+        partials = triples_mat.select_columns(["lang", "term"]).map_batches(
+            partial_term_counts, batch_format="pyarrow"
+        )
+    overflow = False
+    frames = []
+    acc_rows = 0
+    for b in partials.iter_batches(batch_format="pyarrow", batch_size=None):
+        frames.append(b.to_pandas())
+        acc_rows += len(frames[-1])
+        if acc_rows > 50_000_000:
+            overflow = True
+            break
+    if not overflow and frames:
+        merged = (
+            pd.concat(frames, ignore_index=True)
+            .groupby(["lang", "term"], sort=False)["n"]
+            .sum()
+        )
+        df_acc = {k: int(v) for k, v in merged.items()}
+    else:
+        df_acc = {}
+    if overflow:
+        # distributed fallback: vocab too large for driver aggregation
+        df_ds = (
+            partials.groupby(["lang", "term"])
+            .sum("n")
+            .map_batches(
+                lambda t: t.rename_columns(["lang", "term", "df"]),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+        df_ds.write_parquet(d["df"], partition_cols=["lang"])
+        hot = [
+            (r["lang"], r["term"])
+            for r in df_ds.filter(expr=f"df > {cfg.hot_term_threshold}").take_all()
+        ]
+        term_stats = {
+            r["lang"]: r
+            for r in df_ds.groupby("lang")
+            .aggregate(
+                ray.data.aggregate.Count(alias_name="n_terms"),
+                ray.data.aggregate.Sum("df", alias_name="n_postings"),
+            )
+            .take_all()
+        }
+    else:
+        df_tbl = pd.DataFrame(
+            {
+                "lang": [k[0] for k in df_acc],
+                "term": [k[1] for k in df_acc],
+                "df": list(df_acc.values()),
+            }
+        )
+        import pyarrow.parquet as _pq
+
+        for lang, g in df_tbl.groupby("lang"):
+            out_dir = os.path.join(d["df"], f"lang={lang}")
+            os.makedirs(out_dir, exist_ok=True)
+            _pq.write_table(
+                pa.Table.from_pandas(
+                    g[["term", "df"]].sort_values("term"), preserve_index=False
+                ),
+                os.path.join(out_dir, "part-00000.parquet"),
+            )
+        hot = [
+            (l, t)
+            for (l, t), n in df_acc.items()
+            if n > cfg.hot_term_threshold
+        ]
+        term_stats = {
+            lang: {
+                "n_terms": int(len(g)),
+                "n_postings": int(g["df"].sum()),
+            }
+            for lang, g in df_tbl.groupby("lang")
+        }
     hot_ref = ray.put(frozenset(hot)) if hot else None
-
-    # --- stats per lang (N over ALL docs incl. dl=0, avgdl incl. zeros) ---
-    docmap_ds = ray.data.read_parquet(d["docmap"], columns=["dl", "lang"])
-    stats_rows = docmap_ds.groupby("lang").aggregate(
-        ray.data.aggregate.Count(alias_name="n_docs"),
-        ray.data.aggregate.Mean("dl", alias_name="avgdl"),
-        ray.data.aggregate.Sum("dl", alias_name="total_tokens"),
-    ).take_all()
-    stats = {r["lang"]: r for r in stats_rows}
+    # driver-resident vocabulary → dictionary-encode the shuffle (numeric
+    # sort keys); None when the vocab overflowed to the distributed path
+    vocab_ref = None
+    hot_vids_ref = None
+    if not overflow and not segments_flow:
+        keys = list(df_acc.keys())
+        lang_arr = np.array([k[0] for k in keys], dtype=object)
+        term_arr = np.array([k[1] for k in keys], dtype=object)
+        vocab_ref = ray.put((lang_arr, term_arr))
+        if hot:
+            hot_set = set(hot)
+            hot_vids_ref = ray.put(
+                np.array(
+                    [i for i, k in enumerate(keys) if k in hot_set], dtype=np.int64
+                )
+            )
+    _mark("df_hot_stats")
 
     # --- optional cosine norms: |d| under the cosine idf law ---
     if with_cosine_norms:
-        _build_cosine_norms(triples_dir, d, stats)
+        _build_cosine_norms(triples_mat, d, stats)
+        _mark("cosine_norms")
 
-    # --- pass 3: encode + merge + write postings ---
-    triples_ds = ray.data.read_parquet(triples_dir)
-    salted = triples_ds.map_batches(
-        AddSalt,
-        fn_constructor_kwargs={"hot_terms_ref": hot_ref, "salt_shift": cfg.salt_shift},
-        batch_format="pyarrow",
-        concurrency=tokenize_concurrency,
-    )
-    encoded = salted.groupby(["lang", "term", "salt"]).map_groups(
-        encode_term_group,
-        fn_kwargs={"block_size": cfg.block_size},
-        batch_format="pyarrow",
-    )  # plain function → elastic tasks
-    merged = encoded.groupby(["lang", "term"]).map_groups(
-        MergeSegments,
-        fn_constructor_kwargs={"block_size": cfg.block_size, "min_df": cfg.min_df},
-        batch_format="pyarrow",
-        concurrency=tokenize_concurrency,
-    )
-    merged.write_parquet(d["postings"], partition_cols=["lang"])
-
-    # --- per-lang metrics + manifest commit ---
-    term_stats = {
-        r["lang"]: r
-        for r in ray.data.read_parquet(d["postings"], columns=["lang", "df"])
-        .groupby("lang")
-        .aggregate(
-            ray.data.aggregate.Count(alias_name="n_terms"),
-            ray.data.aggregate.Sum("df", alias_name="n_postings"),
+    # --- pass 3: encode partitions (+ merge only when hot terms exist) ---
+    if segments_flow:
+        # segments are already encoded; ONE shuffle of compact segments
+        # into per-term merge partitions. (Web-scale extension: a
+        # hierarchical merge when one term's total postings exceed a
+        # task — the doc-range segments make that a tree of concats.)
+        rekeyed = triples_mat.map_batches(
+            add_kpart,
+            fn_kwargs={"num_parts": cfg.num_encode_parts, "cols": ("lang", "term")},
+            batch_format="pyarrow",
         )
-        .take_all()
-    }
-    if not keep_triples:
-        shutil.rmtree(triples_dir, ignore_errors=True)
+        final = rekeyed.groupby("kpart").map_groups(
+            MergePartition,
+            fn_constructor_kwargs={"block_size": cfg.block_size, "min_df": cfg.min_df},
+            batch_format="pyarrow",
+            concurrency=tokenize_concurrency,
+        )
+        final.write_parquet(d["postings"], partition_cols=["lang"])
+        _mark("encode_merge_write")
+        del triples_mat
+        for lang in todo:
+            s = stats.get(lang, {})
+            t = term_stats.get(lang, {})
+            payload = _manifest_payload(
+                lang, fingerprint, s, t, cfg, hot, with_cosine_norms, "segments"
+            )
+            write_manifest(os.path.join(d["manifests"], str(lang)), payload)
+            manifests[lang] = payload
+        return manifests
 
+    triples_ds = triples_mat
+    if vocab_ref is not None:
+        keyed = triples_ds.map_batches(
+            vocab_encode_triples,
+            fn_kwargs={
+                "vocab_ref": vocab_ref,
+                "hot_vids_ref": hot_vids_ref,
+                "salt_shift": cfg.salt_shift,
+                "num_parts": cfg.num_encode_parts,
+            },
+            batch_format="pyarrow",
+        )
+        encoded = keyed.groupby("kpart").map_groups(
+            encode_partition_ids,
+            fn_kwargs={"block_size": cfg.block_size, "vocab_ref": vocab_ref},
+            batch_format="pyarrow",
+        )
+    else:
+        keyed = triples_ds.map_batches(
+            add_salt_and_kpart,
+            fn_kwargs={
+                "hot_terms_ref": hot_ref,
+                "salt_shift": cfg.salt_shift,
+                "num_parts": cfg.num_encode_parts,
+            },
+            batch_format="pyarrow",
+        )
+        encoded = keyed.groupby("kpart").map_groups(
+            encode_partition,
+            fn_kwargs={"block_size": cfg.block_size},
+            batch_format="pyarrow",
+        )
+    if hot:
+        rekeyed = encoded.map_batches(
+            add_kpart,
+            fn_kwargs={"num_parts": cfg.num_encode_parts, "cols": ("lang", "term")},
+            batch_format="pyarrow",
+        )
+        final = rekeyed.groupby("kpart").map_groups(
+            MergePartition,
+            fn_constructor_kwargs={"block_size": cfg.block_size, "min_df": cfg.min_df},
+            batch_format="pyarrow",
+            concurrency=tokenize_concurrency,
+        )
+    else:
+        def finalize(t: pa.Table) -> pa.Table:
+            if cfg.min_df > 1:
+                t = t.filter(pc.greater_equal(t["df"], cfg.min_df))
+            return t.drop_columns(
+                [c for c in ("salt", "min_doc", "kpart") if c in t.column_names]
+            )
+
+        final = encoded.map_batches(finalize, batch_format="pyarrow")
+    final.write_parquet(d["postings"], partition_cols=["lang"])
+    _mark("encode_merge_write")
+    del triples_mat  # release the object-store checkpoint
+
+    # --- per-lang manifest commit ---
     for lang in todo:
         s = stats.get(lang, {})
         t = term_stats.get(lang, {})
-        payload = {
-            "partition": str(lang),
-            "input_fingerprint": fingerprint,
-            "n_docs": int(s.get("n_docs", 0)),
-            "avgdl": float(s.get("avgdl", 0.0) or 0.0),
-            "total_tokens": int(s.get("total_tokens", 0) or 0),
-            "n_terms": int(t.get("n_terms", 0)),
-            "n_postings": int(t.get("n_postings", 0) or 0),
-            "block_size": cfg.block_size,
-            "hot_term_threshold": cfg.hot_term_threshold,
-            "salt_shift": cfg.salt_shift,
-            "num_hash_parts": cfg.num_hash_parts,
-            "tokenizer_mode": cfg.tokenizer.mode,
-            "with_cosine_norms": bool(with_cosine_norms),
-        }
+        payload = _manifest_payload(
+            lang, fingerprint, s, t, cfg, hot, with_cosine_norms, "triples"
+        )
         write_manifest(os.path.join(d["manifests"], str(lang)), payload)
         manifests[lang] = payload
     return manifests
 
 
-def _build_cosine_norms(triples_dir: str, d: dict, stats: dict) -> None:
+def _manifest_payload(lang, fingerprint, s, t, cfg, hot, with_cosine_norms, flow):
+    return {
+        "partition": str(lang),
+        "input_fingerprint": fingerprint,
+        "n_docs": int(s.get("n_docs", 0)),
+        "avgdl": float(s.get("avgdl", 0.0) or 0.0),
+        "total_tokens": int(s.get("total_tokens", 0) or 0),
+        "n_terms": int(t.get("n_terms", 0)),
+        "n_postings": int(t.get("n_postings", 0) or 0),
+        "block_size": cfg.block_size,
+        "hot_term_threshold": cfg.hot_term_threshold,
+        "n_hot_terms": len(hot),
+        "salt_shift": cfg.salt_shift,
+        "num_hash_parts": cfg.num_hash_parts,
+        "tokenizer_mode": cfg.tokenizer.mode,
+        "with_cosine_norms": bool(with_cosine_norms),
+        "flow": flow,
+    }
+
+
+def _build_cosine_norms(triples_mat, d: dict, stats: dict) -> None:
     """Per-doc TF-IDF L2 norms under the 'cosine' idf law
     (cosine_similarity_bm25_reranking.py:176-182, :94-110): broadcast the
     per-lang idf dict, partial per-batch doc sums, then a doc-keyed
     groupby-sum (small output: one row per doc)."""
     import pandas as pd
-    import pyarrow as pa
 
-    df_tbl = ray.data.read_parquet(d["df"]).to_pandas()
+    df_tbl = (
+        pads.dataset(d["df"], format="parquet", partitioning="hive")
+        .to_table()
+        .to_pandas()
+    )
     idf_maps = {}
     for lang, g in df_tbl.groupby("lang"):
         N = stats[lang]["n_docs"]
@@ -322,8 +549,8 @@ def _build_cosine_norms(triples_dir: str, d: dict, stats: dict) -> None:
             return pa.Table.from_pandas(out, preserve_index=False)
 
     norms = (
-        ray.data.read_parquet(triples_dir, columns=["lang", "doc_id", "term", "tf"])
-        .map_batches(PartialNorm, batch_format="pyarrow", concurrency=_default_pool())
+        triples_mat.select_columns(["lang", "doc_id", "term", "tf"])
+        .map_batches(PartialNorm, batch_format="pyarrow", concurrency=default_pool())
         .groupby(["lang", "doc_id"])
         .sum("w2")
     )

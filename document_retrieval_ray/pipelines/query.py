@@ -25,15 +25,21 @@ def bm25_search(
     round_dp=4,
     concurrency=None,
     batch_size: int = 256,
+    shared_refs=None,
 ) -> ray.data.Dataset:
-    """queries(query_id, query, lang) → (query_id, rank, url, score, score_x)."""
+    """queries(query_id, query, lang) → (query_id, rank, url, score, score_x).
+
+    ``shared_refs``: optional {lang: ObjectRef} of
+    ``state.index_shard.build_shared_payload`` dicts — scorer actors then
+    map the index zero-copy from the object store instead of each loading
+    the shard from disk."""
     if concurrency is None:
-        concurrency = default_pool(1.0)
+        concurrency = default_pool(0.5)
     return queries.map_batches(
         BM25ScorerStage,
         fn_constructor_kwargs=dict(
             index_dir=index_dir, cfg=cfg, tokenizer=tokenizer,
-            round_dp=round_dp, method=method,
+            round_dp=round_dp, method=method, shared_refs=shared_refs,
         ),
         batch_format="pyarrow",
         batch_size=batch_size,
@@ -54,7 +60,7 @@ def cosine_search(
 ) -> ray.data.Dataset:
     """C5 cosine top-k; ``rerank=True`` → C6 two-stage (cosine → BM25-C3)."""
     if concurrency is None:
-        concurrency = default_pool(1.0)
+        concurrency = default_pool(0.5)
     return queries.map_batches(
         CosineScorerStage,
         fn_constructor_kwargs=dict(

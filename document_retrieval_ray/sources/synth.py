@@ -61,26 +61,33 @@ def generate_corpus(
     langs = rng.choice(len(LANGS), size=num_docs, p=probs)
 
     vocabs = {l: _vocab(l, vocab_size) for l in LANGS}
-    # Zipf ranks (1-based), clipped into vocab
-    urls, texts, tss = [], [], []
-    lang_col = []
+    vocab_arrs = {l: np.array(v, dtype=object) for l, v in vocabs.items()}
+    # vectorized doc generation (bench corpora reach 10^5+ docs): one gamma
+    # draw per doc for lengths, one Zipf draw for ALL tokens, per-lang
+    # vocabulary gather, then a join per doc
+    dls = np.maximum(1, rng.gamma(2.0, mean_len / 2.0, size=num_docs).astype(np.int64))
+    offsets = np.concatenate([[0], np.cumsum(dls)])
+    all_ranks = np.minimum(rng.zipf(zipf_a, size=int(offsets[-1])), vocab_size) - 1
+    texts = [""] * num_docs
+    for li, lang in enumerate(LANGS):
+        idxs = np.nonzero(langs == li)[0]
+        va = vocab_arrs[lang]
+        for i in idxs:
+            words = va[all_ranks[offsets[i]:offsets[i + 1]]]
+            texts[i] = " ".join(words.tolist())
+    urls, tss, lang_col = [], [], []
     base_ts = np.datetime64("2024-06-01T00:00:00", "us")
     for i in range(num_docs):
         lang = LANGS[langs[i]]
         v = vocabs[lang]
-        dl = max(1, int(rng.gamma(2.0, mean_len / 2.0)))
-        ranks = np.minimum(rng.zipf(zipf_a, size=dl), len(v)) - 1
-        toks = [v[r] for r in ranks]
         # edge docs: empty / stopword-only / duplicate-heavy (FIXTURES.md F1)
         if i == 7:
-            toks = []
+            texts[i] = ""
         elif i == 11:
-            toks = sorted(STOPWORDS[lang])[:10] * 3
+            texts[i] = " ".join(sorted(STOPWORDS[lang])[:10] * 3)
         elif i == 13:
-            toks = [v[50]] * 40
-        text = " ".join(toks)
+            texts[i] = " ".join([v[50]] * 40)
         urls.append(f"https://{lang}.example.org/doc/{i:08d}")
-        texts.append(text)
         lang_col.append(lang)
         tss.append(base_ts + np.timedelta64(int(i) * 1000, "us"))
 
@@ -142,6 +149,8 @@ def write_corpus(out_dir: str, num_docs: int = 3000, seed: int = 42, **kw) -> di
     docs, queries = generate_corpus(num_docs=num_docs, seed=seed, **kw)
     doc_path = os.path.join(out_dir, "documents.parquet")
     q_path = os.path.join(out_dir, "queries.parquet")
-    pq.write_table(docs, doc_path)
+    # small row groups so a parallel reader can split ONE file into many
+    # read tasks (a single default-sized row group serializes the read)
+    pq.write_table(docs, doc_path, row_group_size=4096)
     pq.write_table(queries, q_path)
     return {"documents": doc_path, "queries": q_path}

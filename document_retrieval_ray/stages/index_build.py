@@ -18,12 +18,15 @@ Here the same result is a Ray Data shuffle:
                     granularity, the reference's only skew acknowledgment —
                     en gets 208 pickle shards vs ≤19 for other languages
                     (final_implementation.py:228,251).
-- ``encode_term_group``  sort by doc_id → delta-gap varbyte encode → per
-                    128-posting block-max metadata (last_doc, max_tf,
-                    min_dl) for WAND pruning.
-- ``MergeSegments`` stateful actor-pool merger: concatenates a hot term's
-                    encoded doc-range segments into the final posting list
-                    (single-segment terms pass through without decode).
+- ``EncodePartition``  per term-hash partition: one sort, numpy boundary
+                    detection, delta-gap varbyte encode per segment with
+                    per-block block-max metadata (last_doc, max_tf,
+                    min_dl) for WAND pruning — whole partitions
+                    vectorized, never one Ray group per term.
+- ``MergePartition``  stateful actor-pool merger: concatenates a hot
+                    term's encoded doc-range segments into the final
+                    posting list (single-segment terms pass through
+                    without decode).
 """
 
 from __future__ import annotations
@@ -50,13 +53,28 @@ def add_part(batch: pa.Table, num_parts: int) -> pa.Table:
 
 
 class AssignDocIds:
-    """Per-(lang, part) group: assign dense doc ids, side-write docmap,
-    emit posting triples (lang, term, doc_id, dl, tf)."""
+    """Per-(lang, part) group: assign dense doc ids, side-write docmap
+    (plus a tiny stats sidecar: n_docs / sum_dl per partition, so global
+    stats are exact integer sums over sidecars — no extra pass over the
+    corpus), then emit either:
 
-    def __init__(self, offsets: dict, docmap_dir: str):
+    - ``emit="triples"``: posting triples (lang, term, doc_id, dl, tf) —
+      the general path (feeds the cosine-norms pass too), or
+    - ``emit="segments"``: ENCODED posting segments for the group's doc
+      range directly (_ENCODED_SCHEMA rows, salt = part id). Because each
+      (lang, part) group is a contiguous, disjoint doc-id range, per-group
+      segments merge by pure concatenation — so the index build's only
+      remaining shuffle moves compact encoded segments
+      (vocab x parts rows) instead of every posting triple.
+    """
+
+    def __init__(self, offsets: dict, docmap_dir: str, emit: str = "triples",
+                 block_size: int = 128):
         # offsets: {(lang, part): first dense doc_id of this partition}
         self.offsets = offsets
         self.docmap_dir = docmap_dir
+        self.emit = emit
+        self.block_size = block_size
 
     def __call__(self, group: pa.Table) -> pa.Table:
         lang = group["lang"][0].as_py()
@@ -71,19 +89,55 @@ class AssignDocIds:
 
         parent, terms = flatten_tokens(group)
         if len(terms) == 0:
-            return _empty_triples()
+            return _empty_triples() if self.emit == "triples" else _empty_encoded()
         df = pd.DataFrame({"row": parent, "term": terms})
         counted = df.groupby(["row", "term"], sort=False).size().reset_index(name="tf")
         rows = counted["row"].to_numpy()
         dls = group["dl"].to_numpy(zero_copy_only=False)
+        if self.emit == "triples":
+            return pa.table(
+                {
+                    "lang": pa.array(np.repeat(lang, len(rows)), pa.string()),
+                    "term": pa.array(counted["term"].to_numpy(), pa.string()),
+                    "doc_id": pa.array(doc_ids[rows], pa.int64()),
+                    "dl": pa.array(dls[rows], pa.int64()),
+                    "tf": pa.array(counted["tf"].to_numpy(), pa.int64()),
+                }
+            )
+        return self._emit_segments(
+            lang, int(part), counted["term"].to_numpy(), doc_ids[rows],
+            dls[rows], counted["tf"].to_numpy()
+        )
+
+    def _emit_segments(self, lang, part, term, doc_id, dl, tf) -> pa.Table:
+        order = np.lexsort((doc_id, term))
+        term, doc_id, dl, tf = term[order], doc_id[order], dl[order], tf[order]
+        n = len(term)
+        change = term[1:] != term[:-1]
+        starts = np.concatenate([[0], np.flatnonzero(change) + 1])
+        ends = np.concatenate([starts[1:], [n]])
+        cols = {k: [] for k in (
+            "lang", "term", "salt", "df", "cf", "min_doc", "postings",
+            "block_off", "block_last", "block_max_tf", "block_min_dl",
+        )}
+        for s, e in zip(starts, ends):
+            d, t, l = doc_id[s:e], tf[s:e], dl[s:e]
+            buf, block_off = encode_blocked_postings(d, t, self.block_size)
+            last, max_tf, min_dl = _block_meta(d, t, l, self.block_size)
+            cols["lang"].append(lang)
+            cols["term"].append(term[s])
+            cols["salt"].append(part)
+            cols["df"].append(e - s)
+            cols["cf"].append(int(t.sum()))
+            cols["min_doc"].append(int(d[0]))
+            cols["postings"].append(buf)
+            cols["block_off"].append(block_off)
+            cols["block_last"].append(last)
+            cols["block_max_tf"].append(max_tf)
+            cols["block_min_dl"].append(min_dl)
         return pa.table(
-            {
-                "lang": pa.array(np.repeat(lang, len(rows)), pa.string()),
-                "term": pa.array(counted["term"].to_numpy(), pa.string()),
-                "doc_id": pa.array(doc_ids[rows], pa.int64()),
-                "dl": pa.array(dls[rows], pa.int64()),
-                "tf": pa.array(counted["tf"].to_numpy(), pa.int64()),
-            }
+            {f.name: pa.array(cols[f.name], f.type) for f in _ENCODED_SCHEMA},
+            schema=_ENCODED_SCHEMA,
         )
 
     def _write_docmap(self, lang: str, part: int, group: pa.Table, doc_ids):
@@ -102,6 +156,29 @@ class AssignDocIds:
         try:
             pq.write_table(table, tmp)
             os.replace(tmp, final)  # idempotent under task retry
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+        # stats sidecar (atomic, idempotent) — separate tree so parquet
+        # directory reads of docmap/ stay clean
+        import json
+
+        stats_dir = os.path.join(
+            os.path.dirname(self.docmap_dir), "docmap_stats", f"lang={lang}"
+        )
+        os.makedirs(stats_dir, exist_ok=True)
+        stats = {
+            "lang": lang,
+            "part": part,
+            "n_docs": int(group.num_rows),
+            "sum_dl": int(np.sum(group["dl"].to_numpy(zero_copy_only=False))),
+        }
+        sfinal = os.path.join(stats_dir, f"part-{part:05d}.json")
+        fd, tmp = tempfile.mkstemp(dir=stats_dir, suffix=".tmp")
+        try:
+            with os.fdopen(fd, "w") as f:
+                json.dump(stats, f)
+            os.replace(tmp, sfinal)
         finally:
             if os.path.exists(tmp):
                 os.unlink(tmp)
@@ -138,31 +215,40 @@ def partial_term_counts(batch: pa.Table) -> pa.Table:
     )
 
 
-class AddSalt:
-    """Add doc-range salt sub-keys for hot terms (broadcast hot set)."""
+def add_salt_and_kpart(
+    batch: pa.Table, hot_terms_ref, salt_shift: int, num_parts: int
+) -> pa.Table:
+    """Add the hot-term doc-range salt AND the encode-shuffle partition key
+    in one vectorized pass. Plain task (elastic): ``ray.get`` of the
+    broadcast hot set hits the local object-store cache after the first
+    fetch per worker — and the stage doesn't reserve a CPU-pinned actor
+    pool (three chained pools deadlocked the streaming executor at 32
+    CPUs). Hot membership is a C-level ``Series.isin`` on a combined
+    "lang\\0term" key, not a per-row Python loop."""
+    import ray
 
-    def __init__(self, hot_terms_ref, salt_shift: int):
-        import ray
-
-        # one object-store fetch per actor, not per batch
-        self.hot = (
-            ray.get(hot_terms_ref) if hot_terms_ref is not None else frozenset()
-        )
-        self.shift = salt_shift
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        terms = np.asarray(batch["term"].to_pandas(), dtype=object)
-        langs = np.asarray(batch["lang"].to_pandas(), dtype=object)
-        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        salt = np.zeros(len(terms), dtype=np.int64)
-        if self.hot:
-            mask = np.fromiter(
-                ((l, t) in self.hot for l, t in zip(langs, terms)),
-                dtype=bool,
-                count=len(terms),
-            )
-            salt[mask] = doc_ids[mask] >> self.shift
-        return batch.append_column("salt", pa.array(salt, pa.int64()))
+    hot = ray.get(hot_terms_ref) if hot_terms_ref is not None else frozenset()
+    langs = pd.Series(batch["lang"].to_pandas(), dtype=object)
+    terms = pd.Series(batch["term"].to_pandas(), dtype=object)
+    doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    salt = np.zeros(len(terms), dtype=np.int64)
+    if hot:
+        # term-only membership: salting a non-hot (lang, term) that merely
+        # shares its term string with a hot pair is harmless (a few extra
+        # sub-segments), and Series.isin on one column is far cheaper than
+        # building a concatenated key per row
+        hot_terms = {t for _, t in hot}
+        mask = terms.isin(hot_terms).to_numpy()
+        salt[mask] = doc_ids[mask] >> salt_shift
+    hl = pd.util.hash_array(langs.to_numpy(dtype=object))
+    ht = pd.util.hash_array(terms.to_numpy(dtype=object))
+    h = (
+        hl * np.uint64(0x9E3779B97F4A7C15)
+        ^ ht
+        ^ (salt.astype(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F))
+    ).astype(np.int64)
+    out = batch.append_column("salt", pa.array(salt, pa.int64()))
+    return out.append_column("kpart", pa.array(np.abs(h) % num_parts, pa.int64()))
 
 
 _ENCODED_SCHEMA = pa.schema(
@@ -182,6 +268,250 @@ _ENCODED_SCHEMA = pa.schema(
 )
 
 
+def add_kpart(batch: pa.Table, num_parts: int, cols) -> pa.Table:
+    """Deterministic-within-run hash partition over key columns (the
+    partition assignment never affects output values, only placement, so
+    a fast non-cryptographic hash is fine). Per-column numeric hashes are
+    combined — no per-row string concatenation."""
+    h = np.zeros(batch.num_rows, dtype=np.uint64)
+    mix = np.uint64(0x9E3779B97F4A7C15)
+    for c in cols:
+        vals = pd.Series(batch[c].to_pandas())
+        if vals.dtype == object:
+            hc = pd.util.hash_array(vals.to_numpy(dtype=object))
+        else:
+            hc = pd.util.hash_array(vals.to_numpy())
+        h = (h * mix) ^ hc
+    return batch.append_column(
+        "kpart", pa.array(np.abs(h.astype(np.int64)) % num_parts, pa.int64())
+    )
+
+
+def vocab_encode_triples(
+    batch: pa.Table, vocab_ref, hot_vids_ref, salt_shift: int, num_parts: int
+) -> pa.Table:
+    """Dictionary-encode (lang, term) → int32 ``vid`` using the broadcast
+    driver vocabulary, add salt + kpart — the encode shuffle then moves
+    and sorts ONLY numeric columns (string sort/hash over the full triple
+    stream dominated the encode pass). Plain task."""
+    import ray
+
+    lang_arr, term_arr = ray.get(vocab_ref)  # object ndarrays, index = vid
+    hot_vids = ray.get(hot_vids_ref) if hot_vids_ref is not None else None
+    pdf = pd.DataFrame(
+        {
+            "lang": np.asarray(batch["lang"].to_pandas(), dtype=object),
+            "term": np.asarray(batch["term"].to_pandas(), dtype=object),
+        }
+    )
+    vmap = pd.DataFrame(
+        {"lang": lang_arr, "term": term_arr,
+         "vid": np.arange(len(lang_arr), dtype=np.int64)}
+    )
+    vid = pdf.merge(vmap, on=["lang", "term"], how="left")["vid"].to_numpy()
+    doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    salt = np.zeros(len(vid), dtype=np.int64)
+    if hot_vids is not None and len(hot_vids):
+        mask = np.isin(vid, hot_vids)
+        salt[mask] = doc_ids[mask] >> salt_shift
+    h = (
+        vid.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        ^ salt.astype(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F)
+    ).astype(np.int64)
+    return pa.table(
+        {
+            "vid": pa.array(vid, pa.int64()),
+            "doc_id": batch["doc_id"],
+            "dl": batch["dl"],
+            "tf": batch["tf"],
+            "salt": pa.array(salt, pa.int64()),
+            "kpart": pa.array(np.abs(h) % num_parts, pa.int64()),
+        }
+    )
+
+
+def encode_partition_ids(group: pa.Table, block_size: int, vocab_ref) -> pa.Table:
+    """Numeric variant of :func:`encode_partition`: segments keyed by
+    (vid, salt), fully numeric sort; lang/term strings re-attached from
+    the broadcast vocabulary only on the (tiny) output rows."""
+    import ray
+
+    lang_arr, term_arr = ray.get(vocab_ref)
+    pdf = group.to_pandas()
+    n = len(pdf)
+    if n == 0:
+        return _empty_encoded()
+    order = np.lexsort(
+        (pdf["doc_id"].to_numpy(), pdf["salt"].to_numpy(), pdf["vid"].to_numpy())
+    )
+    vid = pdf["vid"].to_numpy()[order]
+    salt = pdf["salt"].to_numpy()[order]
+    doc_id = pdf["doc_id"].to_numpy()[order]
+    tf = pdf["tf"].to_numpy()[order]
+    dl = pdf["dl"].to_numpy()[order]
+    change = (vid[1:] != vid[:-1]) | (salt[1:] != salt[:-1])
+    starts = np.concatenate([[0], np.flatnonzero(change) + 1])
+    ends = np.concatenate([starts[1:], [n]])
+    cols = {k: [] for k in (
+        "lang", "term", "salt", "df", "cf", "min_doc", "postings",
+        "block_off", "block_last", "block_max_tf", "block_min_dl",
+    )}
+    for s, e in zip(starts, ends):
+        d, t, l = doc_id[s:e], tf[s:e], dl[s:e]
+        buf, block_off = encode_blocked_postings(d, t, block_size)
+        last, max_tf, min_dl = _block_meta(d, t, l, block_size)
+        v = int(vid[s])
+        cols["lang"].append(lang_arr[v])
+        cols["term"].append(term_arr[v])
+        cols["salt"].append(int(salt[s]))
+        cols["df"].append(e - s)
+        cols["cf"].append(int(t.sum()))
+        cols["min_doc"].append(int(d[0]))
+        cols["postings"].append(buf)
+        cols["block_off"].append(block_off)
+        cols["block_last"].append(last)
+        cols["block_max_tf"].append(max_tf)
+        cols["block_min_dl"].append(min_dl)
+    return pa.table(
+        {f.name: pa.array(cols[f.name], f.type) for f in _ENCODED_SCHEMA},
+        schema=_ENCODED_SCHEMA,
+    )
+
+
+def encode_partition(group: pa.Table, block_size: int = 128) -> pa.Table:
+    """One kpart group (MANY whole (lang, term, salt) segments) → encoded
+    segment rows, vectorized: one sort, numpy boundary detection, a single
+    output table. Replaces per-term map_groups (5 ms/group of Arrow and
+    scheduling overhead at one row per group). Plain task — stateless."""
+    pdf = group.to_pandas()
+    pdf = pdf.sort_values(["lang", "term", "salt", "doc_id"], kind="mergesort")
+    lang = pdf["lang"].to_numpy(dtype=object)
+    term = pdf["term"].to_numpy(dtype=object)
+    salt = pdf["salt"].to_numpy()
+    doc_id = pdf["doc_id"].to_numpy()
+    tf = pdf["tf"].to_numpy()
+    dl = pdf["dl"].to_numpy()
+    n = len(pdf)
+    if n == 0:
+        return _empty_encoded()
+    change = (
+        (term[1:] != term[:-1]) | (lang[1:] != lang[:-1]) | (salt[1:] != salt[:-1])
+    )
+    starts = np.concatenate([[0], np.flatnonzero(change) + 1])
+    ends = np.concatenate([starts[1:], [n]])
+    cols = {k: [] for k in (
+        "lang", "term", "salt", "df", "cf", "min_doc", "postings",
+        "block_off", "block_last", "block_max_tf", "block_min_dl",
+    )}
+    for s, e in zip(starts, ends):
+        d, t, l = doc_id[s:e], tf[s:e], dl[s:e]
+        buf, block_off = encode_blocked_postings(d, t, block_size)
+        last, max_tf, min_dl = _block_meta(d, t, l, block_size)
+        cols["lang"].append(lang[s])
+        cols["term"].append(term[s])
+        cols["salt"].append(int(salt[s]))
+        cols["df"].append(e - s)
+        cols["cf"].append(int(t.sum()))
+        cols["min_doc"].append(int(d[0]))
+        cols["postings"].append(buf)
+        cols["block_off"].append(block_off)
+        cols["block_last"].append(last)
+        cols["block_max_tf"].append(max_tf)
+        cols["block_min_dl"].append(min_dl)
+    return pa.table(
+        {f.name: pa.array(cols[f.name], f.type) for f in _ENCODED_SCHEMA},
+        schema=_ENCODED_SCHEMA,
+    )
+
+
+class MergePartition:
+    """One kpart2 group of encoded segments (keyed by (lang, term) hash,
+    salt-agnostic) → final posting rows. Single-segment terms pass through
+    without decode; hot terms' doc-range segments concatenate in salt
+    order (disjoint ascending ranges). Runs as an actor-pool stage — the
+    'stateful segment merger' of the north star."""
+
+    def __init__(self, block_size: int = 128, min_df: int = 1):
+        self.block_size = block_size
+        self.min_df = min_df
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        if "kpart" in group.column_names:
+            group = group.drop_columns(["kpart"])
+        pdf = group.to_pandas()
+        pdf = pdf.sort_values(["lang", "term", "min_doc"], kind="mergesort")
+        lang = pdf["lang"].to_numpy(dtype=object)
+        term = pdf["term"].to_numpy(dtype=object)
+        n = len(pdf)
+        if n == 0:
+            return _empty_final()
+        change = (term[1:] != term[:-1]) | (lang[1:] != lang[:-1])
+        starts = np.concatenate([[0], np.flatnonzero(change) + 1])
+        ends = np.concatenate([starts[1:], [n]])
+        keep_single = []
+        merged_rows = {k: [] for k in (
+            "lang", "term", "df", "cf", "min_doc", "postings",
+            "block_off", "block_last", "block_max_tf", "block_min_dl",
+        )}
+        for s, e in zip(starts, ends):
+            if e - s == 1:
+                if pdf["df"].iloc[s] >= self.min_df:
+                    keep_single.append(pdf.index[s])
+                continue
+            docs, tfs, dls = [], [], []
+            for i in range(s, e):
+                row = pdf.iloc[i]
+                d, t = decode_blocked_postings(
+                    row["postings"], list(row["block_off"]), int(row["df"]),
+                    self.block_size,
+                )
+                docs.append(d.astype(np.int64))
+                tfs.append(t.astype(np.int64))
+                seg_min = int(np.min(row["block_min_dl"]))
+                dls.append(np.full(len(d), seg_min, dtype=np.int64))
+            doc_ids = np.concatenate(docs)
+            tf = np.concatenate(tfs)
+            dl = np.concatenate(dls)
+            if len(doc_ids) < self.min_df:
+                continue
+            buf, block_off = encode_blocked_postings(doc_ids, tf, self.block_size)
+            last, max_tf, min_dl = _block_meta(doc_ids, tf, dl, self.block_size)
+            merged_rows["lang"].append(lang[s])
+            merged_rows["term"].append(term[s])
+            merged_rows["df"].append(len(doc_ids))
+            merged_rows["cf"].append(int(tf.sum()))
+            merged_rows["min_doc"].append(int(doc_ids[0]))
+            merged_rows["postings"].append(buf)
+            merged_rows["block_off"].append(block_off)
+            merged_rows["block_last"].append(last)
+            merged_rows["block_max_tf"].append(max_tf)
+            merged_rows["block_min_dl"].append(min_dl)
+        singles = (
+            pa.Table.from_pandas(pdf.loc[keep_single], preserve_index=False,
+                                 schema=_ENCODED_SCHEMA)
+            if keep_single
+            else None
+        )
+        fields = [f for f in _ENCODED_SCHEMA if f.name != "salt"]
+        merged = pa.table(
+            {f.name: pa.array(merged_rows[f.name], f.type) for f in fields},
+            schema=pa.schema(fields),
+        )
+        out_parts = []
+        if singles is not None:
+            out_parts.append(singles.drop_columns(["salt"]))
+        out_parts.append(merged)
+        out = pa.concat_tables(out_parts)
+        return out.drop_columns(["min_doc"])
+
+
+def _empty_encoded() -> pa.Table:
+    return pa.table(
+        {f.name: pa.array([], f.type) for f in _ENCODED_SCHEMA},
+        schema=_ENCODED_SCHEMA,
+    )
+
+
 def _block_meta(doc_ids, tfs, dls, block_size):
     nb = (len(doc_ids) + block_size - 1) // block_size
     last, max_tf, min_dl = [], [], []
@@ -191,97 +521,6 @@ def _block_meta(doc_ids, tfs, dls, block_size):
         max_tf.append(int(tfs[s:e].max()))
         min_dl.append(int(dls[s:e].min()))
     return last, max_tf, min_dl
-
-
-def encode_term_group(group: pa.Table, block_size: int = 128) -> pa.Table:
-    """One (lang, term, salt) group of triples → one encoded segment row."""
-    doc_ids = group["doc_id"].to_numpy(zero_copy_only=False)
-    tfs = group["tf"].to_numpy(zero_copy_only=False)
-    dls = group["dl"].to_numpy(zero_copy_only=False)
-    order = np.argsort(doc_ids, kind="stable")
-    doc_ids, tfs, dls = doc_ids[order], tfs[order], dls[order]
-    buf, block_off = encode_blocked_postings(doc_ids, tfs, block_size)
-    last, max_tf, min_dl = _block_meta(doc_ids, tfs, dls, block_size)
-    return pa.table(
-        {
-            "lang": group["lang"].slice(0, 1),
-            "term": group["term"].slice(0, 1),
-            "salt": group["salt"].slice(0, 1),
-            "df": pa.array([len(doc_ids)], pa.int64()),
-            "cf": pa.array([int(tfs.sum())], pa.int64()),
-            "min_doc": pa.array([int(doc_ids[0])], pa.int64()),
-            "postings": pa.array([buf], pa.binary()),
-            "block_off": pa.array([block_off], pa.list_(pa.int64())),
-            "block_last": pa.array([last], pa.list_(pa.int64())),
-            "block_max_tf": pa.array([max_tf], pa.list_(pa.int64())),
-            "block_min_dl": pa.array([min_dl], pa.list_(pa.int64())),
-        },
-        schema=_ENCODED_SCHEMA,
-    )
-
-
-class MergeSegments:
-    """Actor-pool merger: (lang, term) group of encoded segments → final row.
-
-    Hot-term segments are disjoint ascending doc-id ranges (salt = doc_id
-    >> shift), so merging = decode each in salt order, concatenate,
-    re-encode. Single-segment groups pass through untouched (no decode).
-    """
-
-    def __init__(self, block_size: int = 128, min_df: int = 1):
-        self.block_size = block_size
-        self.min_df = min_df
-
-    def __call__(self, group: pa.Table) -> pa.Table:
-        if group.num_rows == 1:
-            if self.min_df > 1 and group["df"][0].as_py() < self.min_df:
-                return _empty_final()
-            out = group
-        else:
-            order = np.argsort(group["min_doc"].to_numpy(zero_copy_only=False))
-            group = group.take(pa.array(order))
-            all_docs, all_tfs = [], []
-            all_dls = []
-            for row in range(group.num_rows):
-                df = group["df"][row].as_py()
-                d, t = decode_blocked_postings(
-                    group["postings"][row].as_py(),
-                    group["block_off"][row].as_py(),
-                    df,
-                    self.block_size,
-                )
-                all_docs.append(d.astype(np.int64))
-                all_tfs.append(t.astype(np.int64))
-                # per-block min_dl preserved approximately on merge: reuse
-                # the segment-level min for each posting's block bound
-                # (smaller-than-true dl only LOOSENS the WAND upper bound —
-                # still safe)
-                seg_min = min(group["block_min_dl"][row].as_py())
-                all_dls.append(np.full(len(d), seg_min, dtype=np.int64))
-            doc_ids = np.concatenate(all_docs)
-            tfs = np.concatenate(all_tfs)
-            dls = np.concatenate(all_dls)
-            if self.min_df > 1 and len(doc_ids) < self.min_df:
-                return _empty_final()
-            buf, block_off = encode_blocked_postings(doc_ids, tfs, self.block_size)
-            last, max_tf, min_dl = _block_meta(doc_ids, tfs, dls, self.block_size)
-            out = pa.table(
-                {
-                    "lang": group["lang"].slice(0, 1),
-                    "term": group["term"].slice(0, 1),
-                    "salt": pa.array([0], pa.int64()),
-                    "df": pa.array([len(doc_ids)], pa.int64()),
-                    "cf": pa.array([int(tfs.sum())], pa.int64()),
-                    "min_doc": pa.array([int(doc_ids[0])], pa.int64()),
-                    "postings": pa.array([buf], pa.binary()),
-                    "block_off": pa.array([block_off], pa.list_(pa.int64())),
-                    "block_last": pa.array([last], pa.list_(pa.int64())),
-                    "block_max_tf": pa.array([max_tf], pa.list_(pa.int64())),
-                    "block_min_dl": pa.array([min_dl], pa.list_(pa.int64())),
-                },
-                schema=_ENCODED_SCHEMA,
-            )
-        return out.drop_columns(["salt", "min_doc"])
 
 
 def _empty_final() -> pa.Table:

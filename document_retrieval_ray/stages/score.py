@@ -43,16 +43,28 @@ _RESULT_SCHEMA = pa.schema(
 
 
 class _IndexCache:
-    def __init__(self, index_dir: str):
+    """Per-actor shard cache. With ``shared_refs`` ({lang: ObjectRef of a
+    build_shared_payload dict}) the actor maps the driver-loaded shard
+    zero-copy from the object store; otherwise it reads the shard
+    directory itself (first query of that language pays the load)."""
+
+    def __init__(self, index_dir: str, shared_refs=None):
         self.index_dir = index_dir
+        self.shared_refs = shared_refs or {}
         self._cache: dict = {}
 
     def get(self, lang: str):
         if lang not in self._cache:
-            try:
-                self._cache[lang] = LangIndex(self.index_dir, lang)
-            except FileNotFoundError:
-                self._cache[lang] = None
+            ref = self.shared_refs.get(lang)
+            if ref is not None:
+                import ray
+
+                self._cache[lang] = LangIndex.from_payload(ray.get(ref))
+            else:
+                try:
+                    self._cache[lang] = LangIndex(self.index_dir, lang)
+                except FileNotFoundError:
+                    self._cache[lang] = None
         return self._cache[lang]
 
 
@@ -90,8 +102,9 @@ class BM25ScorerStage:
         tokenizer: TokenizerConfig = TokenizerConfig(),
         round_dp=4,
         method: str = "taat",  # "taat" | "wand"
+        shared_refs=None,
     ):
-        self.cache = _IndexCache(index_dir)
+        self.cache = _IndexCache(index_dir, shared_refs)
         self.cfg = cfg
         self.tok = tokenizer
         self.round_dp = round_dp
@@ -155,8 +168,9 @@ class CosineScorerStage:
         rerank: bool = False,
         rerank_cfg: BM25Config = BM25Config(k1=1.5, b=0.75, idf="cosine"),
         round_dp=4,
+        shared_refs=None,
     ):
-        self.cache = _IndexCache(index_dir)
+        self.cache = _IndexCache(index_dir, shared_refs)
         self.tok = tokenizer
         self.k = k
         self.candidates = candidates

@@ -51,49 +51,141 @@ IDF_LAWS = {
 }
 
 
+def build_shared_payload(index_dir: str, lang: str, block_size: int = None) -> dict:
+    """Load one language shard into FLAT numpy buffers suitable for
+    zero-copy sharing via ``ray.put``: every scorer actor then maps the
+    same plasma memory instead of re-reading and re-materializing the
+    shard (per-actor load was the dominant cost of the query stage).
+
+    Layout: per-term variable-length data (postings bytes, block metadata
+    lists) concatenated into one buffer + an int64 offsets array."""
+    m = read_manifest(os.path.join(index_dir, "manifests", str(lang)))
+    if m is None:
+        raise FileNotFoundError(f"no committed manifest for lang={lang}")
+    post = pq.read_table(
+        os.path.join(index_dir, "postings", f"lang={lang}"),
+        columns=["term", "df", "postings", "block_off", "block_last",
+                 "block_max_tf", "block_min_dl"],
+    )
+
+    def _concat_binary(col):
+        chunks = [np.frombuffer(b, np.uint8) for b in col.to_pylist()]
+        off = np.zeros(len(chunks) + 1, dtype=np.int64)
+        np.cumsum([len(c) for c in chunks], out=off[1:])
+        buf = np.concatenate(chunks) if chunks else np.empty(0, np.uint8)
+        return buf, off
+
+    def _concat_lists(col):
+        lists = col.to_pylist()
+        off = np.zeros(len(lists) + 1, dtype=np.int64)
+        np.cumsum([len(x) for x in lists], out=off[1:])
+        buf = (
+            np.concatenate([np.asarray(x, np.int64) for x in lists])
+            if lists
+            else np.empty(0, np.int64)
+        )
+        return buf, off
+
+    post_buf, post_off = _concat_binary(post["postings"])
+    bo_buf, bo_off = _concat_lists(post["block_off"])
+    bl_buf, _ = _concat_lists(post["block_last"])
+    mt_buf, _ = _concat_lists(post["block_max_tf"])
+    md_buf, _ = _concat_lists(post["block_min_dl"])
+
+    dm = pq.read_table(
+        os.path.join(index_dir, "docmap", f"lang={lang}"),
+        columns=["doc_id", "url", "dl"],
+    )
+    order = np.argsort(dm["doc_id"].to_numpy(zero_copy_only=False))
+    urls = np.asarray(dm["url"].to_pandas(), dtype=object)[order]
+    url_bytes = [u.encode("utf-8") for u in urls]
+    url_off = np.zeros(len(url_bytes) + 1, dtype=np.int64)
+    np.cumsum([len(b) for b in url_bytes], out=url_off[1:])
+    url_buf = (
+        np.frombuffer(b"".join(url_bytes), np.uint8)
+        if url_bytes
+        else np.empty(0, np.uint8)
+    )
+
+    norms = None
+    norms_dir = os.path.join(index_dir, "norms", f"lang={lang}")
+    if os.path.isdir(norms_dir):
+        nt = pq.read_table(norms_dir, columns=["doc_id", "norm2"])
+        n2 = np.zeros(m["n_docs"], dtype=np.float64)
+        n2[nt["doc_id"].to_numpy(zero_copy_only=False)] = nt["norm2"].to_numpy(
+            zero_copy_only=False
+        )
+        norms = np.sqrt(n2)
+
+    return {
+        "lang": lang,
+        "n_docs": m["n_docs"],
+        "avgdl": m["avgdl"],
+        "block_size": block_size or m.get("block_size", 128),
+        "terms": post["term"].to_pylist(),
+        "df": post["df"].to_numpy(zero_copy_only=False).astype(np.int64),
+        "post_buf": post_buf, "post_off": post_off,
+        "bo_buf": bo_buf, "bo_off": bo_off,
+        "bl_buf": bl_buf, "mt_buf": mt_buf, "md_buf": md_buf,
+        "dl": dm["dl"].to_numpy(zero_copy_only=False)[order].astype(np.float64),
+        "url_buf": url_buf, "url_off": url_off,
+        "norms": norms,
+    }
+
+
 class LangIndex:
-    """One language shard, loaded once per scorer actor."""
+    """One language shard. Construct from a shard directory (reads
+    parquet) or from a shared payload (``from_payload`` — zero-copy
+    views over plasma buffers)."""
 
     def __init__(self, index_dir: str, lang: str, block_size: int = None):
-        m = read_manifest(os.path.join(index_dir, "manifests", str(lang)))
-        if m is None:
-            raise FileNotFoundError(f"no committed manifest for lang={lang}")
-        self.lang = lang
-        self.n_docs = m["n_docs"]
-        self.avgdl = m["avgdl"]
-        self.block_size = block_size or m.get("block_size", 128)
+        self._init_from_payload(build_shared_payload(index_dir, lang, block_size))
 
-        post = pq.read_table(
-            os.path.join(index_dir, "postings", f"lang={lang}"),
-            columns=["term", "df", "postings", "block_off", "block_last",
-                     "block_max_tf", "block_min_dl"],
-        )
-        self._terms = {t: i for i, t in enumerate(post["term"].to_pylist())}
-        self._df = post["df"].to_numpy(zero_copy_only=False)
-        self._postings = post["postings"].to_pylist()
-        self._block_off = post["block_off"].to_pylist()
-        self._block_last = post["block_last"].to_pylist()
-        self._block_max_tf = post["block_max_tf"].to_pylist()
-        self._block_min_dl = post["block_min_dl"].to_pylist()
+    @classmethod
+    def from_payload(cls, payload: dict) -> "LangIndex":
+        obj = cls.__new__(cls)
+        obj._init_from_payload(payload)
+        return obj
 
-        dm = pq.read_table(
-            os.path.join(index_dir, "docmap", f"lang={lang}"),
-            columns=["doc_id", "url", "dl"],
-        )
-        order = np.argsort(dm["doc_id"].to_numpy(zero_copy_only=False))
-        self.urls = np.asarray(dm["url"].to_pandas(), dtype=object)[order]
-        self.dl = dm["dl"].to_numpy(zero_copy_only=False)[order].astype(np.float64)
+    def _init_from_payload(self, p: dict) -> None:
+        self.lang = p["lang"]
+        self.n_docs = p["n_docs"]
+        self.avgdl = p["avgdl"]
+        self.block_size = p["block_size"]
+        self._terms = {t: i for i, t in enumerate(p["terms"])}
+        self._df = p["df"]
+        self._post_buf, self._post_off = p["post_buf"], p["post_off"]
+        self._bo_buf, self._bo_off = p["bo_buf"], p["bo_off"]
+        self._bl_buf, self._mt_buf, self._md_buf = p["bl_buf"], p["mt_buf"], p["md_buf"]
+        self.dl = p["dl"]
+        self._url_buf, self._url_off = p["url_buf"], p["url_off"]
+        self.norms = p["norms"]
+        self._urls = None
+        from collections import OrderedDict
 
-        norms_dir = os.path.join(index_dir, "norms", f"lang={lang}")
-        if os.path.isdir(norms_dir):
-            nt = pq.read_table(norms_dir, columns=["doc_id", "norm2"])
-            n2 = np.zeros(self.n_docs, dtype=np.float64)
-            n2[nt["doc_id"].to_numpy(zero_copy_only=False)] = nt["norm2"].to_numpy(
-                zero_copy_only=False
+        self._decoded: "OrderedDict" = OrderedDict()
+        self._decoded_cap = 1024
+
+    @property
+    def urls(self) -> np.ndarray:
+        """Materialized url strings (decoded once, lazily, per holder)."""
+        if self._urls is None:
+            off = self._url_off
+            raw = self._url_buf.tobytes()
+            self._urls = np.array(
+                [raw[off[i]:off[i + 1]].decode("utf-8") for i in range(self.n_docs)],
+                dtype=object,
             )
-            self.norms = np.sqrt(n2)
-        else:
-            self.norms = None
+        return self._urls
+
+    # --- per-term accessors over the flat buffers ---
+    def _post_slice(self, i: int):
+        return self._post_buf[self._post_off[i]:self._post_off[i + 1]]
+
+    def _blocks(self, i: int, which: str):
+        buf = {"off": self._bo_buf, "last": self._bl_buf,
+               "max_tf": self._mt_buf, "min_dl": self._md_buf}[which]
+        return buf[self._bo_off[i]:self._bo_off[i + 1]]
 
     def df(self, term: str):
         i = self._terms.get(term)
@@ -106,21 +198,35 @@ class LangIndex:
         return float(IDF_LAWS[law](float(self.n_docs), float(d)))
 
     def postings(self, term: str):
-        """Full decode → (doc_ids int64, tfs float64) or None."""
+        """Full decode → (doc_ids int64, tfs float64) or None. Decoded
+        lists are LRU-cached per shard holder: Zipf query workloads hit
+        the same head terms constantly and re-decoding dominates TAAT
+        otherwise."""
         i = self._terms.get(term)
         if i is None:
             return None
+        hit = self._decoded.get(i)
+        if hit is not None:
+            self._decoded.move_to_end(i)
+            return hit
         d, t = decode_blocked_postings(
-            self._postings[i], self._block_off[i], int(self._df[i]), self.block_size
+            self._post_slice(i),
+            self._blocks(i, "off"),
+            int(self._df[i]),
+            self.block_size,
         )
-        return d.astype(np.int64), t.astype(np.float64)
+        out = (d.astype(np.int64), t.astype(np.float64))
+        self._decoded[i] = out
+        if len(self._decoded) > self._decoded_cap:
+            self._decoded.popitem(last=False)
+        return out
 
     def term_blocks(self, term: str):
         """Block-level access for WAND: (row_index, n_blocks) or None."""
         i = self._terms.get(term)
         if i is None:
             return None
-        return i, len(self._block_off[i])
+        return i, int(self._bo_off[i + 1] - self._bo_off[i])
 
 
 def _term_weights(tokens, compat: str):
@@ -198,6 +304,14 @@ def topk_with_ties(scores: np.ndarray, urls: np.ndarray, k: int, round_dp=4):
         return np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.float64)
     s = scores[pos]
     key = np.floor(s * (10.0 ** round_dp) + 0.5) if round_dp is not None else s
+    # O(n) preselect: keep every candidate whose key ties-or-beats the kth
+    # largest key, then lexsort only that sliver. A full (url, key)
+    # lexsort over all positive docs dominated hot-term queries.
+    if key.size > max(4 * k, 64):
+        kth = np.partition(key, key.size - k)[key.size - k]
+        keep = np.nonzero(key >= kth)[0]
+        pos = pos[keep]
+        key = key[keep]
     # order by (-key, url)
     order = np.lexsort((urls[pos], -key))
     take = order[: min(k, order.size)]
@@ -295,8 +409,8 @@ class _Cursor:
         """Upper bound on this term's contribution within block b: the
         score is increasing in tf and decreasing in dl under both compat
         formulas, so (block_max_tf, block_min_dl) bounds it."""
-        mt = self.idx._block_max_tf[self.row][b]
-        md = self.idx._block_min_dl[self.row][b]
+        mt = self.idx._blocks(self.row, "max_tf")[b]
+        md = self.idx._blocks(self.row, "min_dl")[b]
         return self.weight_idf * _bm25_contrib(
             float(mt), float(md), cfg, self.idx.avgdl
         )
@@ -310,11 +424,11 @@ class _Cursor:
             self.current_doc = None
             return
         self.block = b
-        offs = self.idx._block_off[self.row]
-        buf = self.idx._postings[self.row]
-        off = offs[b]
-        end = offs[b + 1] if b + 1 < len(offs) else len(buf)
-        prev_last = self.idx._block_last[self.row][b - 1] if b > 0 else 0
+        offs = self.idx._blocks(self.row, "off")
+        buf = self.idx._post_slice(self.row)
+        off = int(offs[b])
+        end = int(offs[b + 1]) if b + 1 < len(offs) else len(buf)
+        prev_last = int(self.idx._blocks(self.row, "last")[b - 1]) if b > 0 else 0
         count = min(
             self.idx.block_size,
             int(self.idx._df[self.row]) - b * self.idx.block_size,
@@ -337,7 +451,7 @@ class _Cursor:
     def skip_to(self, target: int, cfg: BM25Config):
         # block-level skip using block_last (no decode of skipped blocks)
         b = self.block
-        lasts = self.idx._block_last[self.row]
+        lasts = self.idx._blocks(self.row, "last")
         while b < self.n_blocks and lasts[b] < target:
             b += 1
         if b != self.block:

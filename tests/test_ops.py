@@ -1,0 +1,175 @@
+"""Unit + pipeline tests for dedup / ANN / analysis / multimodal stages."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from document_retrieval_ray.stages.ann import (
+    BruteForceTopK,
+    NearDupPairs,
+    final_topk,
+    lsh_bucket,
+)
+from document_retrieval_ray.stages.dedup import (
+    add_simhash,
+    add_text_hash,
+    emit_band_rows,
+    simhash_pairs,
+)
+from document_retrieval_ray.stages.multimodal import (
+    AudioFeatureStage,
+    DecodeImageStage,
+    binary_meta_batch,
+)
+from document_retrieval_ray.functions.hashing import hamming64, simhash64
+from document_retrieval_ray.functions.tokenizer import tokenize_simple
+
+
+def _doc_table(texts):
+    return pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+
+
+class TestDedup:
+    def test_text_hash_exact_vs_normalized(self):
+        t = _doc_table(["Hello World", "hello   world!", "other"])
+        exact = add_text_hash(t)["text_hash"].to_pylist()
+        assert len(set(exact)) == 3
+        norm = add_text_hash(t, normalize=True)["text_hash"].to_pylist()
+        assert norm[0] == norm[1] != norm[2]
+
+    def test_band_rows_near_dup_share_band(self):
+        base = " ".join(f"word{i}" for i in range(60))
+        near = base.replace("word30", "changed")  # 3 of 58 shingles differ
+        far = "completely different content with many other words here now"
+        t = _doc_table([base, near, far])
+        rows = emit_band_rows(t).to_pandas()
+        shared = rows.groupby(["band_idx", "band_key"])["doc_id"].apply(set)
+        assert any({0, 1} <= s for s in shared), "near-dups share no band"
+        assert not any({0, 2} <= s for s in shared)
+
+    def test_simhash_pairs_oracle(self):
+        """Pipeline pairs == brute-force numpy oracle pairs."""
+        texts = [
+            "alpha beta gamma delta epsilon zeta eta theta",
+            "alpha beta gamma delta epsilon zeta eta iota",  # near
+            "one two three four five six seven eight",
+            "alpha beta gamma delta epsilon zeta eta theta",  # exact dup of 0
+        ]
+        sim = add_simhash(_doc_table(texts)).to_pandas()
+        got = simhash_pairs(sim, max_hamming=3)
+        hashes = [simhash64(tokenize_simple(t)) for t in texts]
+        exp = sorted(
+            (a, b)
+            for a in range(len(texts))
+            for b in range(a + 1, len(texts))
+            if hamming64(hashes[a], hashes[b]) <= 3
+        )
+        # oracle = all-pairs; pipeline = chunk-blocked candidates. Within
+        # hamming<=3 of 64 bits split into 4 chunks, at least one chunk is
+        # identical (pigeonhole) → candidate generation is lossless.
+        assert list(zip(got["a"], got["b"])) == exp
+        assert (0, 3) in exp
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestAnn:
+    def test_brute_force_matches_numpy(self):
+        import ray
+
+        rng = np.random.default_rng(3)
+        mat = rng.standard_normal((200, 16))
+        ids = np.arange(200)
+        qids = [0, 5]
+        qmat = mat[qids]
+        ref = ray.put((qids, qmat))
+        t = pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(mat.tolist(), pa.list_(pa.float64())),
+            }
+        )
+        stage = BruteForceTopK(ref, k=5)
+        partial = stage(t).to_pandas()
+        out = pd.concat(
+            [final_topk(g, k=5) for _, g in partial.groupby("query_vec")]
+        )
+        # numpy oracle
+        nmat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        for qi, qid in enumerate(qids):
+            cos = nmat @ nmat[qids[qi]]
+            cos[qid] = -np.inf
+            key = np.floor(cos * 10000 + 0.5)
+            order = np.lexsort((ids, -key))[:5]
+            got = out[out["query_vec"] == qid].sort_values("rank")
+            assert list(got["vec_id"]) == list(ids[order])
+
+    def test_neardup_pairs_group(self):
+        mat = np.array([[1, 0], [0.999, 0.04], [0, 1.0]])
+        t = pa.table(
+            {
+                "vec_id": pa.array([10, 11, 12], pa.int64()),
+                "embedding": pa.array(mat.tolist(), pa.list_(pa.float64())),
+            }
+        )
+        out = NearDupPairs(threshold=0.95)(t).to_pandas()
+        assert list(zip(out["a"], out["b"])) == [(10, 11)]
+
+    def test_lsh_bucket_deterministic(self):
+        rng = np.random.default_rng(5)
+        mat = rng.standard_normal((50, 8))
+        t = pa.table(
+            {
+                "vec_id": pa.array(range(50), pa.int64()),
+                "embedding": pa.array(mat.tolist(), pa.list_(pa.float64())),
+            }
+        )
+        b1 = lsh_bucket(t)["bucket"].to_pylist()
+        b2 = lsh_bucket(t)["bucket"].to_pylist()
+        assert b1 == b2
+        assert len(set(b1)) > 1
+
+
+class TestMultimodal:
+    def test_strict_mode_raises(self):
+        t = pa.table(
+            {"doc_id": pa.array([1], pa.int64()), "payload": pa.array([b"x"], pa.binary())}
+        )
+        with pytest.raises(NotImplementedError):
+            DecodeImageStage(mode="strict")(t)
+        with pytest.raises(NotImplementedError):
+            AudioFeatureStage(mode="strict")(t)
+
+    def test_fake_mode_deterministic_schema(self):
+        t = pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "payload": pa.array([b"abc", b""], pa.binary()),
+            }
+        )
+        out1 = DecodeImageStage(mode="fake", feature_dim=4)(t)
+        out2 = DecodeImageStage(mode="fake", feature_dim=4)(t)
+        assert out1.equals(out2)
+        assert out1.schema.field("features").type == pa.list_(pa.float64())
+        assert out1["n_bytes"].to_pylist() == [3, 0]
+        audio = AudioFeatureStage(mode="fake")(t)
+        assert audio["duration_ms"].to_pylist() == [3, 0]
+        assert audio["n_frames"].to_pylist() == [1, 1]
+
+    def test_binary_meta(self):
+        import hashlib
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([7], pa.int64()),
+                "payload": pa.array([b"hello"], pa.binary()),
+            }
+        )
+        out = binary_meta_batch(t)
+        assert out["n_bytes"].to_pylist() == [5]
+        assert out["payload_md5"].to_pylist() == [hashlib.md5(b"hello").hexdigest()]

@@ -1,0 +1,121 @@
+"""Resume correctness (FIXTURES.md §F3 kill-tests): a build restarted after
+losing one partition's commit produces byte-identical index contents."""
+
+import os
+import shutil
+
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from document_retrieval_ray.config import IndexConfig, TokenizerConfig
+
+
+CFG = IndexConfig(
+    tokenizer=TokenizerConfig(mode="simple"),
+    num_hash_parts=4,
+    hot_term_threshold=80,
+    salt_shift=5,
+    block_size=16,
+)
+
+
+def _index_contents(index_dir, langs):
+    out = {}
+    for lang in langs:
+        post = pq.read_table(os.path.join(index_dir, "postings", f"lang={lang}"))
+        pdf = post.to_pandas().sort_values("term").reset_index(drop=True)
+        dm = (
+            pq.read_table(os.path.join(index_dir, "docmap", f"lang={lang}"))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        out[lang] = (pdf, dm)
+    return out
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_killed_partition_rebuild_is_identical(tiny_corpus, tmp_path):
+    from document_retrieval_ray.pipelines.build_index import build_index
+
+    a = str(tmp_path / "index_a")
+    b = str(tmp_path / "index_b")
+    m_a = build_index(tiny_corpus["documents"], a, cfg=CFG, with_cosine_norms=False)
+    m_b = build_index(tiny_corpus["documents"], b, cfg=CFG, with_cosine_norms=False)
+    langs = sorted(m_a)
+    assert langs == sorted(m_b)
+
+    # simulate a crash that lost lang 'en' before its manifest commit:
+    victim = "en"
+    shutil.rmtree(os.path.join(b, "manifests", victim))
+    # partial garbage left behind by the "crash"
+    garbage = os.path.join(b, "postings", f"lang={victim}", "garbage.parquet")
+    with open(garbage, "wb") as f:
+        f.write(b"not a parquet file")
+
+    m_b2 = build_index(tiny_corpus["documents"], b, cfg=CFG, with_cosine_norms=False)
+    assert sorted(m_b2) == langs
+    assert not os.path.exists(garbage), "uncommitted partition must be cleaned"
+
+    ca = _index_contents(a, langs)
+    cb = _index_contents(b, langs)
+    for lang in langs:
+        pa_df, da = ca[lang]
+        pb_df, db = cb[lang]
+        pd.testing.assert_frame_equal(da, db)
+        pd.testing.assert_frame_equal(
+            pa_df[["term", "df", "cf", "postings"]],
+            pb_df[["term", "df", "cf", "postings"]],
+        )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_changed_input_invalidates(tiny_corpus, small_corpus, tmp_path):
+    """A different input fingerprint must NOT be treated as resumable."""
+    from document_retrieval_ray.pipelines.build_index import build_index
+    from document_retrieval_ray.state.manifest import read_manifest
+
+    idx = str(tmp_path / "index_c")
+    build_index(tiny_corpus["documents"], idx, cfg=CFG, with_cosine_norms=False)
+    m1 = {
+        l: read_manifest(os.path.join(idx, "manifests", l))
+        for l in os.listdir(os.path.join(idx, "manifests"))
+    }
+    build_index(small_corpus["documents"], idx, cfg=CFG, with_cosine_norms=False)
+    m2 = {
+        l: read_manifest(os.path.join(idx, "manifests", l))
+        for l in os.listdir(os.path.join(idx, "manifests"))
+    }
+    assert any(
+        m2[l]["input_fingerprint"] != m1[l]["input_fingerprint"]
+        for l in m1
+        if l in m2
+    ), "rebuild against different input must refresh fingerprints"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_segments_flow_equals_triples_flow(tiny_corpus, tmp_path):
+    """The fast segments flow and the triples flow must produce identical
+    posting lists (df/cf/postings bytes per term)."""
+    from document_retrieval_ray.pipelines.build_index import build_index
+
+    a = str(tmp_path / "idx_triples")
+    b = str(tmp_path / "idx_segments")
+    build_index(tiny_corpus["documents"], a, cfg=CFG, with_cosine_norms=True)
+    build_index(tiny_corpus["documents"], b, cfg=CFG, with_cosine_norms=False)
+    langs = sorted(os.listdir(os.path.join(a, "manifests")))
+    assert langs == sorted(os.listdir(os.path.join(b, "manifests")))
+    for lang in langs:
+        pa_df = (
+            pq.read_table(os.path.join(a, "postings", f"lang={lang}"))
+            .to_pandas().sort_values("term").reset_index(drop=True)
+        )
+        pb_df = (
+            pq.read_table(os.path.join(b, "postings", f"lang={lang}"))
+            .to_pandas().sort_values("term").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            pa_df[["term", "df", "cf", "postings"]],
+            pb_df[["term", "df", "cf", "postings"]],
+        )
