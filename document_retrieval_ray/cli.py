@@ -1,0 +1,117 @@
+"""Command-line entry points (``ray job submit``-compatible driver).
+
+    python -m document_retrieval_ray.cli build  --input docs.parquet --index /path/idx
+    python -m document_retrieval_ray.cli query  --index /path/idx --queries q.parquet \
+        --out /tmp/results [--compat reference|standard] [--method taat|wand]
+    python -m document_retrieval_ray.cli cosine --index /path/idx --queries q.parquet \
+        --out /tmp/results [--rerank]
+
+On a cluster: ``ray job submit --working-dir . -- python -m
+document_retrieval_ray.cli build ...`` — the module only calls
+``ray.init`` when no session exists (the job driver/host may own one).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ensure_ray(num_cpus=None):
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = dict(include_dashboard=False, ignore_reinit_error=True)
+        if num_cpus is not None:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="document_retrieval_ray")
+    p.add_argument("--num-cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build (or resume) the inverted index")
+    b.add_argument("--input", required=True, help="parquet corpus (url, text|html, lang)")
+    b.add_argument("--index", required=True, help="index output directory")
+    b.add_argument("--tokenizer", default="simple", choices=["simple", "reference"])
+    b.add_argument("--extract-html", action="store_true")
+    b.add_argument("--no-cosine-norms", action="store_true")
+    b.add_argument("--min-df", type=int, default=1)
+    b.add_argument("--hot-term-threshold", type=int, default=100_000)
+
+    q = sub.add_parser("query", help="batch BM25 top-k retrieval")
+    q.add_argument("--index", required=True)
+    q.add_argument("--queries", required=True, help="parquet (query_id, query, lang)")
+    q.add_argument("--out", required=True, help="output parquet directory")
+    q.add_argument("--compat", default="standard", choices=["standard", "reference"])
+    q.add_argument("--method", default="taat", choices=["taat", "wand"])
+    q.add_argument("--k", type=int, default=10)
+    q.add_argument("--k1", type=float, default=None)
+    q.add_argument("--b", type=float, default=0.75)
+    q.add_argument("--submission", action="store_true",
+                   help="also write (query_id, docids) submission CSV shape")
+
+    c = sub.add_parser("cosine", help="TF-IDF cosine top-k (optional BM25 rerank)")
+    c.add_argument("--index", required=True)
+    c.add_argument("--queries", required=True)
+    c.add_argument("--out", required=True)
+    c.add_argument("--rerank", action="store_true")
+    c.add_argument("--candidates", type=int, default=200)
+    c.add_argument("--k", type=int, default=10)
+
+    args = p.parse_args(argv)
+    _ensure_ray(args.num_cpus)
+    import ray.data
+
+    from .config import BM25Config, IndexConfig, TokenizerConfig
+
+    if args.cmd == "build":
+        from .pipelines.build_index import build_index
+
+        cfg = IndexConfig(
+            tokenizer=TokenizerConfig(mode=args.tokenizer),
+            min_df=args.min_df,
+            hot_term_threshold=args.hot_term_threshold,
+        )
+        manifests = build_index(
+            args.input, args.index, cfg=cfg,
+            extract_html=args.extract_html,
+            with_cosine_norms=not args.no_cosine_norms,
+        )
+        print(json.dumps({l: {k: m[k] for k in ("n_docs", "n_terms", "n_postings")}
+                          for l, m in manifests.items()}, sort_keys=True))
+        return 0
+
+    queries = ray.data.read_parquet(args.queries)
+    if args.cmd == "query":
+        from .pipelines.query import bm25_search, to_submission
+
+        k1 = args.k1 if args.k1 is not None else (1.5 if args.compat == "reference" else 1.2)
+        cfg = BM25Config(k1=k1, b=args.b, compat=args.compat, k=args.k)
+        res = bm25_search(queries, args.index, cfg=cfg, method=args.method)
+        res.write_parquet(args.out)
+        if args.submission:
+            to_submission(
+                ray.data.read_parquet(args.out)
+            ).write_csv(args.out + "_submission")
+        print(json.dumps({"results": args.out}))
+        return 0
+
+    if args.cmd == "cosine":
+        from .pipelines.query import cosine_search
+
+        res = cosine_search(
+            queries, args.index, k=args.k,
+            rerank=args.rerank, candidates=args.candidates,
+        )
+        res.write_parquet(args.out)
+        print(json.dumps({"results": args.out}))
+        return 0
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

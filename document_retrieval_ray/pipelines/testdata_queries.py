@@ -746,6 +746,140 @@ def q_rel_json(sf_dir: str):
     )
 
 
+def q_submission_wide(sf_dir: str):
+    """S7 ranked-docs wide sink (document_ranking_with_bm25.py:495-499):
+    columns doc_1..doc_10 per query; missing ranks → -1."""
+    pdf = q_bm25_reference(sf_dir)
+    wide = pdf.pivot(index="query_id", columns="rank", values="doc_id")
+    for r in range(1, 11):
+        if r not in wide.columns:
+            wide[r] = np.nan
+    wide = wide[[r for r in range(1, 11)]].fillna(-1).astype(np.int64)
+    wide.columns = [f"doc_{r}" for r in range(1, 11)]
+    return wide.reset_index()
+
+
+def q_web_normalize(sf_dir: str):
+    """M4 web normalizer (text_preprocessing_and_stopwords_setup.py:53-73):
+    lowercase → strip URLs → strip digits → strip punctuation → collapse
+    whitespace. Output is the md5 + length of the normalized text."""
+    import re
+
+    url_re = re.compile(r"http\S+|www\S+|https\S+")
+    digit_re = re.compile(r"[0-9]+")
+    punct_re = re.compile(r"[^a-z ]")
+    ws_re = re.compile(r" +")
+
+    def norm(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        out = []
+        for s in texts:
+            s = (s or "").lower()
+            s = url_re.sub(" ", s)
+            s = digit_re.sub(" ", s)
+            s = punct_re.sub(" ", s)
+            s = ws_re.sub(" ", s).strip(" ")
+            out.append(s)
+        from ..functions.hashing import md5_hex
+
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "norm_md5": pa.array([md5_hex(s) for s in out], pa.string()),
+                "norm_len": pa.array([len(s) for s in out], pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(norm, batch_format="pyarrow")
+
+
+def q_sentences(sf_dir: str):
+    """M6 sentence splitter (team_run1.py:45-46,88-98): 1→many flat map;
+    sent_idx = position in the raw '.'-split (0-based), empties skipped."""
+
+    def split(t: pa.Table) -> pa.Table:
+        ids, idxs, sents = [], [], []
+        for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            for i, s in enumerate((text or "").split(".")):
+                s = s.strip(" ")
+                if s:
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    sents.append(s)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "sent_idx": pa.array(idxs, pa.int64()),
+                "sentence": pa.array(sents, pa.string()),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(split, batch_format="pyarrow")
+
+
+def q_train_test_split(sf_dir: str):
+    """K5 deterministic split (bm25_ranking.ipynb cell 4 analog): ~10%
+    'test' by md5(doc_id) prefix — reproducible hash split, no RNG."""
+    from ..functions.hashing import md5_hex
+
+    def tag(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        split = [
+            "test" if md5_hex(str(i))[:2] < "1a" else "train" for i in ids
+        ]
+        return pa.table({"split": pa.array(split, pa.string())})
+
+    ds = _docs(sf_dir).map_batches(tag, batch_format="pyarrow")
+    out = ds.groupby("split").count()
+    return out.map_batches(
+        lambda t: t.rename_columns(["split", "n_docs"]), batch_format="pyarrow"
+    )
+
+
+def q_eval_metrics(sf_dir: str):
+    """J5/A9 evaluation join + metrics (bm25_ranking.ipynb cell 5,
+    team_run1.py:305-325): binary relevance = docs of the query's language
+    containing EVERY distinct query term (the J1/J2 posting-intersection
+    semantics); recall-hits in the BM25 top-10 and MRR per query."""
+    from ..state.index_shard import LangIndex
+
+    index_dir = _index_for(sf_dir)
+    results = q_bm25_reference(sf_dir)
+    rows = []
+    for qid, qtext, lang in QUERYSET:
+        terms = sorted(set(tokenize_simple(qtext)))
+        try:
+            idx = LangIndex(index_dir, lang)
+        except FileNotFoundError:
+            continue
+        sets = []
+        missing = False
+        for t in terms:
+            p = idx.postings(t)
+            if p is None:
+                missing = True
+                break
+            sets.append(set(p[0].tolist()))
+        relevant = set.intersection(*sets) if sets and not missing else set()
+        rel_docs = {int(idx.urls[i]) for i in relevant}
+        g = results[results["query_id"] == qid].sort_values("rank")
+        hits = int(sum(d in rel_docs for d in g["doc_id"]))
+        mrr = 0.0
+        for r, dcid in zip(g["rank"], g["doc_id"]):
+            if dcid in rel_docs:
+                mrr = 1.0 / float(r)
+                break
+        rows.append(
+            {
+                "query_id": qid,
+                "n_relevant": len(rel_docs),
+                "hits_at_10": hits,
+                "mrr_x": int(np.floor(mrr * 10000 + 0.5)),
+            }
+        )
+    return pd.DataFrame(rows, columns=["query_id", "n_relevant", "hits_at_10", "mrr_x"])
+
+
 # ------------------------------------------------------------ registries
 
 QUERIES = {
@@ -776,6 +910,11 @@ QUERIES = {
     "rel_join_top": q_rel_join_top,
     "rel_window": q_rel_window,
     "rel_json": q_rel_json,
+    "submission_wide": q_submission_wide,
+    "web_normalize": q_web_normalize,
+    "sentences": q_sentences,
+    "train_test_split": q_train_test_split,
+    "eval_metrics": q_eval_metrics,
 }
 
 
@@ -1006,5 +1145,84 @@ FROM events GROUP BY user_id, CAST(epoch(date_trunc('hour', ts)) AS BIGINT)
 SELECT event_type, count(*) AS n,
        sum(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS sum_k
 FROM events GROUP BY event_type
+""",
+    "submission_wide": (
+        "SELECT query_id, "
+        + ", ".join(
+            f"coalesce(MAX(CASE WHEN rank = {r} THEN doc_id END), -1) AS doc_{r}"
+            for r in range(1, 11)
+        )
+        + " FROM (" + _bm25_sql(1.5, 0.75, True, True) + ") GROUP BY query_id"
+    ),
+    "web_normalize": """
+WITH n AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           lower(text), 'http\\S+|www\\S+|https\\S+', ' ', 'g'),
+           '[0-9]+', ' ', 'g'), '[^a-z ]', ' ', 'g'), ' +', ' ', 'g')) AS s
+  FROM documents
+)
+SELECT doc_id, md5(s) AS norm_md5, length(s) AS norm_len FROM n
+""",
+    "sentences": """
+WITH s AS (SELECT doc_id, string_split(text, '.') AS parts FROM documents),
+u AS (SELECT doc_id, unnest(parts) AS sent,
+             unnest(range(0, len(parts))) AS sent_idx FROM s)
+SELECT doc_id, sent_idx, trim(sent) AS sentence FROM u WHERE trim(sent) <> ''
+""",
+    "train_test_split": """
+SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+            THEN 'test' ELSE 'train' END AS split,
+       count(*) AS n_docs
+FROM documents GROUP BY 1
+""",
+    "eval_metrics": f"""
+WITH {_TOK_CTE}, {_DL_CTE}, {_STATS_CTE}, {_DF_CTE},
+q(query_id, lang, term, w) AS (VALUES {_query_values(dedup=True)}),
+qn AS (SELECT query_id, count(*) AS n_terms FROM q GROUP BY query_id),
+relc AS (
+  SELECT q.query_id AS query_id, tok.doc_id AS doc_id, count(*) AS c
+  FROM q JOIN tok ON tok.lang = q.lang AND tok.term = q.term
+  GROUP BY q.query_id, tok.doc_id
+),
+rel AS (
+  SELECT relc.query_id, relc.doc_id
+  FROM relc JOIN qn ON qn.query_id = relc.query_id
+  WHERE relc.c = qn.n_terms
+),
+scores AS (
+  SELECT q.query_id AS query_id, tok.doc_id AS doc_id,
+         sum( q.w * ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * (tok.tf * (1.5 + 1)) / (tok.tf + 1.5*(1 - 0.75 + d.dl / s.avgdl)) ) AS score
+  FROM q
+  JOIN tok ON tok.lang = q.lang AND tok.term = q.term
+  JOIN df ON df.lang = q.lang AND df.term = q.term
+  JOIN dl d ON d.doc_id = tok.doc_id
+  JOIN stats s ON s.lang = q.lang
+  GROUP BY q.query_id, tok.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY {_fx('score')} DESC, doc_id ASC) AS rank
+  FROM scores WHERE score > 0
+),
+hits AS (
+  SELECT r.query_id AS query_id, count(rel.doc_id) AS hits_at_10,
+         min(CASE WHEN rel.doc_id IS NOT NULL THEN r.rank END) AS first_rel
+  FROM ranked r
+  LEFT JOIN rel ON rel.query_id = r.query_id AND rel.doc_id = r.doc_id
+  WHERE r.rank <= 10
+  GROUP BY r.query_id
+),
+nrel AS (SELECT query_id, count(*) AS n_relevant FROM rel GROUP BY query_id),
+allq AS (SELECT DISTINCT query_id FROM q)
+SELECT a.query_id AS query_id,
+       coalesce(n.n_relevant, 0) AS n_relevant,
+       coalesce(h.hits_at_10, 0) AS hits_at_10,
+       CAST(floor(coalesce(1.0 / h.first_rel, 0)*10000.0 + 0.5) AS BIGINT) AS mrr_x
+FROM allq a
+LEFT JOIN nrel n ON n.query_id = a.query_id
+LEFT JOIN hits h ON h.query_id = a.query_id
 """,
 }

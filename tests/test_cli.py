@@ -1,0 +1,40 @@
+"""CLI driver (ray-job-submit surface): build → query → submission."""
+
+import json
+import os
+
+import pandas as pd
+import pytest
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cli_build_query_roundtrip(tiny_corpus, tmp_path, capsys):
+    from document_retrieval_ray.cli import main
+
+    index_dir = str(tmp_path / "cli_index")
+    out_dir = str(tmp_path / "cli_results")
+
+    rc = main(
+        ["build", "--input", tiny_corpus["documents"], "--index", index_dir,
+         "--no-cosine-norms"]
+    )
+    assert rc == 0
+    built = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert built and all(v["n_docs"] > 0 for v in built.values())
+
+    rc = main(
+        ["query", "--index", index_dir, "--queries", tiny_corpus["queries"],
+         "--out", out_dir, "--compat", "reference", "--submission"]
+    )
+    assert rc == 0
+    import pyarrow.parquet as pq
+
+    res = pq.read_table(out_dir).to_pandas()
+    assert len(res) > 0
+    assert set(res.columns) == {"query_id", "rank", "url", "score", "score_x"}
+    sub_files = os.listdir(out_dir + "_submission")
+    assert sub_files
+    sub = pd.concat(
+        [pd.read_csv(os.path.join(out_dir + "_submission", f)) for f in sub_files]
+    )
+    assert {"query_id", "docids"} <= set(sub.columns)

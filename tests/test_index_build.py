@@ -127,3 +127,27 @@ def test_resume_skips_committed(built, tiny_corpus):
             os.path.join(index_dir, "manifests", lang, "manifest.json")
         )
         assert after == before[lang], f"{lang} was rebuilt"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_min_df_filter(tiny_corpus, tmp_path):
+    """M9 low-frequency-term filter (ranking_with_bm25.py:128-132):
+    min_df=2 must drop every df-1 term from the postings (both flows)."""
+    from document_retrieval_ray.pipelines.build_index import build_index
+    import pyarrow.parquet as pq2
+
+    for flow_norms in (False, True):
+        idx = str(tmp_path / f"minidx_{flow_norms}")
+        cfg = IndexConfig(
+            tokenizer=TokenizerConfig(mode="simple"),
+            num_hash_parts=4, min_df=2, hot_term_threshold=10**9,
+        )
+        m = build_index(
+            tiny_corpus["documents"], idx, cfg=cfg, with_cosine_norms=flow_norms
+        )
+        for lang in m:
+            t = pq2.read_table(
+                os.path.join(idx, "postings", f"lang={lang}"), columns=["df"]
+            )
+            dfs = t["df"].to_numpy(zero_copy_only=False)
+            assert len(dfs) > 0 and (dfs >= 2).all(), (lang, flow_norms)
