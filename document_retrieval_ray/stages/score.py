@@ -25,6 +25,7 @@ from ..config import BM25Config, TokenizerConfig
 from ..functions.tokenizer import tokenize
 from ..state.index_shard import (
     LangIndex,
+    score_bm25_maxscore,
     score_bm25_taat,
     score_cosine_taat,
     score_query_wand,
@@ -142,6 +143,21 @@ class BM25ScorerStage:
                         "score": list(scores[order]),
                         "score_x": [int(k) for k in keys[order]],
                     }
+                )
+            elif self.method == "maxscore":
+                sub_scores, cand = score_bm25_maxscore(
+                    idx, tokens, self.cfg, self.cfg.k, round_dp=self.round_dp
+                )
+                if cand.size == 0:
+                    continue
+                sub_urls = idx.urls[cand]
+                ranks, sel, keys = topk_with_ties(
+                    sub_scores, sub_urls, self.cfg.k, self.round_dp
+                )
+                if len(ranks) == 0:
+                    continue
+                parts.append(
+                    _rows(qid, ranks, sel, keys, sub_scores, sub_urls, self.round_dp)
                 )
             else:
                 scores = score_bm25_taat(idx, tokens, self.cfg)

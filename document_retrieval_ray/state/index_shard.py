@@ -323,6 +323,85 @@ def topk_with_ties(scores: np.ndarray, urls: np.ndarray, k: int, round_dp=4):
     )
 
 
+def score_bm25_maxscore(idx: LangIndex, tokens, cfg: BM25Config, k: int = 10,
+                        hot_df: int = 50_000, round_dp=4):
+    """Exact MaxScore-style accelerated top-k:
+
+    1. dense TAAT over RARE terms (df <= hot_df) — the cheap part;
+    2. HOT terms update only the candidate docs from phase 1
+       (searchsorted into the hot posting list, O(|C| log df) instead of
+       O(df));
+    3. docs outside the candidate set can score at most
+       sum(hot-term upper bounds); if that rounded bound is strictly
+       below the running kth rounded score, the result is EXACT —
+       otherwise fall back to full dense TAAT (always exact).
+
+    Zipf head terms have tiny idf, so the fast path almost always holds;
+    all-hot-term queries fall back (equivalent to TAAT).
+    Returns the dense score array restricted to exact top-k semantics:
+    (scores_like, candidate_idx) where scores are valid for candidates
+    and the caller ranks candidates only.
+    """
+    if idx.avgdl <= 0:
+        return np.zeros(0, np.float64), np.empty(0, np.int64)
+    terms = _term_weights(tokens, cfg.compat)
+    rare, hot = [], []
+    for term, w in terms:
+        d = idx.df(term)
+        if d is None:
+            continue
+        (rare if d <= hot_df else hot).append((term, w))
+    if not rare and not hot:
+        return np.zeros(0, np.float64), np.empty(0, np.int64)
+    if not rare:
+        scores = score_bm25_taat(idx, tokens, cfg)
+        pos = np.nonzero(scores > 0)[0]
+        return scores[pos], pos
+
+    scores = np.zeros(idx.n_docs, dtype=np.float64)
+    for term, w in rare:
+        doc_ids, tfs = idx.postings(term)
+        idf = idx.idf(term, cfg.idf)
+        scores[doc_ids] += (w * idf) * _bm25_contrib(tfs, idx.dl[doc_ids], cfg, idx.avgdl)
+    cand = np.nonzero(scores > 0)[0]
+
+    hot_ub = 0.0
+    for term, w in hot:
+        i, nb = idx.term_blocks(term)
+        mt = idx._blocks(i, "max_tf")
+        md = idx._blocks(i, "min_dl")
+        idf = idx.idf(term, cfg.idf)
+        ub = max(
+            (w * idf) * _bm25_contrib(float(mt[b]), float(md[b]), cfg, idx.avgdl)
+            for b in range(nb)
+        )
+        hot_ub += ub
+        doc_ids, tfs = idx.postings(term)
+        pos = np.searchsorted(doc_ids, cand)
+        pos = np.clip(pos, 0, len(doc_ids) - 1)
+        match = doc_ids[pos] == cand
+        ci = cand[match]
+        tfi = tfs[pos[match]]
+        scores[ci] += (w * idf) * _bm25_contrib(tfi, idx.dl[ci], cfg, idx.avgdl)
+
+    if hot:
+        cs = scores[cand]
+        k_eff = min(k, cs.size)
+        kth = np.partition(cs, cs.size - k_eff)[cs.size - k_eff] if cs.size else 0.0
+        scale = 10.0 ** round_dp if round_dp is not None else None
+        if scale is not None:
+            safe = np.floor(hot_ub * scale + 0.5) < np.floor(kth * scale + 0.5)
+        else:
+            safe = hot_ub < kth
+        # candidates must fill the whole top-k, else outside docs would
+        # occupy the remaining ranks
+        if not (cs.size >= k and safe):
+            scores = score_bm25_taat(idx, tokens, cfg)  # exact fallback
+            pos = np.nonzero(scores > 0)[0]
+            return scores[pos], pos
+    return scores[cand], cand
+
+
 def score_query_wand(idx: LangIndex, tokens, cfg: BM25Config, k: int = 10):
     """Block-max WAND top-k → list of (doc_id, score), score-desc.
 

@@ -191,3 +191,32 @@ def test_two_stage_rerank_pipeline(built, tiny_corpus):
             assert gs == pytest.approx(es, rel=1e-9)
         checked += 1
     assert checked > 0
+
+
+def test_maxscore_matches_taat(built):
+    """MaxScore accelerated top-k must equal TAAT exactly — forced through
+    BOTH the candidate-restricted fast path and the all-hot fallback by a
+    tiny hot_df threshold."""
+    from document_retrieval_ray.state.index_shard import score_bm25_maxscore
+
+    index_dir, oracle, queries, mode = built
+    for hot_df in (5, 10**9):  # everything-hot vs nothing-hot
+        for q in queries:
+            lang = q["lang"]
+            idx = LangIndex(index_dir, lang)
+            tokens = tokenize(q["query"], lang, mode)
+            if not tokens:
+                continue
+            taat = score_bm25_taat(idx, tokens, CFG_STD)
+            r_t = topk_with_ties(taat, idx.urls, 10, 4)
+            exp = [(int(r), idx.urls[i], int(k)) for r, i, k in zip(*r_t)]
+            ss, cand = score_bm25_maxscore(
+                idx, tokens, CFG_STD, 10, hot_df=hot_df, round_dp=4
+            )
+            if cand.size == 0:
+                assert exp == [], (q["query_id"], hot_df)
+                continue
+            su = idx.urls[cand]
+            r_m = topk_with_ties(ss, su, 10, 4)
+            got = [(int(r), su[i], int(k)) for r, i, k in zip(*r_m)]
+            assert got == exp, (q["query_id"], hot_df)
