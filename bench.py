@@ -158,7 +158,7 @@ def main() -> None:
     with timed("bm25_queries"):
         res = bm25_search(
             qds, index_dir, cfg=BM25Config(k1=1.2, b=0.75, compat="standard"),
-            batch_size=64, shared_refs=shared_refs,
+            batch_size=64, shared_refs=shared_refs, method="maxscore",
         )
         n_res = res.count()
     timings["bm25_qps"] = round(BENCH_QUERIES / timings["bm25_queries"], 1)

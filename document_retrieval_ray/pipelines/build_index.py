@@ -225,7 +225,7 @@ def build_index(
     segments_flow = not with_cosine_norms
     tokens = docs.map_batches(
         TokenizeStage,
-        fn_constructor_kwargs={"config": cfg.tokenizer},
+        fn_constructor_kwargs={"config": cfg.tokenizer, "counted": True},
         batch_format="pyarrow",
         concurrency=tokenize_concurrency,
     )

@@ -87,26 +87,41 @@ class AssignDocIds:
 
         self._write_docmap(lang, int(part), group, doc_ids)
 
-        parent, terms = flatten_tokens(group)
+        dls = group["dl"].to_numpy(zero_copy_only=False)
+        if "tfs" in group.column_names:
+            # counted input (TokenizeStage(counted=True)): tf already
+            # computed upstream — just flatten, no per-group groupby
+            rows, terms = _flatten_list_col(group["terms"])
+            _, tf_vals = _flatten_list_col(group["tfs"], as_object=False)
+            tfs_arr = tf_vals
+        else:
+            parent, toks = flatten_tokens(group)
+            if len(toks) == 0:
+                return _empty_triples() if self.emit == "triples" else _empty_encoded()
+            counted = (
+                pd.DataFrame({"row": parent, "term": toks})
+                .groupby(["row", "term"], sort=False)
+                .size()
+                .reset_index(name="tf")
+            )
+            rows = counted["row"].to_numpy()
+            terms = counted["term"].to_numpy()
+            tfs_arr = counted["tf"].to_numpy()
         if len(terms) == 0:
             return _empty_triples() if self.emit == "triples" else _empty_encoded()
-        df = pd.DataFrame({"row": parent, "term": terms})
-        counted = df.groupby(["row", "term"], sort=False).size().reset_index(name="tf")
-        rows = counted["row"].to_numpy()
-        dls = group["dl"].to_numpy(zero_copy_only=False)
         if self.emit == "triples":
             return pa.table(
                 {
                     "lang": pa.array(np.repeat(lang, len(rows)), pa.string()),
-                    "term": pa.array(counted["term"].to_numpy(), pa.string()),
+                    "term": pa.array(terms, pa.string()),
                     "doc_id": pa.array(doc_ids[rows], pa.int64()),
                     "dl": pa.array(dls[rows], pa.int64()),
-                    "tf": pa.array(counted["tf"].to_numpy(), pa.int64()),
+                    "tf": pa.array(tfs_arr, pa.int64()),
                 }
             )
         return self._emit_segments(
-            lang, int(part), counted["term"].to_numpy(), doc_ids[rows],
-            dls[rows], counted["tf"].to_numpy()
+            lang, int(part), np.asarray(terms, dtype=object), doc_ids[rows],
+            dls[rows], np.asarray(tfs_arr)
         )
 
     def _emit_segments(self, lang, part, term, doc_id, dl, tf) -> pa.Table:
@@ -182,6 +197,25 @@ class AssignDocIds:
         finally:
             if os.path.exists(tmp):
                 os.unlink(tmp)
+
+
+def _flatten_list_col(col, as_object: bool = True):
+    """Generic (parent_index, flat values) for a list column."""
+    arr = col.combine_chunks()
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.chunk(0)
+    offsets = arr.offsets.to_numpy(zero_copy_only=False)
+    values = arr.values
+    start = offsets[0]
+    if start != 0 or len(values) != offsets[-1]:
+        values = values.slice(start, offsets[-1] - start)
+    lens = np.diff(offsets)
+    parent = np.repeat(np.arange(len(arr), dtype=np.int64), lens)
+    if as_object:
+        vals = np.asarray(values.to_pandas(), dtype=object)
+    else:
+        vals = values.to_numpy(zero_copy_only=False)
+    return parent, vals
 
 
 def _empty_triples() -> pa.Table:

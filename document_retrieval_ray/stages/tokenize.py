@@ -27,17 +27,24 @@ from ..functions.tokenizer import tokenize_reference
 
 
 class TokenizeStage:
-    """(url, text, lang, …) → (url, lang, tokens, dl)."""
+    """(url, text, lang, …) → (url, lang, tokens, dl), or with
+    ``counted=True`` → (url, lang, terms:list, tfs:list<int64>, dl):
+    per-doc term frequencies computed HERE (A1), so the doc-id shuffle
+    moves distinct (term, tf) pairs instead of every token occurrence
+    (~40% smaller under a Zipf vocabulary) and the assign stage skips its
+    per-group groupby."""
 
     def __init__(
         self,
         config: TokenizerConfig = TokenizerConfig(),
         text_col: str = "text",
         keep_cols=("url", "lang"),
+        counted: bool = False,
     ):
         self.cfg = config
         self.text_col = text_col
         self.keep_cols = list(keep_cols)
+        self.counted = counted
         # per-actor state (T1): stopword tables resolved once
         self.merged_stop = MERGED_STOPWORDS
         self.en_stop = STOPWORDS["en"]
@@ -48,9 +55,45 @@ class TokenizeStage:
         else:
             tokens, dl = self._reference(batch)
         out = batch.select([c for c in self.keep_cols if c in batch.column_names])
-        out = out.append_column("tokens", tokens)
+        if not self.counted:
+            out = out.append_column("tokens", tokens)
+            out = out.append_column("dl", dl)
+            return out
+        terms, tfs = self._count(batch, tokens)
+        out = out.append_column("terms", terms)
+        out = out.append_column("tfs", tfs)
         out = out.append_column("dl", dl)
         return out
+
+    def _count(self, batch: pa.Table, tokens):
+        """Per-doc (distinct terms, tfs) list columns from the token lists."""
+        tmp = pa.table({"tokens": tokens})
+        parent, vals = flatten_tokens(tmp)
+        n = len(tokens)
+        if len(vals) == 0:
+            empty = pa.array([[] for _ in range(n)], pa.list_(pa.string()))
+            zeros = pa.array([[] for _ in range(n)], pa.list_(pa.int64()))
+            return empty, zeros
+        import pandas as pd
+
+        counted = (
+            pd.DataFrame({"row": parent, "term": vals})
+            .groupby(["row", "term"], sort=True)
+            .size()
+            .reset_index(name="tf")
+        )
+        rows = counted["row"].to_numpy()
+        # offsets per doc (docs with no tokens get empty lists)
+        lens = np.bincount(rows, minlength=n)
+        offsets = np.zeros(n + 1, dtype=np.int32)
+        np.cumsum(lens, out=offsets[1:])
+        terms = pa.ListArray.from_arrays(
+            pa.array(offsets), pa.array(counted["term"].to_numpy(), pa.string())
+        )
+        tfs = pa.ListArray.from_arrays(
+            pa.array(offsets), pa.array(counted["tf"].to_numpy(), pa.int64())
+        )
+        return terms, tfs
 
     # --- vectorized simple mode ---
     def _simple(self, batch: pa.Table):
