@@ -38,6 +38,10 @@ def _scaling() -> None:
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
             GRAFT_BENCH_HEADLINE_ONLY="1",
+            # scaling needs a compute-dominated workload; at the default
+            # 100k docs the fixed per-execution cost (~15 s) distorts the
+            # ratio
+            GRAFT_BENCH_DOCS=os.environ.get("GRAFT_BENCH_DOCS", "500000"),
             PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH", ""),
         )
         out = subprocess.run(
