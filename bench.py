@@ -48,6 +48,7 @@ def _scaling() -> None:
             [sys.executable, os.path.join(REPO, "bench.py")],
             env=env, capture_output=True, text=True, check=True,
         ).stdout
+        time.sleep(5)  # let the previous raylet finish tearing down
         return json.loads(out.strip().splitlines()[-1])
 
     # N vs 4N logical CPUs. Default 4→16: an empirical burn test shows
@@ -56,7 +57,13 @@ def _scaling() -> None:
     # engine; 4→16 measures the engine, not the host ceiling.
     lo = int(os.environ.get("GRAFT_SCALE_LO", "4"))
     hi = int(os.environ.get("GRAFT_SCALE_HI", str(lo * 4)))
-    r_lo, r_hi = run(lo), run(hi)
+    repeats = int(os.environ.get("GRAFT_SCALE_REPEATS", "1"))
+    # min over repeats per leg: least-interference estimate on a shared
+    # box (observed ±30% wall-clock noise between identical runs)
+    runs_lo = [run(lo) for _ in range(repeats)]
+    runs_hi = [run(hi) for _ in range(repeats)]
+    r_lo = min(runs_lo, key=lambda r: r["value"])
+    r_hi = min(runs_hi, key=lambda r: r["value"])
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)
     print(json.dumps({
@@ -65,6 +72,9 @@ def _scaling() -> None:
         f"sec_{hi}": round(t_hi, 2),
         "cpus": [lo, hi],
         "scaling_efficiency": round(eff, 3),
+        "repeats": repeats,
+        f"all_sec_{lo}": [round(r["value"], 2) for r in runs_lo],
+        f"all_sec_{hi}": [round(r["value"], 2) for r in runs_hi],
         "queries_lo": r_lo["queries"],
         "queries_hi": r_hi["queries"],
     }))
@@ -85,6 +95,7 @@ def main() -> None:
     ray.init(
         address="local", num_cpus=NUM_CPUS,
         include_dashboard=False, logging_level="ERROR",
+        object_store_memory=16 * 1024**3,  # fixed across parallelism levels
     )
     ctx = ray.data.DataContext.get_current()
     ctx.enable_progress_bars = False
