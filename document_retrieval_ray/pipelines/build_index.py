@@ -78,6 +78,11 @@ IDF_LAWS = {
     "sklearn": lambda N, df: np.log((N + 1.0) / (df + 1.0)) + 1.0,
 }
 
+# bump whenever the on-disk shard layout changes: it participates in the
+# resume fingerprint, so stale caches rebuild instead of being read with
+# the wrong decoder
+INDEX_FORMAT_VERSION = 2
+
 
 def _input_fingerprint(input_path) -> str:
     """Cheap lineage fingerprint: path(s) + total row count from metadata."""
@@ -139,7 +144,10 @@ def build_index(
     d = _lang_dirs(index_dir)
     if tokenize_concurrency is None:
         tokenize_concurrency = default_pool()
-    fingerprint = _input_fingerprint(input_path) + f"::tok={cfg.tokenizer.mode}"
+    fingerprint = (
+        _input_fingerprint(input_path)
+        + f"::tok={cfg.tokenizer.mode}::fmt={INDEX_FORMAT_VERSION}"
+    )
 
     def read_input(columns=None):
         if input_ds_factory is not None:
