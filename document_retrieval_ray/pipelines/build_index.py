@@ -85,11 +85,23 @@ INDEX_FORMAT_VERSION = 2
 
 
 def _input_fingerprint(input_path) -> str:
-    """Cheap lineage fingerprint: path(s) + total row count from metadata."""
+    """Cheap lineage fingerprint: path(s) + total rows + per-fragment
+    (path, size, mtime), so rewriting an input in place with the same row
+    count still invalidates resumable shards."""
+    import hashlib as _hl
+
     try:
         dset = pads.dataset(input_path, format="parquet")
-        rows = sum(f.metadata.num_rows if f.metadata else 0 for f in dset.get_fragments())
-        return f"{input_path}::rows={rows}"
+        rows = 0
+        h = _hl.md5()
+        for f in sorted(dset.get_fragments(), key=lambda f: f.path):
+            rows += f.metadata.num_rows if f.metadata else 0
+            try:
+                st = os.stat(f.path)
+                h.update(f"{f.path}:{st.st_size}:{int(st.st_mtime)}".encode())
+            except OSError:
+                h.update(f.path.encode())
+        return f"{input_path}::rows={rows}::frag={h.hexdigest()[:16]}"
     except Exception:
         return str(input_path)
 
@@ -532,6 +544,10 @@ def _build_cosine_norms(triples_mat, d: dict, stats: dict) -> None:
     )
     idf_maps = {}
     for lang, g in df_tbl.groupby("lang"):
+        if lang not in stats:
+            # df/ may hold previously-committed languages on resume; norms
+            # for those shards are already on disk — only build the todo set
+            continue
         N = stats[lang]["n_docs"]
         idf = np.log((N - g["df"].to_numpy() + 0.5) / (g["df"].to_numpy() + 0.5))
         idf_maps[lang] = dict(zip(g["term"], idf))

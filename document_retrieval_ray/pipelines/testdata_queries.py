@@ -1077,7 +1077,7 @@ ORACLE_SQL = {
              f"SELECT lang, count(*) AS n_terms FROM df GROUP BY lang",
     "top_terms": f"""
 WITH {_TOK_CTE},
-tf_sum AS (SELECT lang, term, sum(tf) AS total_tf FROM tok GROUP BY lang, term),
+tf_sum AS (SELECT lang, term, CAST(sum(tf) AS BIGINT) AS total_tf FROM tok GROUP BY lang, term),
 ranked AS (
   SELECT lang, term, total_tf,
          row_number() OVER (PARTITION BY lang
@@ -1114,14 +1114,14 @@ SELECT lang, term, total_tf, rank FROM ranked WHERE rank <= 10
                    "md5(text) AS payload_md5 FROM documents",
     "rel_agg": """
 SELECT l_returnflag, l_linestatus, count(*) AS n,
-       sum(CAST(floor(l_quantity*100 + 0.5) AS BIGINT)) AS qty_c,
-       sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS price_c,
-       sum(CAST(floor(l_extendedprice*(1 - l_discount)*100 + 0.5) AS BIGINT)) AS disc_price_c
+       CAST(sum(CAST(floor(l_quantity*100 + 0.5) AS BIGINT)) AS BIGINT) AS qty_c,
+       CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS price_c,
+       CAST(sum(CAST(floor(l_extendedprice*(1 - l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT) AS disc_price_c
 FROM lineitem GROUP BY l_returnflag, l_linestatus
 """,
     "rel_join_top": """
 WITH rev AS (
-  SELECT o_custkey, sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS revenue_c,
+  SELECT o_custkey, CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_c,
          count(*) AS n_orders
   FROM orders GROUP BY o_custkey
 ),
@@ -1138,12 +1138,12 @@ WHERE t.rank <= 10
     "rel_window": """
 SELECT user_id, CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_ts,
        count(*) AS n_events,
-       sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS value_c
+       CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS value_c
 FROM events GROUP BY user_id, CAST(epoch(date_trunc('hour', ts)) AS BIGINT)
 """,
     "rel_json": """
 SELECT event_type, count(*) AS n,
-       sum(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS sum_k
+       CAST(sum(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS BIGINT) AS sum_k
 FROM events GROUP BY event_type
 """,
     "submission_wide": (

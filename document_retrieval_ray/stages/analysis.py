@@ -7,7 +7,7 @@ from __future__ import annotations
 import pyarrow as pa
 
 from ..functions.hashing import md5_hex
-from ..functions.textstats import doc_stats_row, langid_stopword
+from ..functions.textstats import LANG_MARKERS, doc_stats_row, langid_stopword
 from ..functions.tokenizer import tokenize_simple
 
 
@@ -22,7 +22,9 @@ def doc_stats_batch(batch: pa.Table, id_col: str = "doc_id", text_col: str = "te
 def langid_batch(batch: pa.Table, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
     rows = [langid_stopword(t or "") for t in batch[text_col].to_pylist()]
     out = {id_col: batch[id_col]}
-    keys = sorted(k for k in rows[0] if k.startswith("hits_")) if rows else []
+    # fixed schema from LANG_MARKERS (not rows[0]): empty batches must emit
+    # the same columns so Ray Data can union mixed empty/non-empty blocks
+    keys = [f"hits_{lang}" for lang in sorted(LANG_MARKERS)]
     for key in keys:
         out[key] = pa.array([r[key] for r in rows], pa.int64())
     out["pred_lang"] = pa.array([r["pred_lang"] for r in rows], pa.string())

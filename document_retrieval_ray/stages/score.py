@@ -124,7 +124,9 @@ class BM25ScorerStage:
             if not tokens:
                 continue
             if self.method == "wand":
-                top = score_query_wand(idx, tokens, self.cfg, self.cfg.k)
+                top = score_query_wand(
+                    idx, tokens, self.cfg, self.cfg.k, self.round_dp
+                )
                 if not top:
                     continue
                 scores = np.array([s for s, _ in top])

@@ -402,41 +402,78 @@ def score_bm25_maxscore(idx: LangIndex, tokens, cfg: BM25Config, k: int = 10,
     return scores[cand], cand
 
 
-def score_query_wand(idx: LangIndex, tokens, cfg: BM25Config, k: int = 10):
-    """Block-max WAND top-k → list of (doc_id, score), score-desc.
+class _RevStr:
+    """Reverse-ordered string wrapper so a heapq MIN-heap treats the
+    LARGEST url as the worst entry (final ranking is url ASC on ties)."""
 
-    Exact w.r.t. the TAAT scores for the same cfg (tested); skips decoding
-    blocks whose upper bound cannot enter the current top-k.
+    __slots__ = ("s",)
+
+    def __init__(self, s):
+        self.s = s
+
+    def __lt__(self, other):
+        return self.s > other.s
+
+    def __eq__(self, other):
+        return self.s == other.s
+
+
+def score_query_wand(idx: LangIndex, tokens, cfg: BM25Config, k: int = 10,
+                     round_dp=4):
+    """Block-max WAND top-k → list of (score, doc_id), best-first.
+
+    Exact w.r.t. TAAT + ``topk_with_ties`` for the same cfg (tested):
+    candidates are admitted to the bounded heap on the SAME composite key
+    (fixed-point-rounded score desc, url asc), so rounded-score ties
+    crossing the k boundary resolve identically to the dense path; terms
+    with negative idf (possible under the 'cosine' law) contribute via
+    per-pivot binary search instead of being dropped. Blocks whose upper
+    bound cannot reach the kth rounded key are skipped without decoding.
     """
     if idx.avgdl <= 0:
         return []
+    scale = (10.0 ** round_dp) if round_dp is not None else None
     terms = _term_weights(tokens, cfg.compat)
     cursors = []
+    neg = []  # (doc_ids, tfs, weight*idf) for negative-idf terms
     for term, weight in terms:
         tb = idx.term_blocks(term)
         if tb is None:
             continue
         row, n_blocks = tb
         idf = idx.idf(term, cfg.idf)
-        if idf <= 0:
-            continue  # non-positive contribution can't help a top-k of positives
-        cursors.append(_Cursor(idx, row, n_blocks, weight * idf))
+        if idf > 0:
+            cursors.append(_Cursor(idx, row, n_blocks, weight * idf))
+        elif idf < 0:
+            doc_ids, tfs = idx.postings(term)
+            neg.append((doc_ids, tfs, weight * idf))
     if not cursors:
         return []
 
-    heap: list = []  # min-heap of (score, doc_id)
-    threshold = 0.0
+    def _neg_contrib(doc: int) -> float:
+        s = 0.0
+        for doc_ids, tfs, w in neg:
+            j = int(np.searchsorted(doc_ids, doc))
+            if j < len(doc_ids) and doc_ids[j] == doc:
+                s += w * _bm25_contrib(float(tfs[j]), idx.dl[doc], cfg, idx.avgdl)
+        return s
+
+    urls = idx.urls
+    heap: list = []  # min-heap of (key, _RevStr(url), doc_id, raw_score)
+    # evaluate a pivot iff its positive-term upper-bound sum is > 0 and
+    # >= eval_bound (the raw score below which the rounded key cannot
+    # tie-or-beat the kth rounded key)
+    eval_bound = 0.0
     for c in cursors:
         c.open_block(0, cfg)
     active = [c for c in cursors if c.current_doc is not None]
     while active:
         active.sort(key=lambda c: c.current_doc)
-        # pivot: smallest prefix whose term upper-bound sum exceeds threshold
         acc = 0.0
         pivot_i = None
         for i, c in enumerate(active):
             acc += c.term_ub
-            if acc > threshold:
+            if acc > 0.0 and acc >= eval_bound:
                 pivot_i = i
                 break
         if pivot_i is None:
@@ -450,12 +487,20 @@ def score_query_wand(idx: LangIndex, tokens, cfg: BM25Config, k: int = 10):
                     score += c.weight_idf * _bm25_contrib(
                         c.current_tf, idx.dl[pivot_doc], cfg, idx.avgdl
                     )
-            if score > threshold or len(heap) < k:
-                heapq.heappush(heap, (score, pivot_doc))
-                if len(heap) > k:
-                    heapq.heappop(heap)
+            if neg:
+                score += _neg_contrib(pivot_doc)
+            if score > 0.0:
+                key = np.floor(score * scale + 0.5) if scale is not None else score
+                entry = (key, _RevStr(urls[pivot_doc]), pivot_doc, score)
+                if len(heap) < k:
+                    heapq.heappush(heap, entry)
+                elif (entry[0], entry[1]) > (heap[0][0], heap[0][1]):
+                    heapq.heappushpop(heap, entry)
                 if len(heap) == k:
-                    threshold = heap[0][0]
+                    kth_key = heap[0][0]
+                    eval_bound = (
+                        (kth_key - 0.5) / scale if scale is not None else kth_key
+                    )
             for c in active:
                 if c.current_doc == pivot_doc:
                     c.advance(cfg)
@@ -463,7 +508,7 @@ def score_query_wand(idx: LangIndex, tokens, cfg: BM25Config, k: int = 10):
             for i in range(pivot_i):
                 active[i].skip_to(pivot_doc, cfg)
         active = [c for c in active if c.current_doc is not None]
-    return sorted(heap, key=lambda x: (-x[0], x[1]))
+    return sorted(((s, d) for _, _, d, s in heap), key=lambda x: (-x[0], x[1]))
 
 
 class _Cursor:

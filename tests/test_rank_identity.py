@@ -81,10 +81,50 @@ def test_wand_matches_taat_scores(built):
                 continue
             taat = score_bm25_taat(idx, tokens, cfg)
             _, sel, _ = topk_with_ties(taat, idx.urls, cfg.k, round_dp=None)
-            wand = score_query_wand(idx, tokens, cfg, cfg.k)
+            wand = score_query_wand(idx, tokens, cfg, cfg.k, round_dp=None)
             got = sorted((round(s, 9) for s, _ in wand), reverse=True)
             exp = sorted((round(float(taat[i]), 9) for i in sel), reverse=True)
             assert got == exp, (q["query_id"], cfg.compat)
+
+
+@pytest.mark.parametrize(
+    "cfg",
+    [
+        CFG_REF,
+        CFG_STD,
+        # 'cosine' idf law goes NEGATIVE for df > N/2 terms: exercises the
+        # negative-term evaluation path inside WAND
+        BM25Config(k1=1.2, b=0.75, idf="cosine", compat="standard"),
+    ],
+    ids=["reference", "standard", "cosine-idf"],
+)
+def test_wand_matches_taat_rounded_ranking(built, cfg):
+    """WAND with fixed-point admission == TAAT + topk_with_ties on the
+    exact (rounded key desc, url asc) composite — the driver-oracle
+    ranking contract (ADVICE round 1)."""
+    index_dir, oracle, queries, mode = built
+    for q in queries:
+        lang = q["lang"]
+        idx = LangIndex(index_dir, lang)
+        tokens = tokenize(q["query"], lang, mode)
+        if not tokens:
+            continue
+        taat = score_bm25_taat(idx, tokens, cfg)
+        ranks, sel, keys = topk_with_ties(taat, idx.urls, cfg.k, round_dp=4)
+        exp = [(int(r), idx.urls[i], int(k)) for r, i, k in zip(ranks, sel, keys)]
+        wand = score_query_wand(idx, tokens, cfg, cfg.k, round_dp=4)
+        wscores = np.array([s for s, _ in wand])
+        wsel = np.array([d for _, d in wand], dtype=np.int64)
+        if wsel.size == 0:
+            assert exp == [], (q["query_id"], cfg.idf)
+            continue
+        wkeys = np.floor(wscores * 10000.0 + 0.5)
+        order = np.lexsort((idx.urls[wsel], -wkeys))
+        got = [
+            (r + 1, idx.urls[wsel[i]], int(wkeys[i]))
+            for r, i in enumerate(order)
+        ]
+        assert got == exp, (q["query_id"], cfg.idf, cfg.compat)
 
 
 def test_cosine_rank_identity(built):

@@ -71,6 +71,66 @@ def test_killed_partition_rebuild_is_identical(tiny_corpus, tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_resume_with_cosine_norms(tiny_corpus, tmp_path):
+    """ADVICE r1 (medium): resume after a partial commit with the DEFAULT
+    with_cosine_norms=True must not crash (df/ still holds committed
+    languages that stats doesn't) and must reproduce identical norms."""
+    from document_retrieval_ray.pipelines.build_index import build_index
+
+    a = str(tmp_path / "norm_a")
+    b = str(tmp_path / "norm_b")
+    m_a = build_index(tiny_corpus["documents"], a, cfg=CFG, with_cosine_norms=True)
+    build_index(tiny_corpus["documents"], b, cfg=CFG, with_cosine_norms=True)
+    langs = sorted(m_a)
+    assert len(langs) >= 2, "fixture must span multiple languages"
+
+    victim = langs[0]
+    shutil.rmtree(os.path.join(b, "manifests", victim))
+    m_b2 = build_index(tiny_corpus["documents"], b, cfg=CFG, with_cosine_norms=True)
+    assert sorted(m_b2) == langs
+
+    for lang in langs:
+        na = (
+            pq.read_table(os.path.join(a, "norms", f"lang={lang}"))
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        nb = (
+            pq.read_table(os.path.join(b, "norms", f"lang={lang}"))
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(na, nb)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_rewritten_input_same_rows_invalidates(tiny_corpus, tmp_path):
+    """ADVICE r1 (low): rewriting the input IN PLACE with the same row
+    count must change the fingerprint (size/mtime are folded in), so
+    committed shards are rebuilt instead of silently served stale."""
+    import pyarrow as pa_mod
+
+    from document_retrieval_ray.pipelines.build_index import build_index
+    from document_retrieval_ray.state.manifest import read_manifest
+
+    src = str(tmp_path / "docs.parquet")
+    shutil.copyfile(tiny_corpus["documents"], src)
+    idx = str(tmp_path / "index_rw")
+    m1 = build_index(src, idx, cfg=CFG, with_cosine_norms=False)
+
+    # rewrite in place: same rows, different text
+    t = pq.read_table(src)
+    texts = [(s or "") + " zzchanged" for s in t["text"].to_pylist()]
+    t = t.set_column(
+        t.schema.get_field_index("text"), "text", pa_mod.array(texts, pa_mod.string())
+    )
+    pq.write_table(t, src)
+
+    m2 = build_index(src, idx, cfg=CFG, with_cosine_norms=False)
+    assert any(
+        m2[l]["input_fingerprint"] != m1[l]["input_fingerprint"] for l in m1
+    ), "in-place rewrite with identical row count must invalidate resume"
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_changed_input_invalidates(tiny_corpus, small_corpus, tmp_path):
     """A different input fingerprint must NOT be treated as resumable."""
     from document_retrieval_ray.pipelines.build_index import build_index
