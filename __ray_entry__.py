@@ -13,9 +13,11 @@ here (or in document_retrieval_ray) calls ray.init()/ray.shutdown().
                    sf_dir and returns a Dataset / DataFrame.
 - ``oracle_sql()`` the exactly mirrored DuckDB SQL per query (column
                    names and fixed-point encodings match by construction;
-                   see pipelines/testdata_queries.py). ``simhash_pairs``
-                   is intentionally omitted → rows-only check (its oracle
-                   is the numpy pytest oracle).
+                   see pipelines/testdata_queries.py). Every query has an
+                   oracle, including ``simhash_pairs`` (the md5-based
+                   signature is recomputed bit-by-bit in SQL) and
+                   ``embed_neardup_lsh`` (the hyperplane matrix is
+                   embedded as SQL literals).
 """
 
 from __future__ import annotations

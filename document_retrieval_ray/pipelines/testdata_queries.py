@@ -31,15 +31,26 @@ from ..functions.tokenizer import tokenize_simple
 from ..sources.corpus import read_testdata_documents, url_to_docid
 from ..stages.analysis import doc_stats_batch, fingerprint_batch, langid_batch
 from ..stages.dedup import (
-    JaccardVerify,
     add_simhash,
     add_text_hash,
+    attach_shingles,
     band_group_pairs,
     emit_band_rows,
-    simhash_pairs,
+    emit_doc_shingles,
+    emit_simhash_bands,
+    jaccard_pair_group,
+    pair_side_rows,
+    simhash_band_pairs,
     SHINGLE_N,
 )
-from ..stages.ann import BruteForceTopK, NearDupPairs, final_topk, normalize_rows
+from ..stages.ann import (
+    BruteForceTopK,
+    NearDupPairs,
+    emit_tile_rows,
+    final_topk,
+    lsh_bucket,
+    tile_pairs,
+)
 from ..stages.multimodal import binary_meta_batch
 from ..stages.postings import emit_postings
 from ..stages.tokenize import TokenizeStage
@@ -63,6 +74,12 @@ SAMPLE_TERMS = ("spark", "join", "window", "dup")
 ANN_QUERY_IDS = (0, 1, 2, 3, 4)
 NEARDUP_COS_THRESHOLD = 0.4
 MINHASH_JACCARD_THRESHOLD = 0.5
+# fixed random-hyperplane matrix for the LSH near-dup path: module-level
+# and seeded so the DuckDB oracle can embed the IDENTICAL planes as SQL
+# literals (testdata embeddings are 64-dim)
+EMB_DIM = 64
+LSH_NUM_PLANES = 4
+LSH_PLANES = np.random.default_rng(13).standard_normal((EMB_DIM, LSH_NUM_PLANES))
 
 # ------------------------------------------------------------ SQL fragments
 
@@ -495,87 +512,96 @@ def q_fingerprint(sf_dir: str):
 
 
 def q_minhash_pairs(sf_dir: str):
-    """MinHash+LSH near-dup pairs, Jaccard-verified (threshold 0.5)."""
-    from ..functions.hashing import shingles as mk_shingles
+    """MinHash+LSH near-dup pairs, Jaccard-verified (threshold 0.5).
 
-    bands = _docs(sf_dir).map_batches(emit_band_rows, batch_format="pyarrow")
+    Fully distributed: band groupby → candidate pairs → the pair list and
+    the per-doc shingle-hash table are COGROUPED by doc_id (semi-join; no
+    driver materialization, no broadcast), then per-(a, b) groups compute
+    the exact intersection — the same plan as the _MINHASH_SQL oracle."""
+    docs = _docs(sf_dir)
+    bands = docs.map_batches(emit_band_rows, batch_format="pyarrow")
     pairs = (
         bands.groupby(["band_idx", "band_key"])
         .map_groups(band_group_pairs, batch_format="pandas")
         .groupby(["a", "b"])
         .map_groups(lambda g: g.head(1), batch_format="pandas")
     )
-    # broadcast shingle sets for verification (candidates ≪ corpus; at web
-    # scale this becomes a semi-join against the shingle table by doc_id)
-    docs = _docs(sf_dir).take_all()
-    sh = {
-        r["doc_id"]: set(mk_shingles(tokenize_simple(r["text"] or ""), SHINGLE_N))
-        for r in docs
-    }
-    sh_ref = ray.put(sh)
-    return pairs.map_batches(
-        JaccardVerify,
-        fn_constructor_kwargs={"shingle_ref": sh_ref,
-                               "threshold": MINHASH_JACCARD_THRESHOLD},
-        batch_format="pyarrow",
-        concurrency=default_pool(),
+    sides = pairs.map_batches(pair_side_rows, batch_format="pyarrow")
+    sh_tbl = docs.map_batches(emit_doc_shingles, batch_format="pyarrow")
+    attached = (
+        sh_tbl.union(sides)
+        .groupby("doc_id")
+        .map_groups(attach_shingles, batch_format="pandas")
+    )
+    return attached.groupby(["a", "b"]).map_groups(
+        lambda g: jaccard_pair_group(g, MINHASH_JACCARD_THRESHOLD),
+        batch_format="pandas",
     )
 
 
 def q_simhash_pairs(sf_dir: str):
-    """SimHash near-dup candidate pairs (Hamming <= 3). Rows-only check
-    (no SQL oracle); numpy-oracle-tested in pytest."""
-    sim = (
+    """SimHash near-dup pairs (Hamming <= 3) as a distributed LSH-band
+    plan: 4 chunk-keyed band rows per doc (signature travels with the
+    row) → groupby(band, chunk) Hamming-verifies in-group → (a, b)
+    dedup. SQL-oracled: the _SIMHASH_SQL oracle recomputes the md5-based
+    signature bit-by-bit in DuckDB."""
+    sig = (
         _docs(sf_dir)
         .map_batches(add_simhash, batch_format="pyarrow")
-        .select_columns(["doc_id", "simhash", "chunk0", "chunk1", "chunk2", "chunk3"])
-        .to_pandas()
+        .select_columns(["doc_id", "simhash"])
     )
-    return simhash_pairs(sim, max_hamming=3)
+    pairs = (
+        sig.map_batches(emit_simhash_bands, batch_format="pyarrow")
+        .groupby(["band", "chunk"])
+        .map_groups(simhash_band_pairs, batch_format="pandas")
+    )
+    return pairs.groupby(["a", "b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )
 
 
 def q_embed_neardup(sf_dir: str):
+    """Exact all-pairs cosine ≥ threshold — distributed block-tiling:
+    each vector is replicated to its (bi, bj) tiles (8 blocks → 36 tile
+    groups), every unordered pair computed in exactly one tile. No
+    take_all, no broadcast of the full matrix."""
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                 columns=["vec_id", "embedding"])
-    all_rows = emb.take_all()
-    ids = np.array([r["vec_id"] for r in all_rows], dtype=np.int64)
-    mat = np.array([r["embedding"] for r in all_rows], dtype=np.float64)
-    norms = np.linalg.norm(mat, axis=1)
-    ref = ray.put((ids, mat, norms))
+    tiles = emb.map_batches(
+        emit_tile_rows, fn_kwargs={"num_blocks": 8}, batch_format="pyarrow"
+    )
+    return tiles.groupby(["ti", "tj"]).map_groups(
+        lambda g: tile_pairs(g, NEARDUP_COS_THRESHOLD, num_blocks=8),
+        batch_format="pandas",
+    )
 
-    class PairsVsAll:
-        def __init__(self):
-            self.ids, self.mat, self.norms = ray.get(ref)
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            bids = batch["vec_id"].to_numpy(zero_copy_only=False)
-            bmat = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
-            bnorm = np.linalg.norm(bmat, axis=1)
-            dots = bmat @ self.mat.T
-            cos = dots / np.outer(np.where(bnorm == 0, 1, bnorm),
-                                  np.where(self.norms == 0, 1, self.norms))
-            take = (cos >= NEARDUP_COS_THRESHOLD) & (bids[:, None] < self.ids[None, :])
-            ai, bi = np.nonzero(take)
-            cx = np.floor(cos[ai, bi] * 10000.0 + 0.5).astype(np.int64)
-            return pa.table(
-                {
-                    "a": pa.array(bids[ai], pa.int64()),
-                    "b": pa.array(self.ids[bi], pa.int64()),
-                    "cos_x": pa.array(cx, pa.int64()),
-                }
-            )
-
-    return emb.map_batches(PairsVsAll, batch_format="pyarrow",
-                           concurrency=default_pool())
+def q_embed_neardup_lsh(sf_dir: str):
+    """Near-dup pairs restricted to same-LSH-bucket candidates (the scale
+    path: bucketing replaces the all-to-all tiling; recall traded for a
+    linear exchange). Hyperplanes are fixed module-level constants so the
+    SQL oracle evaluates the identical buckets."""
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    bucketed = emb.map_batches(
+        lsh_bucket, fn_kwargs={"planes": LSH_PLANES}, batch_format="pyarrow"
+    )
+    ndp = NearDupPairs(threshold=NEARDUP_COS_THRESHOLD)
+    return bucketed.groupby("bucket").map_groups(
+        lambda g: ndp(g), batch_format="pyarrow"
+    )
 
 
 def q_ann_topk(sf_dir: str):
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                 columns=["vec_id", "embedding"])
+    qid_arr = pa.array(list(ANN_QUERY_IDS), pa.int64())
     qrows = {
         r["vec_id"]: r["embedding"]
-        for r in emb.take_all()
-        if r["vec_id"] in ANN_QUERY_IDS
+        for r in emb.map_batches(
+            lambda t: t.filter(pc.is_in(t["vec_id"], value_set=qid_arr)),
+            batch_format="pyarrow",
+        ).take_all()
     }
     qids = sorted(qrows)
     qmat = np.array([qrows[q] for q in qids], dtype=np.float64)
@@ -672,6 +698,17 @@ def q_rel_join_top(sf_dir: str):
         )
         return pa.Table.from_pandas(g, preserve_index=False)
 
+    def partial_top(t: pa.Table) -> pa.Table:
+        # per-block partial top-10 (final_topk pattern): the driver only
+        # ever sees O(blocks × 10) rows, never the customer cardinality
+        pdf = t.to_pandas()
+        return pa.Table.from_pandas(
+            pdf.sort_values(
+                ["revenue_c", "o_custkey"], ascending=[False, True]
+            ).head(10),
+            preserve_index=False,
+        )
+
     rev = (
         orders.map_batches(partial, batch_format="pyarrow")
         .groupby("o_custkey")
@@ -679,16 +716,25 @@ def q_rel_join_top(sf_dir: str):
             ray.data.aggregate.Sum("revenue_c", alias_name="revenue_c"),
             ray.data.aggregate.Sum("n_orders", alias_name="n_orders"),
         )
+        .map_batches(partial_top, batch_format="pyarrow")
         .to_pandas()
     )
     top = rev.sort_values(
         ["revenue_c", "o_custkey"], ascending=[False, True]
     ).head(10).reset_index(drop=True)
     top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
-    # broadcast-join the small customer dimension for names
-    cust = ray.data.read_parquet(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
-    ).to_pandas()
+    # distributed semi-filter of the customer dimension by the 10 winners
+    keys = pa.array(top["o_custkey"].to_numpy(), pa.int64())
+    cust = (
+        ray.data.read_parquet(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+        )
+        .map_batches(
+            lambda t: t.filter(pc.is_in(t["c_custkey"], value_set=keys)),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
     out = top.merge(cust, left_on="o_custkey", right_on="c_custkey")
     return out[["rank", "c_custkey", "c_name", "revenue_c", "n_orders"]]
 
@@ -839,41 +885,96 @@ def q_train_test_split(sf_dir: str):
 def q_eval_metrics(sf_dir: str):
     """J5/A9 evaluation join + metrics (bm25_ranking.ipynb cell 5,
     team_run1.py:305-325): binary relevance = docs of the query's language
-    containing EVERY distinct query term (the J1/J2 posting-intersection
-    semantics); recall-hits in the BM25 top-10 and MRR per query."""
-    from ..state.index_shard import LangIndex
+    containing EVERY distinct query term; recall-hits in the BM25 top-10
+    and MRR per query.
 
-    index_dir = _index_for(sf_dir)
+    Distributed: the tiny query-term table is captured in the match
+    closure; relevance labeling is a filtered map over the postings
+    stream + a (query_id, doc_id) groupby; the top-10 result list (80
+    rows) is the broadcast side of the hit join. The driver only touches
+    per-QUERY aggregates (≤ |QUERYSET| rows)."""
     results = q_bm25_reference(sf_dir)
-    rows = []
+
+    qterms: dict = {}
+    n_terms: dict = {}
     for qid, qtext, lang in QUERYSET:
         terms = sorted(set(tokenize_simple(qtext)))
-        try:
-            idx = LangIndex(index_dir, lang)
-        except FileNotFoundError:
-            continue
-        sets = []
-        missing = False
+        n_terms[qid] = len(terms)
         for t in terms:
-            p = idx.postings(t)
-            if p is None:
-                missing = True
-                break
-            sets.append(set(p[0].tolist()))
-        relevant = set.intersection(*sets) if sets and not missing else set()
-        rel_docs = {int(idx.urls[i]) for i in relevant}
-        g = results[results["query_id"] == qid].sort_values("rank")
-        hits = int(sum(d in rel_docs for d in g["doc_id"]))
-        mrr = 0.0
-        for r, dcid in zip(g["rank"], g["doc_id"]):
-            if dcid in rel_docs:
-                mrr = 1.0 / float(r)
-                break
+            qterms.setdefault((lang, t), []).append(qid)
+    keyset = pa.array([f"{l}\x00{t}" for (l, t) in qterms], pa.string())
+
+    def match(t: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            pc.cast(t["lang"], pa.string()), pc.cast(t["term"], pa.string()), "\x00"
+        )
+        t2 = t.filter(pc.is_in(key, value_set=keyset))
+        docs = url_to_docid(t2["url"]).to_pylist()
+        out_q, out_d = [], []
+        for l, tm, d in zip(
+            t2["lang"].to_pylist(), t2["term"].to_pylist(), docs
+        ):
+            for qid in qterms[(l, tm)]:
+                out_q.append(qid)
+                out_d.append(d)
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.string()),
+                "doc_id": pa.array(out_d, pa.int64()),
+            }
+        )
+
+    relc = (
+        _postings_ds(sf_dir)
+        .map_batches(match, batch_format="pyarrow")
+        .groupby(["query_id", "doc_id"])
+        .count()
+    )
+
+    _SENTINEL = 1 << 30
+    res_rank = {
+        (r.query_id, r.doc_id): int(r.rank) for r in results.itertuples()
+    }
+
+    def rel_hits(t: pa.Table) -> pa.Table:
+        qs = t["query_id"].to_pylist()
+        ds = t["doc_id"].to_numpy(zero_copy_only=False)
+        cnt = t["count()"].to_numpy(zero_copy_only=False)
+        need = np.array([n_terms[q] for q in qs], dtype=np.int64)
+        keep = np.nonzero(cnt == need)[0]
+        ranks = np.array(
+            [res_rank.get((qs[i], int(ds[i])), _SENTINEL) for i in keep],
+            dtype=np.int64,
+        )
+        return pa.table(
+            {
+                "query_id": pa.array([qs[i] for i in keep], pa.string()),
+                "hit": pa.array((ranks < _SENTINEL).astype(np.int64), pa.int64()),
+                "hit_rank": pa.array(ranks, pa.int64()),
+            }
+        )
+
+    agg = (
+        relc.map_batches(rel_hits, batch_format="pyarrow")
+        .groupby("query_id")
+        .aggregate(
+            ray.data.aggregate.Count(alias_name="n_relevant"),
+            ray.data.aggregate.Sum("hit", alias_name="hits_at_10"),
+            ray.data.aggregate.Min("hit_rank", alias_name="first_rel"),
+        )
+        .to_pandas()
+    )
+    by_q = {r.query_id: r for r in agg.itertuples()}
+    rows = []
+    for qid, _qtext, _lang in QUERYSET:
+        r = by_q.get(qid)
+        first = int(r.first_rel) if r is not None else _SENTINEL
+        mrr = (1.0 / first) if first < _SENTINEL else 0.0
         rows.append(
             {
                 "query_id": qid,
-                "n_relevant": len(rel_docs),
-                "hits_at_10": hits,
+                "n_relevant": int(r.n_relevant) if r is not None else 0,
+                "hits_at_10": int(r.hits_at_10) if r is not None else 0,
                 "mrr_x": int(np.floor(mrr * 10000 + 0.5)),
             }
         )
@@ -902,6 +1003,7 @@ QUERIES = {
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
     "embed_neardup": q_embed_neardup,
+    "embed_neardup_lsh": q_embed_neardup_lsh,
     "ann_topk": q_ann_topk,
     "token_stats": q_token_stats,
     "langid": q_langid,
@@ -976,11 +1078,87 @@ u AS (
 n AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM u GROUP BY vec_id)
 """
 
+# SimHash recomputed bit-exactly in SQL: stable_hash64(term) is the first
+# 16 hex chars of md5 big-endian, so bit i lives in hex char (16 - i//4)
+# at nibble bit (i % 4); acc_i = Σ tf·(2·bit−1); signature bit = acc > 0.
+_SIMHASH_SQL = f"""
+WITH {_TOK_CTE},
+r AS (SELECT i FROM range(0, 64) t(i)),
+nib AS (
+  SELECT tok.doc_id AS doc_id, r.i AS i,
+         (CASE WHEN ((strpos('0123456789abcdef',
+                      substring(md5(tok.term), CAST(16 - r.i // 4 AS INT), 1)) - 1)
+                     >> CAST(r.i % 4 AS INT)) & 1 = 1
+               THEN 1 ELSE -1 END) * tok.tf AS sgn
+  FROM tok CROSS JOIN r
+),
+accs AS (SELECT doc_id, i, sum(sgn) AS acc FROM nib GROUP BY doc_id, i),
+bits AS (
+  SELECT d.doc_id AS doc_id, r.i AS i,
+         CASE WHEN coalesce(a.acc, 0) > 0 THEN 1 ELSE 0 END AS bit
+  FROM documents d CROSS JOIN r
+  LEFT JOIN accs a ON a.doc_id = d.doc_id AND a.i = r.i
+),
+chunks AS (
+  SELECT doc_id, CAST(i // 16 AS BIGINT) AS band,
+         CAST(sum(bit * (1 << CAST(i % 16 AS INT))) AS BIGINT) AS chunk
+  FROM bits GROUP BY doc_id, i // 16
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM chunks x JOIN chunks y
+    ON x.band = y.band AND x.chunk = y.chunk AND x.doc_id < y.doc_id
+),
+ham AS (
+  SELECT c.a AS a, c.b AS b,
+         sum(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END) AS hd
+  FROM cand c
+  JOIN bits ba ON ba.doc_id = c.a
+  JOIN bits bb ON bb.doc_id = c.b AND bb.i = ba.i
+  GROUP BY c.a, c.b
+)
+SELECT a, b FROM ham WHERE hd <= 3
+"""
+
+_PLANE_VALUES = ", ".join(
+    f"({i + 1}, {p}, {LSH_PLANES[i, p]!r})"
+    for i in range(EMB_DIM)
+    for p in range(LSH_NUM_PLANES)
+)
+
 _NEARDUP_SQL = f"""
 WITH {_EMB_UNNEST},
 d AS (
   SELECT ua.vec_id AS a, ub.vec_id AS b, sum(ua.v * ub.v) AS dot
   FROM u ua JOIN u ub ON ua.i = ub.i AND ua.vec_id < ub.vec_id
+  GROUP BY ua.vec_id, ub.vec_id
+),
+c AS (
+  SELECT d.a AS a, d.b AS b, d.dot / (na.nrm * nb.nrm) AS cos
+  FROM d JOIN n na ON na.vec_id = d.a JOIN n nb ON nb.vec_id = d.b
+  WHERE na.nrm > 0 AND nb.nrm > 0
+)
+SELECT a, b, {_fx('cos')} AS cos_x FROM c WHERE cos >= {NEARDUP_COS_THRESHOLD}
+"""
+
+_NEARDUP_LSH_SQL = f"""
+WITH {_EMB_UNNEST},
+pl(i, p, w) AS (VALUES {_PLANE_VALUES}),
+bits AS (
+  SELECT u.vec_id AS vec_id, pl.p AS p,
+         CASE WHEN sum(u.v * pl.w) > 0 THEN 1 ELSE 0 END AS bit
+  FROM u JOIN pl ON pl.i = u.i GROUP BY u.vec_id, pl.p
+),
+bk AS (
+  SELECT vec_id, CAST(sum(bit * (1 << CAST(p AS INT))) AS BIGINT) AS bucket
+  FROM bits GROUP BY vec_id
+),
+d AS (
+  SELECT ua.vec_id AS a, ub.vec_id AS b, sum(ua.v * ub.v) AS dot
+  FROM u ua
+  JOIN u ub ON ua.i = ub.i AND ua.vec_id < ub.vec_id
+  JOIN bk ba ON ba.vec_id = ua.vec_id
+  JOIN bk bb ON bb.vec_id = ub.vec_id AND bb.bucket = ba.bucket
   GROUP BY ua.vec_id, ub.vec_id
 ),
 c AS (
@@ -1105,8 +1283,9 @@ SELECT lang, term, total_tf, rank FROM ranked WHERE rank <= 10
     "fingerprint": f"WITH {_TOKS_CTE} SELECT doc_id, "
                    f"md5(array_to_string(l, ' ')) AS fp, len(l) AS n_tokens FROM toks",
     "minhash_pairs": _MINHASH_SQL,
-    # simhash_pairs: rows-only (no SQL oracle; verified by pytest numpy oracle)
+    "simhash_pairs": _SIMHASH_SQL,
     "embed_neardup": _NEARDUP_SQL,
+    "embed_neardup_lsh": _NEARDUP_LSH_SQL,
     "ann_topk": _ANN_SQL,
     "token_stats": _token_stats_sql(),
     "langid": _langid_sql(),

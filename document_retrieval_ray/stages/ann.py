@@ -91,11 +91,16 @@ def final_topk(group: pd.DataFrame, k: int = 10, round_dp: int = 4) -> pd.DataFr
 
 
 def lsh_bucket(batch: pa.Table, num_planes: int = 8, seed: int = 13,
-               vec_col: str = "embedding") -> pa.Table:
-    """Random-hyperplane LSH bucket id per row (deterministic, seeded)."""
+               vec_col: str = "embedding", planes: np.ndarray = None) -> pa.Table:
+    """Random-hyperplane LSH bucket id per row (deterministic, seeded).
+    Pass ``planes`` (dim × num_planes) explicitly when an external oracle
+    must see the exact same hyperplanes (e.g. embedded as SQL literals)."""
     mat = _stack(batch[vec_col])
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((mat.shape[1], num_planes))
+    if planes is None:
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((mat.shape[1], num_planes))
+    else:
+        num_planes = planes.shape[1]
     bits = (mat @ planes) > 0
     bucket = (bits * (1 << np.arange(num_planes))).sum(axis=1)
     return batch.append_column("bucket", pa.array(bucket.astype(np.int64), pa.int64()))
@@ -114,10 +119,19 @@ class NearDupPairs:
 
     def __call__(self, group: pa.Table) -> pa.Table:
         ids = group[self.id_col].to_numpy(zero_copy_only=False)
-        mat = normalize_rows(_stack(group[self.vec_col]))
-        cos = mat @ mat.T
+        mat = _stack(group[self.vec_col])
+        norms = np.linalg.norm(mat, axis=1)
+        # dot / (|a|*|b|) — the SAME op order as the SQL oracle so the
+        # fixed-point keys agree; zero-norm rows are excluded (SQL nrm > 0)
+        dots = mat @ mat.T
+        denom = np.outer(np.where(norms == 0, 1, norms), np.where(norms == 0, 1, norms))
+        cos = dots / denom
         iu = np.triu_indices(len(ids), k=1)
-        mask = cos[iu] >= self.threshold
+        mask = (
+            (cos[iu] >= self.threshold)
+            & (norms[iu[0]] > 0)
+            & (norms[iu[1]] > 0)
+        )
         ai, bi = iu[0][mask], iu[1][mask]
         a = np.minimum(ids[ai], ids[bi])
         b = np.maximum(ids[ai], ids[bi])
@@ -129,3 +143,78 @@ class NearDupPairs:
                 "cos_x": pa.array(cx, pa.int64()),
             }
         )
+
+
+def emit_tile_rows(batch: pa.Table, num_blocks: int = 8,
+                   id_col: str = "vec_id", vec_col: str = "embedding") -> pa.Table:
+    """Exact distributed all-pairs: assign each vector to block
+    ``vec_id % num_blocks`` and replicate it to every (bi, bj) tile it
+    participates in (bi <= bj). Every unordered pair lands in EXACTLY one
+    tile group, so a groupby(ti, tj) + per-tile matmul computes all pairs
+    with an exchange of num_blocks × input — no driver materialization,
+    no O(N²) task."""
+    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    vecs = batch[vec_col]
+    blk = ids % num_blocks
+    out_ti, out_tj, out_id, out_vec = [], [], [], []
+    vec_list = vecs.to_pylist()
+    for i in range(len(ids)):
+        bi = int(blk[i])
+        for bj in range(num_blocks):
+            ti, tj = (bi, bj) if bi <= bj else (bj, bi)
+            out_ti.append(ti)
+            out_tj.append(tj)
+            out_id.append(int(ids[i]))
+            out_vec.append(vec_list[i])
+    return pa.table(
+        {
+            "ti": pa.array(out_ti, pa.int64()),
+            "tj": pa.array(out_tj, pa.int64()),
+            "vec_id": pa.array(out_id, pa.int64()),
+            "embedding": pa.array(out_vec, pa.list_(pa.float64())),
+        }
+    )
+
+
+def tile_pairs(group: pd.DataFrame, threshold: float, num_blocks: int = 8,
+               round_dp: int = 4) -> pd.DataFrame:
+    """(ti, tj) tile group → cosine pairs ≥ threshold between (or within)
+    its two blocks. cos = dot / (|a|*|b|), zero norms excluded — mirrors
+    the SQL oracle exactly."""
+    empty = pd.DataFrame({"a": pd.Series(dtype="int64"),
+                          "b": pd.Series(dtype="int64"),
+                          "cos_x": pd.Series(dtype="int64")})
+    ids = group["vec_id"].to_numpy().astype(np.int64)
+    # replication means a vector appears once per tile; dedup within tile
+    _, first = np.unique(ids, return_index=True)
+    ids = ids[first]
+    mat = np.asarray([np.asarray(v, dtype=np.float64) for v in group["embedding"].to_numpy()[first]])
+    if len(ids) < 2:
+        return empty
+    ti = int(group.iloc[0]["ti"])
+    tj = int(group.iloc[0]["tj"])
+    blk = ids % num_blocks
+    norms = np.linalg.norm(mat, axis=1)
+    if ti == tj:
+        iu = np.triu_indices(len(ids), k=1)
+        ai, bi = iu
+    else:
+        li = np.nonzero(blk == ti)[0]
+        ri = np.nonzero(blk == tj)[0]
+        if li.size == 0 or ri.size == 0:
+            return empty
+        ai, bi = np.repeat(li, ri.size), np.tile(ri, li.size)
+    dots = np.einsum("ij,ij->i", mat[ai], mat[bi])
+    na, nb = norms[ai], norms[bi]
+    cos = dots / (np.where(na == 0, 1, na) * np.where(nb == 0, 1, nb))
+    keep = (cos >= threshold) & (na > 0) & (nb > 0)
+    a = np.minimum(ids[ai[keep]], ids[bi[keep]])
+    b = np.maximum(ids[ai[keep]], ids[bi[keep]])
+    cx = np.floor(cos[keep] * (10.0 ** round_dp) + 0.5).astype(np.int64)
+    return pd.DataFrame(
+        {
+            "a": pd.Series(a, dtype="int64"),
+            "b": pd.Series(b, dtype="int64"),
+            "cos_x": pd.Series(cx, dtype="int64"),
+        }
+    )

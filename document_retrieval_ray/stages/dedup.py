@@ -14,10 +14,13 @@ needs, each expressed Ray-Data-first:
 - SimHash: 64-bit signatures, banded into 4x16-bit chunks for candidate
   generation, Hamming-verified.
 
-Scale notes: the verification stage broadcasts the candidate docs'
-shingle sets via ``ray.put`` (candidates ≪ corpus); at web scale this
-becomes a semi-join of the pair list against the shingle table — the
-partitioning key is doc_id either way.
+Scale notes: the verification stage is a DISTRIBUTED semi-join — the
+candidate-pair list is exploded to per-side membership rows, cogrouped
+with the per-doc shingle-hash table by ``doc_id`` (one corpus-sized
+exchange), and the Jaccard intersection is computed in per-(a, b) groups.
+Nothing is broadcast or materialized on the driver. Band groups larger
+than ``max_bucket`` are truncated deterministically (sorted doc_id
+prefix) so no single task is ever quadratic in a degenerate bucket.
 """
 
 from __future__ import annotations
@@ -35,12 +38,18 @@ from ..functions.hashing import (
     minhash_signature,
     shingles,
     simhash64,
+    stable_hash64,
 )
 from ..functions.tokenizer import tokenize_simple
 
 NUM_HASHES = 8
 BAND_SIZE = 2  # → 4 bands
 SHINGLE_N = 3
+# deterministic cap on LSH/band bucket size: a degenerate bucket (e.g. the
+# all-boilerplate band key at web scale) would otherwise make one task
+# O(|bucket|²); the sorted-prefix truncation keeps results deterministic
+# and never triggers at test scale
+MAX_BUCKET = 512
 
 
 def add_text_hash(batch: pa.Table, text_col: str = "text", normalize: bool = False) -> pa.Table:
@@ -78,16 +87,19 @@ def emit_band_rows(batch: pa.Table, id_col: str = "doc_id", text_col: str = "tex
     )
 
 
-def band_group_pairs(group: pd.DataFrame) -> pd.DataFrame:
-    """(band) group → candidate pairs (a < b)."""
-    ids = sorted(set(group["doc_id"].tolist()))
-    a, b = [], []
-    for i in range(len(ids)):
-        for j in range(i + 1, len(ids)):
-            a.append(ids[i])
-            b.append(ids[j])
+def band_group_pairs(group: pd.DataFrame, max_bucket: int = MAX_BUCKET) -> pd.DataFrame:
+    """(band) group → candidate pairs (a < b). Buckets larger than
+    ``max_bucket`` are truncated to the sorted doc_id prefix (deterministic;
+    a bucket that large is a degenerate key, not a near-dup cluster)."""
+    ids = sorted(set(group["doc_id"].tolist()))[:max_bucket]
+    n = len(ids)
+    arr = np.asarray(ids, dtype=np.int64)
+    iu = np.triu_indices(n, k=1)
     return pd.DataFrame(
-        {"a": pd.Series(a, dtype="int64"), "b": pd.Series(b, dtype="int64")}
+        {
+            "a": pd.Series(arr[iu[0]], dtype="int64"),
+            "b": pd.Series(arr[iu[1]], dtype="int64"),
+        }
     )
 
 
@@ -123,6 +135,125 @@ class JaccardVerify:
         )
 
 
+# ---------------------------------------------------------------- semi-join
+# Distributed Jaccard verification (no driver materialization, no
+# broadcast): mirror of the _MINHASH_SQL oracle's
+# "join sh twice by doc_id, count intersections" plan expressed as two
+# cogroups. Shingles travel as stable int64 hashes (first 8 bytes of md5)
+# to keep the doc_id exchange compact; a cross-doc hash collision would
+# perturb one intersection count with probability ~(#shingles)²/2⁶⁵.
+
+_SEMIJOIN_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("a", pa.int64()),
+        ("b", pa.int64()),
+        ("shs", pa.list_(pa.int64())),
+        ("n", pa.int64()),
+    ]
+)
+
+
+def emit_doc_shingles(batch: pa.Table, id_col: str = "doc_id",
+                      text_col: str = "text", n: int = SHINGLE_N) -> pa.Table:
+    """One row per non-empty doc: sorted distinct shingle hashes + count,
+    in the unified semi-join schema (a = b = -1 marks a shingle row)."""
+    ids, shs, ns = [], [], []
+    for i, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
+        sh = shingles(tokenize_simple(t or ""), n)
+        if not sh:
+            continue
+        h = np.unique(
+            np.array([stable_hash64(s) for s in sh], dtype=np.uint64).view(np.int64)
+        )
+        ids.append(i)
+        shs.append(h.tolist())
+        ns.append(len(h))
+    m = len(ids)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "a": pa.array([-1] * m, pa.int64()),
+            "b": pa.array([-1] * m, pa.int64()),
+            "shs": pa.array(shs, pa.list_(pa.int64())),
+            "n": pa.array(ns, pa.int64()),
+        },
+        schema=_SEMIJOIN_SCHEMA,
+    )
+
+
+def pair_side_rows(batch: pa.Table) -> pa.Table:
+    """Candidate pairs (a, b) → two membership rows keyed by each side's
+    doc_id, in the unified semi-join schema (empty shs marks a pair row)."""
+    a = batch["a"].to_numpy(zero_copy_only=False)
+    b = batch["b"].to_numpy(zero_copy_only=False)
+    doc = np.concatenate([a, b])
+    aa = np.concatenate([a, a])
+    bb = np.concatenate([b, b])
+    m = len(doc)
+    return pa.table(
+        {
+            "doc_id": pa.array(doc, pa.int64()),
+            "a": pa.array(aa, pa.int64()),
+            "b": pa.array(bb, pa.int64()),
+            "shs": pa.array([[]] * m, pa.list_(pa.int64())),
+            "n": pa.array(np.zeros(m, np.int64), pa.int64()),
+        },
+        schema=_SEMIJOIN_SCHEMA,
+    )
+
+
+def attach_shingles(group: pd.DataFrame) -> pd.DataFrame:
+    """(doc_id) cogroup: replicate this doc's shingle-hash array onto each
+    candidate pair it participates in."""
+    is_sh = group["a"].to_numpy() < 0
+    sh_rows = group[is_sh]
+    pairs = group[~is_sh]
+    if len(sh_rows) == 0 or len(pairs) == 0:
+        return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                             "b": pd.Series(dtype="int64"),
+                             "shs": pd.Series(dtype="object"),
+                             "n": pd.Series(dtype="int64")})
+    shs = sh_rows.iloc[0]["shs"]
+    n = int(sh_rows.iloc[0]["n"])
+    return pd.DataFrame(
+        {
+            "a": pairs["a"].astype("int64").to_numpy(),
+            "b": pairs["b"].astype("int64").to_numpy(),
+            "shs": [shs] * len(pairs),
+            "n": np.full(len(pairs), n, np.int64),
+        }
+    )
+
+
+def jaccard_pair_group(group: pd.DataFrame, threshold: float) -> pd.DataFrame:
+    """(a, b) group of two attached sides → verified pair row (or empty).
+    A side whose doc had no shingles never produced a row → pair skipped,
+    matching the broadcast verifier's semantics."""
+    empty = pd.DataFrame({"a": pd.Series(dtype="int64"),
+                          "b": pd.Series(dtype="int64"),
+                          "jaccard_x": pd.Series(dtype="int64")})
+    if len(group) < 2:
+        return empty
+    s1 = np.asarray(group.iloc[0]["shs"], dtype=np.int64)
+    s2 = np.asarray(group.iloc[1]["shs"], dtype=np.int64)
+    n1, n2 = int(group.iloc[0]["n"]), int(group.iloc[1]["n"])
+    inter = int(np.intersect1d(s1, s2, assume_unique=True).size)
+    union = n1 + n2 - inter
+    if union <= 0:
+        return empty
+    jac = inter / union
+    if jac < threshold:
+        return empty
+    return pd.DataFrame(
+        {
+            "a": pd.Series([int(group.iloc[0]["a"])], dtype="int64"),
+            "b": pd.Series([int(group.iloc[0]["b"])], dtype="int64"),
+            "jaccard_x": pd.Series([int(np.floor(jac * 10000 + 0.5))], dtype="int64"),
+        }
+    )
+
+
 def add_simhash(batch: pa.Table, text_col: str = "text") -> pa.Table:
     texts = batch[text_col].to_pylist()
     sh = [simhash64(tokenize_simple(t or "")) for t in texts]
@@ -135,10 +266,57 @@ def add_simhash(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return out
 
 
+def emit_simhash_bands(batch: pa.Table) -> pa.Table:
+    """Signature rows → 4 band rows per doc: (band c, 16-bit chunk value,
+    doc_id, full simhash). The signature travels WITH the band row so the
+    Hamming verify happens inside the band group — one shuffle, no second
+    join."""
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    sims = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    n = len(ids)
+    parts = []
+    for c in range(4):
+        chunk = ((sims >> np.uint64(16 * c)) & np.uint64(0xFFFF)).astype(np.int64)
+        parts.append((np.full(n, c, np.int64), chunk, ids, sims.view(np.int64)))
+    return pa.table(
+        {
+            "band": pa.array(np.concatenate([p[0] for p in parts]), pa.int64()),
+            "chunk": pa.array(np.concatenate([p[1] for p in parts]), pa.int64()),
+            "doc_id": pa.array(np.concatenate([p[2] for p in parts]), pa.int64()),
+            "simhash_i": pa.array(np.concatenate([p[3] for p in parts]), pa.int64()),
+        }
+    )
+
+
+def simhash_band_pairs(group: pd.DataFrame, max_hamming: int = 3,
+                       max_bucket: int = MAX_BUCKET) -> pd.DataFrame:
+    """(band, chunk) group → Hamming-verified pairs (a < b). Vectorized
+    popcount over the XOR of all in-bucket signature pairs; deterministic
+    sorted-prefix truncation for degenerate buckets."""
+    g = group.drop_duplicates("doc_id").sort_values("doc_id").head(max_bucket)
+    ids = g["doc_id"].to_numpy().astype(np.int64)
+    sims = g["simhash_i"].to_numpy().astype(np.int64).view(np.uint64)
+    n = len(ids)
+    if n < 2:
+        return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                             "b": pd.Series(dtype="int64")})
+    iu = np.triu_indices(n, k=1)
+    x = sims[iu[0]] ^ sims[iu[1]]
+    # vectorized popcount via byte-view + unpackbits
+    ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
+    keep = ham <= max_hamming
+    return pd.DataFrame(
+        {
+            "a": pd.Series(ids[iu[0][keep]], dtype="int64"),
+            "b": pd.Series(ids[iu[1][keep]], dtype="int64"),
+        }
+    )
+
+
 def simhash_pairs(sim_df: pd.DataFrame, max_hamming: int = 3) -> pd.DataFrame:
     """Candidate pairs sharing any 16-bit chunk, Hamming-verified.
-    (Driver-side finish over the small signature table; at scale this is
-    4 groupbys over (chunk_c) exactly like the LSH band path.)"""
+    (Driver-side reference implementation — kept as the pytest oracle for
+    the distributed band path in q_simhash_pairs.)"""
     pairs = set()
     for c in range(4):
         for _, g in sim_df.groupby(f"chunk{c}"):

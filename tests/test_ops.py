@@ -8,13 +8,18 @@ import pytest
 from document_retrieval_ray.stages.ann import (
     BruteForceTopK,
     NearDupPairs,
+    emit_tile_rows,
     final_topk,
     lsh_bucket,
+    tile_pairs,
 )
 from document_retrieval_ray.stages.dedup import (
     add_simhash,
     add_text_hash,
+    band_group_pairs,
     emit_band_rows,
+    emit_simhash_bands,
+    simhash_band_pairs,
     simhash_pairs,
 )
 from document_retrieval_ray.stages.multimodal import (
@@ -76,6 +81,43 @@ class TestDedup:
         assert list(zip(got["a"], got["b"])) == exp
         assert (0, 3) in exp
 
+    def test_simhash_band_path_matches_driver_reference(self):
+        """Distributed band plan (emit_simhash_bands → per-(band, chunk)
+        verify → (a, b) dedup) == the driver-side reference impl."""
+        texts = [
+            "alpha beta gamma delta epsilon zeta eta theta",
+            "alpha beta gamma delta epsilon zeta eta iota",
+            "one two three four five six seven eight",
+            "alpha beta gamma delta epsilon zeta eta theta",
+            "",
+            "",
+        ]
+        sim = add_simhash(_doc_table(texts))
+        exp = simhash_pairs(sim.to_pandas(), max_hamming=3)
+        bands = emit_simhash_bands(
+            sim.select(["doc_id", "simhash"])
+        ).to_pandas()
+        parts = [
+            simhash_band_pairs(g)
+            for _, g in bands.groupby(["band", "chunk"])
+        ]
+        got = (
+            pd.concat(parts, ignore_index=True)
+            .drop_duplicates()
+            .sort_values(["a", "b"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, exp.reset_index(drop=True))
+        # the two empty docs (simhash 0) must pair with each other
+        assert (4, 5) in set(zip(got["a"], got["b"]))
+
+    def test_band_group_pairs_bucket_cap(self):
+        g = pd.DataFrame({"doc_id": np.arange(100, dtype=np.int64)})
+        out = band_group_pairs(g, max_bucket=10)
+        # truncated deterministically to the sorted prefix
+        assert len(out) == 45
+        assert out["a"].max() <= 9 and out["b"].max() <= 9
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestAnn:
@@ -119,6 +161,80 @@ class TestAnn:
         )
         out = NearDupPairs(threshold=0.95)(t).to_pandas()
         assert list(zip(out["a"], out["b"])) == [(10, 11)]
+
+    def test_tiled_all_pairs_exact(self):
+        """Block-tiled distributed all-pairs == brute-force numpy pairs."""
+        rng = np.random.default_rng(7)
+        mat = rng.standard_normal((60, 8))
+        mat[13] = mat[4] + 0.01 * rng.standard_normal(8)  # a near-dup
+        ids = np.arange(100, 160, dtype=np.int64)
+        t = pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(mat.tolist(), pa.list_(pa.float64())),
+            }
+        )
+        thr = 0.5
+        tiles = emit_tile_rows(t, num_blocks=4).to_pandas()
+        parts = [
+            tile_pairs(g, thr, num_blocks=4)
+            for _, g in tiles.groupby(["ti", "tj"])
+        ]
+        got = (
+            pd.concat(parts, ignore_index=True)
+            .sort_values(["a", "b"])
+            .reset_index(drop=True)
+        )
+        norms = np.linalg.norm(mat, axis=1)
+        cos = (mat @ mat.T) / np.outer(norms, norms)
+        iu = np.triu_indices(60, k=1)
+        keep = cos[iu] >= thr
+        exp = pd.DataFrame(
+            {
+                "a": pd.Series(ids[iu[0][keep]], dtype="int64"),
+                "b": pd.Series(ids[iu[1][keep]], dtype="int64"),
+                "cos_x": pd.Series(
+                    np.floor(cos[iu][keep] * 10000 + 0.5).astype(np.int64),
+                    dtype="int64",
+                ),
+            }
+        ).sort_values(["a", "b"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, exp)
+        assert len(exp) >= 1  # the planted near-dup is found
+
+    def test_lsh_neardup_subset_of_all_pairs(self):
+        """Bucketed near-dup pairs ⊆ exact all-pairs at the same threshold
+        (LSH only ever restricts candidates)."""
+        rng = np.random.default_rng(11)
+        mat = rng.standard_normal((80, 16))
+        for i in range(0, 20, 2):  # plant near-dups
+            mat[i + 1] = mat[i] + 0.05 * rng.standard_normal(16)
+        t = pa.table(
+            {
+                "vec_id": pa.array(np.arange(80, dtype=np.int64), pa.int64()),
+                "embedding": pa.array(mat.tolist(), pa.list_(pa.float64())),
+            }
+        )
+        thr = 0.9
+        bucketed = lsh_bucket(t, num_planes=4).to_pandas()
+        ndp = NearDupPairs(threshold=thr)
+        got = pd.concat(
+            [
+                ndp(pa.Table.from_pandas(g, preserve_index=False)).to_pandas()
+                for _, g in bucketed.groupby("bucket")
+            ],
+            ignore_index=True,
+        )
+        norms = np.linalg.norm(mat, axis=1)
+        cos = (mat @ mat.T) / np.outer(norms, norms)
+        iu = np.triu_indices(80, k=1)
+        all_pairs = {
+            (int(a), int(b))
+            for a, b in zip(iu[0][cos[iu] >= thr], iu[1][cos[iu] >= thr])
+        }
+        got_pairs = set(zip(got["a"], got["b"]))
+        assert got_pairs <= all_pairs
+        assert len(got_pairs) >= 1  # finds at least some planted dups
 
     def test_lsh_bucket_deterministic(self):
         rng = np.random.default_rng(5)

@@ -76,6 +76,12 @@ def test_query_matches_oracle(entry_module, con, name):
         f"{name}: columns {list(got.columns)} != {list(exp.columns)}"
     )
     assert len(got) == len(exp), f"{name}: {len(got)} rows != {len(exp)}"
+    # the driver hashes VALUES including their dtype: an int64 engine column
+    # vs a HUGEINT→float64 oracle column hash-mismatches even when equal
+    # (round-1 postmortem), so dtypes must agree exactly
+    got_dt = {c: str(got[c].dtype) for c in got.columns}
+    exp_dt = {c: str(exp[c].dtype) for c in exp.columns}
+    assert got_dt == exp_dt, f"{name}: dtype mismatch {got_dt} != {exp_dt}"
     try:
         pd.testing.assert_frame_equal(got, exp, check_dtype=False)
     except AssertionError as e:
