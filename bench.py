@@ -57,7 +57,7 @@ def _scaling() -> None:
     # engine; 4→16 measures the engine, not the host ceiling.
     lo = int(os.environ.get("GRAFT_SCALE_LO", "4"))
     hi = int(os.environ.get("GRAFT_SCALE_HI", str(lo * 4)))
-    repeats = int(os.environ.get("GRAFT_SCALE_REPEATS", "1"))
+    repeats = int(os.environ.get("GRAFT_SCALE_REPEATS", "3"))
     # min over repeats per leg: least-interference estimate on a shared
     # box (observed ±30% wall-clock noise between identical runs)
     runs_lo = [run(lo) for _ in range(repeats)]

@@ -50,6 +50,12 @@ class IndexConfig:
     hot_term_threshold: int = 100_000 # postings count above which a term is salted
     salt_shift: int = 16              # salt = doc_id >> salt_shift (doc-range buckets)
     min_df: int = 1                   # M9 low-frequency-term filter (ranking_with_bm25.py:128-132)
+    merge_fanout: int = 0             # ≥2 → hierarchical (tree) segment merge:
+                                      # each round merges ≤fanout doc-range
+                                      # segments per term until one remains;
+                                      # byte-identical to the flat merge.
+                                      # 0 = single-round flat merge
+
     docs_per_part: int = 1 << 20      # dense-id partition size
     num_hash_parts: int = 32          # url-hash partitions for dense id assignment
     num_encode_parts: int = 64        # term-hash partitions for the encode shuffle

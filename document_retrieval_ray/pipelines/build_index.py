@@ -60,6 +60,8 @@ from ..stages.extract import ExtractText
 from ..stages.index_build import (
     AssignDocIds,
     MergePartition,
+    add_gsalt,
+    intermediate_merge_group,
     add_kpart,
     add_part,
     add_salt_and_kpart,
@@ -141,8 +143,9 @@ def build_index(
 
     ``input_ds_factory``: optional callable () → Dataset with columns
     (url, text|html, lang), overriding the parquet read (used to adapt the
-    driver testdata shape). Fingerprinting then uses ``input_path`` as an
-    opaque label.
+    driver testdata shape). A factory taking a ``columns`` argument is
+    given the pruned column list so pass 0 stays a thin read.
+    Fingerprinting then uses ``input_path`` as an opaque label.
     """
     import time
 
@@ -161,15 +164,29 @@ def build_index(
         + f"::tok={cfg.tokenizer.mode}::fmt={INDEX_FORMAT_VERSION}"
     )
 
+    import inspect
+
+    _factory_takes_columns = (
+        input_ds_factory is not None
+        and len(inspect.signature(input_ds_factory).parameters) >= 1
+    )
+
     def read_input(columns=None):
         if input_ds_factory is not None:
+            if columns is not None and _factory_takes_columns:
+                return input_ds_factory(columns)
             return input_ds_factory()
         cols = columns or (["url", "lang"] + (["html"] if extract_html else ["text"]))
         return ray.data.read_parquet(input_path, columns=cols)
 
     # --- pass 0: per-(lang, part) doc counts → langs + dense-id offsets.
     # Per-batch partial counts summed on the driver (the result is tiny:
-    # langs × num_hash_parts rows) — no shuffle needed.
+    # langs × num_hash_parts rows) — no shuffle needed. This scan is
+    # COLUMN-PRUNED to (url, lang): at 100 TB the text column dominates
+    # (~KB/doc vs ~60 B for url+lang), so the counting pass reads ~1-3% of
+    # corpus bytes — cheaper than materializing the tokenized stream
+    # pre-shuffle (which would double object-store pressure) and far
+    # cheaper than a second full scan.
     def _partial_counts(t):
         import pandas as pd
 
@@ -190,7 +207,7 @@ def build_index(
 
     count_acc: dict = _Counter()
     for row in (
-        read_input()
+        read_input(columns=["url", "lang"])
         .map_batches(_partial_counts, batch_format="pyarrow")
         .take_all()
     ):
@@ -411,13 +428,45 @@ def build_index(
         _build_cosine_norms(triples_mat, d, stats)
         _mark("cosine_norms")
 
+    def _merge_rounds(seg, span: int):
+        """Hierarchical (tree) segment merge: while more than one
+        doc-range bucket remains, coarsen salt by ``merge_fanout`` and
+        merge each (lang, term, gsalt) section — so no single task ever
+        concatenates more than ``fanout`` segments of one term. Rounds are
+        byte-identical to the flat merge (IntermediateMerge docstring)."""
+        fanout = cfg.merge_fanout
+        r = 0
+        while span > 1:
+            seg = seg.map_batches(
+                add_gsalt, fn_kwargs={"fanout": fanout}, batch_format="pyarrow"
+            ).map_batches(
+                add_kpart,
+                fn_kwargs={
+                    "num_parts": cfg.num_encode_parts,
+                    "cols": ("lang", "term", "gsalt"),
+                },
+                batch_format="pyarrow",
+            )
+            seg = seg.groupby("kpart").map_groups(
+                intermediate_merge_group,
+                fn_kwargs={"block_size": cfg.block_size},
+                batch_format="pyarrow",
+            )
+            span = (span + fanout - 1) // fanout
+            r += 1
+            _mark(f"merge_round_{r}")
+        return seg
+
     # --- pass 3: encode partitions (+ merge only when hot terms exist) ---
     if segments_flow:
         # segments are already encoded; ONE shuffle of compact segments
-        # into per-term merge partitions. (Web-scale extension: a
-        # hierarchical merge when one term's total postings exceed a
-        # task — the doc-range segments make that a tree of concats.)
-        rekeyed = triples_mat.map_batches(
+        # into per-term merge partitions — or, with merge_fanout >= 2, a
+        # TREE of bounded (term, doc-range-bucket) merge rounds first
+        # (segments-flow salt = part index, so span = num_hash_parts).
+        seg_src = triples_mat
+        if cfg.merge_fanout >= 2:
+            seg_src = _merge_rounds(seg_src, cfg.num_hash_parts)
+        rekeyed = seg_src.map_batches(
             add_kpart,
             fn_kwargs={"num_parts": cfg.num_encode_parts, "cols": ("lang", "term")},
             batch_format="pyarrow",
@@ -474,6 +523,12 @@ def build_index(
             batch_format="pyarrow",
         )
     if hot:
+        if cfg.merge_fanout >= 2:
+            # triples-flow salt = doc_id >> salt_shift → span from the
+            # largest per-lang doc count
+            max_docs = max((s["n_docs"] for s in stats.values()), default=1)
+            span = ((max(max_docs, 1) - 1) >> cfg.salt_shift) + 1
+            encoded = _merge_rounds(encoded, span)
         rekeyed = encoded.map_batches(
             add_kpart,
             fn_kwargs={"num_parts": cfg.num_encode_parts, "cols": ("lang", "term")},

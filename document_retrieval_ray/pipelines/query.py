@@ -73,15 +73,29 @@ def cosine_search(
     )
 
 
-def to_submission(results: ray.data.Dataset) -> ray.data.Dataset:
+def to_submission(results: ray.data.Dataset, num_parts: int = 64) -> ray.data.Dataset:
     """(query_id, rank, url, …) → (query_id, docids: stringified top-k list)
-    — the reference's submission sink shape (final_implementation.py:527-530)."""
+    — the reference's submission sink shape (final_implementation.py:527-530).
+
+    Grouped by a HASH PARTITION of query_id (not per-query map_groups):
+    per-group Arrow/scheduling overhead is ~ms, so at millions of queries
+    one task per query dominates; here each of ``num_parts`` tasks
+    aggregates its whole partition with one vectorized pandas groupby."""
     import pandas as pd
+    import pyarrow as pa
 
-    def collect(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("rank")
-        return pd.DataFrame(
-            {"query_id": [g["query_id"].iloc[0]], "docids": [str(list(g["url"]))]}
-        )
+    def add_part(t: pa.Table) -> pa.Table:
+        qid = t["query_id"].to_pandas()
+        part = (pd.util.hash_pandas_object(qid, index=False) % num_parts).astype("int64")
+        return t.append_column("qpart", pa.array(part.to_numpy(), pa.int64()))
 
-    return results.groupby("query_id").map_groups(collect, batch_format="pandas")
+    def collect_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["query_id", "rank"])
+        agg = g.groupby("query_id", sort=True)["url"].agg(lambda s: str(list(s)))
+        return agg.reset_index().rename(columns={"url": "docids"})
+
+    return (
+        results.map_batches(add_part, batch_format="pyarrow")
+        .groupby("qpart")
+        .map_groups(collect_part, batch_format="pandas")
+    )

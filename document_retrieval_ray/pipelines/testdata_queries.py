@@ -280,6 +280,21 @@ def _postings_ds(sf_dir: str) -> ray.data.Dataset:
     return _tokens_ds(sf_dir).map_batches(emit_postings, batch_format="pyarrow")
 
 
+def _testdata_factory(sf_dir: str):
+    """Columns-aware input factory for build_index: pass 0 asks for
+    (url, lang) only; the testdata source column for url is doc_id."""
+
+    def factory(columns=None):
+        src = (
+            ("doc_id", "text", "lang")
+            if columns is None
+            else tuple("doc_id" if c == "url" else c for c in columns)
+        )
+        return read_testdata_documents(sf_dir, columns=src)
+
+    return factory
+
+
 def _index_for(sf_dir: str) -> str:
     """Build (or resume from) the cached index for this sf_dir."""
     from .build_index import build_index
@@ -298,7 +313,7 @@ def _index_for(sf_dir: str) -> str:
         index_dir,
         cfg=cfg,
         with_cosine_norms=True,
-        input_ds_factory=lambda: read_testdata_documents(sf_dir),
+        input_ds_factory=_testdata_factory(sf_dir),
     )
     return index_dir
 
@@ -350,7 +365,18 @@ def q_term_df(sf_dir: str):
 
 
 def q_term_idf(sf_dir: str):
-    stats = {r["lang"]: r["n_docs"] for _, r in q_doc_stats(sf_dir).iterrows()}
+    # per-lang N needs only the lang column — a thin 1-column scan, not
+    # the tokenizing q_doc_stats pass (round-1 review: avoid re-running
+    # the corpus scan for a count)
+    stats = {
+        r["lang"]: r["count()"]
+        for r in ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["lang"]
+        )
+        .groupby("lang")
+        .count()
+        .take_all()
+    }
     stats_ref = ray.put(stats)
 
     class AddIdf:
@@ -805,12 +831,53 @@ def q_submission_wide(sf_dir: str):
     return wide.reset_index()
 
 
+# fixed contraction table (reference expands contractions via
+# contractions.fix, text_preprocessing_and_stopwords_setup.py:58; this is
+# the deterministic subset, applied sequentially). Patterns are RE2-safe
+# (capture groups instead of lookbehind) so the SQL oracle applies the
+# IDENTICAL regexes via regexp_replace.
+CONTRACTIONS = [
+    (r"\bwon't\b", "will not"),
+    (r"\bcan't\b", "cannot"),
+    (r"\bshan't\b", "shall not"),
+    (r"\bi'm\b", "i am"),
+    (r"\blet's\b", "let us"),
+    (r"\bit's\b", "it is"),
+    (r"\bthat's\b", "that is"),
+    (r"\bthere's\b", "there is"),
+    (r"\bwhat's\b", "what is"),
+    (r"([a-z])n't\b", r"\1 not"),
+    (r"([a-z])'re\b", r"\1 are"),
+    (r"([a-z])'ve\b", r"\1 have"),
+    (r"([a-z])'ll\b", r"\1 will"),
+    (r"([a-z])'d\b", r"\1 would"),
+]
+
+
+def _webnorm_sql() -> str:
+    expr = "lower(text)"
+    for pat, rep in CONTRACTIONS:
+        p = pat.replace("'", "''")
+        r = rep.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{p}', '{r}', 'g')"
+    expr = f"regexp_replace({expr}, 'http\\S+|www\\S+|https\\S+', ' ', 'g')"
+    expr = f"regexp_replace({expr}, '[0-9]+', ' ', 'g')"
+    expr = f"regexp_replace({expr}, '[^a-z ]', ' ', 'g')"
+    expr = f"trim(regexp_replace({expr}, ' +', ' ', 'g'))"
+    return (
+        f"WITH n AS (SELECT doc_id, {expr} AS s FROM documents)\n"
+        "SELECT doc_id, md5(s) AS norm_md5, length(s) AS norm_len FROM n"
+    )
+
+
 def q_web_normalize(sf_dir: str):
     """M4 web normalizer (text_preprocessing_and_stopwords_setup.py:53-73):
-    lowercase → strip URLs → strip digits → strip punctuation → collapse
-    whitespace. Output is the md5 + length of the normalized text."""
+    lowercase → expand contractions → strip URLs → strip digits → strip
+    punctuation → collapse whitespace. Output is the md5 + length of the
+    normalized text."""
     import re
 
+    contr_res = [(re.compile(p), r) for p, r in CONTRACTIONS]
     url_re = re.compile(r"http\S+|www\S+|https\S+")
     digit_re = re.compile(r"[0-9]+")
     punct_re = re.compile(r"[^a-z ]")
@@ -821,6 +888,8 @@ def q_web_normalize(sf_dir: str):
         out = []
         for s in texts:
             s = (s or "").lower()
+            for cre, rep in contr_res:
+                s = cre.sub(rep, s)
             s = url_re.sub(" ", s)
             s = digit_re.sub(" ", s)
             s = punct_re.sub(" ", s)
@@ -861,6 +930,97 @@ def q_sentences(sf_dir: str):
         )
 
     return _docs(sf_dir).map_batches(split, batch_format="pyarrow")
+
+
+# sentence key = doc_id * SENT_FACTOR + sent_idx: zero-padded as url it
+# sorts numerically, so sentence tie-breaks = (doc_id, sent_idx) order
+SENT_FACTOR = 100_000
+
+
+def _sentence_factory(sf_dir: str):
+    """Input factory for a SENTENCE-granularity index: the corpus rows are
+    the sentences of q_sentences (same split semantics), keyed by
+    sent_key = doc_id * SENT_FACTOR + sent_idx."""
+    from ..sources.corpus import docid_to_url
+
+    def factory(columns=None):
+        ds = _docs(sf_dir)
+
+        def split(t: pa.Table) -> pa.Table:
+            keys, sents, langs = [], [], []
+            for doc_id, text, lang in zip(
+                t["doc_id"].to_pylist(), t["text"].to_pylist(), t["lang"].to_pylist()
+            ):
+                for i, s in enumerate((text or "").split(".")):
+                    s = s.strip(" ")
+                    if s:
+                        keys.append(doc_id * SENT_FACTOR + i)
+                        sents.append(s)
+                        langs.append(lang)
+            out = pa.table(
+                {
+                    "url": docid_to_url(pa.array(keys, pa.int64())),
+                    "text": pa.array(sents, pa.string()),
+                    "lang": pa.array(langs, pa.string()),
+                }
+            )
+            if columns is not None:
+                out = out.select(list(columns))
+            return out
+
+        return ds.map_batches(split, batch_format="pyarrow")
+
+    return factory
+
+
+def _sentence_index_for(sf_dir: str) -> str:
+    from .build_index import build_index
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    index_dir = f"/tmp/drr_cache/{key}/sent_index"
+    cfg = IndexConfig(
+        tokenizer=TokenizerConfig(mode="simple"),
+        num_hash_parts=16,
+        hot_term_threshold=200,
+        salt_shift=8,
+        block_size=128,
+    )
+    build_index(
+        f"{sf_dir}/documents.parquet::sentences",
+        index_dir,
+        cfg=cfg,
+        with_cosine_norms=False,
+        input_ds_factory=_sentence_factory(sf_dir),
+    )
+    return index_dir
+
+
+def q_sentence_bm25(sf_dir: str):
+    """M6+J6+D3 end-to-end sentence retrieval (team_run1.py:80-99,285-295):
+    a sentence-granularity index (reusing the whole build pipeline with
+    sent_key docs) → top-100 sentences per query (reference-compat BM25) →
+    ordered first-occurrence doc dedup → top-10 docs, carrying the best
+    sentence's score."""
+    from .query import bm25_search
+
+    index_dir = _sentence_index_for(sf_dir)
+    res = bm25_search(
+        _query_ds(), index_dir,
+        cfg=BM25Config(k1=1.5, b=0.75, idf="lucene", compat="reference", k=100),
+        round_dp=4,
+    )
+    pdf = res.to_pandas()
+    if len(pdf) == 0:
+        return pd.DataFrame(
+            columns=["query_id", "rank", "doc_id", "score_x"]
+        ).astype({"rank": np.int64, "doc_id": np.int64, "score_x": np.int64})
+    pdf["sent_key"] = pdf["url"].astype(np.int64)
+    pdf["doc_id"] = pdf["sent_key"] // SENT_FACTOR
+    pdf = pdf.sort_values(["query_id", "rank"])
+    out = pdf.drop_duplicates(["query_id", "doc_id"], keep="first")
+    out = out.groupby("query_id", sort=True).head(10).copy()
+    out["rank"] = (out.groupby("query_id").cumcount() + 1).astype(np.int64)
+    return out[["query_id", "rank", "doc_id", "score_x"]].reset_index(drop=True)
 
 
 def q_train_test_split(sf_dir: str):
@@ -1015,6 +1175,7 @@ QUERIES = {
     "submission_wide": q_submission_wide,
     "web_normalize": q_web_normalize,
     "sentences": q_sentences,
+    "sentence_bm25": q_sentence_bm25,
     "train_test_split": q_train_test_split,
     "eval_metrics": q_eval_metrics,
 }
@@ -1192,6 +1353,62 @@ SELECT query_vec, rank, vec_id, cos_x FROM ranked WHERE rank <= 10
 """
 
 
+def _sentence_bm25_sql(k1: float = 1.5, b: float = 0.75,
+                       cand: int = 100, k: int = 10) -> str:
+    """Sentence-granularity BM25 (reference compat) → top-``cand``
+    sentences → first-occurrence doc dedup → top-``k`` docs; mirrors
+    q_sentence_bm25 exactly (sk = doc_id*SENT_FACTOR + sent_idx is the
+    tie-break key, same as the zero-padded url)."""
+    toks = TOKLIST.format(col="s")
+    return f"""
+WITH sp AS (SELECT doc_id, lang, string_split(text, '.') AS parts FROM documents),
+su AS (SELECT doc_id, lang, unnest(parts) AS sent,
+              unnest(range(0, len(parts))) AS sent_idx FROM sp),
+sent AS (
+  SELECT doc_id * {SENT_FACTOR} + sent_idx AS sk, lang, trim(sent) AS s
+  FROM su WHERE trim(sent) <> ''
+),
+stok AS (SELECT sk, lang, term, count(*) AS tf FROM
+         (SELECT sk, lang, unnest({toks}) AS term FROM sent)
+         GROUP BY sk, lang, term),
+sdl AS (SELECT sk, lang, len({toks}) AS dl FROM sent),
+sstats AS (SELECT lang, count(*) AS n_docs, avg(dl) AS avgdl FROM sdl GROUP BY lang),
+sdf AS (SELECT lang, term, count(*) AS df FROM stok GROUP BY lang, term),
+q(query_id, lang, term, w) AS (VALUES {_query_values(dedup=True)}),
+scores AS (
+  SELECT q.query_id AS query_id, stok.sk AS sk,
+         sum( q.w * ln(1 + (st.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * (stok.tf * ({k1} + 1))
+              / (stok.tf + {k1}*(1 - {b} + d.dl / st.avgdl)) ) AS score
+  FROM q
+  JOIN stok ON stok.lang = q.lang AND stok.term = q.term
+  JOIN sdf df ON df.lang = q.lang AND df.term = q.term
+  JOIN sdl d ON d.sk = stok.sk
+  JOIN sstats st ON st.lang = q.lang
+  GROUP BY q.query_id, stok.sk
+),
+sranked AS (
+  SELECT query_id, sk, {_fx('score')} AS score_x,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY {_fx('score')} DESC, sk ASC) AS srank
+  FROM scores WHERE score > 0
+),
+s_top AS (SELECT * FROM sranked WHERE srank <= {cand}),
+docfirst AS (
+  SELECT query_id, sk // {SENT_FACTOR} AS doc_id, min(srank) AS first_rank
+  FROM s_top GROUP BY query_id, sk // {SENT_FACTOR}
+),
+final AS (
+  SELECT f.query_id AS query_id, f.doc_id AS doc_id, r.score_x AS score_x,
+         row_number() OVER (PARTITION BY f.query_id
+                            ORDER BY f.first_rank ASC) AS rank
+  FROM docfirst f
+  JOIN s_top r ON r.query_id = f.query_id AND r.srank = f.first_rank
+)
+SELECT query_id, rank, doc_id, score_x FROM final WHERE rank <= {k}
+"""
+
+
 def _langid_sql() -> str:
     hits = ",\n  ".join(
         f"len(list_filter(l, x -> list_contains({_sql_list(LANG_MARKERS[lang])}, x))) AS hits_{lang}"
@@ -1333,22 +1550,14 @@ FROM events GROUP BY event_type
         )
         + " FROM (" + _bm25_sql(1.5, 0.75, True, True) + ") GROUP BY query_id"
     ),
-    "web_normalize": """
-WITH n AS (
-  SELECT doc_id,
-         trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-           lower(text), 'http\\S+|www\\S+|https\\S+', ' ', 'g'),
-           '[0-9]+', ' ', 'g'), '[^a-z ]', ' ', 'g'), ' +', ' ', 'g')) AS s
-  FROM documents
-)
-SELECT doc_id, md5(s) AS norm_md5, length(s) AS norm_len FROM n
-""",
+    "web_normalize": _webnorm_sql(),
     "sentences": """
 WITH s AS (SELECT doc_id, string_split(text, '.') AS parts FROM documents),
 u AS (SELECT doc_id, unnest(parts) AS sent,
              unnest(range(0, len(parts))) AS sent_idx FROM s)
 SELECT doc_id, sent_idx, trim(sent) AS sentence FROM u WHERE trim(sent) <> ''
 """,
+    "sentence_bm25": _sentence_bm25_sql(),
     "train_test_split": """
 SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
             THEN 'test' ELSE 'train' END AS split,

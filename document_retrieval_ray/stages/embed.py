@@ -1,0 +1,124 @@
+"""Dense text-embedding stage (C7/T2 surface) — pluggable model behind an
+actor-pool ``map_batches`` class.
+
+Reference analog: the transformer embedding pass of
+``corpus_processing_and_embedding.py:89-117`` and the dense rerank of
+``team_run1.py:211-295`` (sentence-transformer, batch-32, model loaded
+once then applied per batch). torch/transformers are NOT available in
+this environment, so the model slot is pluggable:
+
+- ``model="strict"``   raises NotImplementedError (honest production
+                       placeholder — wire a real ``model_factory`` here).
+- ``model="fake"``     deterministic md5-seeded pseudo-embeddings, so the
+                       Ray-side plumbing (actor pool, batch-32 sizing,
+                       float32 list column, downstream ANN compatibility)
+                       is real and tested end-to-end.
+- ``model_factory``    callable () → object with ``encode(list[str]) ->
+                       (n, dim) ndarray``; called ONCE per actor in
+                       ``__init__`` (never per batch), which is the whole
+                       point of the actor-pool pattern.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+DEFAULT_BATCH_SIZE = 32  # model-inference batches (reference uses 32)
+
+
+def _fake_embedding(text: str, dim: int) -> np.ndarray:
+    """Deterministic stand-in: md5-seeded standard normals, L2-normalized
+    (unit vectors, like sentence-transformer output)."""
+    seed = int.from_bytes(hashlib.md5(text.encode("utf-8")).digest()[:8], "big")
+    v = np.random.default_rng(seed).standard_normal(dim)
+    n = np.linalg.norm(v)
+    return v / (n if n > 0 else 1.0)
+
+
+class _FakeModel:
+    def __init__(self, dim: int):
+        self.dim = dim
+
+    def encode(self, texts):
+        return np.stack([_fake_embedding(t or "", self.dim) for t in texts])
+
+
+class EmbedStage:
+    """(id, text) → (id, embedding: list<float32>).
+
+    Pass to ``map_batches(EmbedStage, fn_constructor_kwargs=...,
+    concurrency=N, batch_size=32)`` — model setup happens once per actor.
+    """
+
+    def __init__(self, model: str = "strict", dim: int = 64,
+                 model_factory=None, id_col: str = "doc_id",
+                 text_col: str = "text"):
+        if model_factory is not None:
+            self.model = model_factory()
+        elif model == "fake":
+            self.model = _FakeModel(dim)
+        elif model == "strict":
+            self.model = None
+        else:
+            raise ValueError(model)
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.model is None:
+            raise NotImplementedError(
+                "dense embedding requires torch/transformers — not available "
+                "in this environment; pass model='fake' for plumbing or a "
+                "model_factory for a real encoder"
+            )
+        texts = batch[self.text_col].to_pylist()
+        mat = np.asarray(self.model.encode(texts), dtype=np.float32)
+        return pa.table(
+            {
+                self.id_col: batch[self.id_col],
+                "embedding": pa.array(mat.tolist(), pa.list_(pa.float32())),
+            }
+        )
+
+
+class DenseRerankStage:
+    """C7 dense rerank: (query_id, query, url/candidates …) candidate rows
+    carrying a ``cand_embedding`` column are re-scored by cosine against
+    the query embedding (computed by the same pluggable model). One model
+    per actor; one matmul per batch."""
+
+    def __init__(self, model: str = "strict", dim: int = 64,
+                 model_factory=None, query_col: str = "query",
+                 emb_col: str = "cand_embedding", round_dp: int = 4):
+        if model_factory is not None:
+            self.model = model_factory()
+        elif model == "fake":
+            self.model = _FakeModel(dim)
+        elif model == "strict":
+            self.model = None
+        else:
+            raise ValueError(model)
+        self.query_col = query_col
+        self.emb_col = emb_col
+        self.round_dp = round_dp
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.model is None:
+            raise NotImplementedError(
+                "dense rerank requires an embedding model — pass "
+                "model='fake' or a model_factory"
+            )
+        queries = batch[self.query_col].to_pylist()
+        qmat = np.asarray(self.model.encode(queries), dtype=np.float64)
+        cmat = np.asarray(batch[self.emb_col].to_pylist(), dtype=np.float64)
+        qn = np.linalg.norm(qmat, axis=1)
+        cn = np.linalg.norm(cmat, axis=1)
+        dots = np.einsum("ij,ij->i", qmat, cmat)
+        cos = dots / (np.where(qn == 0, 1, qn) * np.where(cn == 0, 1, cn))
+        cx = np.floor(cos * (10.0 ** self.round_dp) + 0.5).astype(np.int64)
+        out = batch.drop_columns([self.emb_col])
+        out = out.append_column("dense_score", pa.array(cos, pa.float64()))
+        return out.append_column("dense_score_x", pa.array(cx, pa.int64()))

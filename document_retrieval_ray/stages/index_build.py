@@ -458,21 +458,48 @@ def encode_partition(group: pa.Table, block_size: int = 128) -> pa.Table:
     )
 
 
+def _row_dl_lower(row) -> np.ndarray:
+    """Per-doc dl LOWER BOUND for a segment row: the flat merge flattens
+    each ORIGINAL segment to its seg-min; rows produced by intermediate
+    merge rounds carry that flattening as run-length ``dl_runs``
+    ([len, min, len, min, …]), so expanding runs reproduces the flat
+    semantics exactly (byte-identical hierarchical merges)."""
+    runs = row.get("dl_runs") if hasattr(row, "get") else (
+        row["dl_runs"] if "dl_runs" in row.index else None
+    )
+    if runs is not None and len(runs) > 0:
+        r = np.asarray(runs, dtype=np.int64).reshape(-1, 2)
+        return np.repeat(r[:, 1], r[:, 0])
+    seg_min = int(np.min(row["block_min_dl"]))
+    return np.full(int(row["df"]), seg_min, dtype=np.int64)
+
+
+def _row_dl_runs(row) -> list:
+    """This row's dl-run pairs (for carrying through merge rounds)."""
+    runs = row["dl_runs"] if "dl_runs" in row.index else None
+    if runs is not None and len(runs) > 0:
+        return list(np.asarray(runs, dtype=np.int64))
+    return [int(row["df"]), int(np.min(row["block_min_dl"]))]
+
+
 class MergePartition:
     """One kpart2 group of encoded segments (keyed by (lang, term) hash,
     salt-agnostic) → final posting rows. Single-segment terms pass through
     without decode; hot terms' doc-range segments concatenate in salt
     order (disjoint ascending ranges). Runs as an actor-pool stage — the
-    'stateful segment merger' of the north star."""
+    'stateful segment merger' of the north star. Accepts rows from
+    intermediate merge rounds (``dl_runs`` column) transparently."""
 
     def __init__(self, block_size: int = 128, min_df: int = 1):
         self.block_size = block_size
         self.min_df = min_df
 
     def __call__(self, group: pa.Table) -> pa.Table:
-        if "kpart" in group.column_names:
-            group = group.drop_columns(["kpart"])
+        drop = [c for c in ("kpart", "gsalt") if c in group.column_names]
+        if drop:
+            group = group.drop_columns(drop)
         pdf = group.to_pandas()
+        has_runs = "dl_runs" in pdf.columns
         pdf = pdf.sort_values(["lang", "term", "min_doc"], kind="mergesort")
         lang = pdf["lang"].to_numpy(dtype=object)
         term = pdf["term"].to_numpy(dtype=object)
@@ -501,8 +528,7 @@ class MergePartition:
                 )
                 docs.append(d.astype(np.int64))
                 tfs.append(t.astype(np.int64))
-                seg_min = int(np.min(row["block_min_dl"]))
-                dls.append(np.full(len(d), seg_min, dtype=np.int64))
+                dls.append(_row_dl_lower(row))
             doc_ids = np.concatenate(docs)
             tf = np.concatenate(tfs)
             dl = np.concatenate(dls)
@@ -520,8 +546,11 @@ class MergePartition:
             merged_rows["block_last"].append(last)
             merged_rows["block_max_tf"].append(max_tf)
             merged_rows["block_min_dl"].append(min_dl)
+        singles_pdf = pdf.loc[keep_single]
+        if has_runs:
+            singles_pdf = singles_pdf.drop(columns=["dl_runs"])
         singles = (
-            pa.Table.from_pandas(pdf.loc[keep_single], preserve_index=False,
+            pa.Table.from_pandas(singles_pdf, preserve_index=False,
                                  schema=_ENCODED_SCHEMA)
             if keep_single
             else None
@@ -537,6 +566,129 @@ class MergePartition:
         out_parts.append(merged)
         out = pa.concat_tables(out_parts)
         return out.drop_columns(["min_doc"])
+
+
+_INTERMEDIATE_SCHEMA = pa.schema(
+    list(_ENCODED_SCHEMA) + [("dl_runs", pa.list_(pa.int64()))]
+)
+
+
+def add_gsalt(batch: pa.Table, fanout: int) -> pa.Table:
+    """Coarsen the doc-range salt for one hierarchical merge round:
+    segments whose salts fall in the same ``salt // fanout`` bucket merge
+    together this round."""
+    salt = batch["salt"].to_numpy(zero_copy_only=False)
+    out = batch
+    if "gsalt" in out.column_names:
+        out = out.drop_columns(["gsalt"])
+    return out.append_column(
+        "gsalt", pa.array(salt // fanout, pa.int64())
+    )
+
+
+class IntermediateMerge:
+    """One hierarchical merge round (SCALE.md: tree of (term, range-bucket)
+    rounds for terms whose merged list exceeds a task budget).
+
+    Group = kpart over (lang, term, gsalt). Sections with ONE row pass
+    through untouched (only salt coarsens) — so cold terms are never
+    re-encoded and stay byte-identical to the flat path. Sections with ≥2
+    rows concatenate in min_doc order into one segment whose per-doc dl
+    lower bounds are carried as run-length ``dl_runs`` (one run per
+    ORIGINAL source segment), making the tree merge associative and the
+    final output byte-identical to the single-round flat merge."""
+
+    def __init__(self, block_size: int = 128):
+        self.block_size = block_size
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        if "kpart" in group.column_names:
+            group = group.drop_columns(["kpart"])
+        pdf = group.to_pandas()
+        if "dl_runs" not in pdf.columns:
+            pdf["dl_runs"] = [None] * len(pdf)
+        if len(pdf) == 0:
+            return pa.table(
+                {f.name: pa.array([], f.type) for f in _INTERMEDIATE_SCHEMA},
+                schema=_INTERMEDIATE_SCHEMA,
+            )
+        pdf = pdf.sort_values(["lang", "term", "gsalt", "min_doc"],
+                              kind="mergesort")
+        lang = pdf["lang"].to_numpy(dtype=object)
+        term = pdf["term"].to_numpy(dtype=object)
+        gsalt = pdf["gsalt"].to_numpy()
+        n = len(pdf)
+        change = (
+            (term[1:] != term[:-1])
+            | (lang[1:] != lang[:-1])
+            | (gsalt[1:] != gsalt[:-1])
+        )
+        starts = np.concatenate([[0], np.flatnonzero(change) + 1])
+        ends = np.concatenate([starts[1:], [n]])
+        cols = {f.name: [] for f in _INTERMEDIATE_SCHEMA}
+
+        def _emit(lang_v, term_v, salt_v, d, t, runs, buf, block_off,
+                  last, max_tf, min_dl):
+            cols["lang"].append(lang_v)
+            cols["term"].append(term_v)
+            cols["salt"].append(int(salt_v))
+            cols["df"].append(len(d))
+            cols["cf"].append(int(t.sum()))
+            cols["min_doc"].append(int(d[0]) if len(d) else 0)
+            cols["postings"].append(buf)
+            cols["block_off"].append(block_off)
+            cols["block_last"].append(last)
+            cols["block_max_tf"].append(max_tf)
+            cols["block_min_dl"].append(min_dl)
+            cols["dl_runs"].append(runs)
+
+        for s, e in zip(starts, ends):
+            if e - s == 1:
+                row = pdf.iloc[s]
+                runs = row["dl_runs"]
+                _emit(
+                    lang[s], term[s], gsalt[s],
+                    np.empty(0), np.empty(0),  # placeholders; fixed below
+                    list(np.asarray(runs, np.int64)) if runs is not None and len(runs) else [],
+                    row["postings"], list(row["block_off"]),
+                    list(row["block_last"]), list(row["block_max_tf"]),
+                    list(row["block_min_dl"]),
+                )
+                # passthrough keeps original df/cf/min_doc
+                cols["df"][-1] = int(row["df"])
+                cols["cf"][-1] = int(row["cf"])
+                cols["min_doc"][-1] = int(row["min_doc"])
+                continue
+            docs, tfs, runs = [], [], []
+            for i in range(s, e):
+                row = pdf.iloc[i]
+                d, t = decode_blocked_postings(
+                    row["postings"], list(row["block_off"]), int(row["df"]),
+                    self.block_size,
+                )
+                docs.append(d.astype(np.int64))
+                tfs.append(t.astype(np.int64))
+                runs.extend(_row_dl_runs(row))
+            d = np.concatenate(docs)
+            t = np.concatenate(tfs)
+            r = np.asarray(runs, dtype=np.int64).reshape(-1, 2)
+            dl = np.repeat(r[:, 1], r[:, 0])
+            buf, block_off = encode_blocked_postings(d, t, self.block_size)
+            last, max_tf, min_dl = _block_meta(d, t, dl, self.block_size)
+            _emit(lang[s], term[s], gsalt[s], d, t, runs, buf, block_off,
+                  last, max_tf, min_dl)
+        return pa.table(
+            {f.name: pa.array(cols[f.name], f.type) for f in _INTERMEDIATE_SCHEMA},
+            schema=_INTERMEDIATE_SCHEMA,
+        )
+
+
+def intermediate_merge_group(group: pa.Table, block_size: int = 128) -> pa.Table:
+    """Plain-task wrapper for :class:`IntermediateMerge` — merge rounds run
+    as ELASTIC tasks, not actor pools: with one pool per round chained
+    behind the tokenize/assign pools, the pools' CPU reservations starve
+    the streaming executor at small CPU counts (round-1 lesson)."""
+    return IntermediateMerge(block_size)(group)
 
 
 def _empty_encoded() -> pa.Table:

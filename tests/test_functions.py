@@ -213,3 +213,46 @@ class TestSynth:
         d, _ = generate_corpus(num_docs=20, seed=3)
         for html, text in zip(d["html"].to_pylist(), d["text"].to_pylist()):
             assert html.decode("utf-8") == HTML_PREFIX + text + HTML_SUFFIX
+
+
+class TestWebNormalizeParity:
+    def test_contraction_expansion_matches_duckdb(self):
+        """M4 + contraction expansion: the Python regex chain and the
+        generated SQL chain are byte-identical on contraction-heavy text."""
+        import re
+
+        import duckdb
+
+        from document_retrieval_ray.pipelines.testdata_queries import (
+            CONTRACTIONS,
+            _webnorm_sql,
+        )
+
+        def pynorm(s):
+            s = (s or "").lower()
+            for p, r in CONTRACTIONS:
+                s = re.sub(p, r, s)
+            s = re.sub(r"http\S+|www\S+|https\S+", " ", s)
+            s = re.sub(r"[0-9]+", " ", s)
+            s = re.sub(r"[^a-z ]", " ", s)
+            s = re.sub(r" +", " ", s).strip(" ")
+            return s
+
+        texts = [
+            "I can't believe it's not butter! They don't know we'll "
+            "won't you'd they're I'm",
+            "shan't o'clock what's http://x.co/a9 123 Mixed-CASE",
+            "let's go; there's more. isn't it? we've you'll he'd",
+            "",
+        ]
+        con = duckdb.connect()
+        con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+        for i, t in enumerate(texts):
+            con.execute("INSERT INTO documents VALUES (?, ?)", [i, t])
+        sql = _webnorm_sql().replace(
+            "SELECT doc_id, md5(s) AS norm_md5, length(s) AS norm_len FROM n",
+            "SELECT doc_id, s FROM n ORDER BY doc_id",
+        )
+        rows = con.execute(sql).fetchall()
+        for i, t in enumerate(texts):
+            assert pynorm(t) == rows[i][1], t

@@ -251,6 +251,72 @@ class TestAnn:
         assert len(set(b1)) > 1
 
 
+class TestEmbedStage:
+    def test_strict_mode_raises(self):
+        from document_retrieval_ray.stages.embed import DenseRerankStage, EmbedStage
+
+        t = _doc_table(["hello"])
+        with pytest.raises(NotImplementedError):
+            EmbedStage(model="strict")(t)
+        t2 = pa.table(
+            {
+                "query": pa.array(["q"], pa.string()),
+                "cand_embedding": pa.array([[0.1, 0.2]], pa.list_(pa.float64())),
+            }
+        )
+        with pytest.raises(NotImplementedError):
+            DenseRerankStage(model="strict")(t2)
+
+    def test_fake_mode_deterministic_unit_norm(self):
+        from document_retrieval_ray.stages.embed import EmbedStage
+
+        t = _doc_table(["alpha beta", "gamma", ""])
+        out1 = EmbedStage(model="fake", dim=16)(t)
+        out2 = EmbedStage(model="fake", dim=16)(t)
+        assert out1.equals(out2)
+        assert out1.schema.field("embedding").type == pa.list_(pa.float32())
+        mat = np.asarray(out1["embedding"].to_pylist(), dtype=np.float64)
+        assert mat.shape == (3, 16)
+        assert np.allclose(np.linalg.norm(mat, axis=1), 1.0, atol=1e-6)
+
+    def test_model_factory_called_once_and_pipelines_into_ann(self):
+        from document_retrieval_ray.stages.embed import EmbedStage, _FakeModel
+
+        calls = []
+
+        def factory():
+            calls.append(1)
+            return _FakeModel(8)
+
+        stage = EmbedStage(model_factory=factory)
+        t = _doc_table(["a b c", "d e f", "a b c"])
+        out = stage(t)
+        stage(t)
+        assert len(calls) == 1, "model must load once per actor, not per batch"
+        # identical texts → identical embeddings (usable for cosine dedup)
+        m = np.asarray(out["embedding"].to_pylist())
+        assert np.allclose(m[0], m[2]) and not np.allclose(m[0], m[1])
+
+    def test_dense_rerank_scores(self):
+        from document_retrieval_ray.stages.embed import DenseRerankStage, _FakeModel
+
+        model = _FakeModel(8)
+        q = ["query one", "query one"]
+        cand_texts = ["query one", "unrelated text"]
+        cand = model.encode(cand_texts)
+        t = pa.table(
+            {
+                "query": pa.array(q, pa.string()),
+                "url": pa.array(["u1", "u2"], pa.string()),
+                "cand_embedding": pa.array(cand.tolist(), pa.list_(pa.float64())),
+            }
+        )
+        out = DenseRerankStage(model="fake", dim=8)(t).to_pandas()
+        assert out["dense_score_x"].iloc[0] == 10000  # identical text → cos 1
+        assert out["dense_score_x"].iloc[1] < 10000
+        assert "cand_embedding" not in out.columns
+
+
 class TestMultimodal:
     def test_strict_mode_raises(self):
         t = pa.table(

@@ -155,6 +155,46 @@ def test_changed_input_invalidates(tiny_corpus, small_corpus, tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("with_norms", [False, True], ids=["segments", "triples"])
+def test_hierarchical_merge_byte_identical(tiny_corpus, tmp_path, with_norms):
+    """merge_fanout=2 over num_hash_parts=16 runs 4 intermediate rounds
+    (16→8→4→2→1); the final postings must be byte-identical to the flat
+    single-round merge, in BOTH flows."""
+    import dataclasses
+
+    from document_retrieval_ray.pipelines.build_index import build_index
+
+    cfg_flat = IndexConfig(
+        tokenizer=TokenizerConfig(mode="simple"),
+        num_hash_parts=16,
+        hot_term_threshold=60,
+        salt_shift=4,
+        block_size=16,
+    )
+    cfg_tree = dataclasses.replace(cfg_flat, merge_fanout=2)
+    a = str(tmp_path / f"flat_{with_norms}")
+    b = str(tmp_path / f"tree_{with_norms}")
+    m_a = build_index(tiny_corpus["documents"], a, cfg=cfg_flat,
+                      with_cosine_norms=with_norms)
+    m_b = build_index(tiny_corpus["documents"], b, cfg=cfg_tree,
+                      with_cosine_norms=with_norms)
+    langs = sorted(m_a)
+    assert langs == sorted(m_b)
+    cols = ["term", "df", "cf", "postings", "block_off", "block_last",
+            "block_max_tf", "block_min_dl"]
+    for lang in langs:
+        pa_df = (
+            pq.read_table(os.path.join(a, "postings", f"lang={lang}"))
+            .to_pandas().sort_values("term").reset_index(drop=True)
+        )
+        pb_df = (
+            pq.read_table(os.path.join(b, "postings", f"lang={lang}"))
+            .to_pandas().sort_values("term").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(pa_df[cols], pb_df[cols])
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_segments_flow_equals_triples_flow(tiny_corpus, tmp_path):
     """The fast segments flow and the triples flow must produce identical
     posting lists (df/cf/postings bytes per term)."""
