@@ -41,6 +41,7 @@ _PUNCT_TABLE = str.maketrans("", "", string.punctuation)
 __all__ = [
     "tokenize_simple",
     "tokenize_reference",
+    "tokenize_stem_bug",
     "tokenize",
     "lemmatize_en",
     "stem_suffix",
@@ -129,9 +130,31 @@ def tokenize_reference(text, lang: str, bigram_langs=("fr", "de", "es", "it")) -
     return tokens
 
 
+def tokenize_stem_bug(text, lang: str) -> list:
+    """M2 compat GATE for the reference's substring-stem bug
+    (ranking_with_bm25.py:51-74): lowercase → punctuation→space →
+    stopword filter → ``text.replace(word, stem(word))`` per word — a
+    SUBSTRING replace that also rewrites occurrences inside other words
+    (the bug, reproduced verbatim behind this explicit opt-in mode) →
+    iterative double-space collapse → split. Uses the deterministic
+    ``stem_suffix`` stand-in for PorterStemmer."""
+    if not isinstance(text, str) or not text:
+        return []
+    text = re.sub(f"[{re.escape(string.punctuation)}]", " ", text.lower())
+    sw = STOPWORDS.get(lang, STOPWORDS["en"])
+    text = " ".join(w for w in text.split() if w not in sw)
+    for word in text.split():
+        text = text.replace(word, stem_suffix(word))
+    for _ in range(10):
+        text = text.replace("  ", " ")
+    return text.split()
+
+
 def tokenize(text, lang: str, mode: str = "simple", stopword_filter: bool = False) -> list:
     if mode == "simple":
         return tokenize_simple(text, stopword_filter=stopword_filter)
     if mode == "reference":
         return tokenize_reference(text, lang)
+    if mode == "stem_bug":
+        return tokenize_stem_bug(text, lang)
     raise ValueError(f"unknown tokenizer mode: {mode}")

@@ -33,16 +33,18 @@ from ..stages.analysis import doc_stats_batch, fingerprint_batch, langid_batch
 from ..stages.dedup import (
     add_simhash,
     add_text_hash,
-    attach_shingles,
-    band_group_pairs,
+    attach_partition,
+    band_pairs_partition,
+    dedup_pairs_partition,
     emit_band_rows,
     emit_doc_shingles,
     emit_simhash_bands,
-    jaccard_pair_group,
+    jaccard_partition,
     pair_side_rows,
-    simhash_band_pairs,
+    simhash_pairs_partition,
     SHINGLE_N,
 )
+from ..stages.index_build import add_kpart
 from ..stages.ann import (
     BruteForceTopK,
     NearDupPairs,
@@ -544,23 +546,27 @@ def q_minhash_pairs(sf_dir: str):
     the per-doc shingle-hash table are COGROUPED by doc_id (semi-join; no
     driver materialization, no broadcast), then per-(a, b) groups compute
     the exact intersection — the same plan as the _MINHASH_SQL oracle."""
+    def _parted(ds, cols, num_parts=64):
+        return ds.map_batches(
+            add_kpart, fn_kwargs={"num_parts": num_parts, "cols": cols},
+            batch_format="pyarrow",
+        ).groupby("kpart")
+
     docs = _docs(sf_dir)
     bands = docs.map_batches(emit_band_rows, batch_format="pyarrow")
-    pairs = (
-        bands.groupby(["band_idx", "band_key"])
-        .map_groups(band_group_pairs, batch_format="pandas")
-        .groupby(["a", "b"])
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
+    pairs = _parted(bands, ("band_idx", "band_key")).map_groups(
+        band_pairs_partition, batch_format="pandas"
     )
+    # no dedicated dedup shuffle: duplicate (a, b) emissions from several
+    # bands survive until the verify partition, which dedups by
+    # (a, b, doc_id) — one fewer all-to-all in the plan
     sides = pairs.map_batches(pair_side_rows, batch_format="pyarrow")
     sh_tbl = docs.map_batches(emit_doc_shingles, batch_format="pyarrow")
-    attached = (
-        sh_tbl.union(sides)
-        .groupby("doc_id")
-        .map_groups(attach_shingles, batch_format="pandas")
+    attached = _parted(sh_tbl.union(sides), ("doc_id",)).map_groups(
+        attach_partition, batch_format="pandas"
     )
-    return attached.groupby(["a", "b"]).map_groups(
-        lambda g: jaccard_pair_group(g, MINHASH_JACCARD_THRESHOLD),
+    return _parted(attached, ("a", "b")).map_groups(
+        lambda g: jaccard_partition(g, MINHASH_JACCARD_THRESHOLD),
         batch_format="pandas",
     )
 
@@ -576,13 +582,22 @@ def q_simhash_pairs(sf_dir: str):
         .map_batches(add_simhash, batch_format="pyarrow")
         .select_columns(["doc_id", "simhash"])
     )
+    bands = sig.map_batches(emit_simhash_bands, batch_format="pyarrow")
     pairs = (
-        sig.map_batches(emit_simhash_bands, batch_format="pyarrow")
-        .groupby(["band", "chunk"])
-        .map_groups(simhash_band_pairs, batch_format="pandas")
+        bands.map_batches(
+            add_kpart, fn_kwargs={"num_parts": 64, "cols": ("band", "chunk")},
+            batch_format="pyarrow",
+        )
+        .groupby("kpart")
+        .map_groups(simhash_pairs_partition, batch_format="pandas")
     )
-    return pairs.groupby(["a", "b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+    return (
+        pairs.map_batches(
+            add_kpart, fn_kwargs={"num_parts": 64, "cols": ("a", "b")},
+            batch_format="pyarrow",
+        )
+        .groupby("kpart")
+        .map_groups(dedup_pairs_partition, batch_format="pandas")
     )
 
 

@@ -90,6 +90,58 @@ def final_topk(group: pd.DataFrame, k: int = 10, round_dp: int = 4) -> pd.DataFr
     return g[["query_vec", "rank", "vec_id", "cos_x"]]
 
 
+def svd_partial_moments(batch: pa.Table, vec_col: str = "embedding") -> pa.Table:
+    """Per-batch partial second moments for the distributed SVD fit:
+    (n, Σx, flat XᵀX). One row per batch → the driver reduction handles a
+    dim×dim matrix regardless of corpus size (the tall-skinny pattern)."""
+    mat = _stack(batch[vec_col])
+    return pa.table(
+        {
+            "n": pa.array([len(mat)], pa.int64()),
+            "s": pa.array([mat.sum(axis=0).tolist()], pa.list_(pa.float64())),
+            "xtx": pa.array([(mat.T @ mat).ravel().tolist()], pa.list_(pa.float64())),
+        }
+    )
+
+
+def fit_svd_projection(emb_ds, dim_out: int, vec_col: str = "embedding") -> np.ndarray:
+    """T4 analog (faiss_based_ANN_Implementation.py:272-283 reduces TF-IDF
+    to 256 dims with TruncatedSVD before FAISS): distributed fit of a
+    (dim, dim_out) projection from the top eigenvectors of XᵀX
+    (TruncatedSVD semantics — no centering). The corpus-sized work is one
+    ``map_batches`` of partial moments; the driver only eigendecomposes a
+    dim×dim matrix. Eigenvector signs are fixed deterministically."""
+    parts = emb_ds.map_batches(
+        svd_partial_moments, fn_kwargs={"vec_col": vec_col},
+        batch_format="pyarrow",
+    ).take_all()
+    if not parts:
+        raise ValueError("empty embedding dataset")
+    dim = int(np.sqrt(len(parts[0]["xtx"])))
+    xtx = np.zeros((dim, dim), dtype=np.float64)
+    for r in parts:
+        xtx += np.asarray(r["xtx"], dtype=np.float64).reshape(dim, dim)
+    vals, vecs = np.linalg.eigh(xtx)          # ascending
+    order = np.argsort(vals)[::-1][:dim_out]  # top eigenvalues
+    p = vecs[:, order]
+    # deterministic sign: largest-|component| entry of each vector positive
+    for j in range(p.shape[1]):
+        i = int(np.argmax(np.abs(p[:, j])))
+        if p[i, j] < 0:
+            p[:, j] = -p[:, j]
+    return p
+
+
+def project_embeddings(batch: pa.Table, projection: np.ndarray,
+                       vec_col: str = "embedding") -> pa.Table:
+    """Apply the broadcast (dim, dim_out) projection: one matmul per
+    batch; replaces the embedding column with its reduced form."""
+    mat = _stack(batch[vec_col])
+    red = mat @ projection
+    out = batch.drop_columns([vec_col])
+    return out.append_column(vec_col, pa.array(red.tolist(), pa.list_(pa.float64())))
+
+
 def lsh_bucket(batch: pa.Table, num_planes: int = 8, seed: int = 13,
                vec_col: str = "embedding", planes: np.ndarray = None) -> pa.Table:
     """Random-hyperplane LSH bucket id per row (deterministic, seeded).

@@ -203,55 +203,120 @@ def pair_side_rows(batch: pa.Table) -> pa.Table:
     )
 
 
-def attach_shingles(group: pd.DataFrame) -> pd.DataFrame:
-    """(doc_id) cogroup: replicate this doc's shingle-hash array onto each
-    candidate pair it participates in."""
-    is_sh = group["a"].to_numpy() < 0
-    sh_rows = group[is_sh]
-    pairs = group[~is_sh]
-    if len(sh_rows) == 0 or len(pairs) == 0:
+# Partition-level group functions: every per-key stage below is keyed by
+# a HASH PARTITION (add_kpart, ~64 parts) rather than the raw key, so one
+# Ray group = one whole partition processed vectorized — per-key
+# map_groups overhead (~ms of Arrow slicing per key) dominated the
+# pipeline at one group per pair/doc/bucket.
+
+
+def _drop_kpart(g: pd.DataFrame) -> pd.DataFrame:
+    return g.drop(columns=["kpart"]) if "kpart" in g.columns else g
+
+
+def dedup_pairs_partition(group: pd.DataFrame) -> pd.DataFrame:
+    """Partition of candidate pairs → distinct (a, b) rows."""
+    return _drop_kpart(group).drop_duplicates(["a", "b"])
+
+
+def band_pairs_partition(group: pd.DataFrame,
+                         max_bucket: int = MAX_BUCKET) -> pd.DataFrame:
+    """Partition of band rows → candidate pairs from every
+    (band_idx, band_key) bucket inside it."""
+    g = _drop_kpart(group)
+    parts = [
+        band_group_pairs(gg, max_bucket)
+        for _, gg in g.groupby(["band_idx", "band_key"], sort=False)
+    ]
+    if not parts:
+        return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                             "b": pd.Series(dtype="int64")})
+    return pd.concat(parts, ignore_index=True)
+
+
+def attach_partition(group: pd.DataFrame) -> pd.DataFrame:
+    """Partition of the doc_id-keyed cogroup (shingle rows where a < 0,
+    pair-membership rows otherwise): one vectorized merge replicates each
+    doc's shingle-hash array onto its pair rows."""
+    g = _drop_kpart(group)
+    is_sh = g["a"].to_numpy() < 0
+    sh = g.loc[is_sh, ["doc_id", "shs", "n"]]
+    pr = g.loc[~is_sh, ["doc_id", "a", "b"]]
+    if len(sh) == 0 or len(pr) == 0:
         return pd.DataFrame({"a": pd.Series(dtype="int64"),
                              "b": pd.Series(dtype="int64"),
+                             "doc_id": pd.Series(dtype="int64"),
                              "shs": pd.Series(dtype="object"),
                              "n": pd.Series(dtype="int64")})
-    shs = sh_rows.iloc[0]["shs"]
-    n = int(sh_rows.iloc[0]["n"])
-    return pd.DataFrame(
-        {
-            "a": pairs["a"].astype("int64").to_numpy(),
-            "b": pairs["b"].astype("int64").to_numpy(),
-            "shs": [shs] * len(pairs),
-            "n": np.full(len(pairs), n, np.int64),
-        }
+    out = pr.merge(sh, on="doc_id", how="inner")
+    # doc_id stays on the row: a pair emitted by several bands produces
+    # duplicate side rows, deduped in the verify partition by
+    # (a, b, doc_id) — saving a dedicated dedup shuffle
+    return out[["a", "b", "doc_id", "shs", "n"]].astype(
+        {"a": "int64", "b": "int64", "doc_id": "int64", "n": "int64"}
     )
 
 
-def jaccard_pair_group(group: pd.DataFrame, threshold: float) -> pd.DataFrame:
-    """(a, b) group of two attached sides → verified pair row (or empty).
-    A side whose doc had no shingles never produced a row → pair skipped,
-    matching the broadcast verifier's semantics."""
+def jaccard_partition(group: pd.DataFrame, threshold: float) -> pd.DataFrame:
+    """Partition of attached pair sides (both sides of a pair are in the
+    same partition — keyed by (a, b) hash) → verified pairs. A pair with a
+    missing side (its doc had no shingles) is skipped, matching the
+    broadcast verifier's semantics."""
     empty = pd.DataFrame({"a": pd.Series(dtype="int64"),
                           "b": pd.Series(dtype="int64"),
                           "jaccard_x": pd.Series(dtype="int64")})
-    if len(group) < 2:
+    g = _drop_kpart(group)
+    if "doc_id" in g.columns:
+        # duplicate side rows from multi-band pair emissions
+        g = g.drop_duplicates(["a", "b", "doc_id"])
+    if len(g) < 2:
         return empty
-    s1 = np.asarray(group.iloc[0]["shs"], dtype=np.int64)
-    s2 = np.asarray(group.iloc[1]["shs"], dtype=np.int64)
-    n1, n2 = int(group.iloc[0]["n"]), int(group.iloc[1]["n"])
-    inter = int(np.intersect1d(s1, s2, assume_unique=True).size)
-    union = n1 + n2 - inter
-    if union <= 0:
-        return empty
-    jac = inter / union
-    if jac < threshold:
-        return empty
+    g = g.sort_values(["a", "b"], kind="mergesort")
+    a = g["a"].to_numpy()
+    b = g["b"].to_numpy()
+    shs = g["shs"].to_numpy()
+    ns = g["n"].to_numpy()
+    change = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+    starts = np.concatenate([[0], np.flatnonzero(change) + 1])
+    ends = np.concatenate([starts[1:], [len(g)]])
+    oa, ob, oj = [], [], []
+    for s, e in zip(starts, ends):
+        if e - s != 2:
+            continue
+        s1 = np.asarray(shs[s], dtype=np.int64)
+        s2 = np.asarray(shs[s + 1], dtype=np.int64)
+        inter = int(np.intersect1d(s1, s2, assume_unique=True).size)
+        union = int(ns[s]) + int(ns[s + 1]) - inter
+        if union <= 0:
+            continue
+        jac = inter / union
+        if jac >= threshold:
+            oa.append(int(a[s]))
+            ob.append(int(b[s]))
+            oj.append(int(np.floor(jac * 10000 + 0.5)))
     return pd.DataFrame(
         {
-            "a": pd.Series([int(group.iloc[0]["a"])], dtype="int64"),
-            "b": pd.Series([int(group.iloc[0]["b"])], dtype="int64"),
-            "jaccard_x": pd.Series([int(np.floor(jac * 10000 + 0.5))], dtype="int64"),
+            "a": pd.Series(oa, dtype="int64"),
+            "b": pd.Series(ob, dtype="int64"),
+            "jaccard_x": pd.Series(oj, dtype="int64"),
         }
     )
+
+
+def simhash_pairs_partition(group: pd.DataFrame, max_hamming: int = 3,
+                            max_bucket: int = MAX_BUCKET) -> pd.DataFrame:
+    """Partition of simhash band rows → Hamming-verified pairs from every
+    (band, chunk) bucket inside it (locally deduped; the global (a, b)
+    dedup runs as the next partition stage)."""
+    g = _drop_kpart(group)
+    parts = [
+        simhash_band_pairs(gg, max_hamming, max_bucket)
+        for _, gg in g.groupby(["band", "chunk"], sort=False)
+    ]
+    if not parts:
+        return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                             "b": pd.Series(dtype="int64")})
+    return pd.concat(parts, ignore_index=True).drop_duplicates(["a", "b"])
 
 
 def add_simhash(batch: pa.Table, text_col: str = "text") -> pa.Table:

@@ -251,6 +251,117 @@ class TestAnn:
         assert len(set(b1)) > 1
 
 
+@pytest.mark.usefixtures("ray_session")
+class TestSvdReduction:
+    def _emb_table(self, mat, ids=None):
+        n = len(mat)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids if ids is not None else range(n), pa.int64()),
+                "embedding": pa.array(
+                    np.asarray(mat, dtype=np.float64).tolist(), pa.list_(pa.float64())
+                ),
+            }
+        )
+
+    def test_full_rank_projection_preserves_topk(self):
+        """Full-rank projection is orthogonal → cosine top-k identical."""
+        import ray.data
+
+        from document_retrieval_ray.stages.ann import (
+            fit_svd_projection,
+            project_embeddings,
+        )
+
+        rng = np.random.default_rng(19)
+        mat = rng.standard_normal((120, 12))
+        ds = ray.data.from_arrow(self._emb_table(mat)).repartition(4)
+        p = fit_svd_projection(ds, dim_out=12)
+        assert np.allclose(p.T @ p, np.eye(12), atol=1e-9)
+        red = np.concatenate(
+            [
+                np.asarray(b["embedding"].to_pylist())
+                for b in ds.map_batches(
+                    project_embeddings, fn_kwargs={"projection": p},
+                    batch_format="pyarrow",
+                ).iter_batches(batch_format="pyarrow")
+            ]
+        )
+        def topk(m, qi, k=10):
+            nm = m / np.linalg.norm(m, axis=1, keepdims=True)
+            cos = nm @ nm[qi]
+            cos[qi] = -np.inf
+            return list(np.argsort(-cos)[:k])
+
+        # rows may arrive reordered across blocks; re-align by vec_id
+        ids = np.concatenate(
+            [
+                np.asarray(b["vec_id"].to_pylist())
+                for b in ds.map_batches(
+                    project_embeddings, fn_kwargs={"projection": p},
+                    batch_format="pyarrow",
+                ).iter_batches(batch_format="pyarrow")
+            ]
+        )
+        red_aligned = np.empty_like(red)
+        red_aligned[ids] = red
+        for qi in (0, 7, 33):
+            assert topk(mat, qi) == topk(red_aligned, qi)
+
+    def test_low_rank_recall(self):
+        """Reduced-dim ANN over genuinely low-rank data recovers the exact
+        neighbors (the reference's 256-dim TruncatedSVD use case)."""
+        import ray.data
+
+        from document_retrieval_ray.stages.ann import fit_svd_projection
+
+        rng = np.random.default_rng(23)
+        basis = rng.standard_normal((6, 48))          # rank-6 subspace
+        coef = rng.standard_normal((200, 6))
+        mat = coef @ basis + 1e-9 * rng.standard_normal((200, 48))
+        ds = ray.data.from_arrow(self._emb_table(mat)).repartition(4)
+        p = fit_svd_projection(ds, dim_out=6)
+        red = mat @ p
+
+        def topk(m, qi, k=10):
+            nm = m / np.linalg.norm(m, axis=1, keepdims=True)
+            cos = nm @ nm[qi]
+            cos[qi] = -np.inf
+            return set(np.argsort(-cos)[:k])
+
+        hits = sum(
+            len(topk(mat, qi) & topk(red, qi)) / 10.0 for qi in range(0, 40, 5)
+        ) / 8.0
+        assert hits >= 0.95, hits
+
+
+class TestStemBugGate:
+    def test_substring_stem_bug_reproduced(self):
+        """The gated M2 mode must reproduce the reference's str.replace
+        substring rewriting (stemming 'port' also rewrites 'portable')."""
+        from document_retrieval_ray.functions.tokenizer import (
+            stem_suffix,
+            tokenize_stem_bug,
+        )
+
+        # 'portes' stems to 'port'; the subsequent replace('portable', ...)
+        # no longer matches, but replace('portes', 'port') already rewrote
+        # the 'portes' PREFIX inside 'portesque' too
+        text = "portes portesque"
+        toks = tokenize_stem_bug(text, "en")
+        assert stem_suffix("portes") == "port"
+        # bug: 'portesque' became 'portque' via the substring replace
+        assert toks == ["port", "portque"], toks
+
+    def test_clean_path_differs(self):
+        from document_retrieval_ray.functions.tokenizer import tokenize
+
+        text = "portes portesque"
+        clean = [w for w in ("portes", "portesque")]
+        assert tokenize(text, "en", "simple") == clean
+        assert tokenize(text, "en", "stem_bug") != clean
+
+
 class TestEmbedStage:
     def test_strict_mode_raises(self):
         from document_retrieval_ray.stages.embed import DenseRerankStage, EmbedStage
