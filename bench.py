@@ -38,10 +38,12 @@ def _scaling() -> None:
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
             GRAFT_BENCH_HEADLINE_ONLY="1",
-            # scaling needs a compute-dominated workload; at the default
-            # 100k docs the fixed per-execution cost (~15 s) distorts the
-            # ratio
-            GRAFT_BENCH_DOCS=os.environ.get("GRAFT_BENCH_DOCS", "500000"),
+            # scaling needs a compute-dominated workload; fixed
+            # per-execution cost (~15 s) distorts the ratio at smaller
+            # corpora (round 2 moved the default 500k → 1M after the
+            # hot-term pre-decode removed the query stage's per-actor
+            # warm-up)
+            GRAFT_BENCH_DOCS=os.environ.get("GRAFT_BENCH_DOCS", "1000000"),
             PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH", ""),
         )
         out = subprocess.run(

@@ -157,16 +157,26 @@ def decode_block(buf, off: int, end: int, count: int, prev_last: int):
 
 
 def decode_blocked_postings(buf, block_off, df: int, block_size: int):
-    """Decode the full block-structured stream → (doc_ids, tfs)."""
-    docs, tfs = [], []
-    prev_last = 0
-    for b, off in enumerate(block_off):
-        end = block_off[b + 1] if b + 1 < len(block_off) else len(buf)
-        count = min(block_size, df - b * block_size)
-        d, t = decode_block(buf, off, end, count, prev_last)
-        docs.append(d)
-        tfs.append(t)
-        prev_last = int(d[-1])
-    if not docs:
+    """Decode the full block-structured stream → (doc_ids, tfs).
+
+    Fully vectorized: ONE varbyte pass over the whole buffer, then a mask
+    split into gap/tf positions. Because each block's first gap is
+    relative to the previous block's last doc id, the cumsum of the
+    concatenated gap stream yields absolute doc ids directly — no
+    per-block Python loop (a df≈10⁶ term has ~8k blocks; the per-block
+    loop dominated full decodes)."""
+    if df == 0:
         return np.empty(0, np.uint64), np.empty(0, np.uint64)
-    return np.concatenate(docs), np.concatenate(tfs)
+    data = buf if isinstance(buf, np.ndarray) else np.frombuffer(buf, dtype=np.uint8)
+    vals = varbyte_decode(data)
+    if vals.size != 2 * df:
+        raise ValueError(f"expected {2*df} values, got {vals.size}")
+    bs = int(block_size)
+    pos = np.arange(2 * df, dtype=np.int64)
+    blk = pos // (2 * bs)
+    within = pos - blk * (2 * bs)
+    count_in_blk = np.minimum(bs, df - blk * bs)
+    is_gap = within < count_in_blk
+    gaps = vals[is_gap]
+    tfs = vals[~is_gap]
+    return np.cumsum(gaps, dtype=np.uint64), tfs

@@ -585,54 +585,117 @@ def _manifest_payload(lang, fingerprint, s, t, cfg, hot, with_cosine_norms, flow
     }
 
 
-def _build_cosine_norms(triples_mat, d: dict, stats: dict) -> None:
+# above this many vocabulary terms the idf dict is too big to broadcast
+# to every worker; the norms build switches to the term-bucket cogroup
+NORM_BROADCAST_MAX_TERMS = 5_000_000
+
+
+def _build_cosine_norms(triples_mat, d: dict, stats: dict,
+                        broadcast_max_terms: int = None) -> None:
     """Per-doc TF-IDF L2 norms under the 'cosine' idf law
-    (cosine_similarity_bm25_reranking.py:176-182, :94-110): broadcast the
-    per-lang idf dict, partial per-batch doc sums, then a doc-keyed
-    groupby-sum (small output: one row per doc)."""
+    (cosine_similarity_bm25_reranking.py:176-182, :94-110).
+
+    Default path: broadcast the per-lang idf dict, partial per-batch doc
+    sums, then a doc-keyed groupby-sum (one row per doc). When the
+    vocabulary exceeds ``broadcast_max_terms``, the idf side is instead
+    COGROUPED with the triples by a (lang, term) hash partition — only
+    the tiny per-lang (N_docs) dict is broadcast; both paths produce
+    identical norms (tested)."""
     import pandas as pd
 
+    from ..stages.index_build import add_kpart
+
+    if broadcast_max_terms is None:
+        broadcast_max_terms = int(
+            os.environ.get("DRR_NORM_BCAST_MAX", NORM_BROADCAST_MAX_TERMS)
+        )
     df_tbl = (
         pads.dataset(d["df"], format="parquet", partitioning="hive")
         .to_table()
         .to_pandas()
     )
-    idf_maps = {}
-    for lang, g in df_tbl.groupby("lang"):
-        if lang not in stats:
-            # df/ may hold previously-committed languages on resume; norms
-            # for those shards are already on disk — only build the todo set
-            continue
-        N = stats[lang]["n_docs"]
-        idf = np.log((N - g["df"].to_numpy() + 0.5) / (g["df"].to_numpy() + 0.5))
-        idf_maps[lang] = dict(zip(g["term"], idf))
-    idf_ref = ray.put(idf_maps)
+    # df/ may hold previously-committed languages on resume; norms for
+    # those shards are already on disk — only build the todo set
+    df_tbl = df_tbl[df_tbl["lang"].astype(str).isin(set(stats))]
 
-    class PartialNorm:
-        def __init__(self):
-            self.idf_maps = ray.get(idf_ref)
+    if len(df_tbl) <= broadcast_max_terms:
+        idf_maps = {}
+        for lang, g in df_tbl.groupby("lang"):
+            N = stats[lang]["n_docs"]
+            idf = np.log((N - g["df"].to_numpy() + 0.5) / (g["df"].to_numpy() + 0.5))
+            idf_maps[lang] = dict(zip(g["term"], idf))
+        idf_ref = ray.put(idf_maps)
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            pdf = batch.to_pandas()
-            idf = np.array(
-                [
-                    self.idf_maps.get(l, {}).get(t, 0.0)
-                    for l, t in zip(pdf["lang"], pdf["term"])
-                ]
+        class PartialNorm:
+            def __init__(self):
+                self.idf_maps = ray.get(idf_ref)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                pdf = batch.to_pandas()
+                idf = np.array(
+                    [
+                        self.idf_maps.get(l, {}).get(t, 0.0)
+                        for l, t in zip(pdf["lang"], pdf["term"])
+                    ]
+                )
+                w = pdf["tf"].to_numpy() * idf
+                pdf["w2"] = w * w
+                out = (
+                    pdf.groupby(["lang", "doc_id"], sort=False)["w2"].sum().reset_index()
+                )
+                return pa.Table.from_pandas(out, preserve_index=False)
+
+        partials = triples_mat.select_columns(["lang", "doc_id", "term", "tf"]).map_batches(
+            PartialNorm, batch_format="pyarrow", concurrency=default_pool()
+        )
+    else:
+        # term-bucket cogroup: df rows (doc_id = -1) and triples share a
+        # (lang, term)-hash partition; idf is computed inside each
+        # partition from its own df rows + the broadcast per-lang N
+        n_by_lang = {lang: s["n_docs"] for lang, s in stats.items()}
+        df_ds = ray.data.from_pandas(
+            df_tbl.assign(doc_id=np.int64(-1), tf=df_tbl["df"].astype(np.int64))[
+                ["lang", "doc_id", "term", "tf"]
+            ]
+        )
+        unioned = (
+            triples_mat.select_columns(["lang", "doc_id", "term", "tf"])
+            .union(df_ds)
+            .map_batches(
+                add_kpart,
+                fn_kwargs={"num_parts": 128, "cols": ("lang", "term")},
+                batch_format="pyarrow",
             )
-            w = pdf["tf"].to_numpy() * idf
-            pdf["w2"] = w * w
-            out = (
-                pdf.groupby(["lang", "doc_id"], sort=False)["w2"].sum().reset_index()
-            )
-            return pa.Table.from_pandas(out, preserve_index=False)
+        )
 
-    norms = (
-        triples_mat.select_columns(["lang", "doc_id", "term", "tf"])
-        .map_batches(PartialNorm, batch_format="pyarrow", concurrency=default_pool())
-        .groupby(["lang", "doc_id"])
-        .sum("w2")
-    )
+        def norm_partition(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.drop(columns=["kpart"]) if "kpart" in g.columns else g
+            is_df = g["doc_id"].to_numpy() < 0
+            dfp = g[is_df]
+            tri = g[~is_df]
+            if len(tri) == 0 or len(dfp) == 0:
+                return pd.DataFrame(
+                    {"lang": pd.Series(dtype="object"),
+                     "doc_id": pd.Series(dtype="int64"),
+                     "w2": pd.Series(dtype="float64")}
+                )
+            N = dfp["lang"].map(n_by_lang).to_numpy(dtype=np.float64)
+            dfv = dfp["tf"].to_numpy(dtype=np.float64)
+            idf_tbl = dfp.assign(idf=np.log((N - dfv + 0.5) / (dfv + 0.5)))
+            m = tri.merge(
+                idf_tbl[["lang", "term", "idf"]], on=["lang", "term"], how="left"
+            )
+            w = m["tf"].to_numpy(dtype=np.float64) * m["idf"].fillna(0.0).to_numpy()
+            m["w2"] = w * w
+            return (
+                m.groupby(["lang", "doc_id"], sort=False)["w2"].sum().reset_index()
+            )
+
+        partials = unioned.groupby("kpart").map_groups(
+            norm_partition, batch_format="pandas"
+        )
+
+    norms = partials.groupby(["lang", "doc_id"]).sum("w2")
     norms = norms.map_batches(
         lambda t: t.rename_columns(["lang", "doc_id", "norm2"]), batch_format="pyarrow"
     )

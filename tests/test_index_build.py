@@ -151,3 +151,29 @@ def test_min_df_filter(tiny_corpus, tmp_path):
             )
             dfs = t["df"].to_numpy(zero_copy_only=False)
             assert len(dfs) > 0 and (dfs >= 2).all(), (lang, flow_norms)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cosine_norms_cogroup_path_identical(built, tiny_corpus, tmp_path, monkeypatch):
+    """The term-bucket cogroup norms path (vocab too big to broadcast)
+    must produce the same norms as the broadcast path."""
+    import pandas as pd
+
+    from document_retrieval_ray.pipelines.build_index import build_index
+
+    index_dir, cfg, manifests = built
+    b = str(tmp_path / "norm_cogroup")
+    monkeypatch.setenv("DRR_NORM_BCAST_MAX", "0")  # force the cogroup path
+    build_index(tiny_corpus["documents"], b, cfg=cfg, with_cosine_norms=True)
+    for lang in sorted(manifests):
+        na = (
+            pq.read_table(os.path.join(index_dir, "norms", f"lang={lang}"))
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        nb = (
+            pq.read_table(os.path.join(b, "norms", f"lang={lang}"))
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        assert list(na["doc_id"]) == list(nb["doc_id"]), lang
+        # summation order differs between the paths → allow ulp-level drift
+        assert np.allclose(na["norm2"], nb["norm2"], rtol=1e-12, atol=0), lang
