@@ -47,7 +47,7 @@ def main(argv=None) -> int:
     q.add_argument("--queries", required=True, help="parquet (query_id, query, lang)")
     q.add_argument("--out", required=True, help="output parquet directory")
     q.add_argument("--compat", default="standard", choices=["standard", "reference"])
-    q.add_argument("--method", default="taat", choices=["taat", "wand"])
+    q.add_argument("--method", default="taat", choices=["taat", "wand", "maxscore"])
     q.add_argument("--k", type=int, default=10)
     q.add_argument("--k1", type=float, default=None)
     q.add_argument("--b", type=float, default=0.75)

@@ -135,18 +135,28 @@ def build_shared_payload(index_dir: str, lang: str, block_size: int = None,
         if hot_decode_df and hot_decode_df > 0
         else np.empty(0, np.int64)
     )
-    hot_docs_parts, hot_tfs_parts = [], []
     hot_off = np.zeros(len(hot_rows) + 1, dtype=np.int64)
-    for j, i in enumerate(hot_rows):
+
+    def _decode_one(i: int):
         dpc, tpc = decode_blocked_postings(
             post_buf[post_off[i]:post_off[i + 1]],
             bo_buf[bo_off[i]:bo_off[i + 1]],
             int(df_arr[i]),
             bs,
         )
-        hot_docs_parts.append(dpc.astype(np.int64))
-        hot_tfs_parts.append(tpc.astype(np.float64))
-        hot_off[j + 1] = hot_off[j] + len(dpc)
+        return dpc.astype(np.int64), tpc.astype(np.float64)
+
+    if len(hot_rows):
+        # numpy decode releases the GIL enough for thread parallelism
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=8) as ex:
+            decoded = list(ex.map(_decode_one, hot_rows))
+        hot_docs_parts = [d for d, _ in decoded]
+        hot_tfs_parts = [t for _, t in decoded]
+        np.cumsum([len(d) for d in hot_docs_parts], out=hot_off[1:])
+    else:
+        hot_docs_parts, hot_tfs_parts = [], []
     hot_docs = (
         np.concatenate(hot_docs_parts) if hot_docs_parts else np.empty(0, np.int64)
     )
