@@ -1,9 +1,9 @@
 """Posting-triple emission (A1 analog) — per-batch, shuffle-free.
 
 The reference builds per-doc ``defaultdict(int)`` term counters in a Python
-loop (final_implementation.py:105-113). Here the batch's token lists are
-flattened to (row, term) pairs once, then counted with a single pandas
-hash-groupby — no per-row Python.
+loop (final_implementation.py:105-113). Here the batch's token stream is
+dictionary-encoded and run-length counted entirely at the C level — no
+per-row Python, no Python string objects.
 
 Output: one row per (document, distinct term):
 ``(lang, term, url, dl, tf)`` — the postings-triples Dataset that feeds the
@@ -13,39 +13,60 @@ Output: one row per (document, distinct term):
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
-from .tokenize import flatten_tokens
 
+def emit_postings(batch: pa.Table, token_col: str = "tokens") -> pa.Table:
+    """(url, lang, tokens, dl) → (lang, term, url, dl, tf).
 
-def emit_postings(batch: pa.Table) -> pa.Table:
-    """(url, lang, tokens, dl) → (lang, term, url, dl, tf)."""
-    parent, terms = flatten_tokens(batch)
-    if len(terms) == 0:
-        return pa.table(
-            {
-                "lang": pa.array([], pa.string()),
-                "term": pa.array([], pa.string()),
-                "url": pa.array([], pa.string()),
-                "dl": pa.array([], pa.int64()),
-                "tf": pa.array([], pa.int64()),
-            }
-        )
-    df = pd.DataFrame({"row": parent, "term": terms})
-    counted = (
-        df.groupby(["row", "term"], sort=False).size().reset_index(name="tf")
+    C-level counting: dictionary-encode the flat token stream and
+    run-length count over a (doc, code) lexsort — no Python string
+    objects, no pandas object-key groupby."""
+    import pyarrow.compute as pc
+
+    empty = pa.table(
+        {
+            "lang": pa.array([], pa.string()),
+            "term": pa.array([], pa.string()),
+            "url": pa.array([], pa.string()),
+            "dl": pa.array([], pa.int64()),
+            "tf": pa.array([], pa.int64()),
+        }
     )
-    rows = counted["row"].to_numpy()
-    urls = np.asarray(batch["url"].to_pandas(), dtype=object)[rows]
-    langs = np.asarray(batch["lang"].to_pandas(), dtype=object)[rows]
-    dls = batch["dl"].to_numpy(zero_copy_only=False)[rows]
+    col = batch[token_col].combine_chunks()
+    if isinstance(col, pa.ChunkedArray):
+        col = col.chunk(0)
+    offsets = col.offsets.to_numpy(zero_copy_only=False)
+    values = col.values
+    start = offsets[0]
+    if start != 0 or len(values) != offsets[-1]:
+        values = values.slice(start, offsets[-1] - start)
+    if len(values) == 0:
+        return empty
+    lens = np.diff(offsets)
+    parent = np.repeat(np.arange(len(col), dtype=np.int64), lens)
+    enc = pc.dictionary_encode(values)
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    dict_arr = enc.dictionary
+    keep = (pc.utf8_length(dict_arr).to_numpy(zero_copy_only=False) > 0)[codes]
+    parent, codes = parent[keep], codes[keep]
+    if len(parent) == 0:
+        return empty
+    order = np.lexsort((codes, parent))
+    p2, c2 = parent[order], codes[order]
+    change = (p2[1:] != p2[:-1]) | (c2[1:] != c2[:-1])
+    starts = np.concatenate([[0], np.flatnonzero(change) + 1])
+    ends = np.concatenate([starts[1:], [len(p2)]])
+    rows = p2[starts]
+    idx = pa.array(rows)
     return pa.table(
         {
-            "lang": pa.array(langs, pa.string()),
-            "term": pa.array(counted["term"].to_numpy(), pa.string()),
-            "url": pa.array(urls, pa.string()),
-            "dl": pa.array(dls, pa.int64()),
-            "tf": pa.array(counted["tf"].to_numpy(), pa.int64()),
+            "lang": pc.cast(batch["lang"].combine_chunks().take(idx), pa.string()),
+            "term": pc.cast(dict_arr.take(pa.array(c2[starts])), pa.string()),
+            "url": pc.cast(batch["url"].combine_chunks().take(idx), pa.string()),
+            "dl": pa.array(
+                batch["dl"].to_numpy(zero_copy_only=False)[rows], pa.int64()
+            ),
+            "tf": pa.array((ends - starts).astype(np.int64), pa.int64()),
         }
     )
