@@ -535,6 +535,47 @@ def q_dedup_normalized(sf_dir: str):
     )
 
 
+def q_dedup_apply(sf_dir: str):
+    """Materialize the exact-dedup SURVIVORS (the apply step a training
+    pipeline runs after D1): keep the min-doc_id row of every content
+    hash. One hash-partitioned shuffle; the keep decision happens inside
+    the partition — no join, no driver set."""
+    ds = _docs(sf_dir).map_batches(
+        lambda t: add_text_hash(t, normalize=False), batch_format="pyarrow"
+    )
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["kpart"]) if "kpart" in g.columns else g
+        out = g.sort_values(["text_hash", "doc_id"]).drop_duplicates(
+            "text_hash", keep="first"
+        )
+        return out[["doc_id", "lang"]].astype({"doc_id": "int64"})
+
+    return (
+        ds.map_batches(
+            add_kpart, fn_kwargs={"num_parts": 64, "cols": ("text_hash",)},
+            batch_format="pyarrow",
+        )
+        .groupby("kpart")
+        .map_groups(keep_first, batch_format="pandas")
+    )
+
+
+def q_quality_filter(sf_dir: str):
+    """Quality-gated corpus selection (the filter step after quality
+    scoring): keep docs with quality >= 0.5 and >= 5 tokens."""
+
+    def flt(t: pa.Table) -> pa.Table:
+        s = doc_stats_batch(t)
+        keep = pc.and_(
+            pc.greater_equal(s["quality_x"], 5000),
+            pc.greater_equal(s["n_tokens"], 5),
+        )
+        return s.filter(keep).select(["doc_id", "n_tokens", "quality_x"])
+
+    return _docs(sf_dir).map_batches(flt, batch_format="pyarrow")
+
+
 def q_fingerprint(sf_dir: str):
     return _docs(sf_dir).map_batches(fingerprint_batch, batch_format="pyarrow")
 
@@ -1174,6 +1215,8 @@ QUERIES = {
     "submission": q_submission,
     "dedup_exact": q_dedup_exact,
     "dedup_normalized": q_dedup_normalized,
+    "dedup_apply": q_dedup_apply,
+    "quality_filter": q_quality_filter,
     "fingerprint": q_fingerprint,
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
@@ -1511,6 +1554,16 @@ SELECT lang, term, total_tf, rank FROM ranked WHERE rank <= 10
         "SELECT md5(array_to_string(" + TOKLIST.format(col="text") + ", ' ')) "
         "AS text_hash, min(doc_id) AS keep_doc_id, count(*) AS dup_count "
         "FROM documents GROUP BY 1"
+    ),
+    "dedup_apply": """
+SELECT d.doc_id AS doc_id, d.lang AS lang
+FROM documents d
+JOIN (SELECT min(doc_id) AS k FROM documents GROUP BY md5(text)) s
+  ON s.k = d.doc_id
+""",
+    "quality_filter": (
+        "SELECT doc_id, n_tokens, quality_x FROM (" + _token_stats_sql() + ") "
+        "WHERE quality_x >= 5000 AND n_tokens >= 5"
     ),
     "fingerprint": f"WITH {_TOKS_CTE} SELECT doc_id, "
                    f"md5(array_to_string(l, ' ')) AS fp, len(l) AS n_tokens FROM toks",
