@@ -1,0 +1,244 @@
+"""Doc-range-sharded BM25 serving (the 10^12-doc layout of SCALE.md).
+
+At web scale one language's index exceeds a node: the corpus is split
+into doc-range shards, each built INDEPENDENTLY by ``build_index`` over
+its partition of the corpus. Query serving then needs:
+
+1. **Global statistics** — BM25 is rank-identical to a single giant index
+   only if idf and avgdl use GLOBAL (N, df, avgdl), not per-shard values.
+   N / avgdl come exactly from integer sums over shard manifests;
+   per-term global df comes from one vocabulary-sized groupby over the
+   shards' df tables (``build_global_df`` — run once per shard group).
+2. **Fan-out** — each query row is replicated to every shard
+   (``shard_id`` column); the scorer stage caches (shard, lang) indexes
+   per actor, so routing is just which rows an actor sees.
+3. **Merge** — per-shard top-k candidate rows are merged per query on
+   the SAME (score_x desc, url asc) composite as ``topk_with_ties``,
+   keyed by a hash partition of query_id (one vectorized task per
+   partition, not one per query).
+
+Exactness (tested): sharded results == single-index results for the same
+corpus, rank / url / score_x identical. Reference analog: the per-lang
+pickle-shard fan-in of final_implementation.py:223-287, generalized to
+doc-range shards with global stats.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+import ray.data
+
+from ..config import BM25Config, TokenizerConfig
+from ..functions.tokenizer import tokenize
+from ..state.index_shard import LangIndex, IDF_LAWS, topk_with_ties
+from ..state.manifest import read_manifest
+from ..stages.index_build import add_kpart
+from ..util import default_pool
+
+
+def shard_langs(shard_dirs) -> set:
+    langs = set()
+    for d in shard_dirs:
+        mdir = os.path.join(d, "manifests")
+        if os.path.isdir(mdir):
+            langs.update(os.listdir(mdir))
+    return langs
+
+
+def global_lang_stats(shard_dirs, lang: str):
+    """Exact global (N, avgdl) from the shards' integer manifest sums."""
+    n = 0
+    toks = 0
+    for d in shard_dirs:
+        m = read_manifest(os.path.join(d, "manifests", lang))
+        if m is None:
+            continue
+        n += int(m.get("n_docs", 0))
+        toks += int(m.get("total_tokens", 0))
+    return n, (toks / n if n else 0.0)
+
+
+def build_global_df(shard_dirs, out_dir: str) -> None:
+    """Merge the shards' per-lang df tables into one global df parquet:
+    ONE vocabulary-sized groupby (vocab ≪ corpus), written hive-style by
+    lang. Run once when a shard group is (re)assembled."""
+    parts = []
+    for d in shard_dirs:
+        for p in glob.glob(os.path.join(d, "df", "lang=*")):
+            lang = os.path.basename(p).split("=", 1)[1]
+            t = pq.read_table(p, columns=["term", "df"])
+            parts.append(t.append_column(
+                "lang", pa.array([lang] * t.num_rows, pa.string())
+            ))
+    if not parts:
+        raise ValueError("no df tables found under shard dirs")
+    ds = ray.data.from_arrow(pa.concat_tables(parts))
+    merged = ds.groupby(["lang", "term"]).sum("df")
+    merged = merged.map_batches(
+        lambda t: t.rename_columns(["lang", "term", "df"]), batch_format="pyarrow"
+    )
+    merged.write_parquet(out_dir, partition_cols=["lang"])
+
+
+class _GlobalView:
+    """LangIndex wrapper scoring with GLOBAL (N, avgdl, df) while reading
+    the local shard's postings/doc-lengths/urls."""
+
+    def __init__(self, idx: LangIndex, n_docs: int, avgdl: float, df_map: dict):
+        self._idx = idx
+        self.n_docs = n_docs
+        self.avgdl = avgdl
+        self._df = df_map
+        self.dl = idx.dl
+        self.norms = idx.norms
+
+    @property
+    def urls(self):
+        return self._idx.urls
+
+    def df(self, term):
+        return self._df.get(term)
+
+    def idf(self, term: str, law: str) -> float:
+        d = self._df.get(term)
+        if d is None:
+            return 0.0
+        return float(IDF_LAWS[law](float(self.n_docs), float(d)))
+
+    def postings(self, term: str):
+        return self._idx.postings(term)
+
+
+class ShardedBM25Scorer:
+    """map_batches stage over (query_id, query, lang, shard_id) rows:
+    per-shard top-k candidates with GLOBAL-stat scores. Caches
+    (shard, lang) views per actor; the global df dict per lang is a
+    broadcast ObjectRef (vocabulary-sized — the same object a single
+    index would hold)."""
+
+    def __init__(self, shard_dirs, global_df_refs, stats, cfg: BM25Config,
+                 tokenizer: TokenizerConfig, round_dp=4):
+        self.shard_dirs = list(shard_dirs)
+        self.df_maps = {lang: ray.get(r) for lang, r in global_df_refs.items()}
+        self.stats = stats  # {lang: (N, avgdl)}
+        self.cfg = cfg
+        self.tok = tokenizer
+        self.round_dp = round_dp
+        self._cache: dict = {}
+
+    def _view(self, shard_id: int, lang: str):
+        key = (shard_id, lang)
+        if key not in self._cache:
+            try:
+                idx = LangIndex(self.shard_dirs[shard_id], lang)
+            except FileNotFoundError:
+                self._cache[key] = None
+                return None
+            n, avgdl = self.stats[lang]
+            self._cache[key] = _GlobalView(idx, n, avgdl, self.df_maps[lang])
+        return self._cache[key]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..stages.score import _concat, _rows
+        from ..state.index_shard import score_bm25_taat
+
+        parts = []
+        for qid, q, lang, sid in zip(
+            batch["query_id"].to_pylist(),
+            batch["query"].to_pylist(),
+            batch["lang"].to_pylist(),
+            batch["shard_id"].to_pylist(),
+        ):
+            view = self._view(int(sid), lang)
+            if view is None:
+                continue
+            tokens = tokenize(q, lang, self.tok.mode)
+            if not tokens:
+                continue
+            scores = score_bm25_taat(view, tokens, self.cfg)
+            ranks, sel, keys = topk_with_ties(
+                scores, view.urls, self.cfg.k, self.round_dp
+            )
+            if len(ranks) == 0:
+                continue
+            parts.append(_rows(qid, ranks, sel, keys, scores, view.urls,
+                               self.round_dp))
+        return _concat(parts)
+
+
+def merge_partition(g: pd.DataFrame, k: int) -> pd.DataFrame:
+    """Partition of per-shard candidates (all rows of a query share the
+    partition) → global top-k per query on (score_x desc, url asc)."""
+    g = g.drop(columns=["kpart"]) if "kpart" in g.columns else g
+    g = g.sort_values(["query_id", "score_x", "url"],
+                      ascending=[True, False, True], kind="mergesort")
+    g = g.groupby("query_id", sort=False).head(k).copy()
+    g["rank"] = g.groupby("query_id", sort=False).cumcount() + 1
+    return g[["query_id", "rank", "url", "score", "score_x"]].astype(
+        {"rank": "int64"}
+    )
+
+
+def bm25_search_sharded(
+    queries: ray.data.Dataset,
+    shard_dirs,
+    global_df_dir: str,
+    cfg: BM25Config = BM25Config(),
+    tokenizer: TokenizerConfig = TokenizerConfig(),
+    round_dp=4,
+    concurrency=None,
+    num_merge_parts: int = 64,
+) -> ray.data.Dataset:
+    """Rank-identical BM25 over a group of doc-range shards.
+
+    ``global_df_dir``: output of :func:`build_global_df` for these shards.
+    """
+    shard_dirs = list(shard_dirs)
+    langs = sorted(shard_langs(shard_dirs))
+    stats = {lang: global_lang_stats(shard_dirs, lang) for lang in langs}
+    global_df_refs = {}
+    for lang in langs:
+        p = os.path.join(global_df_dir, f"lang={lang}")
+        t = pq.read_table(p, columns=["term", "df"])
+        global_df_refs[lang] = ray.put(
+            dict(zip(t["term"].to_pylist(),
+                     t["df"].to_numpy(zero_copy_only=False).tolist()))
+        )
+    if concurrency is None:
+        concurrency = default_pool(0.5)
+
+    n_shards = len(shard_dirs)
+
+    def fan_out(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        idx = np.repeat(np.arange(n, dtype=np.int64), n_shards)
+        sid = np.tile(np.arange(n_shards, dtype=np.int64), n)
+        out = t.take(pa.array(idx))
+        return out.append_column("shard_id", pa.array(sid, pa.int64()))
+
+    fanned = queries.map_batches(fan_out, batch_format="pyarrow")
+    candidates = fanned.map_batches(
+        ShardedBM25Scorer,
+        fn_constructor_kwargs=dict(
+            shard_dirs=shard_dirs, global_df_refs=global_df_refs,
+            stats=stats, cfg=cfg, tokenizer=tokenizer, round_dp=round_dp,
+        ),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+    return (
+        candidates.map_batches(
+            add_kpart,
+            fn_kwargs={"num_parts": num_merge_parts, "cols": ("query_id",)},
+            batch_format="pyarrow",
+        )
+        .groupby("kpart")
+        .map_groups(lambda g: merge_partition(g, cfg.k), batch_format="pandas")
+    )
