@@ -47,6 +47,7 @@ from ..stages.dedup import (
 from ..stages.index_build import add_kpart
 from ..stages.ann import (
     BruteForceTopK,
+    BucketTopK,
     NearDupPairs,
     emit_tile_rows,
     final_topk,
@@ -697,6 +698,37 @@ def q_ann_topk(sf_dir: str):
     return partial.groupby("query_vec").map_groups(final_topk, batch_format="pandas")
 
 
+def q_ann_topk_lsh(sf_dir: str):
+    """ANN top-k restricted to the query's LSH bucket (the scale path:
+    candidate set shrinks by the bucket fan-out; recall traded for a
+    bounded matmul). Same fixed hyperplanes as embed_neardup_lsh so the
+    SQL oracle computes identical buckets."""
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    bucketed = emb.map_batches(
+        lsh_bucket, fn_kwargs={"planes": LSH_PLANES}, batch_format="pyarrow"
+    )
+    qid_arr = pa.array(list(ANN_QUERY_IDS), pa.int64())
+    qrows = {
+        r["vec_id"]: (r["embedding"], r["bucket"])
+        for r in bucketed.map_batches(
+            lambda t: t.filter(pc.is_in(t["vec_id"], value_set=qid_arr)),
+            batch_format="pyarrow",
+        ).take_all()
+    }
+    qids = sorted(qrows)
+    qmat = np.array([qrows[q][0] for q in qids], dtype=np.float64)
+    qbuckets = np.array([qrows[q][1] for q in qids], dtype=np.int64)
+    ref = ray.put((qids, qmat, qbuckets))
+    partial = bucketed.map_batches(
+        BucketTopK,
+        fn_constructor_kwargs={"queries_ref": ref, "k": 10},
+        batch_format="pyarrow",
+        concurrency=default_pool(),
+    )
+    return partial.groupby("query_vec").map_groups(final_topk, batch_format="pandas")
+
+
 def q_token_stats(sf_dir: str):
     return _docs(sf_dir).map_batches(doc_stats_batch, batch_format="pyarrow")
 
@@ -1223,6 +1255,7 @@ QUERIES = {
     "embed_neardup": q_embed_neardup,
     "embed_neardup_lsh": q_embed_neardup_lsh,
     "ann_topk": q_ann_topk,
+    "ann_topk_lsh": q_ann_topk_lsh,
     "token_stats": q_token_stats,
     "langid": q_langid,
     "binary_meta": q_binary_meta,
@@ -1386,6 +1419,41 @@ c AS (
   WHERE na.nrm > 0 AND nb.nrm > 0
 )
 SELECT a, b, {_fx('cos')} AS cos_x FROM c WHERE cos >= {NEARDUP_COS_THRESHOLD}
+"""
+
+_ANN_LSH_SQL = f"""
+WITH {_EMB_UNNEST},
+pl(i, p, w) AS (VALUES {_PLANE_VALUES}),
+bits AS (
+  SELECT u.vec_id AS vec_id, pl.p AS p,
+         CASE WHEN sum(u.v * pl.w) > 0 THEN 1 ELSE 0 END AS bit
+  FROM u JOIN pl ON pl.i = u.i GROUP BY u.vec_id, pl.p
+),
+bk AS (
+  SELECT vec_id, CAST(sum(bit * (1 << CAST(p AS INT))) AS BIGINT) AS bucket
+  FROM bits GROUP BY vec_id
+),
+d AS (
+  SELECT uq.vec_id AS query_vec, ub.vec_id AS vec_id, sum(uq.v * ub.v) AS dot
+  FROM u uq
+  JOIN u ub ON ub.i = uq.i AND ub.vec_id <> uq.vec_id
+  JOIN bk bq ON bq.vec_id = uq.vec_id
+  JOIN bk bb ON bb.vec_id = ub.vec_id AND bb.bucket = bq.bucket
+  WHERE uq.vec_id IN {ANN_QUERY_IDS}
+  GROUP BY uq.vec_id, ub.vec_id
+),
+c AS (
+  SELECT d.query_vec, d.vec_id, d.dot / (nq.nrm * nb.nrm) AS cos
+  FROM d JOIN n nq ON nq.vec_id = d.query_vec JOIN n nb ON nb.vec_id = d.vec_id
+  WHERE nq.nrm > 0 AND nb.nrm > 0
+),
+ranked AS (
+  SELECT query_vec, vec_id, {_fx('cos')} AS cos_x,
+         row_number() OVER (PARTITION BY query_vec
+                            ORDER BY {_fx('cos')} DESC, vec_id ASC) AS rank
+  FROM c
+)
+SELECT query_vec, rank, vec_id, cos_x FROM ranked WHERE rank <= 10
 """
 
 _ANN_SQL = f"""
@@ -1572,6 +1640,7 @@ JOIN (SELECT min(doc_id) AS k FROM documents GROUP BY md5(text)) s
     "embed_neardup": _NEARDUP_SQL,
     "embed_neardup_lsh": _NEARDUP_LSH_SQL,
     "ann_topk": _ANN_SQL,
+    "ann_topk_lsh": _ANN_LSH_SQL,
     "token_stats": _token_stats_sql(),
     "langid": _langid_sql(),
     "binary_meta": "SELECT doc_id, octet_length(encode(text)) AS n_bytes, "

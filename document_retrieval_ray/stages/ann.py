@@ -78,6 +78,55 @@ class BruteForceTopK:
         )
 
 
+class BucketTopK:
+    """LSH-restricted ANN top-k (the scale path of BruteForceTopK): each
+    query only scores candidates in ITS OWN hyperplane bucket, so the
+    per-batch matmul shrinks by the bucket fan-out. Same partial-top-k →
+    groupby(query) merge shape; same SQL-matching cos op order."""
+
+    def __init__(self, queries_ref, k: int = 10, margin: int = 32,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 bucket_col: str = "bucket"):
+        import ray
+
+        qids, qmat, qbuckets = ray.get(queries_ref)
+        self.qids = qids
+        self.qmat = np.asarray(qmat, dtype=np.float64)
+        self.qbuckets = np.asarray(qbuckets, dtype=np.int64)
+        self.qnorm = np.linalg.norm(self.qmat, axis=1)
+        self.keep = k + margin
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.bucket_col = bucket_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        buckets = batch[self.bucket_col].to_numpy(zero_copy_only=False)
+        mat = _stack(batch[self.vec_col])
+        norms = np.linalg.norm(mat, axis=1)
+        out_q, out_v, out_c = [], [], []
+        for qi, qid in enumerate(self.qids):
+            cand = np.nonzero(
+                (buckets == self.qbuckets[qi]) & (ids != qid) & (norms > 0)
+            )[0]
+            if cand.size == 0 or self.qnorm[qi] == 0:
+                continue
+            dots = mat[cand] @ self.qmat[qi]
+            cos = dots / (norms[cand] * self.qnorm[qi])
+            k = min(self.keep, cand.size)
+            top = np.argpartition(-cos, k - 1)[:k]
+            out_q.extend([qid] * k)
+            out_v.extend(ids[cand[top]].tolist())
+            out_c.extend(cos[top].tolist())
+        return pa.table(
+            {
+                "query_vec": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "cos": pa.array(out_c, pa.float64()),
+            }
+        )
+
+
 def final_topk(group: pd.DataFrame, k: int = 10, round_dp: int = 4) -> pd.DataFrame:
     """(query_vec) group of per-batch partials → global top-k with the
     engine tie-break (cos_x desc, vec_id asc)."""
