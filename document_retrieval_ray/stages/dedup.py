@@ -103,38 +103,6 @@ def band_group_pairs(group: pd.DataFrame, max_bucket: int = MAX_BUCKET) -> pd.Da
     )
 
 
-class JaccardVerify:
-    """Verify candidate pairs against a broadcast {doc_id: shingle set}."""
-
-    def __init__(self, shingle_ref, threshold: float):
-        import ray
-
-        self.shingles = ray.get(shingle_ref)
-        self.threshold = threshold
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        a = batch["a"].to_pylist()
-        b = batch["b"].to_pylist()
-        oa, ob, oj = [], [], []
-        for x, y in zip(a, b):
-            sa, sb = self.shingles.get(x), self.shingles.get(y)
-            if not sa or not sb:
-                continue
-            inter = len(sa & sb)
-            jac = inter / (len(sa) + len(sb) - inter)
-            if jac >= self.threshold:
-                oa.append(x)
-                ob.append(y)
-                oj.append(int(np.floor(jac * 10000 + 0.5)))
-        return pa.table(
-            {
-                "a": pa.array(oa, pa.int64()),
-                "b": pa.array(ob, pa.int64()),
-                "jaccard_x": pa.array(oj, pa.int64()),
-            }
-        )
-
-
 # ---------------------------------------------------------------- semi-join
 # Distributed Jaccard verification (no driver materialization, no
 # broadcast): mirror of the _MINHASH_SQL oracle's
