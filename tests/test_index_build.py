@@ -177,3 +177,35 @@ def test_cosine_norms_cogroup_path_identical(built, tiny_corpus, tmp_path, monke
         assert list(na["doc_id"]) == list(nb["doc_id"]), lang
         # summation order differs between the paths → allow ulp-level drift
         assert np.allclose(na["norm2"], nb["norm2"], rtol=1e-12, atol=0), lang
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_empty_corpus_build(tmp_path):
+    """A zero-row corpus must build to an empty (but valid) index and
+    queries against it must return no rows without crashing."""
+    import pyarrow as pa
+    import pyarrow.parquet as pqt
+    import ray.data
+
+    from document_retrieval_ray.pipelines.build_index import build_index
+    from document_retrieval_ray.pipelines.query import bm25_search
+
+    src = str(tmp_path / "empty.parquet")
+    pqt.write_table(
+        pa.table(
+            {
+                "url": pa.array([], pa.string()),
+                "text": pa.array([], pa.string()),
+                "lang": pa.array([], pa.string()),
+            }
+        ),
+        src,
+    )
+    idx = str(tmp_path / "empty_idx")
+    manifests = build_index(src, idx, cfg=IndexConfig(), with_cosine_norms=False)
+    assert manifests == {}
+    qds = ray.data.from_items(
+        [{"query_id": "q1", "query": "anything", "lang": "en"}]
+    )
+    res = bm25_search(qds, idx).to_pandas()
+    assert len(res) == 0
