@@ -100,7 +100,9 @@ def _input_fingerprint(input_path) -> str:
             rows += f.metadata.num_rows if f.metadata else 0
             try:
                 st = os.stat(f.path)
-                h.update(f"{f.path}:{st.st_size}:{int(st.st_mtime)}".encode())
+                # nanosecond mtime: a same-size rewrite within the same
+                # SECOND must still invalidate resume
+                h.update(f"{f.path}:{st.st_size}:{st.st_mtime_ns}".encode())
             except OSError:
                 h.update(f.path.encode())
         return f"{input_path}::rows={rows}::frag={h.hexdigest()[:16]}"

@@ -89,13 +89,18 @@ def build_global_df(shard_dirs, out_dir: str) -> None:
 
 class _GlobalView:
     """LangIndex wrapper scoring with GLOBAL (N, avgdl, df) while reading
-    the local shard's postings/doc-lengths/urls."""
+    the local shard's postings/doc-lengths/urls.
 
-    def __init__(self, idx: LangIndex, n_docs: int, avgdl: float, df_map: dict):
+    ``n_docs`` stays LOCAL (scorers size their dense score arrays from
+    it — a global value would make every query O(global corpus) in time
+    and memory); the global doc count enters only through ``idf``."""
+
+    def __init__(self, idx: LangIndex, global_n: int, avgdl: float, df_map: dict):
         self._idx = idx
-        self.n_docs = n_docs
-        self.avgdl = avgdl
-        self._df = df_map
+        self.n_docs = idx.n_docs          # LOCAL: dense-array sizing
+        self._global_n = global_n         # GLOBAL: idf only
+        self.avgdl = avgdl                # GLOBAL
+        self._df = df_map                 # GLOBAL per-term df
         self.dl = idx.dl
         self.norms = idx.norms
 
@@ -110,40 +115,54 @@ class _GlobalView:
         d = self._df.get(term)
         if d is None:
             return 0.0
-        return float(IDF_LAWS[law](float(self.n_docs), float(d)))
+        return float(IDF_LAWS[law](float(self._global_n), float(d)))
 
     def postings(self, term: str):
         return self._idx.postings(term)
 
 
 class ShardedBM25Scorer:
-    """map_batches stage over (query_id, query, lang, shard_id) rows:
-    per-shard top-k candidates with GLOBAL-stat scores. Caches
-    (shard, lang) views per actor; the global df dict per lang is a
-    broadcast ObjectRef (vocabulary-sized — the same object a single
-    index would hold)."""
+    """Group stage over (shard_id, qpart)-keyed query rows: per-shard
+    top-k candidates with GLOBAL-stat scores.
+
+    ROUTING: the pipeline groups rows by (shard_id, query-hash part)
+    before this stage, so one invocation only ever sees ONE shard, and —
+    because the sort-based shuffle delivers groups shard-major — an
+    actor's consecutive groups mostly share a shard. The per-actor view
+    cache is a tiny LRU (default 2 shard-langs), so no actor ever holds
+    more than a bounded number of shard indexes regardless of S. The
+    global df dict per lang is a broadcast ObjectRef (vocabulary-sized —
+    the same object a single index would hold)."""
+
+    MAX_CACHED_VIEWS = 2
 
     def __init__(self, shard_dirs, global_df_refs, stats, cfg: BM25Config,
                  tokenizer: TokenizerConfig, round_dp=4):
+        from collections import OrderedDict
+
         self.shard_dirs = list(shard_dirs)
         self.df_maps = {lang: ray.get(r) for lang, r in global_df_refs.items()}
         self.stats = stats  # {lang: (N, avgdl)}
         self.cfg = cfg
         self.tok = tokenizer
         self.round_dp = round_dp
-        self._cache: dict = {}
+        self._cache: "OrderedDict" = OrderedDict()
 
     def _view(self, shard_id: int, lang: str):
         key = (shard_id, lang)
-        if key not in self._cache:
-            try:
-                idx = LangIndex(self.shard_dirs[shard_id], lang)
-            except FileNotFoundError:
-                self._cache[key] = None
-                return None
+        if key in self._cache:
+            self._cache.move_to_end(key)
+            return self._cache[key]
+        try:
+            idx = LangIndex(self.shard_dirs[shard_id], lang)
             n, avgdl = self.stats[lang]
-            self._cache[key] = _GlobalView(idx, n, avgdl, self.df_maps[lang])
-        return self._cache[key]
+            view = _GlobalView(idx, n, avgdl, self.df_maps[lang])
+        except FileNotFoundError:
+            view = None
+        self._cache[key] = view
+        if len(self._cache) > self.MAX_CACHED_VIEWS:
+            self._cache.popitem(last=False)
+        return view
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..stages.score import _concat, _rows
@@ -224,7 +243,17 @@ def bm25_search_sharded(
         return out.append_column("shard_id", pa.array(sid, pa.int64()))
 
     fanned = queries.map_batches(fan_out, batch_format="pyarrow")
-    candidates = fanned.map_batches(
+    # ROUTE by shard: group rows on (shard_id, query-hash part) so each
+    # task/group touches exactly one shard (qpart bounds group size at
+    # scale); without this every actor would end up caching EVERY shard
+    def add_qpart(t: pa.Table) -> pa.Table:
+        t2 = add_kpart(t, num_parts=num_merge_parts, cols=("query_id",))
+        return t2.rename_columns(
+            ["qpart" if c == "kpart" else c for c in t2.column_names]
+        )
+
+    routed = fanned.map_batches(add_qpart, batch_format="pyarrow")
+    candidates = routed.groupby(["shard_id", "qpart"]).map_groups(
         ShardedBM25Scorer,
         fn_constructor_kwargs=dict(
             shard_dirs=shard_dirs, global_df_refs=global_df_refs,

@@ -1373,7 +1373,10 @@ SELECT a, b FROM ham WHERE hd <= 3
 """
 
 _PLANE_VALUES = ", ".join(
-    f"({i + 1}, {p}, {LSH_PLANES[i, p]!r})"
+    # repr(float(...)): plain-Python float repr round-trips exactly AND
+    # stays valid SQL under numpy>=2 (np scalar repr became
+    # 'np.float64(…)' per NEP 51)
+    f"({i + 1}, {p}, {float(LSH_PLANES[i, p])!r})"
     for i in range(EMB_DIM)
     for p in range(LSH_NUM_PLANES)
 )

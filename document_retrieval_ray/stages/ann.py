@@ -141,13 +141,13 @@ def final_topk(group: pd.DataFrame, k: int = 10, round_dp: int = 4) -> pd.DataFr
 
 def svd_partial_moments(batch: pa.Table, vec_col: str = "embedding") -> pa.Table:
     """Per-batch partial second moments for the distributed SVD fit:
-    (n, Σx, flat XᵀX). One row per batch → the driver reduction handles a
-    dim×dim matrix regardless of corpus size (the tall-skinny pattern)."""
+    (n, flat XᵀX). One row per batch → the driver reduction handles a
+    dim×dim matrix regardless of corpus size (the tall-skinny pattern).
+    TruncatedSVD semantics (no centering), so no Σx is needed."""
     mat = _stack(batch[vec_col])
     return pa.table(
         {
             "n": pa.array([len(mat)], pa.int64()),
-            "s": pa.array([mat.sum(axis=0).tolist()], pa.list_(pa.float64())),
             "xtx": pa.array([(mat.T @ mat).ravel().tolist()], pa.list_(pa.float64())),
         }
     )
@@ -255,25 +255,20 @@ def emit_tile_rows(batch: pa.Table, num_blocks: int = 8,
     with an exchange of num_blocks × input — no driver materialization,
     no O(N²) task."""
     ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-    vecs = batch[vec_col]
+    n = len(ids)
     blk = ids % num_blocks
-    out_ti, out_tj, out_id, out_vec = [], [], [], []
-    vec_list = vecs.to_pylist()
-    for i in range(len(ids)):
-        bi = int(blk[i])
-        for bj in range(num_blocks):
-            ti, tj = (bi, bj) if bi <= bj else (bj, bi)
-            out_ti.append(ti)
-            out_tj.append(tj)
-            out_id.append(int(ids[i]))
-            out_vec.append(vec_list[i])
-    return pa.table(
-        {
-            "ti": pa.array(out_ti, pa.int64()),
-            "tj": pa.array(out_tj, pa.int64()),
-            "vec_id": pa.array(out_id, pa.int64()),
-            "embedding": pa.array(out_vec, pa.list_(pa.float64())),
-        }
+    # vectorized replication: row i appears num_blocks times; its tile is
+    # (min(blk_i, j), max(blk_i, j)) for j in 0..num_blocks-1
+    rep = np.repeat(np.arange(n, dtype=np.int64), num_blocks)
+    other = np.tile(np.arange(num_blocks, dtype=np.int64), n)
+    mine = blk[rep]
+    ti = np.minimum(mine, other)
+    tj = np.maximum(mine, other)
+    out = batch.select([id_col, vec_col]).take(pa.array(rep))
+    out = out.append_column("ti", pa.array(ti, pa.int64()))
+    out = out.append_column("tj", pa.array(tj, pa.int64()))
+    return out.select(["ti", "tj", id_col, vec_col]).rename_columns(
+        ["ti", "tj", "vec_id", "embedding"]
     )
 
 

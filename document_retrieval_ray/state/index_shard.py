@@ -187,8 +187,15 @@ class LangIndex:
     parquet) or from a shared payload (``from_payload`` — zero-copy
     views over plasma buffers)."""
 
-    def __init__(self, index_dir: str, lang: str, block_size: int = None):
-        self._init_from_payload(build_shared_payload(index_dir, lang, block_size))
+    def __init__(self, index_dir: str, lang: str, block_size: int = None,
+                 hot_decode_df: int = 50_000):
+        # hot_decode_df: eager pre-decode threshold for the Zipf head
+        # (0 disables — per-actor disk loads that never touch head terms
+        # can skip the decode cost and the ~5-8× RAM of decoded arrays)
+        self._init_from_payload(
+            build_shared_payload(index_dir, lang, block_size,
+                                 hot_decode_df=hot_decode_df)
+        )
 
     @classmethod
     def from_payload(cls, payload: dict) -> "LangIndex":
