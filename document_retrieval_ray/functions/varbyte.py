@@ -125,6 +125,11 @@ def encode_blocked_postings(doc_ids: np.ndarray, tfs: np.ndarray, block_size: in
     tfs = np.asarray(tfs, dtype=np.uint64)
     if doc_ids.size != tfs.size:
         raise ValueError("doc_ids and tfs must have equal length")
+    if doc_ids.size > 1 and (np.diff(doc_ids.astype(np.int64)) <= 0).any():
+        # a violated merge invariant (overlapping/duplicated segments)
+        # must fail loudly — a wrapped uint64 gap would encode fine and
+        # decode to garbage doc ids
+        raise ValueError("doc_ids must be strictly ascending")
     chunks, offsets = [], []
     pos = 0
     prev_last = np.uint64(0)

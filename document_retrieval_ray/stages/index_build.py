@@ -131,25 +131,10 @@ class AssignDocIds:
         change = term[1:] != term[:-1]
         starts = np.concatenate([[0], np.flatnonzero(change) + 1])
         ends = np.concatenate([starts[1:], [n]])
-        cols = {k: [] for k in (
-            "lang", "term", "salt", "df", "cf", "min_doc", "postings",
-            "block_off", "block_last", "block_max_tf", "block_min_dl",
-        )}
+        cols = {f.name: [] for f in _ENCODED_SCHEMA}
         for s, e in zip(starts, ends):
-            d, t, l = doc_id[s:e], tf[s:e], dl[s:e]
-            buf, block_off = encode_blocked_postings(d, t, self.block_size)
-            last, max_tf, min_dl = _block_meta(d, t, l, self.block_size)
-            cols["lang"].append(lang)
-            cols["term"].append(term[s])
-            cols["salt"].append(part)
-            cols["df"].append(e - s)
-            cols["cf"].append(int(t.sum()))
-            cols["min_doc"].append(int(d[0]))
-            cols["postings"].append(buf)
-            cols["block_off"].append(block_off)
-            cols["block_last"].append(last)
-            cols["block_max_tf"].append(max_tf)
-            cols["block_min_dl"].append(min_dl)
+            _append_segment_row(cols, lang, term[s], part, doc_id[s:e],
+                                tf[s:e], dl[s:e], self.block_size)
         return pa.table(
             {f.name: pa.array(cols[f.name], f.type) for f in _ENCODED_SCHEMA},
             schema=_ENCODED_SCHEMA,
@@ -166,7 +151,10 @@ class AssignDocIds:
             }
         )
         final = os.path.join(out_dir, f"part-{part:05d}.parquet")
-        fd, tmp = tempfile.mkstemp(dir=out_dir, suffix=".tmp")
+        # dot-prefix: pyarrow dataset reads ignore '.'-prefixed files, so
+        # a temp orphaned by a hard-killed task can't poison later
+        # directory reads of docmap/
+        fd, tmp = tempfile.mkstemp(dir=out_dir, prefix=".tmp-")
         os.close(fd)
         try:
             pq.write_table(table, tmp)
@@ -189,7 +177,7 @@ class AssignDocIds:
             "sum_dl": int(np.sum(group["dl"].to_numpy(zero_copy_only=False))),
         }
         sfinal = os.path.join(stats_dir, f"part-{part:05d}.json")
-        fd, tmp = tempfile.mkstemp(dir=stats_dir, suffix=".tmp")
+        fd, tmp = tempfile.mkstemp(dir=stats_dir, prefix=".tmp-")
         try:
             with os.fdopen(fd, "w") as f:
                 json.dump(stats, f)
@@ -285,6 +273,26 @@ def add_salt_and_kpart(
     return out.append_column("kpart", pa.array(np.abs(h) % num_parts, pa.int64()))
 
 
+def _append_segment_row(cols: dict, lang, term, salt, d, t, dl,
+                        block_size: int) -> None:
+    """Encode one (lang, term, salt) posting segment and append its
+    _ENCODED_SCHEMA row to ``cols`` — the single emit path shared by the
+    assign/encode/merge stages."""
+    buf, block_off = encode_blocked_postings(d, t, block_size)
+    last, max_tf, min_dl = _block_meta(d, t, dl, block_size)
+    cols["lang"].append(lang)
+    cols["term"].append(term)
+    cols["salt"].append(int(salt))
+    cols["df"].append(len(d))
+    cols["cf"].append(int(t.sum()))
+    cols["min_doc"].append(int(d[0]))
+    cols["postings"].append(buf)
+    cols["block_off"].append(block_off)
+    cols["block_last"].append(last)
+    cols["block_max_tf"].append(max_tf)
+    cols["block_min_dl"].append(min_dl)
+
+
 _ENCODED_SCHEMA = pa.schema(
     [
         ("lang", pa.string()),
@@ -321,28 +329,44 @@ def add_kpart(batch: pa.Table, num_parts: int, cols) -> pa.Table:
     )
 
 
+# per-worker vocabulary-index cache for vocab_encode_triples: building the
+# vmap and hashing the vocab side cost O(|vocab|) — paying it once per
+# WORKER instead of once per BATCH matters at multi-million-term vocabs
+_VMAP_CACHE: dict = {}
+
+
+def _vmap_for(vocab_ref):
+    import ray
+
+    key = vocab_ref.hex() if hasattr(vocab_ref, "hex") else id(vocab_ref)
+    hit = _VMAP_CACHE.get(key)
+    if hit is None:
+        lang_arr, term_arr = ray.get(vocab_ref)  # object ndarrays, index = vid
+        hit = pd.MultiIndex.from_arrays([lang_arr, term_arr])
+        _VMAP_CACHE.clear()  # one live vocabulary per build per worker
+        _VMAP_CACHE[key] = hit
+    return hit
+
+
 def vocab_encode_triples(
     batch: pa.Table, vocab_ref, hot_vids_ref, salt_shift: int, num_parts: int
 ) -> pa.Table:
-    """Dictionary-encode (lang, term) → int32 ``vid`` using the broadcast
-    driver vocabulary, add salt + kpart — the encode shuffle then moves
-    and sorts ONLY numeric columns (string sort/hash over the full triple
-    stream dominated the encode pass). Plain task."""
+    """Dictionary-encode (lang, term) → int ``vid`` using the broadcast
+    driver vocabulary (indexed ONCE per worker, cached), add salt +
+    kpart — the encode shuffle then moves and sorts ONLY numeric columns
+    (string sort/hash over the full triple stream dominated the encode
+    pass). Plain task."""
     import ray
 
-    lang_arr, term_arr = ray.get(vocab_ref)  # object ndarrays, index = vid
     hot_vids = ray.get(hot_vids_ref) if hot_vids_ref is not None else None
-    pdf = pd.DataFrame(
-        {
-            "lang": np.asarray(batch["lang"].to_pandas(), dtype=object),
-            "term": np.asarray(batch["term"].to_pandas(), dtype=object),
-        }
+    vindex = _vmap_for(vocab_ref)
+    keys = pd.MultiIndex.from_arrays(
+        [
+            np.asarray(batch["lang"].to_pandas(), dtype=object),
+            np.asarray(batch["term"].to_pandas(), dtype=object),
+        ]
     )
-    vmap = pd.DataFrame(
-        {"lang": lang_arr, "term": term_arr,
-         "vid": np.arange(len(lang_arr), dtype=np.int64)}
-    )
-    vid = pdf.merge(vmap, on=["lang", "term"], how="left")["vid"].to_numpy()
+    vid = vindex.get_indexer(keys).astype(np.int64)  # -1 = missing
     doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
     salt = np.zeros(len(vid), dtype=np.int64)
     if hot_vids is not None and len(hot_vids):
@@ -386,26 +410,11 @@ def encode_partition_ids(group: pa.Table, block_size: int, vocab_ref) -> pa.Tabl
     change = (vid[1:] != vid[:-1]) | (salt[1:] != salt[:-1])
     starts = np.concatenate([[0], np.flatnonzero(change) + 1])
     ends = np.concatenate([starts[1:], [n]])
-    cols = {k: [] for k in (
-        "lang", "term", "salt", "df", "cf", "min_doc", "postings",
-        "block_off", "block_last", "block_max_tf", "block_min_dl",
-    )}
+    cols = {f.name: [] for f in _ENCODED_SCHEMA}
     for s, e in zip(starts, ends):
-        d, t, l = doc_id[s:e], tf[s:e], dl[s:e]
-        buf, block_off = encode_blocked_postings(d, t, block_size)
-        last, max_tf, min_dl = _block_meta(d, t, l, block_size)
         v = int(vid[s])
-        cols["lang"].append(lang_arr[v])
-        cols["term"].append(term_arr[v])
-        cols["salt"].append(int(salt[s]))
-        cols["df"].append(e - s)
-        cols["cf"].append(int(t.sum()))
-        cols["min_doc"].append(int(d[0]))
-        cols["postings"].append(buf)
-        cols["block_off"].append(block_off)
-        cols["block_last"].append(last)
-        cols["block_max_tf"].append(max_tf)
-        cols["block_min_dl"].append(min_dl)
+        _append_segment_row(cols, lang_arr[v], term_arr[v], salt[s],
+                            doc_id[s:e], tf[s:e], dl[s:e], block_size)
     return pa.table(
         {f.name: pa.array(cols[f.name], f.type) for f in _ENCODED_SCHEMA},
         schema=_ENCODED_SCHEMA,
@@ -433,25 +442,10 @@ def encode_partition(group: pa.Table, block_size: int = 128) -> pa.Table:
     )
     starts = np.concatenate([[0], np.flatnonzero(change) + 1])
     ends = np.concatenate([starts[1:], [n]])
-    cols = {k: [] for k in (
-        "lang", "term", "salt", "df", "cf", "min_doc", "postings",
-        "block_off", "block_last", "block_max_tf", "block_min_dl",
-    )}
+    cols = {f.name: [] for f in _ENCODED_SCHEMA}
     for s, e in zip(starts, ends):
-        d, t, l = doc_id[s:e], tf[s:e], dl[s:e]
-        buf, block_off = encode_blocked_postings(d, t, block_size)
-        last, max_tf, min_dl = _block_meta(d, t, l, block_size)
-        cols["lang"].append(lang[s])
-        cols["term"].append(term[s])
-        cols["salt"].append(int(salt[s]))
-        cols["df"].append(e - s)
-        cols["cf"].append(int(t.sum()))
-        cols["min_doc"].append(int(d[0]))
-        cols["postings"].append(buf)
-        cols["block_off"].append(block_off)
-        cols["block_last"].append(last)
-        cols["block_max_tf"].append(max_tf)
-        cols["block_min_dl"].append(min_dl)
+        _append_segment_row(cols, lang[s], term[s], salt[s], doc_id[s:e],
+                            tf[s:e], dl[s:e], block_size)
     return pa.table(
         {f.name: pa.array(cols[f.name], f.type) for f in _ENCODED_SCHEMA},
         schema=_ENCODED_SCHEMA,
@@ -464,9 +458,7 @@ def _row_dl_lower(row) -> np.ndarray:
     merge rounds carry that flattening as run-length ``dl_runs``
     ([len, min, len, min, …]), so expanding runs reproduces the flat
     semantics exactly (byte-identical hierarchical merges)."""
-    runs = row.get("dl_runs") if hasattr(row, "get") else (
-        row["dl_runs"] if "dl_runs" in row.index else None
-    )
+    runs = row.get("dl_runs")
     if runs is not None and len(runs) > 0:
         r = np.asarray(runs, dtype=np.int64).reshape(-1, 2)
         return np.repeat(r[:, 1], r[:, 0])
@@ -476,7 +468,7 @@ def _row_dl_lower(row) -> np.ndarray:
 
 def _row_dl_runs(row) -> list:
     """This row's dl-run pairs (for carrying through merge rounds)."""
-    runs = row["dl_runs"] if "dl_runs" in row.index else None
+    runs = row.get("dl_runs")
     if runs is not None and len(runs) > 0:
         return list(np.asarray(runs, dtype=np.int64))
     return [int(row["df"]), int(np.min(row["block_min_dl"]))]
@@ -626,38 +618,28 @@ class IntermediateMerge:
         starts = np.concatenate([[0], np.flatnonzero(change) + 1])
         ends = np.concatenate([starts[1:], [n]])
         cols = {f.name: [] for f in _INTERMEDIATE_SCHEMA}
-
-        def _emit(lang_v, term_v, salt_v, d, t, runs, buf, block_off,
-                  last, max_tf, min_dl):
-            cols["lang"].append(lang_v)
-            cols["term"].append(term_v)
-            cols["salt"].append(int(salt_v))
-            cols["df"].append(len(d))
-            cols["cf"].append(int(t.sum()))
-            cols["min_doc"].append(int(d[0]) if len(d) else 0)
-            cols["postings"].append(buf)
-            cols["block_off"].append(block_off)
-            cols["block_last"].append(last)
-            cols["block_max_tf"].append(max_tf)
-            cols["block_min_dl"].append(min_dl)
-            cols["dl_runs"].append(runs)
-
         for s, e in zip(starts, ends):
             if e - s == 1:
+                # passthrough: never re-encode a lone segment (keeps cold
+                # terms byte-identical to the flat path)
                 row = pdf.iloc[s]
                 runs = row["dl_runs"]
-                _emit(
-                    lang[s], term[s], gsalt[s],
-                    np.empty(0), np.empty(0),  # placeholders; fixed below
-                    list(np.asarray(runs, np.int64)) if runs is not None and len(runs) else [],
-                    row["postings"], list(row["block_off"]),
-                    list(row["block_last"]), list(row["block_max_tf"]),
-                    list(row["block_min_dl"]),
+                cols["lang"].append(lang[s])
+                cols["term"].append(term[s])
+                cols["salt"].append(int(gsalt[s]))
+                cols["df"].append(int(row["df"]))
+                cols["cf"].append(int(row["cf"]))
+                cols["min_doc"].append(int(row["min_doc"]))
+                cols["postings"].append(row["postings"])
+                cols["block_off"].append(list(row["block_off"]))
+                cols["block_last"].append(list(row["block_last"]))
+                cols["block_max_tf"].append(list(row["block_max_tf"]))
+                cols["block_min_dl"].append(list(row["block_min_dl"]))
+                cols["dl_runs"].append(
+                    list(np.asarray(runs, np.int64))
+                    if runs is not None and len(runs)
+                    else []
                 )
-                # passthrough keeps original df/cf/min_doc
-                cols["df"][-1] = int(row["df"])
-                cols["cf"][-1] = int(row["cf"])
-                cols["min_doc"][-1] = int(row["min_doc"])
                 continue
             docs, tfs, runs = [], [], []
             for i in range(s, e):
@@ -673,10 +655,9 @@ class IntermediateMerge:
             t = np.concatenate(tfs)
             r = np.asarray(runs, dtype=np.int64).reshape(-1, 2)
             dl = np.repeat(r[:, 1], r[:, 0])
-            buf, block_off = encode_blocked_postings(d, t, self.block_size)
-            last, max_tf, min_dl = _block_meta(d, t, dl, self.block_size)
-            _emit(lang[s], term[s], gsalt[s], d, t, runs, buf, block_off,
-                  last, max_tf, min_dl)
+            _append_segment_row(cols, lang[s], term[s], gsalt[s], d, t, dl,
+                                self.block_size)
+            cols["dl_runs"].append(runs)
         return pa.table(
             {f.name: pa.array(cols[f.name], f.type) for f in _INTERMEDIATE_SCHEMA},
             schema=_INTERMEDIATE_SCHEMA,

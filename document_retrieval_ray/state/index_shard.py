@@ -17,11 +17,14 @@ Scoring kernels:
       correct ``b*(dl/avgdl)`` (team_run1.py:193)
   Terms are accumulated in sorted order so distributed and oracle runs
   sum in the same float64 order (SURVEY.md §7 known-hard #1).
-- ``score_query_wand``  document-at-a-time block-max WAND over the
-  block-structured posting streams: per-term upper bounds from
-  (block_max_tf, block_min_dl) — valid for BOTH formulas since the score
-  is increasing in tf and decreasing in dl; blocks whose bound can't beat
-  the running top-k threshold are skipped without decoding.
+- ``score_query_wand``  document-at-a-time WAND over the
+  block-structured posting streams: per-term upper bounds are the max of
+  the per-block (block_max_tf, block_min_dl) bounds — valid for BOTH
+  formulas since the score is increasing in tf and decreasing in dl.
+  Skipping is BLOCK-LEVEL via block_last (``skip_to`` jumps whole blocks
+  without decoding them); per-block score bounds are used for the term
+  upper bound and by MaxScore, not (yet) for per-block WAND pivoting
+  (full BMW is a possible refinement).
 - ``score_cosine_taat``  TF-IDF cosine path (C5,
   cosine_similarity_bm25_reranking.py:198-226): query weight = idf (tf
   ignored), doc weight = tf*idf, scores normalized by stored doc norms and
@@ -436,14 +439,16 @@ def score_bm25_maxscore(idx: LangIndex, tokens, cfg: BM25Config, k: int = 10,
     hot_ub = 0.0
     for term, w in hot:
         i, nb = idx.term_blocks(term)
-        mt = idx._blocks(i, "max_tf")
-        md = idx._blocks(i, "min_dl")
+        mt = idx._blocks(i, "max_tf").astype(np.float64)
+        md = idx._blocks(i, "min_dl").astype(np.float64)
         idf = idx.idf(term, cfg.idf)
-        ub = max(
-            (w * idf) * _bm25_contrib(float(mt[b]), float(md[b]), cfg, idx.avgdl)
-            for b in range(nb)
-        )
-        hot_ub += ub
+        ub = float(((w * idf) * _bm25_contrib(mt, md, cfg, idx.avgdl)).max())
+        # clamp at 0: a doc OUTSIDE the candidate set may simply not
+        # contain a negative-idf hot term (cosine law), so its best case
+        # is the sum of only the POSITIVE hot-term bounds — summing a
+        # negative ub here would understate the outside-docs bound and
+        # let the 'safe' check skip the exact fallback incorrectly
+        hot_ub += max(ub, 0.0)
         doc_ids, tfs = idx.postings(term)
         pos = np.searchsorted(doc_ids, cand)
         pos = np.clip(pos, 0, len(doc_ids) - 1)
@@ -488,15 +493,17 @@ class _RevStr:
 
 def score_query_wand(idx: LangIndex, tokens, cfg: BM25Config, k: int = 10,
                      round_dp=4):
-    """Block-max WAND top-k → list of (score, doc_id), best-first.
+    """WAND top-k → list of (score, doc_id), best-first.
 
     Exact w.r.t. TAAT + ``topk_with_ties`` for the same cfg (tested):
     candidates are admitted to the bounded heap on the SAME composite key
     (fixed-point-rounded score desc, url asc), so rounded-score ties
     crossing the k boundary resolve identically to the dense path; terms
     with negative idf (possible under the 'cosine' law) contribute via
-    per-pivot binary search instead of being dropped. Blocks whose upper
-    bound cannot reach the kth rounded key are skipped without decoding.
+    per-pivot binary search instead of being dropped. Pivot skips jump
+    whole undecoded blocks via block_last; per-block score bounds feed
+    the term upper bound (full per-block BMW pivoting is a possible
+    refinement).
     """
     if idx.avgdl <= 0:
         return []
@@ -609,8 +616,12 @@ class _Cursor:
 
     def open_block(self, b: int, cfg: BM25Config):
         if self.block < 0:
-            self.term_ub = max(
-                self._block_bound(i, cfg) for i in range(self.n_blocks)
+            # vectorized over all blocks (a df≈10⁶ term has ~8k blocks —
+            # a Python generator here cost ~8k iterations per query)
+            mt = self.idx._blocks(self.row, "max_tf").astype(np.float64)
+            md = self.idx._blocks(self.row, "min_dl").astype(np.float64)
+            self.term_ub = float(
+                (self.weight_idf * _bm25_contrib(mt, md, cfg, self.idx.avgdl)).max()
             )
         if b >= self.n_blocks:
             self.current_doc = None

@@ -233,10 +233,20 @@ def test_two_stage_rerank_pipeline(built, tiny_corpus):
     assert checked > 0
 
 
-def test_maxscore_matches_taat(built):
+@pytest.mark.parametrize(
+    "cfg",
+    [
+        CFG_STD,
+        # cosine idf law: df > N/2 terms get NEGATIVE idf — the
+        # outside-docs bound must clamp those terms' contributions at 0
+        BM25Config(k1=1.2, b=0.75, idf="cosine", compat="standard"),
+    ],
+    ids=["lucene", "cosine-idf"],
+)
+def test_maxscore_matches_taat(built, cfg):
     """MaxScore accelerated top-k must equal TAAT exactly — forced through
     BOTH the candidate-restricted fast path and the all-hot fallback by a
-    tiny hot_df threshold."""
+    tiny hot_df threshold, under both idf sign regimes."""
     from document_retrieval_ray.state.index_shard import score_bm25_maxscore
 
     index_dir, oracle, queries, mode = built
@@ -247,16 +257,16 @@ def test_maxscore_matches_taat(built):
             tokens = tokenize(q["query"], lang, mode)
             if not tokens:
                 continue
-            taat = score_bm25_taat(idx, tokens, CFG_STD)
+            taat = score_bm25_taat(idx, tokens, cfg)
             r_t = topk_with_ties(taat, idx.urls, 10, 4)
             exp = [(int(r), idx.urls[i], int(k)) for r, i, k in zip(*r_t)]
             ss, cand = score_bm25_maxscore(
-                idx, tokens, CFG_STD, 10, hot_df=hot_df, round_dp=4
+                idx, tokens, cfg, 10, hot_df=hot_df, round_dp=4
             )
             if cand.size == 0:
-                assert exp == [], (q["query_id"], hot_df)
+                assert exp == [], (q["query_id"], hot_df, cfg.idf)
                 continue
             su = idx.urls[cand]
             r_m = topk_with_ties(ss, su, 10, 4)
             got = [(int(r), su[i], int(k)) for r, i, k in zip(*r_m)]
-            assert got == exp, (q["query_id"], hot_df)
+            assert got == exp, (q["query_id"], hot_df, cfg.idf)
