@@ -613,6 +613,16 @@ def q_minhash_pairs(sf_dir: str):
     )
 
 
+def q_neardup_components(sf_dir: str):
+    """Near-dup CLUSTERS (the step after pair finding that a dedup
+    pipeline actually applies): connected components of the verified
+    minhash pair graph via distributed min-label propagation; rep = min
+    doc_id of the component."""
+    from ..stages.dedup import label_prop_components
+
+    return label_prop_components(q_minhash_pairs(sf_dir))
+
+
 def q_simhash_pairs(sf_dir: str):
     """SimHash near-dup pairs (Hamming <= 3) as a distributed LSH-band
     plan: 4 chunk-keyed band rows per doc (signature travels with the
@@ -1251,6 +1261,7 @@ QUERIES = {
     "quality_filter": q_quality_filter,
     "fingerprint": q_fingerprint,
     "minhash_pairs": q_minhash_pairs,
+    "neardup_components": q_neardup_components,
     "simhash_pairs": q_simhash_pairs,
     "embed_neardup": q_embed_neardup,
     "embed_neardup_lsh": q_embed_neardup_lsh,
@@ -1639,6 +1650,19 @@ JOIN (SELECT min(doc_id) AS k FROM documents GROUP BY md5(text)) s
     "fingerprint": f"WITH {_TOKS_CTE} SELECT doc_id, "
                    f"md5(array_to_string(l, ' ')) AS fp, len(l) AS n_tokens FROM toks",
     "minhash_pairs": _MINHASH_SQL,
+    "neardup_components": f"""
+WITH RECURSIVE
+pairs AS (SELECT a, b FROM ({_MINHASH_SQL}) mh),
+edges AS (SELECT a AS src, b AS dst FROM pairs
+          UNION ALL SELECT b, a FROM pairs),
+nodes AS (SELECT DISTINCT src AS n FROM edges),
+walk(n, lbl) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.n
+)
+SELECT n AS doc_id, min(lbl) AS rep FROM walk GROUP BY n
+""",
     "simhash_pairs": _SIMHASH_SQL,
     "embed_neardup": _NEARDUP_SQL,
     "embed_neardup_lsh": _NEARDUP_LSH_SQL,

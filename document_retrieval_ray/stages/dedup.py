@@ -287,6 +287,117 @@ def simhash_pairs_partition(group: pd.DataFrame, max_hamming: int = 3,
     return pd.concat(parts, ignore_index=True).drop_duplicates(["a", "b"])
 
 
+# ------------------------------------------------------- connected components
+# Near-dup CLUSTERS from the verified pair graph: distributed min-label
+# propagation (each round: spread every node's label along its edges,
+# take the min per node). Labels only decrease, so equal label-sums
+# between rounds ⟺ converged — a cheap aggregate, no driver graph.
+
+
+def edges_both_ways(batch: pa.Table) -> pa.Table:
+    a = batch["a"].to_numpy(zero_copy_only=False)
+    b = batch["b"].to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "src": pa.array(np.concatenate([a, b]), pa.int64()),
+            "dst": pa.array(np.concatenate([b, a]), pa.int64()),
+        }
+    )
+
+
+def spread_labels_partition(group: pd.DataFrame) -> pd.DataFrame:
+    """Partition of the src-keyed cogroup (label rows have dst = -1):
+    emit (node=dst, lbl) along every edge plus (node=src, lbl) itself."""
+    g = _drop_kpart(group)
+    is_lbl = g["dst"].to_numpy() < 0
+    lbl = g[is_lbl][["src", "lbl"]]
+    edg = g[~is_lbl][["src", "dst"]]
+    out = [lbl.rename(columns={"src": "node"})[["node", "lbl"]]]
+    if len(edg) and len(lbl):
+        m = edg.merge(lbl, on="src", how="inner")
+        out.append(m.rename(columns={"dst": "node"})[["node", "lbl"]])
+    res = pd.concat(out, ignore_index=True)
+    return res.astype({"node": "int64", "lbl": "int64"})
+
+
+def label_prop_components(pairs_ds, max_rounds: int = 64,
+                          num_parts: int = 64):
+    """(a, b) pair Dataset → (doc_id, rep) where rep is the min doc_id of
+    the connected component. Rounds are two pair-sized shuffles each;
+    converges in component-diameter rounds (near-dup clusters are
+    shallow)."""
+    import ray.data
+
+    from .index_build import add_kpart
+
+    edges = pairs_ds.map_batches(edges_both_ways, batch_format="pyarrow")
+
+    def init_labels(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": t["src"],
+                "dst": pa.array(np.full(t.num_rows, -1, np.int64), pa.int64()),
+                "lbl": t["src"],
+            }
+        )
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": t["src"],
+                "dst": t["dst"],
+                "lbl": pa.array(np.full(t.num_rows, -1, np.int64), pa.int64()),
+            }
+        )
+
+    labels = (
+        edges.map_batches(init_labels, batch_format="pyarrow")
+        .groupby("src")
+        .min("lbl")
+        .map_batches(
+            lambda t: t.rename_columns(["src", "lbl"]), batch_format="pyarrow"
+        )
+        .materialize()
+    )
+    e_rows = edges.map_batches(edge_rows, batch_format="pyarrow").materialize()
+    prev_sum = None
+    for _ in range(max_rounds):
+        lab_rows = labels.map_batches(
+            lambda t: pa.table(
+                {
+                    "src": t["src"],
+                    "dst": pa.array(np.full(t.num_rows, -1, np.int64), pa.int64()),
+                    "lbl": t["lbl"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        msgs = (
+            e_rows.union(lab_rows)
+            .map_batches(
+                add_kpart, fn_kwargs={"num_parts": num_parts, "cols": ("src",)},
+                batch_format="pyarrow",
+            )
+            .groupby("kpart")
+            .map_groups(spread_labels_partition, batch_format="pandas")
+        )
+        labels = (
+            msgs.groupby("node")
+            .min("lbl")
+            .map_batches(
+                lambda t: t.rename_columns(["src", "lbl"]), batch_format="pyarrow"
+            )
+            .materialize()
+        )
+        cur_sum = labels.sum("lbl")
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.map_batches(
+        lambda t: t.rename_columns(["doc_id", "rep"]), batch_format="pyarrow"
+    )
+
+
 def add_simhash(batch: pa.Table, text_col: str = "text") -> pa.Table:
     texts = batch[text_col].to_pylist()
     sh = [simhash64(tokenize_simple(t or "")) for t in texts]

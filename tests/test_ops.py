@@ -252,6 +252,28 @@ class TestAnn:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestComponents:
+    def test_label_prop_chain_graph(self):
+        """A diameter-4 chain forces multiple propagation rounds; a
+        disjoint pair must keep its own representative."""
+        import ray.data
+
+        from document_retrieval_ray.stages.dedup import label_prop_components
+
+        pairs = ray.data.from_arrow(
+            pa.table(
+                {
+                    "a": pa.array([1, 2, 3, 4, 10], pa.int64()),
+                    "b": pa.array([2, 3, 4, 5, 11], pa.int64()),
+                }
+            )
+        ).repartition(3)
+        out = label_prop_components(pairs).to_pandas()
+        got = dict(zip(out["doc_id"], out["rep"]))
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestSvdReduction:
     def _emb_table(self, mat, ids=None):
         n = len(mat)
