@@ -141,12 +141,20 @@ class ShardedBM25Scorer:
         from collections import OrderedDict
 
         self.shard_dirs = list(shard_dirs)
-        self.df_maps = {lang: ray.get(r) for lang, r in global_df_refs.items()}
+        self._df_refs = dict(global_df_refs)
+        self._df_maps: dict = {}  # lazily fetched per lang actually served
         self.stats = stats  # {lang: (N, avgdl)}
         self.cfg = cfg
         self.tok = tokenizer
         self.round_dp = round_dp
         self._cache: "OrderedDict" = OrderedDict()
+
+    def _df_map(self, lang: str):
+        # lazy: an actor only deserializes the vocab dicts of the langs
+        # its groups actually score
+        if lang not in self._df_maps:
+            self._df_maps[lang] = ray.get(self._df_refs[lang])
+        return self._df_maps[lang]
 
     def _view(self, shard_id: int, lang: str):
         key = (shard_id, lang)
@@ -156,7 +164,7 @@ class ShardedBM25Scorer:
         try:
             idx = LangIndex(self.shard_dirs[shard_id], lang)
             n, avgdl = self.stats[lang]
-            view = _GlobalView(idx, n, avgdl, self.df_maps[lang])
+            view = _GlobalView(idx, n, avgdl, self._df_map(lang))
         except FileNotFoundError:
             view = None
         self._cache[key] = view
@@ -165,16 +173,23 @@ class ShardedBM25Scorer:
         return view
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
         from ..stages.score import _concat, _rows
         from ..state.index_shard import score_bm25_taat
 
+        qids = batch["query_id"].to_pylist()
+        qs = batch["query"].to_pylist()
+        langs = batch["lang"].to_pylist()
+        sids = batch["shard_id"].to_pylist()
+        # process rows grouped by (shard, lang): arbitrary interleaving
+        # would thrash the tiny view LRU with one reload per transition
+        order = np.lexsort(
+            (np.asarray(langs, dtype=object), np.asarray(sids, dtype=np.int64))
+        )
         parts = []
-        for qid, q, lang, sid in zip(
-            batch["query_id"].to_pylist(),
-            batch["query"].to_pylist(),
-            batch["lang"].to_pylist(),
-            batch["shard_id"].to_pylist(),
-        ):
+        for i in order:
+            qid, q, lang, sid = qids[i], qs[i], langs[i], sids[i]
             view = self._view(int(sid), lang)
             if view is None:
                 continue

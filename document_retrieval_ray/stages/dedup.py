@@ -297,6 +297,10 @@ def simhash_pairs_partition(group: pd.DataFrame, max_hamming: int = 3,
 def edges_both_ways(batch: pa.Table) -> pa.Table:
     a = batch["a"].to_numpy(zero_copy_only=False)
     b = batch["b"].to_numpy(zero_copy_only=False)
+    if len(a) and (a.min() < 0 or b.min() < 0):
+        # dst = -1 marks label rows downstream; negative node ids would be
+        # misclassified and corrupt every touched component
+        raise ValueError("label propagation requires non-negative node ids")
     return pa.table(
         {
             "src": pa.array(np.concatenate([a, b]), pa.int64()),
@@ -325,33 +329,29 @@ def label_prop_components(pairs_ds, max_rounds: int = 64,
     """(a, b) pair Dataset → (doc_id, rep) where rep is the min doc_id of
     the connected component. Rounds are two pair-sized shuffles each;
     converges in component-diameter rounds (near-dup clusters are
-    shallow)."""
+    shallow). Raises if ``max_rounds`` is exhausted before convergence —
+    silently split components would disagree with the transitive-closure
+    oracle. Node ids must be non-negative (checked)."""
     import ray.data
 
     from .index_build import add_kpart
 
-    edges = pairs_ds.map_batches(edges_both_ways, batch_format="pyarrow")
-
-    def init_labels(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "src": t["src"],
-                "dst": pa.array(np.full(t.num_rows, -1, np.int64), pa.int64()),
-                "lbl": t["src"],
-            }
-        )
-
-    def edge_rows(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "src": t["src"],
-                "dst": t["dst"],
-                "lbl": pa.array(np.full(t.num_rows, -1, np.int64), pa.int64()),
-            }
+    # ONE upstream execution: edges feed both the initial labels and the
+    # per-round message stream
+    edges = pairs_ds.map_batches(
+        edges_both_ways, batch_format="pyarrow"
+    ).materialize()
+    if edges.count() == 0:
+        return ray.data.from_arrow(
+            pa.table({"doc_id": pa.array([], pa.int64()),
+                      "rep": pa.array([], pa.int64())})
         )
 
     labels = (
-        edges.map_batches(init_labels, batch_format="pyarrow")
+        edges.map_batches(
+            lambda t: pa.table({"src": t["src"], "lbl": t["src"]}),
+            batch_format="pyarrow",
+        )
         .groupby("src")
         .min("lbl")
         .map_batches(
@@ -359,8 +359,27 @@ def label_prop_components(pairs_ds, max_rounds: int = 64,
         )
         .materialize()
     )
-    e_rows = edges.map_batches(edge_rows, batch_format="pyarrow").materialize()
+    # static edge rows: hash-partitioned ONCE (the kpart of a row never
+    # changes; re-hashing |2E| rows every round was pure waste)
+    e_rows = (
+        edges.map_batches(
+            lambda t: pa.table(
+                {
+                    "src": t["src"],
+                    "dst": t["dst"],
+                    "lbl": pa.array(np.full(t.num_rows, -1, np.int64), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .map_batches(
+            add_kpart, fn_kwargs={"num_parts": num_parts, "cols": ("src",)},
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
     prev_sum = None
+    converged = False
     for _ in range(max_rounds):
         lab_rows = labels.map_batches(
             lambda t: pa.table(
@@ -371,13 +390,12 @@ def label_prop_components(pairs_ds, max_rounds: int = 64,
                 }
             ),
             batch_format="pyarrow",
+        ).map_batches(
+            add_kpart, fn_kwargs={"num_parts": num_parts, "cols": ("src",)},
+            batch_format="pyarrow",
         )
         msgs = (
             e_rows.union(lab_rows)
-            .map_batches(
-                add_kpart, fn_kwargs={"num_parts": num_parts, "cols": ("src",)},
-                batch_format="pyarrow",
-            )
             .groupby("kpart")
             .map_groups(spread_labels_partition, batch_format="pandas")
         )
@@ -391,8 +409,14 @@ def label_prop_components(pairs_ds, max_rounds: int = 64,
         )
         cur_sum = labels.sum("lbl")
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        raise RuntimeError(
+            f"label propagation did not converge in {max_rounds} rounds "
+            "(component diameter exceeds max_rounds)"
+        )
     return labels.map_batches(
         lambda t: t.rename_columns(["doc_id", "rep"]), batch_format="pyarrow"
     )

@@ -272,6 +272,20 @@ class TestComponents:
         got = dict(zip(out["doc_id"], out["rep"]))
         assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
 
+    def test_label_prop_empty_graph_keeps_schema(self):
+        import ray.data
+
+        from document_retrieval_ray.stages.dedup import label_prop_components
+
+        pairs = ray.data.from_arrow(
+            pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+        )
+        out = label_prop_components(pairs)
+        # NOTE: ray's to_pandas() drops columns on 0-row datasets; the
+        # schema contract lives on the Dataset
+        assert out.schema().names == ["doc_id", "rep"]
+        assert out.count() == 0
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestSvdReduction:
