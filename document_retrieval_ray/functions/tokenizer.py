@@ -150,11 +150,30 @@ def tokenize_stem_bug(text, lang: str) -> list:
     return text.split()
 
 
-def tokenize(text, lang: str, mode: str = "simple", stopword_filter: bool = False) -> list:
+def tokenize(text, lang: str, mode: str = "simple", stopword_filter: bool = False,
+             bigram_langs=("fr", "de", "es", "it"), min_token_len: int = 1) -> list:
+    """Single entry point used by BOTH index build and query scoring —
+    every config knob must flow through here so the two sides tokenize
+    identically (a build-only bigram set would make queries miss the
+    indexed bigram vocabulary silently)."""
     if mode == "simple":
-        return tokenize_simple(text, stopword_filter=stopword_filter)
-    if mode == "reference":
-        return tokenize_reference(text, lang)
-    if mode == "stem_bug":
-        return tokenize_stem_bug(text, lang)
-    raise ValueError(f"unknown tokenizer mode: {mode}")
+        toks = tokenize_simple(text, stopword_filter=stopword_filter)
+    elif mode == "reference":
+        toks = tokenize_reference(text, lang, bigram_langs=bigram_langs)
+    elif mode == "stem_bug":
+        toks = tokenize_stem_bug(text, lang)
+    else:
+        raise ValueError(f"unknown tokenizer mode: {mode}")
+    if min_token_len > 1:
+        toks = [t for t in toks if len(t) >= min_token_len]
+    return toks
+
+
+def tokenize_cfg(text, lang: str, cfg) -> list:
+    """tokenize() driven by a TokenizerConfig."""
+    return tokenize(
+        text, lang, cfg.mode,
+        stopword_filter=cfg.stopwords,
+        bigram_langs=cfg.bigram_langs,
+        min_token_len=cfg.min_token_len,
+    )

@@ -26,7 +26,7 @@ import pyarrow as pa
 
 from .config import BM25Config, TokenizerConfig
 from .functions.hashing import stable_hash64
-from .functions.tokenizer import tokenize
+from .functions.tokenizer import tokenize_cfg
 
 
 class OracleIndex:
@@ -64,7 +64,7 @@ class OracleIndex:
             dls = []
             df = Counter()
             for text in self.doc_texts[l]:
-                toks = tokenize(text, l, self.tok.mode)
+                toks = tokenize_cfg(text, l, self.tok)
                 c = Counter(toks)
                 tfs.append(c)
                 dls.append(len(toks))
@@ -97,7 +97,7 @@ class OracleIndex:
         return np.array(doc_ids, dtype=np.int64), np.array(tfs, dtype=np.float64)
 
     def score_bm25(self, query: str, lang: str, cfg: BM25Config) -> np.ndarray:
-        tokens = tokenize(query, lang, self.tok.mode)
+        tokens = tokenize_cfg(query, lang, self.tok)
         scores = np.zeros(self.N[lang], dtype=np.float64)
         if not tokens or self.avgdl[lang] <= 0:
             return scores
@@ -127,7 +127,7 @@ class OracleIndex:
         return np.sqrt(n2)
 
     def score_cosine(self, query: str, lang: str) -> np.ndarray:
-        tokens = tokenize(query, lang, self.tok.mode)
+        tokens = tokenize_cfg(query, lang, self.tok)
         scores = np.zeros(self.N[lang], dtype=np.float64)
         qterms = sorted(set(tokens))
         qnorm2 = sum(

@@ -57,8 +57,10 @@ def cosine_search(
     round_dp=4,
     concurrency=None,
     batch_size: int = 256,
+    shared_refs=None,
 ) -> ray.data.Dataset:
-    """C5 cosine top-k; ``rerank=True`` → C6 two-stage (cosine → BM25-C3)."""
+    """C5 cosine top-k; ``rerank=True`` → C6 two-stage (cosine → BM25-C3).
+    ``shared_refs`` as in :func:`bm25_search` (zero-copy shared shards)."""
     if concurrency is None:
         concurrency = default_pool(0.5)
     return queries.map_batches(
@@ -66,6 +68,7 @@ def cosine_search(
         fn_constructor_kwargs=dict(
             index_dir=index_dir, tokenizer=tokenizer, k=k,
             candidates=candidates, rerank=rerank, round_dp=round_dp,
+            shared_refs=shared_refs,
         ),
         batch_format="pyarrow",
         batch_size=batch_size,
@@ -84,10 +87,15 @@ def to_submission(results: ray.data.Dataset, num_parts: int = 64) -> ray.data.Da
     import pandas as pd
     import pyarrow as pa
 
+    from ..stages.index_build import add_kpart
+
     def add_part(t: pa.Table) -> pa.Table:
-        qid = t["query_id"].to_pandas()
-        part = (pd.util.hash_pandas_object(qid, index=False) % num_parts).astype("int64")
-        return t.append_column("qpart", pa.array(part.to_numpy(), pa.int64()))
+        # the one canonical query-id hash partitioner (shared with the
+        # sharded merge) — no second divergent implementation
+        t2 = add_kpart(t, num_parts=num_parts, cols=("query_id",))
+        return t2.rename_columns(
+            ["qpart" if c == "kpart" else c for c in t2.column_names]
+        )
 
     def collect_part(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["query_id", "rank"])

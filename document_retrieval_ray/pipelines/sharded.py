@@ -36,7 +36,7 @@ import ray
 import ray.data
 
 from ..config import BM25Config, TokenizerConfig
-from ..functions.tokenizer import tokenize
+from ..functions.tokenizer import tokenize_cfg
 from ..state.index_shard import LangIndex, IDF_LAWS, topk_with_ties
 from ..state.manifest import read_manifest
 from ..stages.index_build import add_kpart
@@ -193,7 +193,7 @@ class ShardedBM25Scorer:
             view = self._view(int(sid), lang)
             if view is None:
                 continue
-            tokens = tokenize(q, lang, self.tok.mode)
+            tokens = tokenize_cfg(q, lang, self.tok)
             if not tokens:
                 continue
             scores = score_bm25_taat(view, tokens, self.cfg)

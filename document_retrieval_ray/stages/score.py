@@ -22,7 +22,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..config import BM25Config, TokenizerConfig
-from ..functions.tokenizer import tokenize
+from ..functions.tokenizer import tokenize_cfg
 from ..state.index_shard import (
     LangIndex,
     score_bm25_maxscore,
@@ -65,6 +65,16 @@ class _IndexCache:
                 try:
                     self._cache[lang] = LangIndex(self.index_dir, lang)
                 except FileNotFoundError:
+                    # "this LANGUAGE has no shard" is expected (its
+                    # queries yield no rows); an index dir with no
+                    # manifests at all is a configuration error that must
+                    # not silently produce an empty result set
+                    import os
+
+                    if not os.path.isdir(os.path.join(self.index_dir, "manifests")):
+                        raise FileNotFoundError(
+                            f"no index at {self.index_dir!r} (manifests/ missing)"
+                        )
                     self._cache[lang] = None
         return self._cache[lang]
 
@@ -105,6 +115,8 @@ class BM25ScorerStage:
         method: str = "taat",  # "taat" | "wand"
         shared_refs=None,
     ):
+        if method not in ("taat", "wand", "maxscore"):
+            raise ValueError(f"unknown scoring method: {method!r}")
         self.cache = _IndexCache(index_dir, shared_refs)
         self.cfg = cfg
         self.tok = tokenizer
@@ -120,7 +132,7 @@ class BM25ScorerStage:
             idx = self.cache.get(lang)
             if idx is None:
                 continue
-            tokens = tokenize(q, lang, self.tok.mode)
+            tokens = tokenize_cfg(q, lang, self.tok)
             if not tokens:
                 continue
             if self.method == "wand":
@@ -143,7 +155,11 @@ class BM25ScorerStage:
                         "rank": list(range(1, len(order) + 1)),
                         "url": list(idx.urls[sel[order]]),
                         "score": list(scores[order]),
-                        "score_x": [int(k) for k in keys[order]],
+                        # same contract as _rows: score_x is only defined
+                        # under fixed-point rounding
+                        "score_x": [int(k) for k in keys[order]]
+                        if self.round_dp is not None
+                        else [0] * len(order),
                     }
                 )
             elif self.method == "maxscore":
@@ -206,7 +222,7 @@ class CosineScorerStage:
             idx = self.cache.get(lang)
             if idx is None:
                 continue
-            tokens = tokenize(q, lang, self.tok.mode)
+            tokens = tokenize_cfg(q, lang, self.tok)
             if not tokens:
                 continue
             cos = score_cosine_taat(idx, tokens)
@@ -240,7 +256,9 @@ class CosineScorerStage:
                     "rank": list(range(1, len(order) + 1)),
                     "url": list(idx.urls[csel[order]]),
                     "score": list(cscores[order]),
-                    "score_x": [int(k) for k in ckeys[order]],
+                    "score_x": [int(k) for k in ckeys[order]]
+                    if self.round_dp is not None
+                    else [0] * len(order),
                 }
             )
         return _concat(parts)

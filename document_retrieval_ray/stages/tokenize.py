@@ -23,7 +23,7 @@ import pyarrow.compute as pc
 
 from ..config import TokenizerConfig
 from ..functions.stopwords import MERGED_STOPWORDS, STOPWORDS
-from ..functions.tokenizer import tokenize_reference
+from ..functions.tokenizer import tokenize_cfg
 
 
 class TokenizeStage:
@@ -50,10 +50,18 @@ class TokenizeStage:
         self.en_stop = STOPWORDS["en"]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.cfg.mode == "simple":
+        # the vectorized Arrow path covers the default simple config;
+        # non-default knobs (stopwords / min_token_len) route through the
+        # same tokenize_cfg the SCORERS use, so build and query always
+        # tokenize identically
+        if (
+            self.cfg.mode == "simple"
+            and not self.cfg.stopwords
+            and self.cfg.min_token_len <= 1
+        ):
             tokens, dl = self._simple(batch)
         else:
-            tokens, dl = self._reference(batch)
+            tokens, dl = self._python_cfg(batch)
         out = batch.select([c for c in self.keep_cols if c in batch.column_names])
         if not self.counted:
             out = out.append_column("tokens", tokens)
@@ -131,14 +139,11 @@ class TokenizeStage:
         dl = np.where(empty, 0, lens).astype(np.int64)
         return toks, pa.array(dl, pa.int64())
 
-    # --- per-row reference mode ---
-    def _reference(self, batch: pa.Table):
+    # --- per-row path (reference mode; simple with non-default knobs) ---
+    def _python_cfg(self, batch: pa.Table):
         texts = batch[self.text_col].to_pylist()
         langs = batch["lang"].to_pylist()
-        toks = [
-            tokenize_reference(t, l, self.cfg.bigram_langs)
-            for t, l in zip(texts, langs)
-        ]
+        toks = [tokenize_cfg(t, l, self.cfg) for t, l in zip(texts, langs)]
         dl = pa.array([len(t) for t in toks], pa.int64())
         return pa.array(toks, pa.list_(pa.string())), dl
 

@@ -37,6 +37,8 @@ def write_manifest(shard_dir: str, payload: dict) -> str:
     try:
         with os.fdopen(fd, "w") as f:
             json.dump(payload, f, indent=2, sort_keys=True)
+            f.flush()
+            os.fsync(f.fileno())  # data durable BEFORE the rename commits
         os.replace(tmp, manifest_path(shard_dir))
     finally:
         if os.path.exists(tmp):
@@ -48,8 +50,13 @@ def read_manifest(shard_dir: str):
     p = manifest_path(shard_dir)
     if not os.path.exists(p):
         return None
-    with open(p) as f:
-        m = json.load(f)
+    try:
+        with open(p) as f:
+            m = json.load(f)
+    except (json.JSONDecodeError, ValueError, OSError):
+        # a truncated/corrupt manifest (e.g. power loss by a writer that
+        # didn't fsync) means NOT COMMITTED — rebuild, don't crash resume
+        return None
     if not m.get("committed") or m.get("schema_version") != SCHEMA_VERSION:
         return None
     return m

@@ -112,3 +112,41 @@ class TestPhase1Pipeline:
         pdf = written.to_pandas()
         assert not pdf.duplicated(["url", "term"]).any()
         assert (pdf["tf"] >= 1).all()
+
+
+class TestTokenizerConfigPlumbing:
+    def test_non_default_config_matches_tokenize_cfg(self):
+        """stopwords / min_token_len / custom bigram_langs must flow
+        through TokenizeStage identically to the scorers' tokenize_cfg
+        (a build-only knob would silently desync build and query)."""
+        import pyarrow as pa
+
+        from document_retrieval_ray.config import TokenizerConfig
+        from document_retrieval_ray.functions.tokenizer import tokenize_cfg
+        from document_retrieval_ray.stages.tokenize import TokenizeStage
+
+        docs = pa.table(
+            {
+                "url": pa.array(["u1", "u2", "u3"], pa.string()),
+                "text": pa.array(
+                    ["The quick brown fox a b", "pt words ligam aqui", ""],
+                    pa.string(),
+                ),
+                "lang": pa.array(["en", "pt", "en"], pa.string()),
+            }
+        )
+        for cfg in (
+            TokenizerConfig(mode="simple", stopwords=True),
+            TokenizerConfig(mode="simple", min_token_len=3),
+            TokenizerConfig(mode="reference", bigram_langs=("pt",)),
+        ):
+            out = TokenizeStage(cfg)(docs)
+            for i in range(3):
+                expect = tokenize_cfg(
+                    docs["text"][i].as_py(), docs["lang"][i].as_py(), cfg
+                )
+                assert out["tokens"][i].as_py() == expect, cfg
+                assert out["dl"][i].as_py() == len(expect), cfg
+        # custom bigram set actually produces bigrams for that lang
+        out = TokenizeStage(TokenizerConfig(mode="reference", bigram_langs=("pt",)))(docs)
+        assert any("_" in t for t in out["tokens"][1].as_py())
