@@ -159,6 +159,10 @@ def build_index(
             print(f"[build {name}] {time.perf_counter() - _t0:.1f}s", flush=True)
 
     d = _lang_dirs(index_dir)
+    # manifests/ always exists once a build ran — scorers use its absence
+    # to distinguish "no index here" (config error) from "this language
+    # has no shard" (legitimately empty result)
+    os.makedirs(d["manifests"], exist_ok=True)
     if tokenize_concurrency is None:
         tokenize_concurrency = default_pool()
     fingerprint = (
