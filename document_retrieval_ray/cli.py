@@ -28,12 +28,31 @@ def _ensure_ray(num_cpus=None):
         ray.init(**kwargs)
 
 
+def _index_tokenizer(index_dir: str):
+    """The tokenizer config the index was BUILT with, recovered from any
+    committed manifest — query-side tokenization must match it or query
+    terms silently miss the indexed vocabulary."""
+    import os
+
+    from .config import TokenizerConfig
+    from .state.manifest import read_manifest
+
+    mdir = os.path.join(index_dir, "manifests")
+    for lang in sorted(os.listdir(mdir)) if os.path.isdir(mdir) else []:
+        m = read_manifest(os.path.join(mdir, lang))
+        if m is not None and "tokenizer_mode" in m:
+            return TokenizerConfig(mode=m["tokenizer_mode"])
+    return TokenizerConfig()
+
+
 def main(argv=None) -> int:
-    p = argparse.ArgumentParser(prog="document_retrieval_ray")
-    p.add_argument("--num-cpus", type=int, default=None)
+    common = argparse.ArgumentParser(add_help=False)
+    common.add_argument("--num-cpus", type=int, default=None)
+    p = argparse.ArgumentParser(prog="document_retrieval_ray", parents=[common])
     sub = p.add_subparsers(dest="cmd", required=True)
 
-    b = sub.add_parser("build", help="build (or resume) the inverted index")
+    b = sub.add_parser("build", parents=[common],
+                       help="build (or resume) the inverted index")
     b.add_argument("--input", required=True, help="parquet corpus (url, text|html, lang)")
     b.add_argument("--index", required=True, help="index output directory")
     b.add_argument("--tokenizer", default="simple", choices=["simple", "reference"])
@@ -42,7 +61,8 @@ def main(argv=None) -> int:
     b.add_argument("--min-df", type=int, default=1)
     b.add_argument("--hot-term-threshold", type=int, default=100_000)
 
-    q = sub.add_parser("query", help="batch BM25 top-k retrieval")
+    q = sub.add_parser("query", parents=[common],
+                       help="batch BM25 top-k retrieval")
     q.add_argument("--index", required=True)
     q.add_argument("--queries", required=True, help="parquet (query_id, query, lang)")
     q.add_argument("--out", required=True, help="output parquet directory")
@@ -54,7 +74,8 @@ def main(argv=None) -> int:
     q.add_argument("--submission", action="store_true",
                    help="also write (query_id, docids) submission CSV shape")
 
-    c = sub.add_parser("cosine", help="TF-IDF cosine top-k (optional BM25 rerank)")
+    c = sub.add_parser("cosine", parents=[common],
+                       help="TF-IDF cosine top-k (optional BM25 rerank)")
     c.add_argument("--index", required=True)
     c.add_argument("--queries", required=True)
     c.add_argument("--out", required=True)
@@ -91,7 +112,10 @@ def main(argv=None) -> int:
 
         k1 = args.k1 if args.k1 is not None else (1.5 if args.compat == "reference" else 1.2)
         cfg = BM25Config(k1=k1, b=args.b, compat=args.compat, k=args.k)
-        res = bm25_search(queries, args.index, cfg=cfg, method=args.method)
+        # tokenize queries the way the index was BUILT (recorded in its
+        # manifests) — a mismatch silently misses the vocabulary
+        res = bm25_search(queries, args.index, cfg=cfg, method=args.method,
+                          tokenizer=_index_tokenizer(args.index))
         res.write_parquet(args.out)
         if args.submission:
             to_submission(
@@ -106,6 +130,7 @@ def main(argv=None) -> int:
         res = cosine_search(
             queries, args.index, k=args.k,
             rerank=args.rerank, candidates=args.candidates,
+            tokenizer=_index_tokenizer(args.index),
         )
         res.write_parquet(args.out)
         print(json.dumps({"results": args.out}))

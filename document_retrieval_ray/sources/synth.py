@@ -117,8 +117,15 @@ def _generate_queries(rng, vocabs, texts, urls, lang_col) -> pa.Table:
         qlang.append(lang)
         pos.append(positive)
 
+    from ..functions.stopwords import MERGED_STOPWORDS
+
     for lang in LANGS:
         v = vocabs[lang]
+        if len(v) <= 200:
+            raise ValueError(
+                "vocab_size must be > 200: the fixture query shapes index "
+                "fixed vocabulary ranks (duplicate/OOV/rare shapes)"
+            )
         # pick an existing doc of this language for positive_docs
         doc_idx = next(
             (j for j, l in enumerate(lang_col) if l == lang and texts[j]), None
@@ -128,8 +135,14 @@ def _generate_queries(rng, vocabs, texts, urls, lang_col) -> pa.Table:
         add(lang, sample, positive)                       # 1. in-vocab multi-term
         add(lang, [v[120], v[120], v[121]])               # 2. duplicate terms
         add(lang, [v[130], "zzqqxunseen", "qqzwwnope"])   # 3. OOV mix
-        add(lang, sorted(STOPWORDS[lang])[:3])            # 4. all stopwords
-        add(lang, [v[-1]])                                # 5. rare term, <k matches
+        # 4. empty-after-preprocessing: words must be in the MERGED
+        # reference stopword set (per-lang ar/ko stopwords are NOT — a
+        # query built from those survives reference preprocessing)
+        add(lang, sorted(MERGED_STOPWORDS)[:3])
+        # 5. genuinely rare term, <k matches: v[-1] is the Zipf CLIP
+        # bucket (~9% of token mass — second-hottest "term"); a deep
+        # un-clipped rank is actually rare
+        add(lang, [v[len(v) - 60]])
         add(lang, [v[60], v[61]])                         # 6. tie-prone short query
         add(lang, [v[0]])                                 # 7. hot (stopword-like) term
     return pa.table(
