@@ -41,13 +41,28 @@ def _index_tokenizer(index_dir: str):
     for lang in sorted(os.listdir(mdir)) if os.path.isdir(mdir) else []:
         m = read_manifest(os.path.join(mdir, lang))
         if m is not None and "tokenizer_mode" in m:
-            return TokenizerConfig(mode=m["tokenizer_mode"])
+            # restore EVERY field, not just mode — an index built with
+            # stopwords/min_token_len/bigram_langs must get matching
+            # query-side tokenization (older manifests lack the extra
+            # fields; dataclass defaults then apply)
+            return TokenizerConfig(
+                mode=m["tokenizer_mode"],
+                stopwords=bool(m.get("tokenizer_stopwords", False)),
+                min_token_len=int(m.get("tokenizer_min_token_len", 1)),
+                bigram_langs=tuple(
+                    m.get("tokenizer_bigram_langs", ("fr", "de", "es", "it"))
+                ),
+            )
     return TokenizerConfig()
 
 
 def main(argv=None) -> int:
     common = argparse.ArgumentParser(add_help=False)
-    common.add_argument("--num-cpus", type=int, default=None)
+    # SUPPRESS: the subparser parses into the same namespace, and a plain
+    # default=None would overwrite a value given BEFORE the subcommand
+    # (argparse _SubParsersAction copies subparser defaults over parsed
+    # main-parser values)
+    common.add_argument("--num-cpus", type=int, default=argparse.SUPPRESS)
     p = argparse.ArgumentParser(prog="document_retrieval_ray", parents=[common])
     sub = p.add_subparsers(dest="cmd", required=True)
 
@@ -84,7 +99,7 @@ def main(argv=None) -> int:
     c.add_argument("--k", type=int, default=10)
 
     args = p.parse_args(argv)
-    _ensure_ray(args.num_cpus)
+    _ensure_ray(getattr(args, "num_cpus", None))
     import ray.data
 
     from .config import BM25Config, IndexConfig, TokenizerConfig

@@ -31,6 +31,25 @@ class TokenizerConfig:
 
 
 @dataclass(frozen=True)
+class DedupConfig:
+    """Knobs of the near-dup suite (MinHash/LSH + SimHash). The SQL
+    oracles in pipelines/testdata_queries.py are generated FROM the
+    default instance, so a query run with a non-default config must bring
+    its own oracle."""
+
+    num_hashes: int = 8       # minhash signature length
+    band_size: int = 2        # hashes per LSH band (→ num_hashes/band_size bands)
+    shingle_n: int = 3        # token-shingle width
+    max_hamming: int = 3      # simhash near-dup bit distance
+    # deterministic cap on LSH/band bucket size: a degenerate bucket (the
+    # all-boilerplate band key at web scale) would otherwise make one task
+    # O(|bucket|²). Truncation keeps the sorted-doc_id prefix and is
+    # AUDITED: every truncating bucket emits a warning with its dropped
+    # count (the "no silent caps" rule).
+    max_bucket: int = 512
+
+
+@dataclass(frozen=True)
 class BM25Config:
     k1: float = 1.2
     b: float = 0.75

@@ -85,6 +85,10 @@ IDF_LAWS = {
 # the wrong decoder
 INDEX_FORMAT_VERSION = 2
 
+# above this many MERGED vocabulary entries the driver-side df aggregation
+# overflows to the distributed groupby fallback (truly web-scale vocab)
+DRIVER_DF_MAX_TERMS = 50_000_000
+
 
 def _input_fingerprint(input_path) -> str:
     """Cheap lineage fingerprint: path(s) + total rows + per-fragment
@@ -165,9 +169,11 @@ def build_index(
     os.makedirs(d["manifests"], exist_ok=True)
     if tokenize_concurrency is None:
         tokenize_concurrency = default_pool()
+    tok = cfg.tokenizer
     fingerprint = (
         _input_fingerprint(input_path)
-        + f"::tok={cfg.tokenizer.mode}::fmt={INDEX_FORMAT_VERSION}"
+        + f"::tok={tok.mode},sw={int(tok.stopwords)},ml={tok.min_token_len}"
+        + f",bg={'|'.join(tok.bigram_langs)}::fmt={INDEX_FORMAT_VERSION}"
     )
 
     import inspect
@@ -336,24 +342,25 @@ def build_index(
         partials = triples_mat.select_columns(["lang", "term"]).map_batches(
             partial_term_counts, batch_format="pyarrow"
         )
+    # STREAMING merge: each partial batch is pre-aggregated (pandas
+    # groupby, C-level) and folded into the Counter immediately — driver
+    # peak memory is one batch + the merged vocabulary, never the
+    # concatenation of every partial. The guard now watches the MERGED
+    # vocab size (the thing that actually bounds driver RSS), so overflow
+    # trips before a web-scale vocabulary accumulates.
     overflow = False
-    frames = []
-    acc_rows = 0
+    df_counter = _C()
     for b in partials.iter_batches(batch_format="pyarrow", batch_size=None):
-        frames.append(b.to_pandas())
-        acc_rows += len(frames[-1])
-        if acc_rows > 50_000_000:
+        pdf = b.to_pandas()
+        g = pdf.groupby(["lang", "term"], sort=False)["n"].sum()
+        df_counter.update(g.to_dict())
+        if len(df_counter) > DRIVER_DF_MAX_TERMS:
             overflow = True
+            df_counter = None
             break
-    if not overflow and frames:
-        merged = (
-            pd.concat(frames, ignore_index=True)
-            .groupby(["lang", "term"], sort=False)["n"]
-            .sum()
-        )
-        df_acc = {k: int(v) for k, v in merged.items()}
-    else:
-        df_acc = {}
+    df_acc = (
+        {k: int(v) for k, v in df_counter.items()} if not overflow else {}
+    )
     if overflow:
         # distributed fallback: vocab too large for driver aggregation
         df_ds = (
@@ -586,6 +593,12 @@ def _manifest_payload(lang, fingerprint, s, t, cfg, hot, with_cosine_norms, flow
         "salt_shift": cfg.salt_shift,
         "num_hash_parts": cfg.num_hash_parts,
         "tokenizer_mode": cfg.tokenizer.mode,
+        # the FULL tokenizer config: query-side tokenization must be able
+        # to reconstruct every field, not just the mode (a stopword or
+        # min-length mismatch silently misses the indexed vocabulary)
+        "tokenizer_stopwords": bool(cfg.tokenizer.stopwords),
+        "tokenizer_min_token_len": int(cfg.tokenizer.min_token_len),
+        "tokenizer_bigram_langs": list(cfg.tokenizer.bigram_langs),
         "with_cosine_norms": bool(with_cosine_norms),
         "flow": flow,
     }

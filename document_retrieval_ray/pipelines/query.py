@@ -76,14 +76,20 @@ def cosine_search(
     )
 
 
-def to_submission(results: ray.data.Dataset, num_parts: int = 64) -> ray.data.Dataset:
+def to_submission(results: ray.data.Dataset, num_parts: int = 64,
+                  k: int | None = None) -> ray.data.Dataset:
     """(query_id, rank, url, …) → (query_id, docids: stringified top-k list)
     — the reference's submission sink shape (final_implementation.py:527-530).
 
     Grouped by a HASH PARTITION of query_id (not per-query map_groups):
     per-group Arrow/scheduling overhead is ~ms, so at millions of queries
     one task per query dominates; here each of ``num_parts`` tasks
-    aggregates its whole partition with one vectorized pandas groupby."""
+    aggregates its whole partition with one vectorized pandas groupby.
+
+    Engine invariant (the reference's debug.py duplicate-id audit, D4):
+    every query's docid list must be duplicate-free, and ≤ ``k`` long when
+    ``k`` is given — violated means an upstream scorer bug, so fail loudly
+    rather than ship a corrupt submission."""
     import pandas as pd
     import pyarrow as pa
 
@@ -99,6 +105,21 @@ def to_submission(results: ray.data.Dataset, num_parts: int = 64) -> ray.data.Da
 
     def collect_part(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["query_id", "rank"])
+        sizes = g.groupby("query_id", sort=False)["url"].agg(["size", "nunique"])
+        bad_dup = sizes.index[sizes["size"] != sizes["nunique"]]
+        if len(bad_dup):
+            raise ValueError(
+                f"duplicate doc ids in submission for query_id(s) "
+                f"{list(bad_dup[:5])!r} — upstream scorer emitted the same "
+                "url twice for one query"
+            )
+        if k is not None:
+            bad_k = sizes.index[sizes["size"] > k]
+            if len(bad_k):
+                raise ValueError(
+                    f"submission for query_id(s) {list(bad_k[:5])!r} has "
+                    f"more than k={k} docids"
+                )
         agg = g.groupby("query_id", sort=True)["url"].agg(lambda s: str(list(s)))
         return agg.reset_index().rename(columns={"url": "docids"})
 

@@ -42,8 +42,11 @@ from ..stages.dedup import (
     jaccard_partition,
     pair_side_rows,
     simhash_pairs_partition,
+    DEFAULT_DEDUP,
+    MAX_BUCKET,
     SHINGLE_N,
 )
+from ..config import DedupConfig
 from ..stages.index_build import add_kpart
 from ..stages.ann import (
     BruteForceTopK,
@@ -581,13 +584,15 @@ def q_fingerprint(sf_dir: str):
     return _docs(sf_dir).map_batches(fingerprint_batch, batch_format="pyarrow")
 
 
-def q_minhash_pairs(sf_dir: str):
+def q_minhash_pairs(sf_dir: str, cfg: DedupConfig = DEFAULT_DEDUP):
     """MinHash+LSH near-dup pairs, Jaccard-verified (threshold 0.5).
 
     Fully distributed: band groupby → candidate pairs → the pair list and
     the per-doc shingle-hash table are COGROUPED by doc_id (semi-join; no
     driver materialization, no broadcast), then per-(a, b) groups compute
-    the exact intersection — the same plan as the _MINHASH_SQL oracle."""
+    the exact intersection — the same plan as the _MINHASH_SQL oracle
+    (which is generated from DEFAULT_DEDUP; a non-default ``cfg`` needs
+    its own oracle)."""
     def _parted(ds, cols, num_parts=64):
         return ds.map_batches(
             add_kpart, fn_kwargs={"num_parts": num_parts, "cols": cols},
@@ -595,15 +600,20 @@ def q_minhash_pairs(sf_dir: str):
         ).groupby("kpart")
 
     docs = _docs(sf_dir)
-    bands = docs.map_batches(emit_band_rows, batch_format="pyarrow")
+    bands = docs.map_batches(
+        emit_band_rows, fn_kwargs={"cfg": cfg}, batch_format="pyarrow"
+    )
     pairs = _parted(bands, ("band_idx", "band_key")).map_groups(
-        band_pairs_partition, batch_format="pandas"
+        lambda g: band_pairs_partition(g, max_bucket=cfg.max_bucket),
+        batch_format="pandas",
     )
     # no dedicated dedup shuffle: duplicate (a, b) emissions from several
     # bands survive until the verify partition, which dedups by
     # (a, b, doc_id) — one fewer all-to-all in the plan
     sides = pairs.map_batches(pair_side_rows, batch_format="pyarrow")
-    sh_tbl = docs.map_batches(emit_doc_shingles, batch_format="pyarrow")
+    sh_tbl = docs.map_batches(
+        emit_doc_shingles, fn_kwargs={"n": cfg.shingle_n}, batch_format="pyarrow"
+    )
     attached = _parted(sh_tbl.union(sides), ("doc_id",)).map_groups(
         attach_partition, batch_format="pandas"
     )
@@ -623,7 +633,7 @@ def q_neardup_components(sf_dir: str):
     return label_prop_components(q_minhash_pairs(sf_dir))
 
 
-def q_simhash_pairs(sf_dir: str):
+def q_simhash_pairs(sf_dir: str, cfg: DedupConfig = DEFAULT_DEDUP):
     """SimHash near-dup pairs (Hamming <= 3) as a distributed LSH-band
     plan: 4 chunk-keyed band rows per doc (signature travels with the
     row) → groupby(band, chunk) Hamming-verifies in-group → (a, b)
@@ -641,7 +651,12 @@ def q_simhash_pairs(sf_dir: str):
             batch_format="pyarrow",
         )
         .groupby("kpart")
-        .map_groups(simhash_pairs_partition, batch_format="pandas")
+        .map_groups(
+            lambda g: simhash_pairs_partition(
+                g, max_hamming=cfg.max_hamming, max_bucket=cfg.max_bucket
+            ),
+            batch_format="pandas",
+        )
     )
     return (
         pairs.map_batches(
@@ -1006,24 +1021,42 @@ def q_web_normalize(sf_dir: str):
     return _docs(sf_dir).map_batches(norm, batch_format="pyarrow")
 
 
+def _vector_split_sentences(t: pa.Table):
+    """Vectorized M6 '.'-split (same semantics as Python
+    ``text.split('.')`` + ``strip(' ')`` + skip-empties): Arrow
+    ``split_pattern`` → flat values + list offsets → (row index into the
+    batch, sent_idx within the raw split, trimmed sentence). No per-doc
+    Python loop — the same offsets-flattening shape as
+    TokenizeStage._simple."""
+    txt = pc.fill_null(t["text"], "")
+    parts = pc.split_pattern(txt, ".")
+    if isinstance(parts, pa.ChunkedArray):
+        parts = parts.combine_chunks()
+    offsets = parts.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    offsets = offsets - offsets[0]          # flatten() honors slicing offsets
+    flat = parts.flatten()
+    trimmed = pc.utf8_trim(flat, " ")
+    n_per = np.diff(offsets)
+    parent = np.repeat(np.arange(len(t), dtype=np.int64), n_per)
+    sent_idx = np.arange(len(flat), dtype=np.int64) - np.repeat(
+        offsets[:-1], n_per
+    )
+    keep = pc.not_equal(trimmed, "").to_numpy(zero_copy_only=False)
+    keep_arr = pa.array(keep)
+    return parent[keep], sent_idx[keep], trimmed.filter(keep_arr)
+
+
 def q_sentences(sf_dir: str):
     """M6 sentence splitter (team_run1.py:45-46,88-98): 1→many flat map;
     sent_idx = position in the raw '.'-split (0-based), empties skipped."""
 
     def split(t: pa.Table) -> pa.Table:
-        ids, idxs, sents = [], [], []
-        for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            for i, s in enumerate((text or "").split(".")):
-                s = s.strip(" ")
-                if s:
-                    ids.append(doc_id)
-                    idxs.append(i)
-                    sents.append(s)
+        sel, sidx, sents = _vector_split_sentences(t)
         return pa.table(
             {
-                "doc_id": pa.array(ids, pa.int64()),
-                "sent_idx": pa.array(idxs, pa.int64()),
-                "sentence": pa.array(sents, pa.string()),
+                "doc_id": pc.take(t["doc_id"], pa.array(sel)),
+                "sent_idx": pa.array(sidx, pa.int64()),
+                "sentence": sents,
             }
         )
 
@@ -1033,6 +1066,27 @@ def q_sentences(sf_dir: str):
 # sentence key = doc_id * SENT_FACTOR + sent_idx: zero-padded as url it
 # sorts numerically, so sentence tie-breaks = (doc_id, sent_idx) order
 SENT_FACTOR = 100_000
+
+
+def check_sent_key_bounds(doc_id: int, sent_idx: int) -> None:
+    """sent_key = doc_id*SENT_FACTOR + sent_idx relies on DOCID_PAD-width
+    zero-padding so (score desc, url asc) tie-breaks equal numeric sk
+    order; overflow would SILENTLY corrupt rank parity with the oracle's
+    ``sk ASC`` — fail loudly instead."""
+    from ..sources.corpus import DOCID_PAD
+
+    max_doc_id = 10 ** (DOCID_PAD - len(str(SENT_FACTOR - 1)))
+    if doc_id >= max_doc_id:
+        raise ValueError(
+            f"doc_id {doc_id} >= {max_doc_id}: sent_key would exceed "
+            f"{DOCID_PAD} digits and break url tie-break order "
+            "(raise DOCID_PAD or change the SENT_FACTOR layout)"
+        )
+    if sent_idx >= SENT_FACTOR:
+        raise ValueError(
+            f"doc {doc_id} has sent_idx {sent_idx} >= {SENT_FACTOR}: "
+            "sent_key collides with the next doc_id"
+        )
 
 
 def _sentence_factory(sf_dir: str):
@@ -1045,21 +1099,21 @@ def _sentence_factory(sf_dir: str):
         ds = _docs(sf_dir)
 
         def split(t: pa.Table) -> pa.Table:
-            keys, sents, langs = [], [], []
-            for doc_id, text, lang in zip(
-                t["doc_id"].to_pylist(), t["text"].to_pylist(), t["lang"].to_pylist()
-            ):
-                for i, s in enumerate((text or "").split(".")):
-                    s = s.strip(" ")
-                    if s:
-                        keys.append(doc_id * SENT_FACTOR + i)
-                        sents.append(s)
-                        langs.append(lang)
+            sel, sidx, sents = _vector_split_sentences(t)
+            doc_ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            # key-layout invariants checked ONCE per batch on the extrema
+            if len(doc_ids):
+                check_sent_key_bounds(int(doc_ids.max()), 0)
+            if len(sidx) and int(sidx.max()) >= SENT_FACTOR:
+                j = int(np.argmax(sidx))
+                check_sent_key_bounds(int(doc_ids[sel[j]]), int(sidx[j]))
+            keys = doc_ids[sel] * SENT_FACTOR + sidx
+            sel_arr = pa.array(sel)
             out = pa.table(
                 {
                     "url": docid_to_url(pa.array(keys, pa.int64())),
-                    "text": pa.array(sents, pa.string()),
-                    "lang": pa.array(langs, pa.string()),
+                    "text": sents,
+                    "lang": pc.take(t["lang"], sel_arr),
                 }
             )
             if columns is not None:
@@ -1107,18 +1161,34 @@ def q_sentence_bm25(sf_dir: str):
         cfg=BM25Config(k1=1.5, b=0.75, idf="lucene", compat="reference", k=100),
         round_dp=4,
     )
-    pdf = res.to_pandas()
-    if len(pdf) == 0:
-        return pd.DataFrame(
-            columns=["query_id", "rank", "doc_id", "score_x"]
-        ).astype({"rank": np.int64, "doc_id": np.int64, "score_x": np.int64})
-    pdf["sent_key"] = pdf["url"].astype(np.int64)
-    pdf["doc_id"] = pdf["sent_key"] // SENT_FACTOR
-    pdf = pdf.sort_values(["query_id", "rank"])
-    out = pdf.drop_duplicates(["query_id", "doc_id"], keep="first")
-    out = out.groupby("query_id", sort=True).head(10).copy()
-    out["rank"] = (out.groupby("query_id").cumcount() + 1).astype(np.int64)
-    return out[["query_id", "rank", "doc_id", "score_x"]].reset_index(drop=True)
+
+    # DISTRIBUTED dedup tail (no driver to_pandas of the k=100 stream):
+    # hash-partition by query_id — every row of one query lands in one
+    # partition, so the ordered first-occurrence dedup + top-10 re-rank is
+    # exact per partition (the qpart merge_partition pattern of
+    # pipelines/sharded.py).
+    def dedup_tail(g: pd.DataFrame) -> pd.DataFrame:
+        if "kpart" in g.columns:
+            g = g.drop(columns=["kpart"])
+        g = g.copy()
+        g["doc_id"] = g["url"].astype(np.int64) // SENT_FACTOR
+        g = g.sort_values(["query_id", "rank"])
+        out = g.drop_duplicates(["query_id", "doc_id"], keep="first")
+        out = out.groupby("query_id", sort=True).head(10).copy()
+        out["rank"] = (out.groupby("query_id").cumcount() + 1).astype(np.int64)
+        return out[["query_id", "rank", "doc_id", "score_x"]].reset_index(
+            drop=True
+        )
+
+    return (
+        res.map_batches(
+            add_kpart,
+            fn_kwargs={"num_parts": 16, "cols": ("query_id",)},
+            batch_format="pyarrow",
+        )
+        .groupby("kpart")
+        .map_groups(dedup_tail, batch_format="pandas")
+    )
 
 
 def q_train_test_split(sf_dir: str):
@@ -1311,10 +1381,18 @@ bands AS (
          md5(string_agg(mh, '|' ORDER BY seed)) AS band_key
   FROM mh GROUP BY doc_id, (seed // 2)
 ),
+bands_r AS (
+  -- mirror of the engine's deterministic max_bucket truncation: only the
+  -- sorted-doc_id prefix of each band bucket generates candidates
+  SELECT doc_id, band_idx, band_key,
+         row_number() OVER (PARTITION BY band_idx, band_key ORDER BY doc_id) AS rn
+  FROM bands
+),
 cand AS (
   SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-  FROM bands x JOIN bands y
+  FROM bands_r x JOIN bands_r y
     ON x.band_idx = y.band_idx AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+  WHERE x.rn <= {MAX_BUCKET} AND y.rn <= {MAX_BUCKET}
 ),
 inter AS (
   SELECT c.a AS a, c.b AS b, count(*) AS ni
@@ -1367,10 +1445,17 @@ chunks AS (
          CAST(sum(bit * (1 << CAST(i % 16 AS INT))) AS BIGINT) AS chunk
   FROM bits GROUP BY doc_id, i // 16
 ),
+chunks_r AS (
+  -- mirror of the engine's deterministic max_bucket truncation
+  SELECT doc_id, band, chunk,
+         row_number() OVER (PARTITION BY band, chunk ORDER BY doc_id) AS rn
+  FROM chunks
+),
 cand AS (
   SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-  FROM chunks x JOIN chunks y
+  FROM chunks_r x JOIN chunks_r y
     ON x.band = y.band AND x.chunk = y.chunk AND x.doc_id < y.doc_id
+  WHERE x.rn <= {MAX_BUCKET} AND y.rn <= {MAX_BUCKET}
 ),
 ham AS (
   SELECT c.a AS a, c.b AS b,
@@ -1412,7 +1497,7 @@ WITH {_EMB_UNNEST},
 pl(i, p, w) AS (VALUES {_PLANE_VALUES}),
 bits AS (
   SELECT u.vec_id AS vec_id, pl.p AS p,
-         CASE WHEN sum(u.v * pl.w) > 0 THEN 1 ELSE 0 END AS bit
+         CASE WHEN floor(sum(u.v * pl.w) * 1000000000000.0 + 0.5) > 0 THEN 1 ELSE 0 END AS bit
   FROM u JOIN pl ON pl.i = u.i GROUP BY u.vec_id, pl.p
 ),
 bk AS (
@@ -1440,7 +1525,7 @@ WITH {_EMB_UNNEST},
 pl(i, p, w) AS (VALUES {_PLANE_VALUES}),
 bits AS (
   SELECT u.vec_id AS vec_id, pl.p AS p,
-         CASE WHEN sum(u.v * pl.w) > 0 THEN 1 ELSE 0 END AS bit
+         CASE WHEN floor(sum(u.v * pl.w) * 1000000000000.0 + 0.5) > 0 THEN 1 ELSE 0 END AS bit
   FROM u JOIN pl ON pl.i = u.i GROUP BY u.vec_id, pl.p
 ),
 bk AS (

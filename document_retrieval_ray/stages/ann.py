@@ -24,8 +24,34 @@ import pyarrow as pa
 
 
 def _stack(col) -> np.ndarray:
-    arr = col.to_pylist()
-    return np.asarray(arr, dtype=np.float64)
+    """Arrow list column → (n, dim) float64 matrix WITHOUT per-row Python
+    objects: embeddings are fixed-dim, so the flat child values reshape
+    directly (zero-copy from the object store until the dtype cast).
+    Falls back to the pylist path only for ragged/null input."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if isinstance(col, pa.FixedSizeListArray) and col.null_count == 0:
+        dim = col.type.list_size
+        vals = col.flatten().to_numpy(zero_copy_only=False)
+        return np.ascontiguousarray(vals, dtype=np.float64).reshape(len(col), dim)
+    if isinstance(col, (pa.ListArray, pa.LargeListArray)) and col.null_count == 0:
+        offsets = col.offsets.to_numpy(zero_copy_only=False)
+        lens = np.diff(offsets)
+        if len(lens) and (lens == lens[0]).all() and lens[0] > 0:
+            dim = int(lens[0])
+            # flatten() honors slicing offsets (unlike .values)
+            vals = col.flatten().to_numpy(zero_copy_only=False)
+            return np.ascontiguousarray(vals, dtype=np.float64).reshape(
+                len(col), dim
+            )
+    return np.asarray(col.to_pylist(), dtype=np.float64)
+
+
+# fixed-point scale for the LSH sign decision: numpy (pairwise/BLAS) and
+# the SQL oracle (sequential SUM) can disagree by ~1e-16 on a projection
+# near zero; both sides round the dot to 1e-12 grid BEFORE taking the
+# sign, so summation order can no longer flip a bucket bit
+LSH_SIGN_SCALE = 1e12
 
 
 def normalize_rows(m: np.ndarray) -> np.ndarray:
@@ -202,7 +228,8 @@ def lsh_bucket(batch: pa.Table, num_planes: int = 8, seed: int = 13,
         planes = rng.standard_normal((mat.shape[1], num_planes))
     else:
         num_planes = planes.shape[1]
-    bits = (mat @ planes) > 0
+    dots = mat @ planes
+    bits = np.floor(dots * LSH_SIGN_SCALE + 0.5) > 0
     bucket = (bits * (1 << np.arange(num_planes))).sum(axis=1)
     return batch.append_column("bucket", pa.array(bucket.astype(np.int64), pa.int64()))
 
@@ -284,7 +311,11 @@ def tile_pairs(group: pd.DataFrame, threshold: float, num_blocks: int = 8,
     # replication means a vector appears once per tile; dedup within tile
     _, first = np.unique(ids, return_index=True)
     ids = ids[first]
-    mat = np.asarray([np.asarray(v, dtype=np.float64) for v in group["embedding"].to_numpy()[first]])
+    # one C-level stack of the already-materialized row arrays (pandas
+    # group input); the hot matmul below is unaffected
+    mat = np.stack(group["embedding"].to_numpy()[first]).astype(
+        np.float64, copy=False
+    )
     if len(ids) < 2:
         return empty
     ti = int(group.iloc[0]["ti"])

@@ -42,14 +42,30 @@ from ..functions.hashing import (
 )
 from ..functions.tokenizer import tokenize_simple
 
-NUM_HASHES = 8
-BAND_SIZE = 2  # → 4 bands
-SHINGLE_N = 3
-# deterministic cap on LSH/band bucket size: a degenerate bucket (e.g. the
-# all-boilerplate band key at web scale) would otherwise make one task
-# O(|bucket|²); the sorted-prefix truncation keeps results deterministic
-# and never triggers at test scale
-MAX_BUCKET = 512
+from ..config import DedupConfig
+
+DEFAULT_DEDUP = DedupConfig()
+# module aliases kept for call sites / oracle templates built from the
+# DEFAULT config — parameterized paths take a DedupConfig instead
+NUM_HASHES = DEFAULT_DEDUP.num_hashes
+BAND_SIZE = DEFAULT_DEDUP.band_size
+SHINGLE_N = DEFAULT_DEDUP.shingle_n
+MAX_BUCKET = DEFAULT_DEDUP.max_bucket
+
+
+def _audit_truncation(kind: str, key, kept: int, dropped: int) -> None:
+    """A bucket hit ``max_bucket``: surface it (the "no silent caps"
+    rule). ``warnings`` so worker logs carry it and tests can assert on
+    it; deterministic result, observable drop."""
+    import warnings
+
+    warnings.warn(
+        f"dedup {kind} bucket {key!r} truncated: kept {kept} sorted doc_ids, "
+        f"dropped {dropped} — candidate pairs outside the prefix are not "
+        f"generated (raise DedupConfig.max_bucket if this bucket is real)",
+        RuntimeWarning,
+        stacklevel=2,
+    )
 
 
 def add_text_hash(batch: pa.Table, text_col: str = "text", normalize: bool = False) -> pa.Table:
@@ -63,18 +79,19 @@ def add_text_hash(batch: pa.Table, text_col: str = "text", normalize: bool = Fal
     return batch.append_column("text_hash", pa.array(hashes, pa.string()))
 
 
-def emit_band_rows(batch: pa.Table, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
+def emit_band_rows(batch: pa.Table, id_col: str = "doc_id", text_col: str = "text",
+                   cfg: DedupConfig = DEFAULT_DEDUP) -> pa.Table:
     """Per doc: shingle → minhash signature → one row per LSH band."""
     ids = batch[id_col].to_pylist()
     texts = batch[text_col].to_pylist()
     out_id, out_band, out_key = [], [], []
     for i, t in zip(ids, texts):
         toks = tokenize_simple(t or "")
-        sh = shingles(toks, SHINGLE_N)
+        sh = shingles(toks, cfg.shingle_n)
         if not sh:
             continue
-        sig = minhash_signature(sh, NUM_HASHES)
-        for b, key in enumerate(band_keys(sig, BAND_SIZE)):
+        sig = minhash_signature(sh, cfg.num_hashes)
+        for b, key in enumerate(band_keys(sig, cfg.band_size)):
             out_id.append(i)
             out_band.append(b)
             out_key.append(key)
@@ -90,8 +107,17 @@ def emit_band_rows(batch: pa.Table, id_col: str = "doc_id", text_col: str = "tex
 def band_group_pairs(group: pd.DataFrame, max_bucket: int = MAX_BUCKET) -> pd.DataFrame:
     """(band) group → candidate pairs (a < b). Buckets larger than
     ``max_bucket`` are truncated to the sorted doc_id prefix (deterministic;
-    a bucket that large is a degenerate key, not a near-dup cluster)."""
-    ids = sorted(set(group["doc_id"].tolist()))[:max_bucket]
+    a bucket that large is a degenerate key, not a near-dup cluster) —
+    each truncation is audited with a warning carrying the dropped count."""
+    all_ids = sorted(set(group["doc_id"].tolist()))
+    ids = all_ids[:max_bucket]
+    if len(all_ids) > max_bucket:
+        key = (
+            (group["band_idx"].iloc[0], group["band_key"].iloc[0])
+            if "band_idx" in group.columns and len(group)
+            else "<band>"
+        )
+        _audit_truncation("minhash-band", key, len(ids), len(all_ids) - len(ids))
     n = len(ids)
     arr = np.asarray(ids, dtype=np.int64)
     iu = np.triu_indices(n, k=1)
@@ -123,9 +149,11 @@ _SEMIJOIN_SCHEMA = pa.schema(
 
 
 def emit_doc_shingles(batch: pa.Table, id_col: str = "doc_id",
-                      text_col: str = "text", n: int = SHINGLE_N) -> pa.Table:
+                      text_col: str = "text", n: int = None) -> pa.Table:
     """One row per non-empty doc: sorted distinct shingle hashes + count,
     in the unified semi-join schema (a = b = -1 marks a shingle row)."""
+    if n is None:
+        n = DEFAULT_DEDUP.shingle_n
     ids, shs, ns = [], [], []
     for i, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
         sh = shingles(tokenize_simple(t or ""), n)
@@ -461,7 +489,15 @@ def simhash_band_pairs(group: pd.DataFrame, max_hamming: int = 3,
     """(band, chunk) group → Hamming-verified pairs (a < b). Vectorized
     popcount over the XOR of all in-bucket signature pairs; deterministic
     sorted-prefix truncation for degenerate buckets."""
-    g = group.drop_duplicates("doc_id").sort_values("doc_id").head(max_bucket)
+    dd = group.drop_duplicates("doc_id")
+    g = dd.sort_values("doc_id").head(max_bucket)
+    if len(dd) > max_bucket:
+        key = (
+            (int(g["band"].iloc[0]), int(g["chunk"].iloc[0]))
+            if "band" in g.columns and len(g)
+            else "<chunk>"
+        )
+        _audit_truncation("simhash-band", key, len(g), len(dd) - len(g))
     ids = g["doc_id"].to_numpy().astype(np.int64)
     sims = g["simhash_i"].to_numpy().astype(np.int64).view(np.uint64)
     n = len(ids)

@@ -1,0 +1,390 @@
+"""Round-3 fix tests: CLI arg plumbing, tokenizer manifest round-trip,
+dedup-config knobs + truncation audit, LSH sign determinism, zero-copy
+embedding stacking, vectorized sentence split, sentence-key bounds,
+submission invariants, and the C7 pluggable-model contract."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+# ---------------------------------------------------------------- CLI
+
+
+def test_cli_num_cpus_position_independent(monkeypatch):
+    """`--num-cpus` must be honored whether it comes before or after the
+    subcommand (the argparse _SubParsersAction default-overwrite bug)."""
+    from document_retrieval_ray import cli
+
+    captured = {}
+
+    class _Stop(Exception):
+        pass
+
+    def fake_ensure(n=None):
+        captured["n"] = n
+        raise _Stop
+
+    monkeypatch.setattr(cli, "_ensure_ray", fake_ensure)
+    base = ["build", "--input", "x.parquet", "--index", "/tmp/nope"]
+
+    with pytest.raises(_Stop):
+        cli.main(["--num-cpus", "8"] + base)
+    assert captured["n"] == 8
+
+    with pytest.raises(_Stop):
+        cli.main(base + ["--num-cpus", "6"])
+    assert captured["n"] == 6
+
+    with pytest.raises(_Stop):
+        cli.main(base)
+    assert captured["n"] is None
+
+
+def test_index_tokenizer_full_roundtrip(tmp_path):
+    """_index_tokenizer must restore EVERY TokenizerConfig field from the
+    manifest, and default sanely for pre-round-3 manifests."""
+    import os
+
+    from document_retrieval_ray.cli import _index_tokenizer
+    from document_retrieval_ray.config import TokenizerConfig
+    from document_retrieval_ray.state.manifest import write_manifest
+
+    idx = tmp_path / "idx"
+    write_manifest(
+        str(idx / "manifests" / "en"),
+        {
+            "tokenizer_mode": "reference",
+            "tokenizer_stopwords": True,
+            "tokenizer_min_token_len": 2,
+            "tokenizer_bigram_langs": ["de"],
+        },
+    )
+    got = _index_tokenizer(str(idx))
+    assert got == TokenizerConfig(
+        mode="reference", stopwords=True, min_token_len=2, bigram_langs=("de",)
+    )
+
+    # legacy manifest (mode only) → defaults for the missing fields
+    idx2 = tmp_path / "idx2"
+    write_manifest(str(idx2 / "manifests" / "en"), {"tokenizer_mode": "simple"})
+    got2 = _index_tokenizer(str(idx2))
+    assert got2.mode == "simple" and got2.stopwords is False
+    assert got2.min_token_len == 1
+    # missing index dir → pure default
+    assert _index_tokenizer(str(tmp_path / "missing")) == TokenizerConfig()
+    assert os.path.isdir(idx / "manifests")
+
+
+# ------------------------------------------------- dedup config + audit
+
+
+def test_dedup_truncation_audited_minhash():
+    """A band bucket over max_bucket must WARN with the dropped count and
+    keep the deterministic sorted-doc_id prefix (the no-silent-caps rule)."""
+    from document_retrieval_ray.stages.dedup import band_group_pairs
+
+    g = pd.DataFrame(
+        {
+            "doc_id": np.arange(10)[::-1],  # unsorted on purpose
+            "band_idx": 0,
+            "band_key": "k",
+        }
+    )
+    with pytest.warns(RuntimeWarning, match="truncated.*dropped 6"):
+        pairs = band_group_pairs(g, max_bucket=4)
+    # prefix = sorted ids 0..3 → C(4,2)=6 pairs, all within the prefix
+    assert len(pairs) == 6
+    assert pairs["a"].max() <= 3 and pairs["b"].max() <= 3
+
+    # at/below the cap: silent
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        pairs_ok = band_group_pairs(g, max_bucket=10)
+    assert len(pairs_ok) == 45
+
+
+def test_dedup_truncation_audited_simhash():
+    from document_retrieval_ray.stages.dedup import simhash_band_pairs
+
+    g = pd.DataFrame(
+        {
+            "doc_id": np.arange(8),
+            "band": 1,
+            "chunk": 7,
+            "simhash_i": np.int64(0),  # identical → Hamming 0, all pairs
+        }
+    )
+    with pytest.warns(RuntimeWarning, match="truncated.*dropped 5"):
+        pairs = simhash_band_pairs(g, max_hamming=3, max_bucket=3)
+    assert len(pairs) == 3  # C(3,2)
+    assert set(pairs["a"]) <= {0, 1} and set(pairs["b"]) <= {1, 2}
+
+
+def test_dedup_config_plumbed():
+    """emit_band_rows honors a non-default DedupConfig: num_hashes=4,
+    band_size=2 → 2 band rows per non-empty doc."""
+    from document_retrieval_ray.config import DedupConfig
+    from document_retrieval_ray.stages.dedup import DEFAULT_DEDUP, emit_band_rows
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": ["the quick brown fox jumps over the lazy dog", ""],
+        }
+    )
+    out_default = emit_band_rows(t, cfg=DEFAULT_DEDUP)
+    # default 8 hashes / band_size 2 → 4 bands; empty doc emits none
+    assert len(out_default) == 4
+
+    out_small = emit_band_rows(t, cfg=DedupConfig(num_hashes=4, band_size=2))
+    assert len(out_small) == 2
+    assert out_small["band_idx"].to_pylist() == [0, 1]
+
+
+# ------------------------------------------------------ LSH sign robust
+
+
+def test_lsh_sign_near_zero_deterministic():
+    """Projections within the 1e-12 grid of zero must land in the SAME
+    bucket bit regardless of summation order: both ±1e-15 round to bit 0."""
+    from document_retrieval_ray.stages.ann import lsh_bucket
+
+    planes = np.array([[1.0]])  # dim=1, one plane: dot = the value itself
+    t = pa.table(
+        {
+            "vec_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "embedding": pa.array(
+                [[1e-15], [-1e-15], [1.0], [-1.0]], pa.list_(pa.float64())
+            ),
+        }
+    )
+    out = lsh_bucket(t, planes=planes)
+    assert out["bucket"].to_pylist() == [0, 0, 1, 0]
+
+
+# --------------------------------------------------- zero-copy _stack
+
+
+def test_stack_fixed_size_list():
+    from document_retrieval_ray.stages.ann import _stack
+
+    arr = pa.FixedSizeListArray.from_arrays(
+        pa.array([1.0, 2.0, 3.0, 4.0, 5.0, 6.0], pa.float32()), 3
+    )
+    m = _stack(arr)
+    assert m.dtype == np.float64 and m.shape == (2, 3)
+    np.testing.assert_array_equal(m, [[1, 2, 3], [4, 5, 6]])
+
+
+def test_stack_list_chunked_and_sliced():
+    from document_retrieval_ray.stages.ann import _stack
+
+    base = pa.array([[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]], pa.list_(pa.float64()))
+    chunked = pa.chunked_array([base.slice(0, 1), base.slice(1, 2)])
+    np.testing.assert_array_equal(
+        _stack(chunked), [[1, 2], [3, 4], [5, 6]]
+    )
+    # a sliced ListArray has a nonzero offset — flatten() must honor it
+    sl = base.slice(1, 2)
+    np.testing.assert_array_equal(_stack(sl), [[3, 4], [5, 6]])
+
+
+def test_stack_ragged_fallback():
+    from document_retrieval_ray.stages.ann import _stack
+
+    # equal lengths → matrix even through the pylist fallback w/ nulls
+    ragged = pa.array([[1.0], [2.0, 3.0]], pa.list_(pa.float64()))
+    with pytest.raises(Exception):
+        _stack(ragged)  # genuinely ragged: no rectangular matrix exists
+    withnull = pa.array([[1.0, 2.0], None], pa.list_(pa.float64()))
+    # null rows take the fallback path (never the reshape fast path) and
+    # fail there too — a null embedding has no rectangular representation
+    with pytest.raises(Exception):
+        _stack(withnull)
+
+
+# ------------------------------------------- vectorized sentence split
+
+
+def _py_split(texts):
+    out = []
+    for row, text in enumerate(texts):
+        for i, s in enumerate((text or "").split(".")):
+            s = s.strip(" ")
+            if s:
+                out.append((row, i, s))
+    return out
+
+
+@pytest.mark.parametrize(
+    "texts",
+    [
+        ["a.b.c", "", None, "...", " x . y ", "no dots here"],
+        ["héllo wörld. ünïcode.", ".", "a..b", "  .  leading"],
+        [None, None],
+        ["." * 50],
+        ["tail dot ends it."],
+    ],
+)
+def test_vector_split_matches_python(texts):
+    from document_retrieval_ray.pipelines.testdata_queries import (
+        _vector_split_sentences,
+    )
+
+    t = pa.table({"text": pa.array(texts, pa.string())})
+    sel, sidx, sents = _vector_split_sentences(t)
+    got = list(zip(sel.tolist(), sidx.tolist(), sents.to_pylist()))
+    assert got == _py_split(texts)
+
+
+def test_vector_split_sliced_batch():
+    """Ray hands out zero-copy SLICES of tables; the offsets math must
+    honor a nonzero table offset."""
+    from document_retrieval_ray.pipelines.testdata_queries import (
+        _vector_split_sentences,
+    )
+
+    full = pa.table({"text": pa.array(["drop me.", "a.b", "c. d."])})
+    sl = full.slice(1, 2)
+    sel, sidx, sents = _vector_split_sentences(sl)
+    assert list(zip(sel.tolist(), sidx.tolist(), sents.to_pylist())) == [
+        (0, 0, "a"),
+        (0, 1, "b"),
+        (1, 0, "c"),
+        (1, 1, "d"),
+    ]
+
+
+def test_sent_key_bounds_guard():
+    from document_retrieval_ray.pipelines.testdata_queries import (
+        SENT_FACTOR,
+        check_sent_key_bounds,
+    )
+
+    check_sent_key_bounds(10**6, SENT_FACTOR - 1)  # max legal
+    with pytest.raises(ValueError, match="doc_id"):
+        check_sent_key_bounds(10**7, 0)
+    with pytest.raises(ValueError, match="sent_idx"):
+        check_sent_key_bounds(1, SENT_FACTOR)
+
+
+# ---------------------------------------------- submission invariants
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_submission_rejects_duplicate_docids():
+    import ray.data
+
+    from document_retrieval_ray.pipelines.query import to_submission
+
+    rows = [
+        {"query_id": 1, "rank": 1, "url": "d1"},
+        {"query_id": 1, "rank": 2, "url": "d1"},  # duplicate!
+    ]
+    ds = ray.data.from_items(rows)
+    with pytest.raises(Exception, match="duplicate doc ids"):
+        to_submission(ds, num_parts=2).take_all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_submission_enforces_k_and_passes_clean():
+    import ray.data
+
+    from document_retrieval_ray.pipelines.query import to_submission
+
+    rows = [
+        {"query_id": q, "rank": r, "url": f"d{r}"}
+        for q in (1, 2)
+        for r in (1, 2, 3)
+    ]
+    ds = ray.data.from_items(rows)
+    ok = to_submission(ds, num_parts=2, k=3).take_all()
+    assert sorted(r["query_id"] for r in ok) == [1, 2]
+    assert all(r["docids"] == "['d1', 'd2', 'd3']" for r in ok)
+    with pytest.raises(Exception, match="more than k=2"):
+        to_submission(ds, num_parts=2, k=2).take_all()
+
+
+# --------------------------------------------- C7 pluggable model oracle
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_c7_model_factory_roundtrip_oracle():
+    """The pluggable-model contract itself, oracled: a tiny deterministic
+    numpy 'model' wired through EmbedStage → DenseRerankStage must produce
+    hand-computed cosine scores (model_factory called once per actor)."""
+    import ray.data
+
+    from document_retrieval_ray.stages.embed import DenseRerankStage, EmbedStage
+
+    DIM = 3
+
+    class TinyModel:
+        """encode(text) = [len, #vowels, 1] — deterministic, no RNG."""
+
+        def encode(self, texts):
+            return np.array(
+                [
+                    [len(t or ""), sum((t or "").count(v) for v in "aeiou"), 1.0]
+                    for t in texts
+                ],
+                dtype=np.float64,
+            )
+
+    docs = [
+        {"doc_id": 0, "text": "alpha beta"},
+        {"doc_id": 1, "text": "zz"},
+        {"doc_id": 2, "text": "queueing"},
+    ]
+    emb = (
+        ray.data.from_items(docs)
+        .repartition(2)
+        .map_batches(
+            EmbedStage,
+            fn_constructor_kwargs=dict(model_factory=TinyModel, dim=DIM),
+            batch_format="pyarrow",
+            batch_size=32,
+            concurrency=1,
+        )
+        .take_all()
+    )
+    m = TinyModel()
+    by_id = {r["doc_id"]: np.asarray(r["embedding"]) for r in emb}
+    for d in docs:
+        want = m.encode([d["text"]])[0].astype(np.float32)
+        np.testing.assert_allclose(by_id[d["doc_id"]], want, rtol=1e-6)
+
+    # rerank: candidates carry cand_embedding; score = cos(q_vec, cand)
+    cand = [
+        {
+            "query_id": 7,
+            "query": "abc",
+            "url": f"u{d['doc_id']}",
+            "cand_embedding": by_id[d["doc_id"]].astype(np.float64).tolist(),
+        }
+        for d in docs
+    ]
+    scored = (
+        ray.data.from_items(cand)
+        .map_batches(
+            DenseRerankStage,
+            fn_constructor_kwargs=dict(model_factory=TinyModel),
+            batch_format="pyarrow",
+            batch_size=32,
+            concurrency=1,
+        )
+        .take_all()
+    )
+    qv = m.encode(["abc"])[0]
+    for r in scored:
+        did = int(r["url"][1:])
+        cv = by_id[did].astype(np.float64)
+        want = float(qv @ cv / (np.linalg.norm(qv) * np.linalg.norm(cv)))
+        assert abs(r["dense_score"] - want) < 1e-6
+        assert r["dense_score_x"] == int(np.floor(want * 10000 + 0.5))
