@@ -68,12 +68,36 @@ def _scaling() -> None:
     r_hi = min(runs_hi, key=lambda r: r["value"])
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)
+
+    # per-STAGE min-of-N efficiencies: a shared box's wall-clock noise hits
+    # each stage independently, so taking the min per stage (not per whole
+    # run) estimates each stage's least-interference scaling. Build is the
+    # north-rule throughput metric; the query stage is reported separately
+    # so one noisy leg can't silently drag the combined number.
+    def stage(key: str) -> dict:
+        lo_all = [r["queries"][key] for r in runs_lo]
+        hi_all = [r["queries"][key] for r in runs_hi]
+        lo_min, hi_min = min(lo_all), min(hi_all)
+        return {
+            f"sec_{lo}": round(lo_min, 2),
+            f"sec_{hi}": round(hi_min, 2),
+            f"all_sec_{lo}": [round(v, 2) for v in lo_all],
+            f"all_sec_{hi}": [round(v, 2) for v in hi_all],
+            "efficiency": round((lo_min / hi_min) / (hi / lo), 3),
+        }
+
+    stages = {k: stage(k) for k in ("index_build", "bm25_queries")}
+    # headline from per-stage minima (sum of least-interference stages)
+    sum_lo = sum(stages[k][f"sec_{lo}"] for k in stages)
+    sum_hi = sum(stages[k][f"sec_{hi}"] for k in stages)
     print(json.dumps({
         "metric": "headline-seconds at two parallelism levels (same input, fresh ray sessions)",
         f"sec_{lo}": round(t_lo, 2),
         f"sec_{hi}": round(t_hi, 2),
         "cpus": [lo, hi],
         "scaling_efficiency": round(eff, 3),
+        "scaling_efficiency_stage_min": round((sum_lo / sum_hi) / (hi / lo), 3),
+        "stages": stages,
         "repeats": repeats,
         f"all_sec_{lo}": [round(r["value"], 2) for r in runs_lo],
         f"all_sec_{hi}": [round(r["value"], 2) for r in runs_hi],

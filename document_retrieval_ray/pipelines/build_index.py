@@ -9,15 +9,18 @@ Pipeline::
       → TokenizeStage                                  [actor pool]
       → AddPart (url-hash partition)                   [map_batches]
       → groupby(lang, part).map_groups(AssignDocIds)   [SHUFFLE 1: doc ids]
-          side-writes docmap/ parquet + docmap_stats/ sidecar JSONs,
-          emits posting triples
-      → triples checkpoint (scratch parquet)           [disk, reused 2-3x]
-    triples → partial_term_counts → groupby.sum        [SHUFFLE 2: df]
-      → df materialized once → {df parquet, hot-term set, per-lang term stats}
+          side-writes docmap/ parquet + docmap_stats/ sidecar JSONs
+          + _df_partials/ per-(lang, part) df parquet,
+          emits posting triples (or encoded segments)
+    [segments flow: NO checkpoint — the stream continues straight into
+     the merge tree + write below; exactly one consumer]
+    [triples flow: object-store checkpoint, consumed 2x (norms + encode)]
+    df = driver fold of _df_partials/ files                    [no shuffle]
+      → {df parquet, hot-term set, per-lang term stats}
     triples → AddSalt(hot broadcast) → add_kpart       [hash-partition terms]
-      → groupby(kpart).map_groups(EncodePartition)     [SHUFFLE 3: THE big one]
+      → groupby(kpart).map_groups(EncodePartition)     [SHUFFLE 2: THE big one]
       → [hot terms only] add_kpart(lang,term)
-        → groupby.map_groups(MergePartition)           [segment merge, actor pool]
+        → groupby.map_groups(MergePartition)           [segment merge]
       → write postings/lang=*/*.parquet
       → per-lang manifest commit (atomic)
 
@@ -26,10 +29,12 @@ input fingerprint is skipped entirely (reference analog: pickle-existence
 guards, document_ranking_with_bm25.py:452-491 — but transactional here).
 
 Scale notes:
-- the triples checkpoint is a deliberate disk spill so the stream is
-  consumed 2-3x (df / encode / optional norms) without re-tokenizing or
-  pinning the corpus in the object store;
-- the df shuffle moves per-batch partials, not triples;
+- the segments flow (norms off) STREAMS end-to-end — no checkpoint at
+  all: df and stats come from AssignDocIds' side-writes, so the posting
+  stream has exactly one consumer;
+- the triples flow (norms on) checkpoints the stream in the object store
+  because norms + encode both consume it; df is NOT a consumer — it folds
+  the side-written per-partition vocabulary files (no df shuffle at all);
 - global (N, avgdl) stats are exact integer sums over per-partition
   sidecar JSONs — no extra pass over the corpus;
 - terms are ENCODED per hash partition (whole partitions vectorized), not
@@ -67,7 +72,6 @@ from ..stages.index_build import (
     add_salt_and_kpart,
     encode_partition,
     encode_partition_ids,
-    partial_term_counts,
     vocab_encode_triples,
 )
 from ..stages.tokenize import TokenizeStage
@@ -121,6 +125,9 @@ def _lang_dirs(index_dir: str):
         "postings": os.path.join(index_dir, "postings"),
         "norms": os.path.join(index_dir, "norms"),
         "df": os.path.join(index_dir, "df"),
+        # AssignDocIds' per-(lang, part) df side-writes (scratch; the
+        # compacted per-lang df/ parquet is the durable artifact)
+        "df_partials": os.path.join(index_dir, "_df_partials"),
         "manifests": os.path.join(index_dir, "manifests"),
     }
 
@@ -128,10 +135,131 @@ def _lang_dirs(index_dir: str):
 def _clean_uncommitted(index_dir: str, langs) -> None:
     d = _lang_dirs(index_dir)
     for lang in langs:
-        for key in ("docmap", "docmap_stats", "postings", "norms", "df"):
+        for key in ("docmap", "docmap_stats", "postings", "norms", "df",
+                    "df_partials"):
             p = os.path.join(d[key], f"lang={lang}")
             if os.path.isdir(p):
                 shutil.rmtree(p)
+
+
+def _read_stats(d: dict, todo) -> dict:
+    """Global per-lang (N, avgdl): exact integer sums over the tiny stats
+    sidecar JSONs side-written by AssignDocIds — no pass over the corpus."""
+    stats: dict = {}
+    for lang in todo:
+        n_docs = 0
+        sum_dl = 0
+        for p in glob.glob(os.path.join(d["docmap_stats"], f"lang={lang}", "*.json")):
+            with open(p) as f:
+                s = json.load(f)
+            n_docs += s["n_docs"]
+            sum_dl += s["sum_dl"]
+        stats[lang] = {
+            "n_docs": n_docs,
+            "total_tokens": sum_dl,
+            "avgdl": (sum_dl / n_docs) if n_docs else 0.0,
+        }
+    return stats
+
+
+def _df_hot_stats(d: dict, todo, cfg):
+    """A2 (document frequency) WITHOUT consuming the posting stream: fold
+    the per-(lang, part) df partials AssignDocIds side-wrote — each file is
+    one partition's vocabulary (Heaps-law-sized, orders of magnitude
+    smaller than the stream) — into the per-lang df/ parquet, the hot-term
+    list, and per-lang term stats.
+
+    Returns ``(df_acc | None, hot, term_stats)``; ``df_acc`` is None when
+    the merged vocabulary exceeds the driver guard and the fold fell back
+    to a DISTRIBUTED groupby — still over the partial files, never the
+    stream. Guard override: env ``DRR_DF_MAX_TERMS`` (tests)."""
+    import pandas as pd
+    import pyarrow.parquet as _pq
+    from collections import Counter as _C
+
+    max_terms = int(os.environ.get("DRR_DF_MAX_TERMS", DRIVER_DF_MAX_TERMS))
+    overflow = False
+    df_counter: _C = _C()
+    for lang in todo:
+        pdir = os.path.join(d["df_partials"], f"lang={lang}")
+        for p in sorted(glob.glob(os.path.join(pdir, "*.parquet"))):
+            t = _pq.read_table(p)
+            terms = t["term"].to_pylist()
+            ns = t["n"].to_pylist()
+            # per-file terms are unique → dict build is lossless; Counter
+            # update sums across parts/langs
+            df_counter.update(dict(zip(((lang, s) for s in terms), ns)))
+            if len(df_counter) > max_terms:
+                overflow = True
+                break
+        if overflow:
+            break
+    if overflow:
+        del df_counter
+        per_lang = []
+        for lang in todo:
+            pdir = os.path.join(d["df_partials"], f"lang={lang}")
+            if glob.glob(os.path.join(pdir, "*.parquet")):
+                # ray.data.read_parquet hive-infers the lang column from
+                # the `lang=…` path component at execution time — reading
+                # the leaf dir already yields (term, n, lang) batches
+                per_lang.append(ray.data.read_parquet(pdir))
+        if not per_lang:
+            return {}, [], {}
+        base = per_lang[0]
+        if len(per_lang) > 1:
+            base = base.union(*per_lang[1:])
+        df_ds = (
+            base.groupby(["lang", "term"])
+            .sum("n")
+            .map_batches(
+                lambda t: t.rename_columns(["lang", "term", "df"]),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+        df_ds.write_parquet(d["df"], partition_cols=["lang"])
+        hot = [
+            (r["lang"], r["term"])
+            for r in df_ds.filter(expr=f"df > {cfg.hot_term_threshold}").take_all()
+        ]
+        term_stats = {
+            r["lang"]: r
+            for r in df_ds.groupby("lang")
+            .aggregate(
+                ray.data.aggregate.Count(alias_name="n_terms"),
+                ray.data.aggregate.Sum("df", alias_name="n_postings"),
+            )
+            .take_all()
+        }
+        return None, hot, term_stats
+
+    df_acc = {k: int(v) for k, v in df_counter.items()}
+    df_tbl = pd.DataFrame(
+        {
+            "lang": [k[0] for k in df_acc],
+            "term": [k[1] for k in df_acc],
+            "df": list(df_acc.values()),
+        }
+    )
+    for lang, g in df_tbl.groupby("lang"):
+        out_dir = os.path.join(d["df"], f"lang={lang}")
+        os.makedirs(out_dir, exist_ok=True)
+        _pq.write_table(
+            pa.Table.from_pandas(
+                g[["term", "df"]].sort_values("term"), preserve_index=False
+            ),
+            os.path.join(out_dir, "part-00000.parquet"),
+        )
+    hot = [(l, t) for (l, t), n in df_acc.items() if n > cfg.hot_term_threshold]
+    term_stats = {
+        lang: {
+            "n_terms": int(len(g)),
+            "n_postings": int(g["df"].sum()),
+        }
+        for lang, g in df_tbl.groupby("lang")
+    }
+    return df_acc, hot, term_stats
 
 
 def build_index(
@@ -286,6 +414,7 @@ def build_index(
         "docmap_dir": d["docmap"],
         "emit": "segments" if segments_flow else "triples",
         "block_size": cfg.block_size,
+        "df_dir": d["df_partials"],
     }
     assigned = parted.groupby(["lang", "part"]).map_groups(
         AssignDocIds,
@@ -293,153 +422,52 @@ def build_index(
         batch_format="pyarrow",
         concurrency=tokenize_concurrency,
     )
-    # checkpoint in the OBJECT STORE (zero-copy, spills under pressure) —
-    # the stream is consumed 2-3x and a parquet round-trip through local
-    # disk was pure non-scaling I/O. ``keep_triples`` additionally writes
-    # the triples to disk for inspection (triples flow only).
-    triples_mat = assigned.materialize()
-    if keep_triples and not segments_flow:
-        triples_dir = os.path.join(index_dir, "_triples")
-        if os.path.isdir(triples_dir):
-            shutil.rmtree(triples_dir)
-        triples_mat.write_parquet(triples_dir, min_rows_per_file=500_000)
-    _mark("tokenize_assign_triples")
+    if not segments_flow:
+        # checkpoint in the OBJECT STORE (zero-copy, spills under
+        # pressure): the triples stream is consumed twice (cosine norms +
+        # encode) and a parquet round-trip through local disk was pure
+        # non-scaling I/O. The df pass is NOT a consumer — AssignDocIds
+        # side-writes per-(lang, part) df partials, so A2 folds compact
+        # vocabulary files instead of re-reading the stream.
+        # ``keep_triples`` additionally writes the triples to disk for
+        # inspection.
+        triples_mat = assigned.materialize()
+        if keep_triples:
+            triples_dir = os.path.join(index_dir, "_triples")
+            if os.path.isdir(triples_dir):
+                shutil.rmtree(triples_dir)
+            triples_mat.write_parquet(triples_dir, min_rows_per_file=500_000)
+        _mark("tokenize_assign_triples")
 
-    # --- stats per lang: exact integer sums over sidecar JSONs ---
-    stats: dict = {}
-    for lang in todo:
-        n_docs = 0
-        sum_dl = 0
-        for p in glob.glob(os.path.join(d["docmap_stats"], f"lang={lang}", "*.json")):
-            with open(p) as f:
-                s = json.load(f)
-            n_docs += s["n_docs"]
-            sum_dl += s["sum_dl"]
-        stats[lang] = {
-            "n_docs": n_docs,
-            "total_tokens": sum_dl,
-            "avgdl": (sum_dl / n_docs) if n_docs else 0.0,
-        }
-
-    # --- pass 2: document frequency. Per-batch partials stream to the
-    # driver and are summed there: the vocabulary is orders of magnitude
-    # smaller than the corpus (Heaps' law), so ONE Ray execution replaces
-    # four (groupby-materialize / parquet write / hot filter / term-stats
-    # aggregate — each execution costs ~2-3s of spin-up). The df parquet,
-    # hot-term set, and per-lang term stats all derive from the same
-    # driver-side table. Falls back to a distributed groupby if the
-    # accumulated vocab exceeds a guard (truly web-scale vocabularies).
-    import pandas as pd
-    from collections import Counter as _C
-
-    if segments_flow:
-        # segment rows already carry per-(lang, term, part) df counts
-        partials = triples_mat.select_columns(["lang", "term", "df"]).map_batches(
-            lambda t: t.rename_columns(["lang", "term", "n"]),
-            batch_format="pyarrow",
-        )
-    else:
-        partials = triples_mat.select_columns(["lang", "term"]).map_batches(
-            partial_term_counts, batch_format="pyarrow"
-        )
-    # STREAMING merge: each partial batch is pre-aggregated (pandas
-    # groupby, C-level) and folded into the Counter immediately — driver
-    # peak memory is one batch + the merged vocabulary, never the
-    # concatenation of every partial. The guard now watches the MERGED
-    # vocab size (the thing that actually bounds driver RSS), so overflow
-    # trips before a web-scale vocabulary accumulates.
-    overflow = False
-    df_counter = _C()
-    for b in partials.iter_batches(batch_format="pyarrow", batch_size=None):
-        pdf = b.to_pandas()
-        g = pdf.groupby(["lang", "term"], sort=False)["n"].sum()
-        df_counter.update(g.to_dict())
-        if len(df_counter) > DRIVER_DF_MAX_TERMS:
-            overflow = True
-            df_counter = None
-            break
-    df_acc = (
-        {k: int(v) for k, v in df_counter.items()} if not overflow else {}
-    )
-    if overflow:
-        # distributed fallback: vocab too large for driver aggregation
-        df_ds = (
-            partials.groupby(["lang", "term"])
-            .sum("n")
-            .map_batches(
-                lambda t: t.rename_columns(["lang", "term", "df"]),
-                batch_format="pyarrow",
-            )
-            .materialize()
-        )
-        df_ds.write_parquet(d["df"], partition_cols=["lang"])
-        hot = [
-            (r["lang"], r["term"])
-            for r in df_ds.filter(expr=f"df > {cfg.hot_term_threshold}").take_all()
-        ]
-        term_stats = {
-            r["lang"]: r
-            for r in df_ds.groupby("lang")
-            .aggregate(
-                ray.data.aggregate.Count(alias_name="n_terms"),
-                ray.data.aggregate.Sum("df", alias_name="n_postings"),
-            )
-            .take_all()
-        }
-    else:
-        df_tbl = pd.DataFrame(
-            {
-                "lang": [k[0] for k in df_acc],
-                "term": [k[1] for k in df_acc],
-                "df": list(df_acc.values()),
-            }
-        )
-        import pyarrow.parquet as _pq
-
-        for lang, g in df_tbl.groupby("lang"):
-            out_dir = os.path.join(d["df"], f"lang={lang}")
-            os.makedirs(out_dir, exist_ok=True)
-            _pq.write_table(
-                pa.Table.from_pandas(
-                    g[["term", "df"]].sort_values("term"), preserve_index=False
-                ),
-                os.path.join(out_dir, "part-00000.parquet"),
-            )
-        hot = [
-            (l, t)
-            for (l, t), n in df_acc.items()
-            if n > cfg.hot_term_threshold
-        ]
-        term_stats = {
-            lang: {
-                "n_terms": int(len(g)),
-                "n_postings": int(g["df"].sum()),
-            }
-            for lang, g in df_tbl.groupby("lang")
-        }
-    hot_ref = ray.put(frozenset(hot)) if hot else None
-    # driver-resident vocabulary → dictionary-encode the shuffle (numeric
-    # sort keys); None when the vocab overflowed to the distributed path
-    vocab_ref = None
-    hot_vids_ref = None
-    if not overflow and not segments_flow:
-        keys = list(df_acc.keys())
-        lang_arr = np.array([k[0] for k in keys], dtype=object)
-        term_arr = np.array([k[1] for k in keys], dtype=object)
-        vocab_ref = ray.put((lang_arr, term_arr))
-        if hot:
-            hot_set = set(hot)
-            hot_vids_ref = ray.put(
-                np.array(
-                    [i for i, k in enumerate(keys) if k in hot_set], dtype=np.int64
+        # --- stats + df: folded from the side-written artifacts (sidecar
+        # JSONs / df partial parquet) — NO consumption of the checkpoint
+        stats = _read_stats(d, todo)
+        df_acc, hot, term_stats = _df_hot_stats(d, todo, cfg)
+        hot_ref = ray.put(frozenset(hot)) if hot else None
+        # driver-resident vocabulary → dictionary-encode the shuffle
+        # (numeric sort keys); None when the vocab overflowed to the
+        # distributed fallback
+        vocab_ref = None
+        hot_vids_ref = None
+        if df_acc is not None:
+            keys = list(df_acc.keys())
+            lang_arr = np.array([k[0] for k in keys], dtype=object)
+            term_arr = np.array([k[1] for k in keys], dtype=object)
+            vocab_ref = ray.put((lang_arr, term_arr))
+            if hot:
+                hot_set = set(hot)
+                hot_vids_ref = ray.put(
+                    np.array(
+                        [i for i, k in enumerate(keys) if k in hot_set],
+                        dtype=np.int64,
+                    )
                 )
-            )
-    _mark("df_hot_stats")
+        _mark("df_hot_stats")
 
-    # --- optional cosine norms: |d| under the cosine idf law ---
-    if with_cosine_norms:
-        _build_cosine_norms(triples_mat, d, stats)
-        _mark("cosine_norms")
+        # --- optional cosine norms: |d| under the cosine idf law ---
+        if with_cosine_norms:
+            _build_cosine_norms(triples_mat, d, stats)
+            _mark("cosine_norms")
 
     def _merge_rounds(seg, span: int):
         """Hierarchical (tree) segment merge: while more than one
@@ -472,11 +500,16 @@ def build_index(
 
     # --- pass 3: encode partitions (+ merge only when hot terms exist) ---
     if segments_flow:
-        # segments are already encoded; ONE shuffle of compact segments
-        # into per-term merge partitions — or, with merge_fanout >= 2, a
-        # TREE of bounded (term, doc-range-bucket) merge rounds first
-        # (segments-flow salt = part index, so span = num_hash_parts).
-        seg_src = triples_mat
+        # NO checkpoint: the segments flow has exactly ONE consumer of the
+        # posting stream (df and stats come from AssignDocIds' side
+        # writes), so the whole build streams tokenize → assign/encode →
+        # merge tree → write with backpressure, never pinning the stream
+        # in the object store. Segments are already encoded; ONE shuffle
+        # of compact segments into per-term merge partitions — or, with
+        # merge_fanout >= 2, a TREE of bounded (term, doc-range-bucket)
+        # merge rounds first (segments-flow salt = part index, so
+        # span = num_hash_parts).
+        seg_src = assigned
         if cfg.merge_fanout >= 2:
             seg_src = _merge_rounds(seg_src, cfg.num_hash_parts)
         rekeyed = seg_src.map_batches(
@@ -484,15 +517,23 @@ def build_index(
             fn_kwargs={"num_parts": cfg.num_encode_parts, "cols": ("lang", "term")},
             batch_format="pyarrow",
         )
+        # plain tasks, NOT a third actor pool: tokenize + assign pools are
+        # live in the same streaming graph now, and a third pool would
+        # starve the executor at small CPU counts; MergePartition's state
+        # is config-only, so per-group construction is free
         final = rekeyed.groupby("kpart").map_groups(
-            MergePartition,
-            fn_constructor_kwargs={"block_size": cfg.block_size, "min_df": cfg.min_df},
+            lambda g: MergePartition(
+                block_size=cfg.block_size, min_df=cfg.min_df
+            )(g),
             batch_format="pyarrow",
-            concurrency=tokenize_concurrency,
         )
         final.write_parquet(d["postings"], partition_cols=["lang"])
-        _mark("encode_merge_write")
-        del triples_mat
+        _mark("tokenize_encode_merge_write")
+        # side-written artifacts exist only now (the single execution just
+        # finished): fold sidecars + df partials → stats, df/, manifests
+        stats = _read_stats(d, todo)
+        df_acc, hot, term_stats = _df_hot_stats(d, todo, cfg)
+        _mark("df_hot_stats")
         for lang in todo:
             s = stats.get(lang, {})
             t = term_stats.get(lang, {})

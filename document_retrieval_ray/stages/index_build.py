@@ -69,12 +69,17 @@ class AssignDocIds:
     """
 
     def __init__(self, offsets: dict, docmap_dir: str, emit: str = "triples",
-                 block_size: int = 128):
+                 block_size: int = 128, df_dir: str = None):
         # offsets: {(lang, part): first dense doc_id of this partition}
         self.offsets = offsets
         self.docmap_dir = docmap_dir
         self.emit = emit
         self.block_size = block_size
+        # side-write per-(lang, part) document frequencies here: the group
+        # already holds the unique (doc, term) pairs, so df partials cost
+        # one factorize+bincount — and the df pass then needs NO extra
+        # consumption of the posting stream (A2 without shuffle 2)
+        self.df_dir = df_dir
 
     def __call__(self, group: pa.Table) -> pa.Table:
         lang = group["lang"][0].as_py()
@@ -109,6 +114,8 @@ class AssignDocIds:
             tfs_arr = counted["tf"].to_numpy()
         if len(terms) == 0:
             return _empty_triples() if self.emit == "triples" else _empty_encoded()
+        if self.df_dir is not None:
+            self._write_df_partial(lang, int(part), terms)
         if self.emit == "triples":
             return pa.table(
                 {
@@ -139,6 +146,31 @@ class AssignDocIds:
             {f.name: pa.array(cols[f.name], f.type) for f in _ENCODED_SCHEMA},
             schema=_ENCODED_SCHEMA,
         )
+
+    def _write_df_partial(self, lang: str, part: int, terms) -> None:
+        """``terms`` is the flattened unique-(doc, term) pair list, so its
+        value counts ARE this partition's document frequencies. Written
+        atomically (dot-prefixed temp + rename, idempotent under retry)
+        like the docmap side-writes."""
+        codes, uniq = pd.factorize(np.asarray(terms, dtype=object), sort=True)
+        counts = np.bincount(codes, minlength=len(uniq))
+        out_dir = os.path.join(self.df_dir, f"lang={lang}")
+        os.makedirs(out_dir, exist_ok=True)
+        table = pa.table(
+            {
+                "term": pa.array(uniq, pa.string()),
+                "n": pa.array(counts, pa.int64()),
+            }
+        )
+        final = os.path.join(out_dir, f"part-{part:05d}.parquet")
+        fd, tmp = tempfile.mkstemp(dir=out_dir, prefix=".tmp-")
+        os.close(fd)
+        try:
+            pq.write_table(table, tmp)
+            os.replace(tmp, final)
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
 
     def _write_docmap(self, lang: str, part: int, group: pa.Table, doc_ids):
         out_dir = os.path.join(self.docmap_dir, f"lang={lang}")

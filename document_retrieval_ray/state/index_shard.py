@@ -501,9 +501,13 @@ def score_query_wand(idx: LangIndex, tokens, cfg: BM25Config, k: int = 10,
     crossing the k boundary resolve identically to the dense path; terms
     with negative idf (possible under the 'cosine' law) contribute via
     per-pivot binary search instead of being dropped. Pivot skips jump
-    whole undecoded blocks via block_last; per-block score bounds feed
-    the term upper bound (full per-block BMW pivoting is a possible
-    refinement).
+    whole undecoded blocks via block_last, and every pivot passes a
+    Block-Max-WAND refinement: the per-block score bounds of the lead
+    cursors' covering blocks must reach the heap threshold, else the
+    whole [pivot, nearest block boundary] range is skipped undecoded
+    (Ding & Suel 2011's block-max pivoting, adapted to the rounded-key
+    tie semantics: the block check reuses eval_bound, which already
+    admits rounded ties).
     """
     if idx.avgdl <= 0:
         return []
@@ -554,6 +558,35 @@ def score_query_wand(idx: LangIndex, tokens, cfg: BM25Config, k: int = 10,
         if pivot_i is None:
             break
         pivot_doc = active[pivot_i].current_doc
+        # ---- BMW refinement: per-BLOCK bounds at the pivot. The lead set
+        # is every cursor positioned at <= pivot_doc (ties past pivot_i
+        # included — their bounds belong to pivot_doc too). For any doc d
+        # in [pivot_doc, min block_last], each lead's covering block is
+        # exactly the block found at pivot_doc (the previous block's last
+        # is < pivot_doc <= d), so one check bounds the whole range and a
+        # failed check skips it without decoding anything.
+        lead_end = pivot_i + 1
+        while lead_end < len(active) and active[lead_end].current_doc == pivot_doc:
+            lead_end += 1
+        block_ub = 0.0
+        next_b = None  # min block_last over leads with postings >= pivot
+        for c in active[:lead_end]:
+            bub, blast = c.bound_at(pivot_doc)
+            block_ub += bub
+            if blast is not None and (next_b is None or blast < next_b):
+                next_b = blast
+        if not (block_ub > 0.0 and block_ub >= eval_bound):
+            # pivot range cannot reach the heap: shallow-advance every
+            # lead past the nearest block boundary (never past the next
+            # cursor's doc — beyond it, other terms join the bound)
+            nxt = pivot_doc + 1 if next_b is None else next_b + 1
+            if lead_end < len(active):
+                nxt = min(nxt, active[lead_end].current_doc)
+            nxt = max(nxt, pivot_doc + 1)
+            for c in active[:lead_end]:
+                c.skip_to(nxt, cfg)
+            active = [c for c in active if c.current_doc is not None]
+            continue
         if active[0].current_doc == pivot_doc:
             # fully evaluate pivot_doc
             score = 0.0
@@ -592,6 +625,7 @@ class _Cursor:
     __slots__ = (
         "idx", "row", "n_blocks", "weight_idf", "block", "pos",
         "docs", "tfs", "current_doc", "current_tf", "term_ub",
+        "block_bounds", "lasts",
     )
 
     def __init__(self, idx: LangIndex, row: int, n_blocks: int, weight_idf: float):
@@ -603,26 +637,33 @@ class _Cursor:
         self.docs = None
         self.current_doc = None
         self.term_ub = 0.0  # set in open_block(0): max over blocks
+        self.block_bounds = None  # per-block score bounds (BMW pivoting)
+        self.lasts = None
 
-    def _block_bound(self, b: int, cfg: BM25Config) -> float:
-        """Upper bound on this term's contribution within block b: the
-        score is increasing in tf and decreasing in dl under both compat
-        formulas, so (block_max_tf, block_min_dl) bounds it."""
-        mt = self.idx._blocks(self.row, "max_tf")[b]
-        md = self.idx._blocks(self.row, "min_dl")[b]
-        return self.weight_idf * _bm25_contrib(
-            float(mt), float(md), cfg, self.idx.avgdl
-        )
+    def bound_at(self, doc: int):
+        """BMW per-block refinement: (score bound of the block covering
+        the first posting >= doc, that block's last doc id) — or
+        (0.0, None) when the term has no posting >= doc. The score is
+        increasing in tf and decreasing in dl under both compat formulas,
+        so (block_max_tf, block_min_dl) bounds every doc in the block."""
+        b = int(np.searchsorted(self.lasts, doc))
+        if b >= self.n_blocks:
+            return 0.0, None
+        return float(self.block_bounds[b]), int(self.lasts[b])
 
     def open_block(self, b: int, cfg: BM25Config):
         if self.block < 0:
             # vectorized over all blocks (a df≈10⁶ term has ~8k blocks —
-            # a Python generator here cost ~8k iterations per query)
+            # a Python generator here cost ~8k iterations per query);
+            # kept as an array: score_query_wand's block-max pivot check
+            # indexes it per pivot
             mt = self.idx._blocks(self.row, "max_tf").astype(np.float64)
             md = self.idx._blocks(self.row, "min_dl").astype(np.float64)
-            self.term_ub = float(
-                (self.weight_idf * _bm25_contrib(mt, md, cfg, self.idx.avgdl)).max()
+            self.block_bounds = self.weight_idf * _bm25_contrib(
+                mt, md, cfg, self.idx.avgdl
             )
+            self.lasts = self.idx._blocks(self.row, "last")
+            self.term_ub = float(self.block_bounds.max())
         if b >= self.n_blocks:
             self.current_doc = None
             return

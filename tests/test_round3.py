@@ -388,3 +388,52 @@ def test_c7_model_factory_roundtrip_oracle():
         want = float(qv @ cv / (np.linalg.norm(qv) * np.linalg.norm(cv)))
         assert abs(r["dense_score"] - want) < 1e-6
         assert r["dense_score_x"] == int(np.floor(want * 10000 + 0.5))
+
+
+# --------------------------------------- df side-writes + overflow path
+
+
+def _read_df_dir(index_dir):
+    import os
+
+    import pyarrow.dataset as pads
+
+    t = (
+        pads.dataset(os.path.join(index_dir, "df"), format="parquet",
+                     partitioning="hive")
+        .to_table()
+        .to_pandas()
+    )
+    t["lang"] = t["lang"].astype(str)
+    return (
+        t[["lang", "term", "df"]]
+        .sort_values(["lang", "term"])
+        .reset_index(drop=True)
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("norms", [False, True], ids=["segments", "triples"])
+def test_df_overflow_fallback_matches_driver_fold(
+    tiny_corpus, tmp_path, monkeypatch, norms
+):
+    """The distributed df fallback (vocab over the driver guard) must
+    produce the same df table and manifest stats as the driver fold, in
+    BOTH flows — and the triples flow must still encode correctly without
+    a vocab_ref (string-keyed shuffle path)."""
+    from document_retrieval_ray.pipelines.build_index import build_index
+
+    tag = "t" if norms else "s"
+    idx_a = str(tmp_path / f"idx_driver_{tag}")
+    ma = build_index(tiny_corpus["documents"], idx_a, with_cosine_norms=norms)
+
+    monkeypatch.setenv("DRR_DF_MAX_TERMS", "0")  # trip overflow immediately
+    idx_b = str(tmp_path / f"idx_dist_{tag}")
+    mb = build_index(tiny_corpus["documents"], idx_b, with_cosine_norms=norms)
+
+    da, db = _read_df_dir(idx_a), _read_df_dir(idx_b)
+    pd.testing.assert_frame_equal(da, db, check_dtype=False)
+    for lang in ma:
+        assert ma[lang]["n_terms"] == mb[lang]["n_terms"]
+        assert ma[lang]["n_postings"] == mb[lang]["n_postings"]
+        assert ma[lang]["n_docs"] == mb[lang]["n_docs"]
