@@ -51,9 +51,13 @@ from ..stages.index_build import add_kpart
 from ..stages.ann import (
     BruteForceTopK,
     BucketTopK,
+    IVFTopK,
+    IVF_DIST_SCALE,
     NearDupPairs,
     emit_tile_rows,
     final_topk,
+    fit_ivf_centroids,
+    ivf_assign_batch,
     lsh_bucket,
     tile_pairs,
 )
@@ -86,6 +90,14 @@ MINHASH_JACCARD_THRESHOLD = 0.5
 EMB_DIM = 64
 LSH_NUM_PLANES = 4
 LSH_PLANES = np.random.default_rng(13).standard_normal((EMB_DIM, LSH_NUM_PLANES))
+# IVF coarse-quantizer knobs: tiny nlist at test scale (the structure,
+# not the constants, is what scales — at 100 TB nlist ~ sqrt(N)).
+# The SQL oracle re-derives the SAME centroids from the data (init =
+# vec_id < nlist, fixed Lloyd iterations, fixed-point sums), so no
+# literals need embedding.
+IVF_NLIST = 4
+IVF_NPROBE = 2
+IVF_NITER = 2
 
 # ------------------------------------------------------------ SQL fragments
 
@@ -754,6 +766,48 @@ def q_ann_topk_lsh(sf_dir: str):
     return partial.groupby("query_vec").map_groups(final_topk, batch_format="pandas")
 
 
+def q_ann_topk_ivf(sf_dir: str):
+    """ANN top-k over an IVF (k-means) coarse quantizer — the classic
+    scale path (FAISS IndexIVFFlat semantics,
+    faiss_based_ANN_Implementation.py:114-149 uses the flat/LSH variants):
+    a distributed deterministic Lloyd fit (driver reduces nlist × dim
+    partials per iteration), a cell-assignment map, and per-query probing
+    of the ``nprobe`` nearest cells. Candidate scoring shrinks by
+    nlist/nprobe; recall traded for a bounded matmul. The DuckDB oracle
+    re-derives identical centroids (same init, same fixed-point rounding),
+    so this is fully value-hash-checked."""
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    cent = fit_ivf_centroids(emb, IVF_NLIST, IVF_NITER)
+    assigned = emb.map_batches(
+        ivf_assign_batch, fn_kwargs={"centroids": cent}, batch_format="pyarrow"
+    )
+    qid_arr = pa.array(list(ANN_QUERY_IDS), pa.int64())
+    qrows = {
+        r["vec_id"]: r["embedding"]
+        for r in emb.map_batches(
+            lambda t: t.filter(pc.is_in(t["vec_id"], value_set=qid_arr)),
+            batch_format="pyarrow",
+        ).take_all()
+    }
+    qids = sorted(qrows)
+    qmat = np.array([qrows[q] for q in qids], dtype=np.float64)
+    # probe cells: nprobe nearest centroids per query, fixed-point rounded
+    # distances, ties to the smaller cell (same as the oracle row_number)
+    d = ((qmat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    dx = np.floor(d * IVF_DIST_SCALE + 0.5)
+    order = np.argsort(dx, axis=1, kind="stable")  # stable → ties pick lower cell
+    qcells = order[:, :IVF_NPROBE]
+    ref = ray.put((qids, qmat, [c.tolist() for c in qcells]))
+    partial = assigned.map_batches(
+        IVFTopK,
+        fn_constructor_kwargs={"queries_ref": ref, "k": 10},
+        batch_format="pyarrow",
+        concurrency=default_pool(),
+    )
+    return partial.groupby("query_vec").map_groups(final_topk, batch_format="pandas")
+
+
 def q_token_stats(sf_dir: str):
     return _docs(sf_dir).map_batches(doc_stats_batch, batch_format="pyarrow")
 
@@ -1337,6 +1391,7 @@ QUERIES = {
     "embed_neardup_lsh": q_embed_neardup_lsh,
     "ann_topk": q_ann_topk,
     "ann_topk_lsh": q_ann_topk_lsh,
+    "ann_topk_ivf": q_ann_topk_ivf,
     "token_stats": q_token_stats,
     "langid": q_langid,
     "binary_meta": q_binary_meta,
@@ -1578,6 +1633,100 @@ SELECT query_vec, rank, vec_id, cos_x FROM ranked WHERE rank <= 10
 """
 
 
+def _ivf_sql(nlist: int = IVF_NLIST, nprobe: int = IVF_NPROBE,
+             niter: int = IVF_NITER, k: int = 10) -> str:
+    """IVF ANN oracle: re-derives the engine's centroids from the data —
+    init = embeddings of vec_id < nlist, then ``niter`` chained Lloyd
+    iterations (assignment by fixed-point-rounded squared L2, per-dim
+    coordinate sums rounded to the 1e6 grid before the mean, empty cells
+    keep the previous centroid via LEFT JOIN + COALESCE) — then probes the
+    ``nprobe`` nearest cells per query and ranks cosine top-``k``.
+    Every cross-implementation float comparison goes through the same
+    fixed-point grids as stages/ann.py (IVF_DIST_SCALE / IVF_SUM_SCALE)."""
+    ctes = [f"WITH {_EMB_UNNEST},"]
+    ctes.append(
+        f"cent0 AS (SELECT vec_id AS cell, i, v AS c FROM u "
+        f"WHERE vec_id < {nlist})"
+    )
+    prev = "cent0"
+    for it in range(1, niter + 1):
+        ctes.append(f""",
+dist{it} AS (
+  SELECT u.vec_id AS vec_id, p.cell AS cell,
+         floor(sum((u.v - p.c) * (u.v - p.c)) * 1000000000.0 + 0.5) AS dx
+  FROM u JOIN {prev} p ON p.i = u.i
+  GROUP BY u.vec_id, p.cell
+),
+asg{it} AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dx ASC, cell ASC) AS rn
+    FROM dist{it}) t WHERE rn = 1
+),
+sums{it} AS (
+  SELECT a.cell AS cell, u.i AS i,
+         floor(sum(u.v) * 1000000.0 + 0.5) AS sx, count(*) AS cnt
+  FROM u JOIN asg{it} a ON a.vec_id = u.vec_id
+  GROUP BY a.cell, u.i
+),
+cent{it} AS (
+  SELECT p.cell AS cell, p.i AS i,
+         COALESCE(s.sx / (s.cnt * 1000000.0), p.c) AS c
+  FROM {prev} p LEFT JOIN sums{it} s ON s.cell = p.cell AND s.i = p.i
+)""")
+        prev = f"cent{it}"
+    ctes.append(f""",
+fdist AS (
+  SELECT u.vec_id AS vec_id, p.cell AS cell,
+         floor(sum((u.v - p.c) * (u.v - p.c)) * 1000000000.0 + 0.5) AS dx
+  FROM u JOIN {prev} p ON p.i = u.i
+  GROUP BY u.vec_id, p.cell
+),
+fasg AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dx ASC, cell ASC) AS rn
+    FROM fdist) t WHERE rn = 1
+),
+qdist AS (
+  SELECT vec_id AS query_vec, cell, dx FROM fdist
+  WHERE vec_id IN {ANN_QUERY_IDS}
+),
+probe AS (
+  SELECT query_vec, cell FROM (
+    SELECT query_vec, cell,
+           row_number() OVER (PARTITION BY query_vec
+                              ORDER BY dx ASC, cell ASC) AS rn
+    FROM qdist) t WHERE rn <= {nprobe}
+),
+d AS (
+  SELECT pr.query_vec AS query_vec, a.vec_id AS vec_id,
+         sum(uq.v * ub.v) AS dot
+  FROM probe pr
+  JOIN fasg a ON a.cell = pr.cell
+  JOIN u uq ON uq.vec_id = pr.query_vec
+  JOIN u ub ON ub.vec_id = a.vec_id AND ub.i = uq.i
+  WHERE a.vec_id <> pr.query_vec
+  GROUP BY pr.query_vec, a.vec_id
+),
+c AS (
+  SELECT d.query_vec, d.vec_id, d.dot / (nq.nrm * nb.nrm) AS cos
+  FROM d JOIN n nq ON nq.vec_id = d.query_vec
+         JOIN n nb ON nb.vec_id = d.vec_id
+  WHERE nq.nrm > 0 AND nb.nrm > 0
+),
+ranked AS (
+  SELECT query_vec, vec_id, {_fx('cos')} AS cos_x,
+         row_number() OVER (PARTITION BY query_vec
+                            ORDER BY {_fx('cos')} DESC, vec_id ASC) AS rank
+  FROM c
+)
+SELECT query_vec, rank, vec_id, cos_x FROM ranked WHERE rank <= {k}""")
+    return "".join(ctes)
+
+
 def _sentence_bm25_sql(k1: float = 1.5, b: float = 0.75,
                        cand: int = 100, k: int = 10) -> str:
     """Sentence-granularity BM25 (reference compat) → top-``cand``
@@ -1753,6 +1902,7 @@ SELECT n AS doc_id, min(lbl) AS rep FROM walk GROUP BY n
     "embed_neardup_lsh": _NEARDUP_LSH_SQL,
     "ann_topk": _ANN_SQL,
     "ann_topk_lsh": _ANN_LSH_SQL,
+    "ann_topk_ivf": _ivf_sql(),
     "token_stats": _token_stats_sql(),
     "langid": _langid_sql(),
     "binary_meta": "SELECT doc_id, octet_length(encode(text)) AS n_bytes, "

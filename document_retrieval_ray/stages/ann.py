@@ -234,6 +234,144 @@ def lsh_bucket(batch: pa.Table, num_planes: int = 8, seed: int = 13,
     return batch.append_column("bucket", pa.array(bucket.astype(np.int64), pa.int64()))
 
 
+# fixed-point grids for the IVF (k-means) path: numpy partial sums and the
+# SQL oracle's sequential SUM can differ by ~1e-16 per reduction, so every
+# cross-implementation comparison (assignment distances, centroid
+# coordinate sums) is rounded to a grid first — the same trick as
+# LSH_SIGN_SCALE. Distances are O(100) → 1e9 grid stays inside 2^53;
+# coordinate sums are O(1000) → 1e6 grid.
+IVF_DIST_SCALE = 1e9
+IVF_SUM_SCALE = 1e6
+
+
+def ivf_assign_cells(mat: np.ndarray, centroids: np.ndarray) -> np.ndarray:
+    """Nearest-centroid cell per row by squared L2, fixed-point-rounded so
+    summation order can't flip an argmin; ties break to the smallest cell
+    (mirrors the oracle's ``ORDER BY dx ASC, cell ASC`` row_number)."""
+    d = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+    dx = np.floor(d * IVF_DIST_SCALE + 0.5)
+    return np.argmin(dx, axis=1).astype(np.int64)
+
+
+def ivf_partial_sums(batch: pa.Table, centroids: np.ndarray,
+                     vec_col: str = "embedding") -> pa.Table:
+    """One Lloyd-iteration partial per batch: (cell, member count, per-dim
+    float sums). The driver reduction handles nlist × dim numbers per
+    batch regardless of corpus size (same tall-skinny shape as the SVD
+    moments)."""
+    mat = _stack(batch[vec_col])
+    cells = ivf_assign_cells(mat, centroids)
+    out_cell, out_cnt, out_sum = [], [], []
+    for cell in np.unique(cells):
+        sel = cells == cell
+        out_cell.append(int(cell))
+        out_cnt.append(int(sel.sum()))
+        out_sum.append(mat[sel].sum(axis=0).tolist())
+    return pa.table(
+        {
+            "cell": pa.array(out_cell, pa.int64()),
+            "cnt": pa.array(out_cnt, pa.int64()),
+            "fsum": pa.array(out_sum, pa.list_(pa.float64())),
+        }
+    )
+
+
+def fit_ivf_centroids(emb_ds, nlist: int, niter: int,
+                      vec_col: str = "embedding",
+                      id_col: str = "vec_id") -> np.ndarray:
+    """Distributed deterministic IVF coarse quantizer (Lloyd, ``niter``
+    fixed iterations): init = the ``nlist`` lowest-``id_col`` vectors
+    (exact parquet floats — reproducible by any other engine), then each
+    iteration is ONE ``map_batches`` of per-cell partial sums reduced on
+    the driver (nlist × dim numbers). Centroid updates are fixed-point:
+    coordinate sums round to the IVF_SUM_SCALE grid before the mean, so an
+    external oracle summing in a different order fits identical centroids.
+    Empty cells keep their previous centroid."""
+    init = sorted(
+        (r[id_col], r[vec_col])
+        for r in emb_ds.filter(expr=f"{id_col} < {nlist}").take_all()
+    )
+    if len(init) != nlist:
+        raise ValueError(
+            f"IVF init expects vectors with {id_col} 0..{nlist - 1}; "
+            f"got {len(init)} rows"
+        )
+    cent = np.array([v for _, v in init], dtype=np.float64)
+    for _ in range(niter):
+        parts = emb_ds.map_batches(
+            ivf_partial_sums,
+            fn_kwargs={"centroids": cent, "vec_col": vec_col},
+            batch_format="pyarrow",
+        ).take_all()
+        fsum = np.zeros_like(cent)
+        cnt = np.zeros(nlist, dtype=np.int64)
+        for r in parts:
+            fsum[int(r["cell"])] += np.asarray(r["fsum"], dtype=np.float64)
+            cnt[int(r["cell"])] += int(r["cnt"])
+        sx = np.floor(fsum * IVF_SUM_SCALE + 0.5)
+        denom = np.maximum(cnt, 1)[:, None] * IVF_SUM_SCALE
+        cent = np.where(cnt[:, None] > 0, sx / denom, cent)
+    return cent
+
+
+def ivf_assign_batch(batch: pa.Table, centroids: np.ndarray,
+                     vec_col: str = "embedding") -> pa.Table:
+    """Append the IVF cell id (search-time assignment stage)."""
+    cells = ivf_assign_cells(_stack(batch[vec_col]), centroids)
+    return batch.append_column("cell", pa.array(cells, pa.int64()))
+
+
+class IVFTopK:
+    """IVF-probed ANN top-k (the k-means analog of BucketTopK): each query
+    scores only candidates whose cell is among its ``nprobe`` nearest
+    centroids. Same partial-top-k → groupby(query) merge shape; same
+    SQL-matching cos op order."""
+
+    def __init__(self, queries_ref, k: int = 10, margin: int = 32,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 cell_col: str = "cell"):
+        import ray
+
+        qids, qmat, qcells = ray.get(queries_ref)
+        self.qids = qids
+        self.qmat = np.asarray(qmat, dtype=np.float64)
+        self.qcells = [
+            np.asarray(sorted(map(int, cells)), dtype=np.int64)
+            for cells in qcells
+        ]
+        self.qnorm = np.linalg.norm(self.qmat, axis=1)
+        self.keep = k + margin
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.cell_col = cell_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        cells = batch[self.cell_col].to_numpy(zero_copy_only=False)
+        mat = _stack(batch[self.vec_col])
+        norms = np.linalg.norm(mat, axis=1)
+        out_q, out_v, out_c = [], [], []
+        for qi, qid in enumerate(self.qids):
+            in_probe = np.isin(cells, self.qcells[qi])
+            cand = np.nonzero(in_probe & (ids != qid) & (norms > 0))[0]
+            if cand.size == 0 or self.qnorm[qi] == 0:
+                continue
+            dots = mat[cand] @ self.qmat[qi]
+            cos = dots / (norms[cand] * self.qnorm[qi])
+            k = min(self.keep, cand.size)
+            top = np.argpartition(-cos, k - 1)[:k]
+            out_q.extend([qid] * k)
+            out_v.extend(ids[cand[top]].tolist())
+            out_c.extend(cos[top].tolist())
+        return pa.table(
+            {
+                "query_vec": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "cos": pa.array(out_c, pa.float64()),
+            }
+        )
+
+
 class NearDupPairs:
     """All-pairs cosine >= threshold within a blocking group (label or LSH
     bucket): map_groups over the block, one matmul per group."""

@@ -437,3 +437,100 @@ def test_df_overflow_fallback_matches_driver_fold(
         assert ma[lang]["n_terms"] == mb[lang]["n_terms"]
         assert ma[lang]["n_postings"] == mb[lang]["n_postings"]
         assert ma[lang]["n_docs"] == mb[lang]["n_docs"]
+
+
+# ------------------------------------------------------------- IVF ANN
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestIVF:
+    def _emb_ds(self, mat):
+        import ray.data
+
+        t = pa.table(
+            {
+                "vec_id": pa.array(range(len(mat)), pa.int64()),
+                "embedding": pa.array(mat.tolist(), pa.list_(pa.float64())),
+            }
+        )
+        return ray.data.from_arrow(t).repartition(4)
+
+    def test_fit_deterministic(self):
+        """Two fits over the same (multi-block) dataset are bit-identical —
+        the fixed-point sum rounding makes partial-order irrelevant."""
+        from document_retrieval_ray.stages.ann import fit_ivf_centroids
+
+        rng = np.random.default_rng(3)
+        mat = rng.standard_normal((100, 8))
+        ds = self._emb_ds(mat)
+        c1 = fit_ivf_centroids(ds, 4, 2)
+        c2 = fit_ivf_centroids(ds, 4, 2)
+        np.testing.assert_array_equal(c1, c2)
+        assert c1.shape == (4, 8)
+
+    def test_empty_cell_keeps_previous_centroid(self):
+        """Rows 0 and 1 identical → every vector tie-breaks to cell 0, so
+        cell 1 empties after one iteration and must keep its init vector
+        (the oracle's LEFT JOIN + COALESCE semantics)."""
+        from document_retrieval_ray.stages.ann import fit_ivf_centroids
+
+        rng = np.random.default_rng(5)
+        mat = rng.standard_normal((20, 4))
+        mat[1] = mat[0]
+        ds = self._emb_ds(mat)
+        cent = fit_ivf_centroids(ds, 2, 1)
+        np.testing.assert_array_equal(cent[1], mat[1])
+        assert not np.array_equal(cent[0], mat[0])  # cell 0 moved
+
+    def test_full_probe_equals_exact(self):
+        """nprobe = nlist → the candidate set is the whole corpus, so IVF
+        results must equal the exact brute-force ranking."""
+        import ray
+
+        from document_retrieval_ray.stages.ann import (
+            BruteForceTopK,
+            IVFTopK,
+            final_topk,
+            fit_ivf_centroids,
+            ivf_assign_batch,
+        )
+
+        rng = np.random.default_rng(7)
+        mat = rng.standard_normal((120, 8))
+        ds = self._emb_ds(mat)
+        nlist = 4
+        cent = fit_ivf_centroids(ds, nlist, 2)
+        assigned = ds.map_batches(
+            ivf_assign_batch, fn_kwargs={"centroids": cent},
+            batch_format="pyarrow",
+        )
+        qids = [0, 5, 9]
+        qmat = mat[qids].astype(np.float64)
+        all_cells = [list(range(nlist))] * len(qids)
+        ivf_ref = ray.put((qids, qmat, all_cells))
+        bf_ref = ray.put((qids, qmat))
+        got = (
+            assigned.map_batches(
+                IVFTopK,
+                fn_constructor_kwargs={"queries_ref": ivf_ref, "k": 5},
+                batch_format="pyarrow", concurrency=1,
+            )
+            .groupby("query_vec")
+            .map_groups(lambda g: final_topk(g, k=5), batch_format="pandas")
+            .to_pandas()
+        )
+        exp = (
+            ds.map_batches(
+                BruteForceTopK,
+                fn_constructor_kwargs={"queries_ref": bf_ref, "k": 5},
+                batch_format="pyarrow", concurrency=1,
+            )
+            .groupby("query_vec")
+            .map_groups(lambda g: final_topk(g, k=5), batch_format="pandas")
+            .to_pandas()
+        )
+        key = ["query_vec", "rank"]
+        pd.testing.assert_frame_equal(
+            got.sort_values(key).reset_index(drop=True),
+            exp.sort_values(key).reset_index(drop=True),
+        )
