@@ -5,6 +5,8 @@
         --out /tmp/results [--compat reference|standard] [--method taat|wand]
     python -m document_retrieval_ray.cli cosine --index /path/idx --queries q.parquet \
         --out /tmp/results [--rerank]
+    python -m document_retrieval_ray.cli append --input delta.parquet --index /path/idx
+    python -m document_retrieval_ray.cli compact --index /path/idx --out /path/idx2
 
 On a cluster: ``ray job submit --working-dir . -- python -m
 document_retrieval_ray.cli build ...`` — the module only calls
@@ -89,6 +91,17 @@ def main(argv=None) -> int:
     q.add_argument("--submission", action="store_true",
                    help="also write (query_id, docids) submission CSV shape")
 
+    a = sub.add_parser("append", parents=[common],
+                       help="append a crawl delta as a new index generation")
+    a.add_argument("--input", required=True, help="parquet delta corpus")
+    a.add_argument("--index", required=True, help="existing base index directory")
+    a.add_argument("--extract-html", action="store_true")
+
+    cp = sub.add_parser("compact", parents=[common],
+                        help="physically merge base + generations into one index")
+    cp.add_argument("--index", required=True)
+    cp.add_argument("--out", required=True, help="compacted index output directory")
+
     c = sub.add_parser("cosine", parents=[common],
                        help="TF-IDF cosine top-k (optional BM25 rerank)")
     c.add_argument("--index", required=True)
@@ -121,16 +134,43 @@ def main(argv=None) -> int:
                           for l, m in manifests.items()}, sort_keys=True))
         return 0
 
+    if args.cmd == "append":
+        from .pipelines.incremental import append_index, read_generations
+
+        manifests = append_index(args.input, args.index,
+                                 extract_html=args.extract_html)
+        print(json.dumps({
+            "generations": read_generations(args.index)["generations"],
+            "appended": {l: {k: m[k] for k in ("n_docs", "n_terms", "n_postings")}
+                         for l, m in manifests.items()},
+        }, sort_keys=True))
+        return 0
+
+    if args.cmd == "compact":
+        from .pipelines.incremental import compact_index
+
+        manifests = compact_index(args.index, args.out)
+        print(json.dumps({l: {k: m[k] for k in ("n_docs", "n_terms", "n_postings")}
+                          for l, m in manifests.items()}, sort_keys=True))
+        return 0
+
     queries = ray.data.read_parquet(args.queries)
     if args.cmd == "query":
+        from .pipelines.incremental import bm25_search_incremental, read_generations
         from .pipelines.query import bm25_search, to_submission
 
         k1 = args.k1 if args.k1 is not None else (1.5 if args.compat == "reference" else 1.2)
         cfg = BM25Config(k1=k1, b=args.b, compat=args.compat, k=args.k)
         # tokenize queries the way the index was BUILT (recorded in its
         # manifests) — a mismatch silently misses the vocabulary
-        res = bm25_search(queries, args.index, cfg=cfg, method=args.method,
-                          tokenizer=_index_tokenizer(args.index))
+        if read_generations(args.index)["generations"]:
+            # a generational index serves through the sharded scorer
+            # (method selection is per-shard TAAT there)
+            res = bm25_search_incremental(queries, args.index, cfg=cfg,
+                                          tokenizer=_index_tokenizer(args.index))
+        else:
+            res = bm25_search(queries, args.index, cfg=cfg, method=args.method,
+                              tokenizer=_index_tokenizer(args.index))
         res.write_parquet(args.out)
         if args.submission:
             to_submission(

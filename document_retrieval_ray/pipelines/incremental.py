@@ -1,0 +1,432 @@
+"""Incremental (generational) index maintenance — append + compact.
+
+The reference rebuilds its pickle index from scratch whenever the corpus
+changes (final_implementation.py re-runs the full loop; resume is only
+``os.path.exists`` on finished artifacts). At 10^12 docs a daily crawl
+delta must NOT re-tokenize the other 10^12 documents, so this module adds
+the Lucene-style segment model on top of ``build_index``:
+
+- an index directory owns a BASE build plus zero or more GENERATIONS
+  (``generations/gen-00001``, …), each itself a complete ``build_index``
+  output over its delta corpus with its own local doc-id space;
+- ``append_index`` builds the next generation and refreshes the global
+  df artifact — the only shared state, vocabulary-sized, rebuilt by one
+  groupby over the per-generation df tables;
+- ``bm25_search_incremental`` serves base+generations through the
+  doc-range-sharded scorer (pipelines/sharded.py) with global (N, avgdl,
+  df) — rank-identical to a full rebuild because BM25 depends on per-doc
+  (tf, dl) and GLOBAL corpus statistics only, all order-independent sums
+  over the document set (tested);
+- ``compact_index`` physically merges the generations into one fresh
+  single-shard index (per-term posting concatenation in generation
+  order after doc-id rebasing — the same associative doc-range merge the
+  build's segment tree uses), bounding the per-query fan-out again.
+
+Commit protocol: a generation becomes visible only when
+``generations.json`` is atomically replaced (temp file + rename), which
+happens AFTER the generation's own per-lang manifests and the new global
+df version are durably written. A crash mid-append leaves the previous
+json pointing at the previous consistent view; re-running the append
+resumes the generation build (committed langs skip by fingerprint) and
+then commits.
+
+Known cut (documented): appending to an index built
+``with_cosine_norms=True`` raises — per-doc TF-IDF norms bake in global
+idf, so every append would invalidate every older document's norm; the
+cosine path requires a full rebuild (or compaction-time norm rebuild,
+not implemented). BM25 and query-time tf-idf scoring have no per-doc
+global state and append exactly.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import tempfile
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data
+
+from ..config import BM25Config, IndexConfig, TokenizerConfig
+from ..functions.varbyte import decode_blocked_postings
+from ..state.manifest import read_manifest
+from ..stages.index_build import _append_segment_row, _ENCODED_SCHEMA, add_kpart
+from ..util import default_pool
+from .build_index import build_index
+from .sharded import bm25_search_sharded, build_global_df
+
+GENERATIONS_JSON = "generations.json"
+
+_POSTING_COLS = [
+    "term", "df", "cf", "postings", "block_off", "block_last",
+    "block_max_tf", "block_min_dl",
+]
+
+
+def read_generations(index_dir: str) -> dict:
+    p = os.path.join(index_dir, GENERATIONS_JSON)
+    if not os.path.exists(p):
+        return {"generations": [], "global_df": None}
+    with open(p) as f:
+        g = json.load(f)
+    if not g.get("committed"):
+        return {"generations": [], "global_df": None}
+    return g
+
+
+def _write_generations(index_dir: str, payload: dict) -> None:
+    payload = dict(payload)
+    payload["committed"] = True
+    fd, tmp = tempfile.mkstemp(dir=index_dir, suffix=".generations.tmp")
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump(payload, f, indent=2, sort_keys=True)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(index_dir, GENERATIONS_JSON))
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+
+def shard_dirs(index_dir: str) -> list:
+    """Base + committed generations, in doc-id (generation) order."""
+    g = read_generations(index_dir)
+    return [index_dir] + [
+        os.path.join(index_dir, "generations", name) for name in g["generations"]
+    ]
+
+
+def _langs_of(d: str) -> list:
+    mdir = os.path.join(d, "manifests")
+    return sorted(os.listdir(mdir)) if os.path.isdir(mdir) else []
+
+
+def _base_config(index_dir: str) -> IndexConfig:
+    """Reconstruct the build config from any base-lang manifest so a
+    generation tokenizes/encodes EXACTLY like the base (a mismatch would
+    silently miss vocabulary at query time)."""
+    langs = _langs_of(index_dir)
+    if not langs:
+        raise FileNotFoundError(f"no committed manifests under {index_dir}")
+    m = read_manifest(os.path.join(index_dir, "manifests", langs[0]))
+    tok = TokenizerConfig(
+        mode=m.get("tokenizer_mode", "simple"),
+        stopwords=bool(m.get("tokenizer_stopwords", False)),
+        min_token_len=int(m.get("tokenizer_min_token_len", 1)),
+        bigram_langs=tuple(m.get("tokenizer_bigram_langs", ())),
+    )
+    return IndexConfig(
+        tokenizer=tok,
+        block_size=int(m.get("block_size", 128)),
+        num_hash_parts=int(m.get("num_hash_parts", 64)),
+        hot_term_threshold=int(m.get("hot_term_threshold", 100_000)),
+        salt_shift=int(m.get("salt_shift", 16)),
+    )
+
+
+def _check_no_norms(dirs) -> None:
+    for d in dirs:
+        for lang in _langs_of(d):
+            m = read_manifest(os.path.join(d, "manifests", lang))
+            if m is not None and m.get("with_cosine_norms"):
+                raise NotImplementedError(
+                    "incremental append/compact over a cosine-norms index: "
+                    "per-doc norms bake in global idf and would go stale on "
+                    "every append — rebuild with with_cosine_norms=False or "
+                    "do a full rebuild for the cosine path"
+                )
+
+
+def append_index(
+    new_input,
+    index_dir: str,
+    *,
+    cfg: IndexConfig = None,
+    extract_html: bool = False,
+    input_ds_factory=None,
+    tokenize_concurrency=None,
+) -> dict:
+    """Build the next generation over ``new_input`` and commit it.
+
+    Returns the new generation's per-lang manifests. The caller is
+    responsible for delta hygiene (a url present in both base and delta
+    becomes two documents — run the dedup operators upstream)."""
+    dirs = shard_dirs(index_dir)
+    _check_no_norms(dirs[:1])
+    if cfg is None:
+        cfg = _base_config(index_dir)
+    g = read_generations(index_dir)
+    gen_name = f"gen-{len(g['generations']) + 1:05d}"
+    gen_dir = os.path.join(index_dir, "generations", gen_name)
+    manifests = build_index(
+        new_input,
+        gen_dir,
+        cfg=cfg,
+        extract_html=extract_html,
+        with_cosine_norms=False,
+        input_ds_factory=input_ds_factory,
+        tokenize_concurrency=tokenize_concurrency,
+    )
+    # refresh the global df into a fresh versioned dir; the generations
+    # json commit (below) is what makes it visible
+    df_version = f"global_df/v{len(g['generations']) + 1:04d}"
+    build_global_df(dirs + [gen_dir], os.path.join(index_dir, df_version))
+    _write_generations(
+        index_dir,
+        {
+            "generations": g["generations"] + [gen_name],
+            "global_df": df_version,
+        },
+    )
+    return manifests
+
+
+def bm25_search_incremental(
+    queries: ray.data.Dataset,
+    index_dir: str,
+    cfg: BM25Config = BM25Config(),
+    tokenizer: TokenizerConfig = None,
+    round_dp=4,
+    concurrency=None,
+) -> ray.data.Dataset:
+    """BM25 over base + generations, rank-identical to a full rebuild
+    (global N/avgdl/df via the sharded scorer)."""
+    g = read_generations(index_dir)
+    if not g["generations"]:
+        raise FileNotFoundError(
+            f"{index_dir} has no committed generations — use "
+            "pipelines.query.bm25_search for a plain index"
+        )
+    if tokenizer is None:
+        tokenizer = _base_config(index_dir).tokenizer
+    return bm25_search_sharded(
+        queries,
+        shard_dirs(index_dir),
+        os.path.join(index_dir, g["global_df"]),
+        cfg=cfg,
+        tokenizer=tokenizer,
+        round_dp=round_dp,
+        concurrency=concurrency,
+    )
+
+
+# ------------------------------------------------------------- compaction
+
+
+def _lang_offsets(dirs) -> dict:
+    """{lang: [doc-id offset of dir i]} — cumulative n_docs in generation
+    order; a dir without the lang contributes 0 docs."""
+    langs = sorted({l for d in dirs for l in _langs_of(d)})
+    out = {}
+    for lang in langs:
+        offs, acc = [], 0
+        for d in dirs:
+            offs.append(acc)
+            m = read_manifest(os.path.join(d, "manifests", lang))
+            acc += int(m["n_docs"]) if m is not None else 0
+        out[lang] = offs
+    return out
+
+
+def compact_postings_partition(group: pd.DataFrame, offsets_by_lang: dict,
+                               block_size: int) -> pa.Table:
+    """One (lang, term)-hash partition of per-generation posting rows →
+    final merged rows. Terms living only in generation 0 pass through
+    byte-identical (offset 0, no decode); everything else decodes,
+    rebases doc ids by its generation's offset, concatenates in
+    generation order (disjoint ascending id ranges by construction) and
+    re-encodes. Per-doc dl lower bounds carry at ORIGINAL-block
+    granularity (repeat(block_min_dl, block counts)) — sound for WAND
+    pruning, tighter than a segment-wide min."""
+    g = group.drop(columns=[c for c in ("kpart",) if c in group.columns])
+    g = g.sort_values(["lang", "term", "src"], kind="mergesort")
+    lang = g["lang"].to_numpy(dtype=object)
+    term = g["term"].to_numpy(dtype=object)
+    src = g["src"].to_numpy()
+    n = len(g)
+    if n == 0:
+        return _empty_final_rows()
+    change = (term[1:] != term[:-1]) | (lang[1:] != lang[:-1])
+    starts = np.concatenate([[0], np.flatnonzero(change) + 1])
+    ends = np.concatenate([starts[1:], [n]])
+    cols = {f.name: [] for f in _ENCODED_SCHEMA}
+    passthrough_idx = []
+    for s, e in zip(starts, ends):
+        if e - s == 1 and src[s] == 0:
+            passthrough_idx.append(g.index[s])
+            continue
+        docs, tfs, dls = [], [], []
+        for i in range(s, e):
+            row = g.iloc[i]
+            off = offsets_by_lang[row["lang"]][int(row["src"])]
+            d, t = decode_blocked_postings(
+                row["postings"], list(row["block_off"]), int(row["df"]),
+                block_size,
+            )
+            d = d.astype(np.int64) + int(off)
+            bmin = np.asarray(row["block_min_dl"], dtype=np.int64)
+            counts = np.minimum(
+                block_size,
+                int(row["df"]) - np.arange(len(bmin), dtype=np.int64) * block_size,
+            )
+            docs.append(d)
+            tfs.append(t.astype(np.int64))
+            dls.append(np.repeat(bmin, counts))
+        _append_segment_row(
+            cols, lang[s], term[s], 0,
+            np.concatenate(docs), np.concatenate(tfs), np.concatenate(dls),
+            block_size,
+        )
+    merged = pa.table(
+        {f.name: pa.array(cols[f.name], f.type) for f in _ENCODED_SCHEMA},
+        schema=_ENCODED_SCHEMA,
+    ).drop_columns(["salt", "min_doc"])
+    parts = [merged]
+    if passthrough_idx:
+        pt = g.loc[passthrough_idx, ["lang"] + _POSTING_COLS]
+        parts.append(
+            pa.Table.from_pandas(pt, preserve_index=False, schema=merged.schema)
+        )
+    return pa.concat_tables(parts)
+
+
+def _empty_final_rows() -> pa.Table:
+    fields = [f for f in _ENCODED_SCHEMA if f.name not in ("salt", "min_doc")]
+    return pa.table(
+        {f.name: pa.array([], f.type) for f in fields}, schema=pa.schema(fields)
+    )
+
+
+def compact_index(
+    index_dir: str,
+    out_dir: str,
+    *,
+    num_parts: int = 64,
+    concurrency=None,
+) -> dict:
+    """Physically merge base + generations into a single fresh index at
+    ``out_dir`` (servable by the plain ``bm25_search``). Doc ids rebase
+    to base-first generation order; scores are identical to a full
+    rebuild (tested) though block boundaries may differ. Returns the new
+    per-lang manifests."""
+    dirs = shard_dirs(index_dir)
+    if len(dirs) == 1:
+        raise FileNotFoundError(f"{index_dir} has no generations to compact")
+    _check_no_norms(dirs)
+    offsets = _lang_offsets(dirs)
+    langs = sorted(offsets)
+    base_m = read_manifest(os.path.join(dirs[0], "manifests", _langs_of(dirs[0])[0]))
+    block_size = int(base_m["block_size"])
+    for d in dirs:
+        for lang in _langs_of(d):
+            m = read_manifest(os.path.join(d, "manifests", lang))
+            if int(m["block_size"]) != block_size:
+                raise ValueError("generations disagree on block_size")
+    if concurrency is None:
+        concurrency = default_pool(0.5)
+
+    # --- docmap: rebase per generation, one streaming pass ---
+    def _rebase(t: pa.Table, off: int, lang: str) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False) + off
+        t = t.set_column(
+            t.schema.get_field_index("doc_id"), "doc_id", pa.array(ids, pa.int64())
+        )
+        return t.append_column("lang", pa.array([lang] * t.num_rows, pa.string()))
+
+    dm_parts = []
+    for si, d in enumerate(dirs):
+        for lang in _langs_of(d):
+            p = os.path.join(d, "docmap", f"lang={lang}")
+            if not os.path.isdir(p):
+                continue
+            off = offsets[lang][si]
+            dm_parts.append(
+                ray.data.read_parquet(p, columns=["doc_id", "url", "dl"]).map_batches(
+                    _rebase, fn_kwargs={"off": off, "lang": lang},
+                    batch_format="pyarrow",
+                )
+            )
+    dm = dm_parts[0]
+    for extra in dm_parts[1:]:
+        dm = dm.union(extra)
+    dm.write_parquet(os.path.join(out_dir, "docmap"), partition_cols=["lang"])
+
+    # --- postings: (lang, term)-hash partitions over all generations ---
+    post_parts = []
+    for si, d in enumerate(dirs):
+        for lang in _langs_of(d):
+            p = os.path.join(d, "postings", f"lang={lang}")
+            if not os.path.isdir(p):
+                continue
+
+            def _tag(t: pa.Table, lang=lang, si=si) -> pa.Table:
+                t = t.append_column("lang", pa.array([lang] * t.num_rows, pa.string()))
+                return t.append_column(
+                    "src", pa.array(np.full(t.num_rows, si, np.int64), pa.int64())
+                )
+
+            post_parts.append(
+                ray.data.read_parquet(p, columns=_POSTING_COLS).map_batches(
+                    _tag, batch_format="pyarrow"
+                )
+            )
+    posts = post_parts[0]
+    for extra in post_parts[1:]:
+        posts = posts.union(extra)
+    merged = (
+        posts.map_batches(
+            add_kpart, fn_kwargs={"num_parts": num_parts, "cols": ("lang", "term")},
+            batch_format="pyarrow",
+        )
+        .groupby("kpart")
+        .map_groups(
+            lambda g: compact_postings_partition(g, offsets, block_size),
+            batch_format="pandas",
+        )
+    )
+    merged.write_parquet(os.path.join(out_dir, "postings"), partition_cols=["lang"])
+
+    # --- df artifact: one vocabulary-sized merge ---
+    build_global_df(dirs, os.path.join(out_dir, "df"))
+
+    # --- manifests: exact integer sums over source manifests ---
+    from .build_index import _manifest_payload  # same payload shape
+    from ..state.manifest import write_manifest
+
+    cfg = _base_config(index_dir)
+    out_manifests = {}
+    for lang in langs:
+        n_docs = total_tokens = n_postings = 0
+        fps = []
+        for d in dirs:
+            m = read_manifest(os.path.join(d, "manifests", lang))
+            if m is None:
+                continue
+            n_docs += int(m["n_docs"])
+            total_tokens += int(m["total_tokens"])
+            fps.append(m["input_fingerprint"])
+        dfp = os.path.join(out_dir, "df", f"lang={lang}")
+        n_terms = 0
+        if os.path.isdir(dfp):
+            dft = pq.read_table(dfp, columns=["df"])
+            n_terms = dft.num_rows
+            n_postings = int(pc.sum(dft["df"]).as_py() or 0)
+        s = {
+            "n_docs": n_docs,
+            "total_tokens": total_tokens,
+            "avgdl": (total_tokens / n_docs) if n_docs else 0.0,
+        }
+        t = {"n_terms": n_terms, "n_postings": n_postings}
+        payload = _manifest_payload(
+            lang, "compact::" + ";".join(fps), s, t, cfg, [], False, "compact"
+        )
+        write_manifest(os.path.join(out_dir, "manifests", str(lang)), payload)
+        out_manifests[lang] = payload
+    return out_manifests

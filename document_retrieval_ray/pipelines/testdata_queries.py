@@ -42,6 +42,10 @@ from ..stages.dedup import (
     jaccard_partition,
     pair_side_rows,
     simhash_pairs_partition,
+    explode_shingle_rows,
+    prefix_rows_partition,
+    shingle_bucket_pairs_partition,
+    shingle_df_partition,
     DEFAULT_DEDUP,
     MAX_BUCKET,
     SHINGLE_N,
@@ -84,6 +88,7 @@ SAMPLE_TERMS = ("spark", "join", "window", "dup")
 ANN_QUERY_IDS = (0, 1, 2, 3, 4)
 NEARDUP_COS_THRESHOLD = 0.4
 MINHASH_JACCARD_THRESHOLD = 0.5
+NGRAM_JACCARD_THRESHOLD = 0.5
 # fixed random-hyperplane matrix for the LSH near-dup path: module-level
 # and seeded so the DuckDB oracle can embed the IDENTICAL planes as SQL
 # literals (testdata embeddings are 64-dim)
@@ -336,6 +341,60 @@ def _index_for(sf_dir: str) -> str:
     return index_dir
 
 
+def _mod_factory(sf_dir: str, lo: int, hi: int, mod: int = 5):
+    """Testdata factory restricted to docs with doc_id % mod in [lo, hi)
+    — the deterministic 'crawl delta' slices of the incremental query."""
+    base = _testdata_factory(sf_dir)
+
+    def _keep(t: pa.Table) -> pa.Table:
+        ids = np.array([int(u) for u in t["url"].to_pylist()], dtype=np.int64)
+        m = ids % mod
+        return t.filter(pa.array((m >= lo) & (m < hi)))
+
+    def factory(columns=None):
+        ds = base(columns)
+        return ds.map_batches(_keep, batch_format="pyarrow")
+
+    return factory
+
+
+def _incr_index_for(sf_dir: str) -> str:
+    """Cached GENERATIONAL index: base build over 60% of the corpus plus
+    two appended generations of 20% each (pipelines/incremental.py).
+    Idempotent: re-running resumes the base by fingerprint and skips
+    already-committed generations."""
+    from .build_index import build_index
+    from .incremental import append_index, read_generations
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    index_dir = f"/tmp/drr_cache/{key}/incr_index"
+    cfg = IndexConfig(
+        tokenizer=TokenizerConfig(mode="simple"),
+        num_hash_parts=16,
+        hot_term_threshold=200,
+        salt_shift=8,
+        block_size=128,
+    )
+    build_index(
+        f"{sf_dir}/documents.parquet#incr-base",
+        index_dir,
+        cfg=cfg,
+        with_cosine_norms=False,
+        input_ds_factory=_mod_factory(sf_dir, 0, 3),
+    )
+    deltas = [(3, 4), (4, 5)]
+    for i, (lo, hi) in enumerate(deltas):
+        if len(read_generations(index_dir)["generations"]) > i:
+            continue  # this delta is already committed
+        append_index(
+            f"{sf_dir}/documents.parquet#incr-delta{i + 1}",
+            index_dir,
+            cfg=cfg,
+            input_ds_factory=_mod_factory(sf_dir, lo, hi),
+        )
+    return index_dir
+
+
 def _query_ds() -> ray.data.Dataset:
     return ray.data.from_items(
         [{"query_id": q, "query": t, "lang": l} for q, t, l in QUERYSET]
@@ -502,6 +561,23 @@ def q_bm25_wand(sf_dir: str):
     return _results_to_docids(res.to_pandas())
 
 
+def q_bm25_incremental(sf_dir: str):
+    """Incremental-index end-to-end proof: 60% of the corpus built as the
+    base, two 20% crawl deltas APPENDED as generations, served through
+    the generational sharded scorer — and hash-checked against the SAME
+    full-corpus SQL oracle as bm25_standard (append ≡ full rebuild)."""
+    from .incremental import bm25_search_incremental
+
+    index_dir = _incr_index_for(sf_dir)
+    res = bm25_search_incremental(
+        _query_ds(), index_dir,
+        cfg=BM25Config(k1=1.2, b=0.75, idf="lucene", compat="standard"),
+        tokenizer=TokenizerConfig(mode="simple"),
+        round_dp=4,
+    )
+    return _results_to_docids(res.to_pandas())
+
+
 def q_cosine(sf_dir: str):
     from .query import cosine_search
 
@@ -596,6 +672,15 @@ def q_fingerprint(sf_dir: str):
     return _docs(sf_dir).map_batches(fingerprint_batch, batch_format="pyarrow")
 
 
+def _parted(ds, cols, num_parts=64):
+    """Hash-partitioned groupby: one Ray group = one whole partition,
+    processed vectorized (per-raw-key map_groups costs ~ms/key)."""
+    return ds.map_batches(
+        add_kpart, fn_kwargs={"num_parts": num_parts, "cols": cols},
+        batch_format="pyarrow",
+    ).groupby("kpart")
+
+
 def q_minhash_pairs(sf_dir: str, cfg: DedupConfig = DEFAULT_DEDUP):
     """MinHash+LSH near-dup pairs, Jaccard-verified (threshold 0.5).
 
@@ -605,12 +690,6 @@ def q_minhash_pairs(sf_dir: str, cfg: DedupConfig = DEFAULT_DEDUP):
     the exact intersection — the same plan as the _MINHASH_SQL oracle
     (which is generated from DEFAULT_DEDUP; a non-default ``cfg`` needs
     its own oracle)."""
-    def _parted(ds, cols, num_parts=64):
-        return ds.map_batches(
-            add_kpart, fn_kwargs={"num_parts": num_parts, "cols": cols},
-            batch_format="pyarrow",
-        ).groupby("kpart")
-
     docs = _docs(sf_dir)
     bands = docs.map_batches(
         emit_band_rows, fn_kwargs={"cfg": cfg}, batch_format="pyarrow"
@@ -631,6 +710,43 @@ def q_minhash_pairs(sf_dir: str, cfg: DedupConfig = DEFAULT_DEDUP):
     )
     return _parted(attached, ("a", "b")).map_groups(
         lambda g: jaccard_partition(g, MINHASH_JACCARD_THRESHOLD),
+        batch_format="pandas",
+    )
+
+
+def q_ngram_jaccard(sf_dir: str, cfg: DedupConfig = DEFAULT_DEDUP):
+    """EXACT n-gram Jaccard similarity self-join (threshold 0.5): every
+    pair with Jaccard >= t over distinct word-3-gram sets — the
+    no-recall-loss complement of q_minhash_pairs, via AllPairs/PPJoin
+    prefix filtering (see stages/dedup.py for the lemma and plan).
+
+    All-distributed: shingle-df by hash colocation (exact, no broadcast),
+    per-doc df-ascending prefix, shingle-bucket candidate pairs, then the
+    same doc_id-cogrouped semi-join verify as minhash. The shingle table
+    feeds two consumers (candidate generation + verify) so it is
+    materialized once instead of re-tokenizing the corpus."""
+    docs = _docs(sf_dir)
+    sh_tbl = docs.map_batches(
+        emit_doc_shingles, fn_kwargs={"n": cfg.shingle_n}, batch_format="pyarrow"
+    ).materialize()
+    exploded = sh_tbl.map_batches(explode_shingle_rows, batch_format="pyarrow")
+    with_df = _parted(exploded, ("sh",)).map_groups(
+        shingle_df_partition, batch_format="pandas"
+    )
+    prefix = _parted(with_df, ("doc_id",)).map_groups(
+        lambda g: prefix_rows_partition(g, NGRAM_JACCARD_THRESHOLD),
+        batch_format="pandas",
+    )
+    pairs = _parted(prefix, ("sh",)).map_groups(
+        lambda g: shingle_bucket_pairs_partition(g, max_bucket=cfg.max_bucket),
+        batch_format="pandas",
+    )
+    sides = pairs.map_batches(pair_side_rows, batch_format="pyarrow")
+    attached = _parted(sh_tbl.union(sides), ("doc_id",)).map_groups(
+        attach_partition, batch_format="pandas"
+    )
+    return _parted(attached, ("a", "b")).map_groups(
+        lambda g: jaccard_partition(g, NGRAM_JACCARD_THRESHOLD),
         batch_format="pandas",
     )
 
@@ -930,6 +1046,64 @@ def q_rel_join_top(sf_dir: str):
     )
     out = top.merge(cust, left_on="o_custkey", right_on="c_custkey")
     return out[["rank", "c_custkey", "c_name", "revenue_c", "n_orders"]]
+
+
+def _asof_partition(group: pd.DataFrame) -> pd.DataFrame:
+    """user_id-hash partition of (purchase ∪ signup) rows → as-of matches.
+    Right-side ties on (user_id, ts) collapse to max event_id FIRST so
+    the engine and the SQL oracle share one deterministic winner."""
+    empty = pd.DataFrame({c: pd.Series(dtype="int64") for c in
+                          ("event_id", "user_id", "matched_event_id", "gap_us")})
+    g = group.drop(columns=["kpart"]) if "kpart" in group.columns else group
+    left = g[g["event_type"] == "purchase"][["event_id", "ts", "user_id"]]
+    right = g[g["event_type"] == "signup"]
+    if left.empty or right.empty:
+        return empty
+    right = (
+        right.groupby(["user_id", "ts"], sort=False)["event_id"].max().reset_index()
+        .rename(columns={"event_id": "matched_event_id"})
+    )
+    right["matched_ts"] = right["ts"]
+    left = left.sort_values(["ts", "event_id"], kind="mergesort")
+    right = right.sort_values(["ts", "matched_event_id"], kind="mergesort")
+    m = pd.merge_asof(left, right, on="ts", by="user_id", direction="backward")
+    m = m.dropna(subset=["matched_event_id"])
+    if m.empty:
+        return empty
+    m["gap_us"] = m["ts"] - m["matched_ts"]
+    return m[["event_id", "user_id", "matched_event_id", "gap_us"]].astype("int64")
+
+
+def q_rel_asof(sf_dir: str):
+    """AS-OF JOIN — an operator Ray Data lacks: for every purchase event,
+    the most recent signup of the same user at or before its timestamp
+    (gap in exact integer microseconds).
+
+    Distributed as a user_id-hash cogroup: both sides of a user colocate,
+    the per-partition match is one vectorized ``pd.merge_asof``.
+    Partitioning assumption (documented): one key's timeline fits a
+    partition — a degenerate key would need time-bucketing with
+    boundary replication of the latest right row per bucket."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+
+    def _sides(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.is_in(t["event_type"],
+                     value_set=pa.array(["purchase", "signup"]))
+        )
+        # exact integer epoch-microseconds: merge keys and gaps stay
+        # integral end-to-end (no datetime unit coercion)
+        return t.set_column(
+            t.schema.get_field_index("ts"), "ts", pc.cast(t["ts"], pa.int64())
+        )
+
+    return _parted(ev.map_batches(_sides, batch_format="pyarrow"),
+                   ("user_id",)).map_groups(
+        _asof_partition, batch_format="pandas"
+    )
 
 
 def q_rel_window(sf_dir: str):
@@ -1375,6 +1549,7 @@ QUERIES = {
     "top_terms": q_top_terms,
     "bm25_reference": q_bm25_reference,
     "bm25_standard": q_bm25_standard,
+    "bm25_incremental": q_bm25_incremental,
     "bm25_wand": q_bm25_wand,
     "cosine": q_cosine,
     "cosine_rerank": q_cosine_rerank,
@@ -1385,6 +1560,7 @@ QUERIES = {
     "quality_filter": q_quality_filter,
     "fingerprint": q_fingerprint,
     "minhash_pairs": q_minhash_pairs,
+    "ngram_jaccard": q_ngram_jaccard,
     "neardup_components": q_neardup_components,
     "simhash_pairs": q_simhash_pairs,
     "embed_neardup": q_embed_neardup,
@@ -1398,6 +1574,7 @@ QUERIES = {
     "rel_agg": q_rel_agg,
     "rel_join_top": q_rel_join_top,
     "rel_window": q_rel_window,
+    "rel_asof": q_rel_asof,
     "rel_json": q_rel_json,
     "submission_wide": q_submission_wide,
     "web_normalize": q_web_normalize,
@@ -1463,6 +1640,35 @@ FROM inter i
 JOIN sizes za ON za.doc_id = i.a
 JOIN sizes zb ON zb.doc_id = i.b
 WHERE CAST(ni AS DOUBLE) / (za.n + zb.n - ni) >= {MINHASH_JACCARD_THRESHOLD}
+"""
+
+# Exact n-gram Jaccard join: the oracle is the CLEAN SEMANTIC definition
+# (all pairs sharing >= 1 shingle, exact Jaccard >= t) — the engine's
+# prefix filter must be lossless against it, which is precisely the
+# AllPairs correctness claim under test.
+_NGRAM_JACCARD_SQL = f"""
+WITH {_TOKS_CTE},
+shl AS (
+  SELECT doc_id,
+         CASE WHEN len(l) < {SHINGLE_N} THEN [array_to_string(l, ' ')]
+              ELSE list_transform(range(1, len(l) - {SHINGLE_N - 2}),
+                                  i -> array_to_string(list_slice(l, i, i + {SHINGLE_N - 1}), ' '))
+         END AS sh_list
+  FROM toks WHERE len(l) >= 1
+),
+sh AS (SELECT DISTINCT doc_id, unnest(sh_list) AS shingle FROM shl),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT sa.doc_id AS a, sb.doc_id AS b, count(*) AS ni
+  FROM sh sa JOIN sh sb ON sb.shingle = sa.shingle AND sa.doc_id < sb.doc_id
+  GROUP BY sa.doc_id, sb.doc_id
+)
+SELECT i.a AS a, i.b AS b,
+       {_fx('CAST(ni AS DOUBLE) / (za.n + zb.n - ni)')} AS jaccard_x
+FROM inter i
+JOIN sizes za ON za.doc_id = i.a
+JOIN sizes zb ON zb.doc_id = i.b
+WHERE CAST(ni AS DOUBLE) / (za.n + zb.n - ni) >= {NGRAM_JACCARD_THRESHOLD}
 """
 
 _EMB_UNNEST = """
@@ -1857,6 +2063,8 @@ SELECT lang, term, total_tf, rank FROM ranked WHERE rank <= 10
 """,
     "bm25_reference": _bm25_sql(1.5, 0.75, reference_quirk=True, dedup=True),
     "bm25_standard": _bm25_sql(1.2, 0.75, reference_quirk=False, dedup=False),
+    # the incremental (append) path must equal a full-corpus build
+    "bm25_incremental": _bm25_sql(1.2, 0.75, reference_quirk=False, dedup=False),
     "bm25_wand": _bm25_sql(1.2, 0.75, reference_quirk=False, dedup=False),
     "cosine": _cosine_sql(),
     "cosine_rerank": _cosine_rerank_sql(),
@@ -1884,6 +2092,7 @@ JOIN (SELECT min(doc_id) AS k FROM documents GROUP BY md5(text)) s
     "fingerprint": f"WITH {_TOKS_CTE} SELECT doc_id, "
                    f"md5(array_to_string(l, ' ')) AS fp, len(l) AS n_tokens FROM toks",
     "minhash_pairs": _MINHASH_SQL,
+    "ngram_jaccard": _NGRAM_JACCARD_SQL,
     "neardup_components": f"""
 WITH RECURSIVE
 pairs AS (SELECT a, b FROM ({_MINHASH_SQL}) mh),
@@ -1935,6 +2144,15 @@ SELECT user_id, CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_ts,
        count(*) AS n_events,
        CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS value_c
 FROM events GROUP BY user_id, CAST(epoch(date_trunc('hour', ts)) AS BIGINT)
+""",
+    "rel_asof": """
+WITH p AS (SELECT event_id, ts, user_id FROM events WHERE event_type = 'purchase'),
+s0 AS (SELECT user_id, ts, max(event_id) AS event_id
+       FROM events WHERE event_type = 'signup' GROUP BY user_id, ts)
+SELECT p.event_id AS event_id, p.user_id AS user_id,
+       s0.event_id AS matched_event_id,
+       CAST(epoch_us(p.ts) - epoch_us(s0.ts) AS BIGINT) AS gap_us
+FROM p ASOF JOIN s0 ON p.user_id = s0.user_id AND p.ts >= s0.ts
 """,
     "rel_json": """
 SELECT event_type, count(*) AS n,

@@ -299,6 +299,96 @@ def jaccard_partition(group: pd.DataFrame, threshold: float) -> pd.DataFrame:
     )
 
 
+# --------------------------------------------- exact n-gram Jaccard join
+# AllPairs/PPJoin-style prefix filtering (Bayardo, Ma, Srikant, WWW'07;
+# Xiao et al., WWW'08 — public algorithms): an EXACT similarity self-join
+# (every pair with Jaccard >= t, no LSH recall loss) whose candidate
+# generation is linear in the prefix-index size instead of quadratic in
+# the corpus. Under one global canonical order of shingles (global df
+# ascending, hash-value tie-break), any two sets with overlap >= o must
+# share an element within their first (|S| - o + 1) elements; with
+# J(a,b) >= t implying |a∩b| >= ceil(t*max(|a|,|b|)) >= ceil(t*|S|) for
+# each side, emitting the first |S| - ceil(t*|S|) + 1 shingles per doc is
+# a LOSSLESS filter. df-ascending ordering puts each doc's rarest
+# shingles in the prefix, so hot shingles never form buckets unless a
+# doc consists almost entirely of hot shingles.
+#
+# Distributed plan (no broadcast — the shingle-df table is vocabulary-
+# sized but travels only by hash colocation):
+#   explode (doc -> shingle rows) -> kpart(sh) partitions [df = in-
+#   partition count, exact because every row of a shingle colocates]
+#   -> kpart(doc_id) partitions [per-doc prefix under the (df, sh)
+#   order] -> kpart(sh) bucket pairs -> the existing semi-join verify.
+
+
+def explode_shingle_rows(batch: pa.Table) -> pa.Table:
+    """Semi-join-schema shingle rows → one (sh, doc_id, n) row per
+    distinct shingle hash. Arrow list_flatten + np.repeat — no per-row
+    Python loop."""
+    import pyarrow.compute as pc
+
+    shs = batch["shs"]
+    flat = pc.list_flatten(shs)
+    lens = pc.list_value_length(shs).to_numpy(zero_copy_only=False)
+    lens = np.asarray(lens, dtype=np.int64)
+    ids = np.repeat(batch["doc_id"].to_numpy(zero_copy_only=False), lens)
+    ns = np.repeat(batch["n"].to_numpy(zero_copy_only=False), lens)
+    return pa.table(
+        {
+            "sh": flat.combine_chunks() if isinstance(flat, pa.ChunkedArray) else flat,
+            "doc_id": pa.array(ids, pa.int64()),
+            "n": pa.array(ns, pa.int64()),
+        }
+    )
+
+
+def shingle_df_partition(group: pd.DataFrame) -> pd.DataFrame:
+    """sh-hash partition of exploded rows: every occurrence of a given
+    shingle is in this partition, so its GLOBAL df is the in-partition
+    count — no separate df groupby, no join, no broadcast."""
+    g = _drop_kpart(group).copy()
+    g["df"] = g.groupby("sh")["sh"].transform("size").astype("int64")
+    return g[["sh", "doc_id", "n", "df"]]
+
+
+def prefix_rows_partition(group: pd.DataFrame, threshold: float) -> pd.DataFrame:
+    """doc_id-hash partition of (sh, doc_id, n, df) rows: per doc, order
+    shingles by the global canonical order (df asc, sh asc) and keep the
+    first n - ceil(threshold*n) + 1 — the lossless Jaccard prefix."""
+    g = _drop_kpart(group).sort_values(["doc_id", "df", "sh"], kind="mergesort")
+    rank = g.groupby("doc_id", sort=False).cumcount().to_numpy()
+    n = g["n"].to_numpy()
+    plen = n - np.ceil(threshold * n).astype(np.int64) + 1
+    return g.loc[rank < plen, ["sh", "doc_id"]]
+
+
+def shingle_bucket_pairs_partition(group: pd.DataFrame,
+                                   max_bucket: int = MAX_BUCKET) -> pd.DataFrame:
+    """sh-hash partition of prefix rows: candidate pairs (a < b) from
+    every shingle bucket inside it, locally deduped. Degenerate buckets
+    truncate to the sorted doc_id prefix with an audited drop count."""
+    g = _drop_kpart(group)
+    parts = []
+    for sh_val, gg in g.groupby("sh", sort=False):
+        all_ids = np.sort(gg["doc_id"].unique()).astype(np.int64)
+        ids = all_ids[:max_bucket]
+        if len(all_ids) > max_bucket:
+            _audit_truncation("jaccard-prefix", int(sh_val), len(ids),
+                              len(all_ids) - len(ids))
+        if len(ids) < 2:
+            continue
+        iu = np.triu_indices(len(ids), k=1)
+        parts.append(pd.DataFrame({"a": ids[iu[0]], "b": ids[iu[1]]}))
+    if not parts:
+        return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                             "b": pd.Series(dtype="int64")})
+    return (
+        pd.concat(parts, ignore_index=True)
+        .drop_duplicates(["a", "b"])
+        .astype({"a": "int64", "b": "int64"})
+    )
+
+
 def simhash_pairs_partition(group: pd.DataFrame, max_hamming: int = 3,
                             max_bucket: int = MAX_BUCKET) -> pd.DataFrame:
     """Partition of simhash band rows → Hamming-verified pairs from every

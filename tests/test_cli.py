@@ -38,3 +38,40 @@ def test_cli_build_query_roundtrip(tiny_corpus, tmp_path, capsys):
         [pd.read_csv(os.path.join(out_dir + "_submission", f)) for f in sub_files]
     )
     assert {"query_id", "docids"} <= set(sub.columns)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cli_append_query_compact_roundtrip(tiny_corpus, tmp_path, capsys):
+    """append routes the next query through the generational scorer;
+    compact produces a plain index with the same doc count."""
+    import pyarrow.parquet as pq
+
+    from document_retrieval_ray.cli import main
+
+    docs = pq.read_table(tiny_corpus["documents"])
+    half = docs.num_rows // 2
+    base_p = str(tmp_path / "base.parquet")
+    delta_p = str(tmp_path / "delta.parquet")
+    pq.write_table(docs.slice(0, half), base_p)
+    pq.write_table(docs.slice(half), delta_p)
+
+    index_dir = str(tmp_path / "cli_incr_index")
+    assert main(["build", "--input", base_p, "--index", index_dir,
+                 "--no-cosine-norms"]) == 0
+    capsys.readouterr()
+    assert main(["append", "--input", delta_p, "--index", index_dir]) == 0
+    appended = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert appended["generations"] == ["gen-00001"]
+
+    out_dir = str(tmp_path / "cli_incr_results")
+    assert main(["query", "--index", index_dir, "--queries",
+                 tiny_corpus["queries"], "--out", out_dir]) == 0
+    res = pq.read_table(out_dir).to_pandas()
+    assert len(res) > 0
+    assert set(res.columns) == {"query_id", "rank", "url", "score", "score_x"}
+
+    compact_dir = str(tmp_path / "cli_compacted")
+    capsys.readouterr()
+    assert main(["compact", "--index", index_dir, "--out", compact_dir]) == 0
+    compacted = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert sum(v["n_docs"] for v in compacted.values()) == docs.num_rows

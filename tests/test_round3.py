@@ -534,3 +534,77 @@ class TestIVF:
             got.sort_values(key).reset_index(drop=True),
             exp.sort_values(key).reset_index(drop=True),
         )
+
+
+# ---------------------------------------------------------------- ngram jaccard
+
+
+class TestPrefixFilterJaccard:
+    """The AllPairs prefix filter (stages/dedup.py) must be LOSSLESS:
+    every pair with Jaccard >= t shares a shingle within both docs'
+    df-ordered prefixes. Pure-numpy property test over random set
+    families (no Ray)."""
+
+    @staticmethod
+    def _pipeline_pairs(sets: dict, threshold: float) -> set:
+        """Drive the three partition stages exactly as q_ngram_jaccard
+        wires them (single partition = one global group)."""
+        from document_retrieval_ray.stages.dedup import (
+            prefix_rows_partition,
+            shingle_bucket_pairs_partition,
+            shingle_df_partition,
+        )
+
+        rows = []
+        for doc, s in sets.items():
+            for sh in s:
+                rows.append((sh, doc, len(s)))
+        if not rows:
+            return set()
+        ex = pd.DataFrame(rows, columns=["sh", "doc_id", "n"])
+        with_df = shingle_df_partition(ex)
+        prefix = prefix_rows_partition(with_df, threshold)
+        pairs = shingle_bucket_pairs_partition(prefix, max_bucket=10_000)
+        return set(zip(pairs["a"].tolist(), pairs["b"].tolist()))
+
+    def test_prefix_candidates_superset_of_true_pairs(self):
+        rng = np.random.default_rng(11)
+        for trial in range(20):
+            universe = rng.integers(0, 60, size=40)
+            sets = {}
+            for doc in range(30):
+                k = int(rng.integers(1, 12))
+                sets[doc] = set(int(x) for x in rng.choice(universe, size=k))
+            for threshold in (0.3, 0.5, 0.8):
+                cands = self._pipeline_pairs(sets, threshold)
+                for a in sets:
+                    for b in sets:
+                        if a >= b:
+                            continue
+                        inter = len(sets[a] & sets[b])
+                        union = len(sets[a] | sets[b])
+                        if union and inter / union >= threshold:
+                            assert (a, b) in cands, (
+                                f"trial {trial} t={threshold}: true pair "
+                                f"({a},{b}) J={inter/union:.2f} missed"
+                            )
+
+    def test_identical_and_disjoint_sets(self):
+        sets = {0: {1, 2, 3}, 1: {1, 2, 3}, 2: {7, 8, 9}, 3: {10}}
+        cands = self._pipeline_pairs(sets, 0.9)
+        assert (0, 1) in cands
+        assert (2, 3) not in cands and (0, 2) not in cands
+
+    def test_bucket_truncation_audited(self):
+        import warnings
+
+        from document_retrieval_ray.stages.dedup import (
+            shingle_bucket_pairs_partition,
+        )
+
+        g = pd.DataFrame({"sh": [5] * 10, "doc_id": list(range(10))})
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            pairs = shingle_bucket_pairs_partition(g, max_bucket=4)
+        assert len(pairs) == 6  # C(4,2) from the sorted prefix
+        assert any("truncated" in str(x.message) for x in w)
