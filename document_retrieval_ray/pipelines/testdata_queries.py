@@ -67,7 +67,7 @@ from ..stages.ann import (
 )
 from ..stages.multimodal import binary_meta_batch
 from ..stages.postings import emit_postings
-from ..stages.tokenize import TokenizeStage
+from ..stages.tokenize import TokenizeStage, flatten_tokens
 from ..stages.index_build import partial_term_counts
 from ..util import default_pool
 
@@ -1537,6 +1537,151 @@ def q_eval_metrics(sf_dir: str):
     return pd.DataFrame(rows, columns=["query_id", "n_relevant", "hits_at_10", "mrr_x"])
 
 
+# phrase queries for q_phrase_search: (phrase_id, phrase text); tokenized
+# with the same simple tokenizer as the corpus. p2 exercises repeated
+# terms + overlapping matches ("batch batch batch" → 2 matches).
+PHRASESET = [
+    ("p1", "table scan"),
+    ("p2", "batch batch"),
+    ("p3", "big order scan"),
+]
+
+# session boundary: a gap of MORE than 24h starts a new session
+SESSION_GAP_US = 24 * 3600 * 1_000_000
+
+
+def q_phrase_search(sf_dir: str):
+    """Phrase search by positional intersection — a fulltext feature the
+    reference's bag-of-words index cannot express (its tf dicts drop
+    positions: final_implementation.py:89-117 keeps only counts).
+
+    Fully distributed with ZERO shuffle: every document lives in exactly
+    one batch, so the per-batch scan emits final (phrase_id, doc_id,
+    n_matches) rows directly. The kernel is vectorized end-to-end: the
+    batch's tokens become ONE flat numpy array with a parent-row index;
+    a phrase of length L is L shifted equality masks AND-ed together,
+    with a parent[i] == parent[i+L-1] guard so matches never cross
+    document boundaries. Repeated-term phrases and overlapping
+    occurrences are correct by construction (each start offset is
+    tested independently)."""
+    phrases = [(pid, p.split()) for pid, p in PHRASESET]
+
+    def scan(t: pa.Table) -> pa.Table:
+        text = pc.cast(t["text"], pa.string())
+        low = pc.utf8_lower(text)
+        spaced = pc.replace_substring_regex(low, "[^a-z0-9]+", " ")
+        trimmed = pc.utf8_trim_whitespace(spaced)
+        toks = pc.split_pattern(trimmed, " ")
+        parent, flat = flatten_tokens(pa.table({"tokens": toks}), "tokens")
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        n = len(flat)
+        out_pid, out_doc, out_cnt = [], [], []
+        for pid, words in phrases:
+            L = len(words)
+            if n < L:
+                continue
+            m = flat[: n - L + 1] == words[0]
+            for j in range(1, L):
+                m &= flat[j : n - L + 1 + j] == words[j]
+            if L > 1:
+                m &= parent[: n - L + 1] == parent[L - 1 :]
+            starts = np.nonzero(m)[0]
+            if len(starts) == 0:
+                continue
+            cnt = np.bincount(parent[starts], minlength=len(t))
+            hit = np.nonzero(cnt)[0]
+            out_pid.extend([pid] * len(hit))
+            out_doc.append(doc_ids[hit])
+            out_cnt.append(cnt[hit])
+        return pa.table(
+            {
+                "phrase_id": pa.array(out_pid, pa.string()),
+                "doc_id": pa.array(
+                    np.concatenate(out_doc) if out_doc else [], pa.int64()
+                ),
+                "n_matches": pa.array(
+                    np.concatenate(out_cnt) if out_cnt else [], pa.int64()
+                ),
+            }
+        )
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(scan, batch_format="pyarrow")
+
+
+def _session_partition(group: pd.DataFrame) -> pd.DataFrame:
+    """user_id-hash partition of prepped events → per-session aggregates.
+    Vectorized: lexsort by (user, ts, event_id), boundary mask where the
+    user changes or the gap exceeds SESSION_GAP_US, then reduceat sums —
+    no per-user Python loop."""
+    cols = ("user_id", "session_idx", "start_us", "end_us", "n_events", "value_c")
+    if len(group) == 0:
+        return pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+    u = group["user_id"].to_numpy(np.int64)
+    t = group["tsu"].to_numpy(np.int64)
+    e = group["event_id"].to_numpy(np.int64)
+    v = group["value_c"].to_numpy(np.int64)
+    order = np.lexsort((e, t, u))
+    u, t, v = u[order], t[order], v[order]
+    new = np.ones(len(u), dtype=bool)
+    if len(u) > 1:
+        new[1:] = (u[1:] != u[:-1]) | ((t[1:] - t[:-1]) > SESSION_GAP_US)
+    starts = np.flatnonzero(new)
+    ends = np.append(starts[1:], len(u)) - 1
+    su = u[starts]
+    # session_idx = 1-based ordinal of the session within its user
+    pos = np.arange(len(starts))
+    user_first = np.ones(len(starts), dtype=bool)
+    user_first[1:] = su[1:] != su[:-1]
+    first_pos = np.maximum.accumulate(np.where(user_first, pos, 0))
+    return pd.DataFrame(
+        {
+            "user_id": su,
+            "session_idx": pos - first_pos + 1,
+            "start_us": t[starts],
+            "end_us": t[ends],
+            "n_events": ends - starts + 1,
+            "value_c": np.add.reduceat(v, starts),
+        }
+    ).astype("int64")
+
+
+def q_sessionize(sf_dir: str):
+    """Gap-based sessionization — the streaming-window operator Ray Data
+    lacks: a user's events share a session while consecutive gaps stay
+    <= 24h; emits per-session (start, end, n_events, value cents).
+
+    Distributed as a user_id-hash cogroup (the rel_asof plan): all
+    events of a user colocate in one partition; the per-partition kernel
+    is fully vectorized. Partitioning assumption (documented): one
+    user's event timeline fits a partition — a degenerate user would
+    need time-range bucketing with boundary stitching of open sessions
+    across bucket edges."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "event_id": t["event_id"],
+                # exact integer epoch-micros + fixed-point cents so the
+                # gap test and sums are integral end-to-end
+                "tsu": pc.cast(t["ts"], pa.int64()),
+                "value_c": pa.array(
+                    _cents(t["value"].to_numpy(zero_copy_only=False)), pa.int64()
+                ),
+            }
+        )
+
+    return _parted(ev.map_batches(prep, batch_format="pyarrow"),
+                   ("user_id",)).map_groups(
+        _session_partition, batch_format="pandas"
+    )
+
+
 # ------------------------------------------------------------ registries
 
 QUERIES = {
@@ -1582,6 +1727,8 @@ QUERIES = {
     "sentence_bm25": q_sentence_bm25,
     "train_test_split": q_train_test_split,
     "eval_metrics": q_eval_metrics,
+    "phrase_search": q_phrase_search,
+    "sessionize": q_sessionize,
 }
 
 
@@ -2037,6 +2184,35 @@ FROM s
 """
 
 
+def _phrase_sql() -> str:
+    """Positional-intersection phrase oracle: zip-unnest tokens with
+    1-based positions; a candidate start sp in a doc matches phrase P
+    when every (i, term) of P has a token at position sp + i — i.e. the
+    (phrase, doc, sp) group collects count(DISTINCT i) == len(P) hits
+    (DISTINCT so a repeated phrase term can't double-count one slot)."""
+    rows = []
+    for pid, p in PHRASESET:
+        for i, w in enumerate(p.split()):
+            rows.append(f"('{pid}', {i}, '{w}')")
+    return f"""
+WITH {_TOKS_CTE},
+pos AS (SELECT doc_id, unnest(l) AS term, unnest(range(1, len(l)+1)) AS p FROM toks),
+ph(phrase_id, i, term) AS (VALUES {", ".join(rows)}),
+phl AS (SELECT phrase_id, count(*) AS plen FROM ph GROUP BY phrase_id),
+m AS (
+  SELECT ph.phrase_id AS phrase_id, pos.doc_id AS doc_id, pos.p - ph.i AS sp,
+         count(DISTINCT ph.i) AS nhit
+  FROM ph JOIN pos ON pos.term = ph.term
+  GROUP BY ph.phrase_id, pos.doc_id, pos.p - ph.i
+)
+SELECT m.phrase_id AS phrase_id, m.doc_id AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_matches
+FROM m JOIN phl ON phl.phrase_id = m.phrase_id
+WHERE m.nhit = phl.plen
+GROUP BY m.phrase_id, m.doc_id
+"""
+
+
 ORACLE_SQL = {
     "doc_stats": f"WITH {_DL_CTE}, {_STATS_CTE} "
                  f"SELECT lang, n_docs, {_fx('avgdl')} AS avgdl_x FROM stats",
@@ -2229,5 +2405,25 @@ SELECT a.query_id AS query_id,
 FROM allq a
 LEFT JOIN nrel n ON n.query_id = a.query_id
 LEFT JOIN hits h ON h.query_id = a.query_id
+""",
+    "phrase_search": _phrase_sql(),
+    "sessionize": f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS tsu,
+         CAST(floor(value*100.0 + 0.5) AS BIGINT) AS value_c,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                 ORDER BY epoch_us(ts), event_id) AS pts
+  FROM events),
+f AS (
+  SELECT user_id, tsu, value_c,
+         sum(CASE WHEN pts IS NULL OR tsu - pts > {SESSION_GAP_US}
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY tsu, event_id
+                 ROWS UNBOUNDED PRECEDING) AS sess
+  FROM e)
+SELECT user_id, CAST(sess AS BIGINT) AS session_idx,
+       min(tsu) AS start_us, max(tsu) AS end_us,
+       count(*) AS n_events, CAST(sum(value_c) AS BIGINT) AS value_c
+FROM f GROUP BY user_id, sess
 """,
 }

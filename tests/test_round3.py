@@ -608,3 +608,123 @@ class TestPrefixFilterJaccard:
             pairs = shingle_bucket_pairs_partition(g, max_bucket=4)
         assert len(pairs) == 6  # C(4,2) from the sorted prefix
         assert any("truncated" in str(x.message) for x in w)
+
+
+# --------------------------------------------- phrase search / sessionize
+
+
+class TestPhraseSearch:
+    def _scan(self, docs):
+        """Run q_phrase_search's kernel logic through a tiny in-memory
+        corpus written to parquet (exercises the real pipeline)."""
+        import ray
+
+        from document_retrieval_ray.pipelines.testdata_queries import (
+            q_phrase_search,
+        )
+        import os
+        import tempfile
+
+        d = tempfile.mkdtemp()
+        pa_tbl = pa.table(
+            {
+                "doc_id": pa.array(range(len(docs)), pa.int64()),
+                "text": pa.array(docs, pa.string()),
+                "lang": pa.array(["en"] * len(docs), pa.string()),
+            }
+        )
+        import pyarrow.parquet as pq
+
+        pq.write_table(pa_tbl, os.path.join(d, "documents.parquet"))
+        out = q_phrase_search(d).to_pandas()
+        return {
+            (r.phrase_id, r.doc_id): r.n_matches for r in out.itertuples()
+        }
+
+    def test_overlapping_repeated_terms(self, ray_session):
+        # "batch batch batch" contains TWO overlapping "batch batch"
+        m = self._scan(["batch batch batch", "batch", "x batch batch y"])
+        assert m[("p2", 0)] == 2
+        assert ("p2", 1) not in m
+        assert m[("p2", 2)] == 1
+
+    def test_no_cross_document_match(self, ray_session):
+        # doc 0 ends with 'table', doc 1 starts with 'scan' — adjacency
+        # must not leak across document boundaries
+        m = self._scan(["slow merge table", "scan fast join"])
+        assert not any(pid == "p1" for pid, _ in m)
+
+    def test_trigram_and_punctuation_normalization(self, ray_session):
+        m = self._scan(["Big, ORDER... scan!", "big order; sort scan"])
+        assert m[("p3", 0)] == 1
+        assert ("p3", 1) not in m
+
+
+class TestSessionize:
+    def _sessions(self, rows):
+        from document_retrieval_ray.pipelines.testdata_queries import (
+            _session_partition,
+        )
+
+        g = pd.DataFrame(
+            rows, columns=["user_id", "event_id", "tsu", "value_c"]
+        )
+        return _session_partition(g)
+
+    def test_gap_boundary_is_strict(self):
+        from document_retrieval_ray.pipelines.testdata_queries import (
+            SESSION_GAP_US,
+        )
+
+        t0 = 1_700_000_000_000_000
+        out = self._sessions(
+            [
+                (1, 0, t0, 10),
+                (1, 1, t0 + SESSION_GAP_US, 20),  # exactly the gap: SAME session
+                (1, 2, t0 + 2 * SESSION_GAP_US + 1, 30),  # gap+1: NEW session
+            ]
+        )
+        assert len(out) == 2
+        s1 = out[out.session_idx == 1].iloc[0]
+        assert s1.n_events == 2 and s1.value_c == 30
+        s2 = out[out.session_idx == 2].iloc[0]
+        assert s2.n_events == 1 and s2.start_us == t0 + 2 * SESSION_GAP_US + 1
+
+    def test_multiple_users_interleaved(self):
+        t0 = 1_700_000_000_000_000
+        out = self._sessions(
+            [
+                (2, 0, t0, 1),
+                (1, 1, t0 + 5, 2),
+                (2, 2, t0 + 10, 4),
+                (1, 3, t0 + 15, 8),
+            ]
+        )
+        # each user: one session of 2 events; session_idx restarts per user
+        assert sorted(out.user_id.tolist()) == [1, 2]
+        assert out.session_idx.tolist() == [1, 1]
+        assert out.n_events.tolist() == [2, 2]
+        assert sorted(out.value_c.tolist()) == [5, 10]
+
+    def test_unsorted_input_and_ts_ties(self):
+        t0 = 1_700_000_000_000_000
+        # ties on tsu break by event_id; input arrives unsorted
+        out = self._sessions(
+            [
+                (1, 5, t0 + 100, 1),
+                (1, 2, t0, 2),
+                (1, 9, t0 + 100, 4),
+            ]
+        )
+        assert len(out) == 1
+        r = out.iloc[0]
+        assert r.n_events == 3 and r.value_c == 7
+        assert r.start_us == t0 and r.end_us == t0 + 100
+
+    def test_empty_partition(self):
+        out = self._sessions([])
+        assert len(out) == 0
+        assert list(out.columns) == [
+            "user_id", "session_idx", "start_us", "end_us",
+            "n_events", "value_c",
+        ]
