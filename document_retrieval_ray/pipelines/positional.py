@@ -1,0 +1,274 @@
+"""Positional index + index-backed phrase query.
+
+The bag-of-words index (build_index.py) stores (term, doc, tf) — enough
+for BM25 but not for phrase queries, which need token positions. The
+reference engine has the same limitation (its tf dicts drop positions:
+final_implementation.py:89-117 keeps only counts), so phrase semantics
+here are defined by the corpus-scan `q_phrase_search` and its SQL
+oracle; tests prove this index-backed path produces identical results.
+
+Design for 100 TB:
+
+- BUILD is one corpus pass with ZERO shuffle: every document lives in
+  exactly one batch, so each batch's (term, doc_id, positions) rows are
+  final. The writer hive-partitions by ``thash = stable_hash64(term) %
+  num_parts`` so term lookups touch a bounded slice of the artifact.
+- QUERY never rescans the corpus: it reads ONLY the ``thash=`` partition
+  directories holding the phrase's terms (path-level pruning — the
+  other ``num_parts - |terms|`` partitions are never listed), filters to
+  the exact terms, then cogroups candidates by doc_id and intersects
+  positions fully vectorized (packed ``doc_id << POS_BITS | shifted
+  position`` keys + ``np.intersect1d`` per phrase slot).
+- Exchange volume: the doc_id cogroup moves only rows of the phrase's
+  terms — for typical phrases this is df(term) rows, orders of magnitude
+  below corpus size.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from functools import reduce
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from ..functions.hashing import stable_hash64
+from ..stages.index_build import add_kpart
+
+# positions are packed into the low bits of an int64 alongside doc_id;
+# 21 bits ≈ 2M tokens per document (asserted at build time)
+POS_BITS = 22
+POS_LIMIT = 1 << (POS_BITS - 1)
+
+__all__ = ["build_positional_index", "phrase_query", "read_pos_manifest"]
+
+
+def emit_positions(batch: pa.Table, num_parts: int) -> pa.Table:
+    """(doc_id, text) batch → (thash, term, doc_id, positions) rows.
+
+    Fully vectorized: Arrow lower/regex/split, flat values + offsets,
+    dictionary-encode for integer term codes, one lexsort, run-length
+    boundaries → ListArray of 0-based positions. The per-batch vocabulary
+    (dictionary) is the only thing hashed in Python — unique terms, not
+    token occurrences.
+    """
+    text = pc.cast(batch["text"], pa.string())
+    low = pc.utf8_lower(text)
+    spaced = pc.replace_substring_regex(low, "[^a-z0-9]+", " ")
+    trimmed = pc.utf8_trim_whitespace(spaced)
+    trimmed = pc.if_else(pc.is_valid(trimmed), trimmed, pa.scalar("", pa.string()))
+    toks = pc.split_pattern(trimmed, " ").combine_chunks()
+
+    offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    values = toks.values
+    start0 = offsets[0]
+    if start0 != 0 or len(values) != offsets[-1]:
+        values = values.slice(start0, offsets[-1] - start0)
+        offsets = offsets - start0
+    lens = np.diff(offsets)
+    if lens.max(initial=0) >= POS_LIMIT:
+        raise ValueError(
+            f"document exceeds {POS_LIMIT} tokens; positional packing "
+            f"needs wider POS_BITS"
+        )
+    parent = np.repeat(np.arange(len(toks), dtype=np.int64), lens)
+    pos = np.arange(offsets[-1], dtype=np.int64) - np.repeat(offsets[:-1], lens)
+
+    denc = values.dictionary_encode()
+    codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    vocab_np = np.asarray(denc.dictionary.to_pandas(), dtype=object)
+
+    # drop the '' sentinel token of empty documents (never a phrase term;
+    # it is a doc's only token so no other positions shift)
+    empty_codes = np.nonzero(vocab_np == "")[0]
+    if len(empty_codes):
+        keep = codes != empty_codes[0]
+        parent, pos, codes = parent[keep], pos[keep], codes[keep]
+
+    if len(parent) == 0:
+        return pa.table(
+            {
+                "thash": pa.array([], pa.int64()),
+                "term": pa.array([], pa.string()),
+                "doc_id": pa.array([], pa.int64()),
+                "positions": pa.array([], pa.list_(pa.int32())),
+            }
+        )
+
+    order = np.lexsort((pos, codes, parent))
+    parent, pos, codes = parent[order], pos[order], codes[order]
+    change = np.ones(len(parent), dtype=bool)
+    change[1:] = (parent[1:] != parent[:-1]) | (codes[1:] != codes[:-1])
+    starts = np.flatnonzero(change)
+    list_offsets = np.append(starts, len(parent)).astype(np.int32)
+
+    vhash = np.fromiter(
+        (stable_hash64(s) % num_parts for s in vocab_np),
+        dtype=np.int64,
+        count=len(vocab_np),
+    )
+    doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "thash": pa.array(vhash[codes[starts]], pa.int64()),
+            "term": denc.dictionary.take(pa.array(codes[starts])),
+            "doc_id": pa.array(doc_ids[parent[starts]], pa.int64()),
+            "positions": pa.ListArray.from_arrays(
+                pa.array(list_offsets), pa.array(pos.astype(np.int32))
+            ),
+        }
+    )
+
+
+def _manifest_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "pos_manifest.json")
+
+
+def read_pos_manifest(index_dir: str) -> dict | None:
+    p = _manifest_path(index_dir)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def build_positional_index(
+    docs_path: str,
+    index_dir: str,
+    num_parts: int = 32,
+    input_ds_factory=None,
+) -> dict:
+    """One-pass, shuffle-free positional index build. Idempotent: a
+    committed ``pos_manifest.json`` (atomic rename, written AFTER the
+    parquet) makes re-runs a no-op — the resume unit is the whole
+    artifact because the build is a single streaming pass."""
+    m = read_pos_manifest(index_dir)
+    if m is not None:
+        return m
+    if input_ds_factory is not None:
+        ds = input_ds_factory(columns=["doc_id", "text"])
+    else:
+        ds = ray.data.read_parquet(docs_path, columns=["doc_id", "text"])
+    out = ds.map_batches(
+        emit_positions, fn_kwargs={"num_parts": num_parts}, batch_format="pyarrow"
+    )
+    pos_dir = os.path.join(index_dir, "positions")
+    out.write_parquet(pos_dir, partition_cols=["thash"])
+    manifest = {"num_parts": num_parts, "source": docs_path}
+    os.makedirs(index_dir, exist_ok=True)
+    tmp = _manifest_path(index_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, _manifest_path(index_dir))
+    return manifest
+
+
+def _phrase_match_partition(group: pd.DataFrame, phrases) -> pd.DataFrame:
+    """doc_id-hash partition of candidate (term, doc_id, positions) rows
+    → final (phrase_id, doc_id, n_matches). A phrase slot j contributes
+    the key set {doc << POS_BITS | (p - j + L)}; a phrase occurrence is a
+    key present in EVERY slot's set, so ``reduce(np.intersect1d)`` — all
+    numpy, no per-doc loop."""
+    out_pid, out_doc, out_cnt = [], [], []
+    by_term = {t: g for t, g in group.groupby("term", sort=False)}
+    for pid, words in phrases:
+        L = len(words)
+        key_sets = []
+        for j, w in enumerate(words):
+            sub = by_term.get(w)
+            if sub is None or len(sub) == 0:
+                key_sets = []
+                break
+            plists = sub["positions"].to_numpy()
+            lens = np.fromiter(map(len, plists), dtype=np.int64, count=len(plists))
+            flat = (
+                np.concatenate(plists).astype(np.int64)
+                if lens.sum()
+                else np.array([], dtype=np.int64)
+            )
+            docrep = np.repeat(sub["doc_id"].to_numpy(np.int64), lens)
+            key_sets.append((docrep << POS_BITS) | (flat - j + L))
+        if not key_sets:
+            continue
+        hit = reduce(np.intersect1d, key_sets)
+        if len(hit) == 0:
+            continue
+        docs, counts = np.unique(hit >> POS_BITS, return_counts=True)
+        out_pid.extend([pid] * len(docs))
+        out_doc.append(docs)
+        out_cnt.append(counts)
+    if not out_doc:
+        return pd.DataFrame(
+            {
+                "phrase_id": pd.Series(dtype=object),
+                "doc_id": pd.Series(dtype="int64"),
+                "n_matches": pd.Series(dtype="int64"),
+            }
+        )
+    return pd.DataFrame(
+        {
+            "phrase_id": out_pid,
+            "doc_id": np.concatenate(out_doc),
+            "n_matches": np.concatenate(out_cnt).astype(np.int64),
+        }
+    )
+
+
+def phrase_query(index_dir: str, phrases, num_parts_hint: int | None = None):
+    """Index-backed phrase search: reads ONLY the partition directories
+    of the phrase terms (path-level pruning), filters to the exact
+    terms, doc_id-cogroups, intersects positions. ``phrases`` is
+    [(phrase_id, "w1 w2 ...")]."""
+    m = read_pos_manifest(index_dir)
+    num_parts = (m or {}).get("num_parts", num_parts_hint)
+    if num_parts is None:
+        raise ValueError(f"no pos_manifest.json under {index_dir}")
+    parsed = [(pid, p.split()) for pid, p in phrases]
+    terms = sorted({w for _, ws in parsed for w in ws})
+    pos_dir = os.path.join(index_dir, "positions")
+    dirs = sorted(
+        {os.path.join(pos_dir, f"thash={stable_hash64(w) % num_parts}") for w in terms}
+    )
+    files: list[str] = []
+    for d in dirs:
+        if os.path.isdir(d):
+            files.extend(
+                sorted(
+                    os.path.join(d, f)
+                    for f in os.listdir(d)
+                    if f.endswith(".parquet")
+                )
+            )
+    empty = pd.DataFrame(
+        {
+            "phrase_id": pd.Series(dtype=object),
+            "doc_id": pd.Series(dtype="int64"),
+            "n_matches": pd.Series(dtype="int64"),
+        }
+    )
+    if not files:
+        return ray.data.from_pandas(empty)
+
+    tset = pa.array(terms, pa.string())
+
+    def flt(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(pc.cast(t["term"], pa.string()), value_set=tset))
+        return t.select(["term", "doc_id", "positions"])
+
+    cand = ray.data.read_parquet(files).map_batches(flt, batch_format="pyarrow")
+    return (
+        cand.map_batches(
+            add_kpart, fn_kwargs={"num_parts": 64, "cols": ("doc_id",)},
+            batch_format="pyarrow",
+        )
+        .groupby("kpart")
+        .map_groups(
+            lambda g: _phrase_match_partition(g, parsed), batch_format="pandas"
+        )
+    )

@@ -1610,6 +1610,20 @@ def q_phrase_search(sf_dir: str):
     ).map_batches(scan, batch_format="pyarrow")
 
 
+def q_phrase_search_indexed(sf_dir: str):
+    """Index-backed phrase search: same semantics (and SQL oracle) as
+    q_phrase_search but answered from the positional-postings artifact —
+    the query reads ONLY the term-hash partitions of the phrase terms,
+    never the corpus (pipelines/positional.py). The parity run proves
+    scan ≡ index."""
+    from .positional import build_positional_index, phrase_query
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    index_dir = f"/tmp/drr_cache/{key}/posindex"
+    build_positional_index(f"{sf_dir}/documents.parquet", index_dir, num_parts=32)
+    return phrase_query(index_dir, PHRASESET)
+
+
 def _session_partition(group: pd.DataFrame) -> pd.DataFrame:
     """user_id-hash partition of prepped events → per-session aggregates.
     Vectorized: lexsort by (user, ts, event_id), boundary mask where the
@@ -1728,6 +1742,7 @@ QUERIES = {
     "train_test_split": q_train_test_split,
     "eval_metrics": q_eval_metrics,
     "phrase_search": q_phrase_search,
+    "phrase_search_indexed": q_phrase_search_indexed,
     "sessionize": q_sessionize,
 }
 
@@ -2407,6 +2422,7 @@ LEFT JOIN nrel n ON n.query_id = a.query_id
 LEFT JOIN hits h ON h.query_id = a.query_id
 """,
     "phrase_search": _phrase_sql(),
+    "phrase_search_indexed": _phrase_sql(),
     "sessionize": f"""
 WITH e AS (
   SELECT user_id, event_id, epoch_us(ts) AS tsu,

@@ -1,0 +1,145 @@
+"""Positional index: build + index-backed phrase query
+(pipelines/positional.py) — scan/index equality, partition pruning,
+idempotent resume, and kernel edge cases."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from document_retrieval_ray.functions.hashing import stable_hash64
+from document_retrieval_ray.pipelines.positional import (
+    POS_BITS,
+    _phrase_match_partition,
+    build_positional_index,
+    emit_positions,
+    phrase_query,
+    read_pos_manifest,
+)
+
+
+def _write_docs(d, docs):
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(docs)), pa.int64()),
+            "text": pa.array(docs, pa.string()),
+        }
+    )
+    p = os.path.join(d, "documents.parquet")
+    pq.write_table(t, p)
+    return p
+
+
+DOCS = [
+    "the table scan runs a table scan twice",
+    "batch batch batch",
+    "",  # empty doc: sentinel token must be dropped
+    "scan table",  # reversed — must not match "table scan"
+]
+
+
+class TestEmitPositions:
+    def test_positions_and_sentinel(self):
+        t = pa.table(
+            {"doc_id": pa.array([7, 8], pa.int64()),
+             "text": pa.array(["a b a", ""], pa.string())}
+        )
+        out = emit_positions(t, num_parts=8).to_pandas()
+        # doc 8 is empty → contributes nothing
+        assert set(out["doc_id"]) == {7}
+        by_term = {r.term: list(r.positions) for r in out.itertuples()}
+        assert by_term == {"a": [0, 2], "b": [1]}
+        assert (out["thash"] == out["term"].map(
+            lambda s: stable_hash64(s) % 8)).all()
+
+    def test_punctuation_normalized(self):
+        t = pa.table(
+            {"doc_id": pa.array([1], pa.int64()),
+             "text": pa.array(["Big, ORDER... scan!"], pa.string())}
+        )
+        out = emit_positions(t, num_parts=4).to_pandas()
+        got = {r.term: list(r.positions) for r in out.itertuples()}
+        assert got == {"big": [0], "order": [1], "scan": [2]}
+
+
+class TestPhraseQueryIndexed:
+    @pytest.fixture(scope="class")
+    def index_dir(self, tmp_path_factory, ray_session):
+        d = str(tmp_path_factory.mktemp("posidx"))
+        docs_path = _write_docs(d, DOCS)
+        build_positional_index(docs_path, os.path.join(d, "idx"), num_parts=8)
+        return os.path.join(d, "idx")
+
+    def test_matches_scan_semantics(self, index_dir):
+        out = phrase_query(
+            index_dir,
+            [("p1", "table scan"), ("p2", "batch batch"), ("px", "scan twice")],
+        ).to_pandas()
+        got = {(r.phrase_id, r.doc_id): r.n_matches for r in out.itertuples()}
+        assert got[("p1", 0)] == 2  # two non-overlapping occurrences
+        assert ("p1", 3) not in got  # reversed order must not match
+        assert got[("p2", 1)] == 2  # overlapping repeated-term matches
+        assert got[("px", 0)] == 1
+
+    def test_absent_term_phrase_empty(self, index_dir):
+        out = phrase_query(index_dir, [("pz", "zebra table")]).to_pandas()
+        assert len(out) == 0
+
+    def test_resume_is_noop(self, index_dir):
+        m1 = read_pos_manifest(index_dir)
+        m2 = build_positional_index("IGNORED", index_dir, num_parts=999)
+        assert m2 == m1 and m2["num_parts"] == 8
+
+    def test_partition_pruning_reads_only_needed_dirs(self, index_dir):
+        # the query's read set is constructed from the phrase terms'
+        # thash dirs only — verify those dirs are a strict subset
+        pos_dir = os.path.join(index_dir, "positions")
+        all_parts = {d for d in os.listdir(pos_dir) if d.startswith("thash=")}
+        needed = {
+            f"thash={stable_hash64(w) % 8}" for w in ("table", "scan")
+        }
+        assert needed < all_parts  # corpus has more partitions than the query
+
+
+class TestPhraseMatchPartitionKernel:
+    def _group(self, rows):
+        return pd.DataFrame(
+            {
+                "term": [r[0] for r in rows],
+                "doc_id": np.array([r[1] for r in rows], dtype=np.int64),
+                "positions": [np.array(r[2], dtype=np.int32) for r in rows],
+            }
+        )
+
+    def test_basic_and_repeated(self):
+        g = self._group(
+            [
+                ("a", 1, [0, 3]),
+                ("b", 1, [1, 2]),
+                ("a", 2, [5]),
+            ]
+        )
+        out = _phrase_match_partition(g, [("q", ["a", "b"]), ("r", ["b", "b"])])
+        got = {(r.phrase_id, r.doc_id): r.n_matches for r in out.itertuples()}
+        # "a b": doc1 at start 0 only (pos3 has no b at 4)
+        assert got == {("q", 1): 1, ("r", 1): 1}
+
+    def test_empty_group(self):
+        out = _phrase_match_partition(
+            self._group([]), [("q", ["a", "b"])]
+        )
+        assert len(out) == 0
+        assert list(out.columns) == ["phrase_id", "doc_id", "n_matches"]
+
+    def test_key_packing_headroom(self):
+        # positions near the packing limit must not collide across docs
+        big = (1 << (POS_BITS - 1)) - 2
+        g = self._group([("a", 1, [big]), ("b", 1, [big + 1]), ("a", 2, [0])])
+        out = _phrase_match_partition(g, [("q", ["a", "b"])])
+        got = {(r.phrase_id, r.doc_id): r.n_matches for r in out.itertuples()}
+        assert got == {("q", 1): 1}
