@@ -46,7 +46,12 @@ from ..stages.index_build import add_kpart
 POS_BITS = 22
 POS_LIMIT = 1 << (POS_BITS - 1)
 
-__all__ = ["build_positional_index", "phrase_query", "read_pos_manifest"]
+__all__ = [
+    "build_positional_index",
+    "phrase_query",
+    "proximity_query",
+    "read_pos_manifest",
+]
 
 
 def emit_positions(batch: pa.Table, num_parts: int) -> pa.Table:
@@ -185,15 +190,9 @@ def _phrase_match_partition(group: pd.DataFrame, phrases) -> pd.DataFrame:
             if sub is None or len(sub) == 0:
                 key_sets = []
                 break
-            plists = sub["positions"].to_numpy()
-            lens = np.fromiter(map(len, plists), dtype=np.int64, count=len(plists))
-            flat = (
-                np.concatenate(plists).astype(np.int64)
-                if lens.sum()
-                else np.array([], dtype=np.int64)
-            )
-            docrep = np.repeat(sub["doc_id"].to_numpy(np.int64), lens)
-            key_sets.append((docrep << POS_BITS) | (flat - j + L))
+            _, packed = _flat_keys(sub)
+            # low bits never borrow/carry: flat - j + L stays in (0, 2^POS_BITS)
+            key_sets.append(packed + (L - j))
         if not key_sets:
             continue
         hit = reduce(np.intersect1d, key_sets)
@@ -220,17 +219,73 @@ def _phrase_match_partition(group: pd.DataFrame, phrases) -> pd.DataFrame:
     )
 
 
-def phrase_query(index_dir: str, phrases, num_parts_hint: int | None = None):
-    """Index-backed phrase search: reads ONLY the partition directories
-    of the phrase terms (path-level pruning), filters to the exact
-    terms, doc_id-cogroups, intersects positions. ``phrases`` is
-    [(phrase_id, "w1 w2 ...")]."""
+def _flat_keys(sub: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+    """(term-filtered candidate rows) → (doc-repeat array, packed
+    ``doc << POS_BITS | pos`` keys)."""
+    plists = sub["positions"].to_numpy()
+    lens = np.fromiter(map(len, plists), dtype=np.int64, count=len(plists))
+    flat = (
+        np.concatenate(plists).astype(np.int64)
+        if lens.sum()
+        else np.array([], dtype=np.int64)
+    )
+    docrep = np.repeat(sub["doc_id"].to_numpy(np.int64), lens)
+    return docrep, (docrep << POS_BITS) | flat
+
+
+def _near_match_partition(group: pd.DataFrame, pairs, window: int) -> pd.DataFrame:
+    """doc_id-hash partition → unordered proximity counts: n_matches =
+    |{(pa, pb): |pa - pb| <= window}| per (pair, doc). Packed-key range
+    counting: b's keys are sorted once, each a-position contributes
+    ``searchsorted(hi) - searchsorted(lo)``. A window never leaks across
+    documents because positions use < POS_BITS-1 bits while the doc id
+    occupies the high bits (window < POS_LIMIT keeps ranges in-doc)."""
+    assert 0 < window < POS_LIMIT
+    out_pid, out_doc, out_cnt = [], [], []
+    by_term = {t: g for t, g in group.groupby("term", sort=False)}
+    for pid, ta, tb in pairs:
+        sa, sb = by_term.get(ta), by_term.get(tb)
+        if sa is None or sb is None or len(sa) == 0 or len(sb) == 0:
+            continue
+        adoc, akeys = _flat_keys(sa)
+        _, bkeys = _flat_keys(sb)
+        bkeys = np.sort(bkeys)
+        cnt = np.searchsorted(bkeys, akeys + window, side="right") - np.searchsorted(
+            bkeys, akeys - window, side="left"
+        )
+        hit = cnt > 0
+        if not hit.any():
+            continue
+        docs, inv = np.unique(adoc[hit], return_inverse=True)
+        totals = np.bincount(inv, weights=cnt[hit]).astype(np.int64)
+        out_pid.extend([pid] * len(docs))
+        out_doc.append(docs)
+        out_cnt.append(totals)
+    if not out_doc:
+        return pd.DataFrame(
+            {
+                "pair_id": pd.Series(dtype=object),
+                "doc_id": pd.Series(dtype="int64"),
+                "n_matches": pd.Series(dtype="int64"),
+            }
+        )
+    return pd.DataFrame(
+        {
+            "pair_id": out_pid,
+            "doc_id": np.concatenate(out_doc),
+            "n_matches": np.concatenate(out_cnt),
+        }
+    )
+
+
+def _candidate_rows(index_dir: str, terms, num_parts_hint=None):
+    """Shared read path: prune to the terms' thash partition dirs, filter
+    to the exact terms. Returns (Dataset | None) — None when no partition
+    holds any of the terms."""
     m = read_pos_manifest(index_dir)
     num_parts = (m or {}).get("num_parts", num_parts_hint)
     if num_parts is None:
         raise ValueError(f"no pos_manifest.json under {index_dir}")
-    parsed = [(pid, p.split()) for pid, p in phrases]
-    terms = sorted({w for _, ws in parsed for w in ws})
     pos_dir = os.path.join(index_dir, "positions")
     dirs = sorted(
         {os.path.join(pos_dir, f"thash={stable_hash64(w) % num_parts}") for w in terms}
@@ -245,6 +300,54 @@ def phrase_query(index_dir: str, phrases, num_parts_hint: int | None = None):
                     if f.endswith(".parquet")
                 )
             )
+    if not files:
+        return None
+    tset = pa.array(sorted(terms), pa.string())
+
+    def flt(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(pc.cast(t["term"], pa.string()), value_set=tset))
+        return t.select(["term", "doc_id", "positions"])
+
+    return ray.data.read_parquet(files).map_batches(flt, batch_format="pyarrow")
+
+
+def proximity_query(index_dir: str, pairs, window: int, num_parts_hint=None):
+    """Index-backed NEAR search: docs where ``ta`` and ``tb`` occur
+    within ``window`` tokens of each other (unordered), with the pair
+    count. ``pairs`` is [(pair_id, term_a, term_b)]. Same pruned read as
+    phrase_query."""
+    terms = {t for _, a, b in pairs for t in (a, b)}
+    cand = _candidate_rows(index_dir, terms, num_parts_hint)
+    empty = pd.DataFrame(
+        {
+            "pair_id": pd.Series(dtype=object),
+            "doc_id": pd.Series(dtype="int64"),
+            "n_matches": pd.Series(dtype="int64"),
+        }
+    )
+    if cand is None:
+        return ray.data.from_pandas(empty)
+    return (
+        cand.map_batches(
+            add_kpart, fn_kwargs={"num_parts": 64, "cols": ("doc_id",)},
+            batch_format="pyarrow",
+        )
+        .groupby("kpart")
+        .map_groups(
+            lambda g: _near_match_partition(g, pairs, window),
+            batch_format="pandas",
+        )
+    )
+
+
+def phrase_query(index_dir: str, phrases, num_parts_hint: int | None = None):
+    """Index-backed phrase search: reads ONLY the partition directories
+    of the phrase terms (path-level pruning), filters to the exact
+    terms, doc_id-cogroups, intersects positions. ``phrases`` is
+    [(phrase_id, "w1 w2 ...")]."""
+    parsed = [(pid, p.split()) for pid, p in phrases]
+    terms = {w for _, ws in parsed for w in ws}
+    cand = _candidate_rows(index_dir, terms, num_parts_hint)
     empty = pd.DataFrame(
         {
             "phrase_id": pd.Series(dtype=object),
@@ -252,16 +355,8 @@ def phrase_query(index_dir: str, phrases, num_parts_hint: int | None = None):
             "n_matches": pd.Series(dtype="int64"),
         }
     )
-    if not files:
+    if cand is None:
         return ray.data.from_pandas(empty)
-
-    tset = pa.array(terms, pa.string())
-
-    def flt(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.is_in(pc.cast(t["term"], pa.string()), value_set=tset))
-        return t.select(["term", "doc_id", "positions"])
-
-    cand = ray.data.read_parquet(files).map_batches(flt, batch_format="pyarrow")
     return (
         cand.map_batches(
             add_kpart, fn_kwargs={"num_parts": 64, "cols": ("doc_id",)},

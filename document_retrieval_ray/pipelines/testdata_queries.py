@@ -1624,6 +1624,110 @@ def q_phrase_search_indexed(sf_dir: str):
     return phrase_query(index_dir, PHRASESET)
 
 
+# NEAR pairs for q_near_search: (pair_id, term_a, term_b); a doc matches
+# when the terms co-occur within NEAR_WINDOW tokens (unordered)
+NEARSET = [
+    ("n1", "hash", "join"),
+    ("n2", "table", "scan"),
+    ("n3", "group", "query"),
+]
+NEAR_WINDOW = 3
+
+# prefixes for q_prefix_search: (prefix_id, prefix) — wildcard term
+# expansion `prefix*`, scored by total matched-term tf per doc
+PREFIXSET = [("pf1", "sc"), ("pf2", "ba"), ("pf3", "st")]
+
+
+def q_near_search(sf_dir: str):
+    """Index-backed proximity (NEAR) search over the positional index:
+    for each (term_a, term_b) pair, every doc where they co-occur within
+    NEAR_WINDOW tokens, with the co-occurrence pair count. Reads only
+    the two terms' partition dirs; per-partition kernel is sorted
+    packed-key range counting (positional.py:_near_match_partition)."""
+    from .positional import build_positional_index, proximity_query
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    index_dir = f"/tmp/drr_cache/{key}/posindex"
+    build_positional_index(f"{sf_dir}/documents.parquet", index_dir, num_parts=32)
+    return proximity_query(index_dir, NEARSET, NEAR_WINDOW)
+
+
+def q_prefix_search(sf_dir: str):
+    """Wildcard term expansion (`prefix*`) with per-doc tf scoring and
+    global top-10 per prefix. Scan-based and shuffle-free until the final
+    merge: a doc lives in one batch, so per-batch (prefix, doc, tf) rows
+    are final; each block then keeps its partial top-10 per prefix and
+    the driver merges O(blocks × |prefixes| × 10) rows."""
+
+    def scan(t: pa.Table) -> pa.Table:
+        text = pc.cast(t["text"], pa.string())
+        low = pc.utf8_lower(text)
+        spaced = pc.replace_substring_regex(low, "[^a-z0-9]+", " ")
+        trimmed = pc.utf8_trim_whitespace(spaced)
+        toks = pc.split_pattern(trimmed, " ").combine_chunks()
+        offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        values = toks.values
+        s0 = offsets[0]
+        if s0 != 0 or len(values) != offsets[-1]:
+            values = values.slice(s0, offsets[-1] - s0)
+            offsets = offsets - s0
+        lens = np.diff(offsets)
+        parent = np.repeat(np.arange(len(toks), dtype=np.int64), lens)
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        out_pid, out_doc, out_tf = [], [], []
+        nonempty = pc.not_equal(values, "").to_numpy(zero_copy_only=False)
+        for pid, prefix in PREFIXSET:
+            m = pc.starts_with(values, prefix).to_numpy(zero_copy_only=False)
+            m &= nonempty
+            if not m.any():
+                continue
+            cnt = np.bincount(parent[m], minlength=len(t))
+            hit = np.nonzero(cnt)[0]
+            out_pid.extend([pid] * len(hit))
+            out_doc.append(doc_ids[hit])
+            out_tf.append(cnt[hit])
+        return pa.table(
+            {
+                "prefix_id": pa.array(out_pid, pa.string()),
+                "doc_id": pa.array(
+                    np.concatenate(out_doc) if out_doc else [], pa.int64()
+                ),
+                "total_tf": pa.array(
+                    np.concatenate(out_tf) if out_tf else [], pa.int64()
+                ),
+            }
+        )
+
+    def partial_top(t: pa.Table) -> pa.Table:
+        pdf = t.to_pandas()
+        return pa.Table.from_pandas(
+            pdf.sort_values(
+                ["prefix_id", "total_tf", "doc_id"],
+                ascending=[True, False, True],
+            ).groupby("prefix_id", sort=False).head(10),
+            preserve_index=False,
+        )
+
+    rows = (
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        .map_batches(scan, batch_format="pyarrow")
+        .map_batches(partial_top, batch_format="pyarrow")
+        .to_pandas()
+    )
+    top = (
+        rows.sort_values(
+            ["prefix_id", "total_tf", "doc_id"], ascending=[True, False, True]
+        )
+        .groupby("prefix_id", sort=False)
+        .head(10)
+        .reset_index(drop=True)
+    )
+    top["rank"] = top.groupby("prefix_id", sort=False).cumcount() + 1
+    return top[["prefix_id", "rank", "doc_id", "total_tf"]]
+
+
 def _session_partition(group: pd.DataFrame) -> pd.DataFrame:
     """user_id-hash partition of prepped events → per-session aggregates.
     Vectorized: lexsort by (user, ts, event_id), boundary mask where the
@@ -1743,6 +1847,8 @@ QUERIES = {
     "eval_metrics": q_eval_metrics,
     "phrase_search": q_phrase_search,
     "phrase_search_indexed": q_phrase_search_indexed,
+    "near_search": q_near_search,
+    "prefix_search": q_prefix_search,
     "sessionize": q_sessionize,
 }
 
@@ -2423,6 +2529,38 @@ LEFT JOIN hits h ON h.query_id = a.query_id
 """,
     "phrase_search": _phrase_sql(),
     "phrase_search_indexed": _phrase_sql(),
+    "near_search": f"""
+WITH {_TOKS_CTE},
+pos AS (SELECT doc_id, unnest(l) AS term, unnest(range(1, len(l)+1)) AS p FROM toks),
+pr(pair_id, ta, tb) AS (VALUES {", ".join(f"('{pid}', '{a}', '{b}')" for pid, a, b in NEARSET)}),
+m AS (
+  SELECT pr.pair_id AS pair_id, a.doc_id AS doc_id, count(*) AS n_matches
+  FROM pr
+  JOIN pos a ON a.term = pr.ta
+  JOIN pos b ON b.doc_id = a.doc_id AND b.term = pr.tb
+  WHERE abs(a.p - b.p) <= {NEAR_WINDOW}
+  GROUP BY pr.pair_id, a.doc_id
+)
+SELECT pair_id, doc_id, CAST(n_matches AS BIGINT) AS n_matches FROM m
+""",
+    "prefix_search": f"""
+WITH {_TOKS_CTE},
+pos AS (SELECT doc_id, unnest(l) AS term FROM toks),
+pf(prefix_id, pre) AS (VALUES {", ".join(f"('{pid}', '{p}')" for pid, p in PREFIXSET)}),
+m AS (
+  SELECT pf.prefix_id AS prefix_id, pos.doc_id AS doc_id,
+         CAST(count(*) AS BIGINT) AS total_tf
+  FROM pf JOIN pos ON starts_with(pos.term, pf.pre)
+  GROUP BY pf.prefix_id, pos.doc_id
+),
+ranked AS (
+  SELECT prefix_id, doc_id, total_tf,
+         row_number() OVER (PARTITION BY prefix_id
+                            ORDER BY total_tf DESC, doc_id ASC) AS rank
+  FROM m
+)
+SELECT prefix_id, rank, doc_id, total_tf FROM ranked WHERE rank <= 10
+""",
     "sessionize": f"""
 WITH e AS (
   SELECT user_id, event_id, epoch_us(ts) AS tsu,

@@ -143,3 +143,82 @@ class TestPhraseMatchPartitionKernel:
         out = _phrase_match_partition(g, [("q", ["a", "b"])])
         got = {(r.phrase_id, r.doc_id): r.n_matches for r in out.itertuples()}
         assert got == {("q", 1): 1}
+
+
+class TestProximityKernel:
+    def _group(self, rows):
+        return pd.DataFrame(
+            {
+                "term": [r[0] for r in rows],
+                "doc_id": np.array([r[1] for r in rows], dtype=np.int64),
+                "positions": [np.array(r[2], dtype=np.int32) for r in rows],
+            }
+        )
+
+    def test_window_counting(self):
+        from document_retrieval_ray.pipelines.positional import (
+            _near_match_partition,
+        )
+
+        g = self._group(
+            [
+                ("a", 1, [0, 10]),
+                ("b", 1, [2, 3, 9]),
+                ("a", 2, [0]),
+                ("b", 2, [100]),
+            ]
+        )
+        out = _near_match_partition(g, [("q", "a", "b")], window=3)
+        got = {(r.pair_id, r.doc_id): r.n_matches for r in out.itertuples()}
+        # doc1: a@0 pairs with b@2,3 (2); a@10 pairs with b@9 (1) → 3
+        assert got == {("q", 1): 3}
+
+    def test_no_cross_doc_window(self):
+        from document_retrieval_ray.pipelines.positional import (
+            POS_LIMIT,
+            _near_match_partition,
+        )
+
+        # doc 1 ends near the position cap; doc 2 starts at 0 — the
+        # packed-key window must not bridge them
+        g = self._group(
+            [("a", 1, [POS_LIMIT - 1]), ("b", 2, [0])]
+        )
+        out = _near_match_partition(g, [("q", "a", "b")], window=3)
+        assert len(out) == 0
+
+    def test_unordered_and_missing_term(self):
+        from document_retrieval_ray.pipelines.positional import (
+            _near_match_partition,
+        )
+
+        g = self._group([("a", 1, [5]), ("b", 1, [4])])
+        out = _near_match_partition(
+            g, [("q", "a", "b"), ("z", "a", "zebra")], window=1
+        )
+        got = {(r.pair_id, r.doc_id): r.n_matches for r in out.itertuples()}
+        assert got == {("q", 1): 1}
+
+
+def test_prefix_search_partial_top_semantics(ray_session, tmp_path):
+    """Ten+ docs matching one prefix across blocks: global top-10 ranks
+    deterministic by (tf desc, doc_id asc)."""
+    import os as _os
+
+    from document_retrieval_ray.pipelines.testdata_queries import q_prefix_search
+
+    docs = ["scan " * (i % 4 + 1) for i in range(25)]  # tf in {1..4}
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(25), pa.int64()),
+            "text": pa.array(docs, pa.string()),
+        }
+    )
+    pq.write_table(t, _os.path.join(str(tmp_path), "documents.parquet"))
+    out = q_prefix_search(str(tmp_path))
+    sc = out[out.prefix_id == "pf1"]
+    assert len(sc) == 10
+    # ranks 1..10; first docs are the tf=4 ones (doc_id 3, 7, 11, ...)
+    assert sc.iloc[0].doc_id == 3 and sc.iloc[0].total_tf == 4
+    assert list(sc["rank"]) == list(range(1, 11))
+    assert (sc.total_tf.values[:-1] >= sc.total_tf.values[1:]).all()
