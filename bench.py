@@ -247,6 +247,14 @@ def main() -> None:
             tq.q_ann_topk(SF_DIR).count()
         with timed("testdata_rel_agg"):
             tq.q_rel_agg(SF_DIR).count()
+        with timed("testdata_phrase_indexed"):
+            # includes the positional-index build on a cold cache;
+            # subsequent phrase/near queries reuse the artifact
+            tq.q_phrase_search_indexed(SF_DIR).count()
+        with timed("testdata_near"):
+            tq.q_near_search(SF_DIR).count()
+        with timed("testdata_sessionize"):
+            tq.q_sessionize(SF_DIR).count()
 
     headline = timings["index_build"] + timings["bm25_queries"]
     out = {
