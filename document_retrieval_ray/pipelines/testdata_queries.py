@@ -1624,6 +1624,172 @@ def q_phrase_search_indexed(sf_dir: str):
     return phrase_query(index_dir, PHRASESET)
 
 
+def q_tfidf_keywords(sf_dir: str):
+    """Per-document keyword extraction: top-3 terms per doc by
+    tf·idf (idf law (a), fixed-point 1e4, ties → term asc).
+
+    Scale path end-to-end: df attaches to the posting rows by a
+    (lang, term)-hash COGROUP (the union/marker pattern — nothing
+    vocabulary-sized is broadcast or driver-held), then a doc_id-hash
+    partition takes each doc's top-3. Only the per-lang doc-count dict
+    (|langs| entries) rides the closure."""
+    stats = {
+        r["lang"]: r["count()"]
+        for r in ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["lang"]
+        )
+        .groupby("lang")
+        .count()
+        .take_all()
+    }
+
+    def tok_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": url_to_docid(t["url"]),
+                "lang": t["lang"],
+                "term": t["term"],
+                "tf": t["tf"],
+                "df": pa.array(np.zeros(t.num_rows, np.int64), pa.int64()),
+            }
+        )
+
+    def df_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pa.array(np.full(t.num_rows, -1, np.int64), pa.int64()),
+                "lang": t["lang"],
+                "term": t["term"],
+                "tf": pa.array(np.zeros(t.num_rows, np.int64), pa.int64()),
+                "df": pc.cast(t["df"], pa.int64()),
+            }
+        )
+
+    tok = _postings_ds(sf_dir).map_batches(tok_rows, batch_format="pyarrow")
+    dft = q_term_df(sf_dir).map_batches(df_rows, batch_format="pyarrow")
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[g["doc_id"] >= 0][["doc_id", "lang", "term", "tf"]]
+        f = g[g["doc_id"] < 0][["lang", "term", "df"]]
+        if d.empty or f.empty:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series(dtype="int64"),
+                    "term": pd.Series(dtype=object),
+                    "tfidf_x": pd.Series(dtype="int64"),
+                }
+            )
+        m = d.merge(f, on=["lang", "term"], how="inner")
+        N = m["lang"].map(stats).to_numpy(np.float64)
+        dfv = m["df"].to_numpy(np.float64)
+        idf = np.log(1.0 + (N - dfv + 0.5) / (dfv + 0.5))
+        m["tfidf_x"] = np.floor(
+            m["tf"].to_numpy(np.float64) * idf * 10000.0 + 0.5
+        ).astype(np.int64)
+        return m[["doc_id", "term", "tfidf_x"]]
+
+    scored = _parted(tok.union(dft), ("lang", "term")).map_groups(
+        attach, batch_format="pandas"
+    )
+
+    def doc_top(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["doc_id", "tfidf_x", "term"], ascending=[True, False, True],
+            kind="mergesort",
+        )
+        g = g.groupby("doc_id", sort=False).head(3).reset_index(drop=True)
+        g["rank"] = g.groupby("doc_id", sort=False).cumcount() + 1
+        return g[["doc_id", "rank", "term", "tfidf_x"]]
+
+    return _parted(scored, ("doc_id",)).map_groups(
+        doc_top, batch_format="pandas"
+    )
+
+
+def q_top_bigrams(sf_dir: str):
+    """Collocation mining: top-10 adjacent word bigrams per language by
+    total count (ties → bigram asc). Vectorized bigram construction
+    (shifted Arrow join on the flat token array, parent-equality guard),
+    per-batch partial counts, ONE vocabulary-sized groupby, per-block
+    partial top-10 → bounded driver merge."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        text = pc.cast(t["text"], pa.string())
+        low = pc.utf8_lower(text)
+        spaced = pc.replace_substring_regex(low, "[^a-z0-9]+", " ")
+        trimmed = pc.utf8_trim_whitespace(spaced)
+        toks = pc.split_pattern(trimmed, " ").combine_chunks()
+        offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        values = toks.values
+        s0 = offsets[0]
+        if s0 != 0 or len(values) != offsets[-1]:
+            values = values.slice(s0, offsets[-1] - s0)
+            offsets = offsets - s0
+        n = len(values)
+        if n < 2:
+            return pa.table(
+                {
+                    "lang": pa.array([], pa.string()),
+                    "bigram": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        lens = np.diff(offsets)
+        parent = np.repeat(np.arange(len(toks), dtype=np.int64), lens)
+        nonempty = pc.not_equal(values, "").to_numpy(zero_copy_only=False)
+        keep = (parent[:-1] == parent[1:]) & nonempty[:-1] & nonempty[1:]
+        big = pc.binary_join_element_wise(
+            values.slice(0, n - 1), values.slice(1, n - 1), " "
+        )
+        langs_np = np.asarray(
+            t["lang"].to_pandas(), dtype=object
+        )[parent[:-1][keep]]
+        pdf = pd.DataFrame(
+            {
+                "lang": langs_np,
+                "bigram": np.asarray(big.to_pandas(), dtype=object)[keep],
+            }
+        )
+        g = (
+            pdf.groupby(["lang", "bigram"], sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def partial_top(t: pa.Table) -> pa.Table:
+        pdf = t.to_pandas()
+        return pa.Table.from_pandas(
+            pdf.sort_values(
+                ["lang", "n", "bigram"], ascending=[True, False, True]
+            ).groupby("lang", sort=False).head(10),
+            preserve_index=False,
+        )
+
+    rows = (
+        _docs(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "bigram"])
+        .sum("n")
+        .map_batches(
+            lambda t: t.rename_columns(["lang", "bigram", "n"]),
+            batch_format="pyarrow",
+        )
+        .map_batches(partial_top, batch_format="pyarrow")
+        .to_pandas()
+    )
+    top = (
+        rows.sort_values(["lang", "n", "bigram"], ascending=[True, False, True])
+        .groupby("lang", sort=False)
+        .head(10)
+        .reset_index(drop=True)
+    )
+    top["rank"] = top.groupby("lang", sort=False).cumcount() + 1
+    top["n"] = top["n"].astype(np.int64)
+    return top[["lang", "rank", "bigram", "n"]]
+
+
 # NEAR pairs for q_near_search: (pair_id, term_a, term_b); a doc matches
 # when the terms co-occur within NEAR_WINDOW tokens (unordered)
 NEARSET = [
@@ -1849,6 +2015,8 @@ QUERIES = {
     "phrase_search_indexed": q_phrase_search_indexed,
     "near_search": q_near_search,
     "prefix_search": q_prefix_search,
+    "tfidf_keywords": q_tfidf_keywords,
+    "top_bigrams": q_top_bigrams,
     "sessionize": q_sessionize,
 }
 
@@ -2560,6 +2728,42 @@ ranked AS (
   FROM m
 )
 SELECT prefix_id, rank, doc_id, total_tf FROM ranked WHERE rank <= 10
+""",
+    "tfidf_keywords": f"""
+WITH {_TOK_CTE}, {_DF_CTE},
+nstats AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+sc AS (
+  SELECT tok.doc_id AS doc_id, tok.term AS term,
+         {_fx('tok.tf * ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))')} AS tfidf_x
+  FROM tok
+  JOIN df ON df.lang = tok.lang AND df.term = tok.term
+  JOIN nstats s ON s.lang = tok.lang
+),
+ranked AS (
+  SELECT doc_id, term, tfidf_x,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf_x DESC, term ASC) AS rank
+  FROM sc
+)
+SELECT doc_id, rank, term, tfidf_x FROM ranked WHERE rank <= 3
+""",
+    "top_bigrams": f"""
+WITH {_TOKS_CTE},
+pos AS (SELECT doc_id, lang, unnest(l) AS term,
+               unnest(range(1, len(l)+1)) AS p FROM toks),
+bg AS (
+  SELECT a.lang AS lang, a.term || ' ' || b.term AS bigram,
+         CAST(count(*) AS BIGINT) AS n
+  FROM pos a JOIN pos b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+  GROUP BY a.lang, a.term || ' ' || b.term
+),
+ranked AS (
+  SELECT lang, bigram, n,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n DESC, bigram ASC) AS rank
+  FROM bg
+)
+SELECT lang, rank, bigram, n FROM ranked WHERE rank <= 10
 """,
     "sessionize": f"""
 WITH e AS (
