@@ -1624,6 +1624,44 @@ def q_phrase_search_indexed(sf_dir: str):
     return phrase_query(index_dir, PHRASESET)
 
 
+RRF_K = 60  # standard reciprocal-rank-fusion constant
+
+
+def q_hybrid_rrf(sf_dir: str):
+    """Hybrid retrieval: reciprocal-rank fusion of the BM25(standard)
+    and TF-IDF-cosine top-10 rankings — rrf = Σ 1/(60 + rank), fixed
+    point 1e6, ties → doc_id asc, top-10 per query.
+
+    Both input rankings are the existing distributed pipelines; the
+    fusion itself is bounded at O(|queries| × 20) rows, so driver
+    pandas is the right tool (same argument as q_submission)."""
+
+    def contrib(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["query_id", "doc_id"]].copy()
+        out["rrf_x"] = np.floor(
+            1_000_000.0 / (RRF_K + df["rank"].to_numpy(np.float64)) + 0.5
+        ).astype(np.int64)
+        return out
+
+    allr = pd.concat(
+        [contrib(q_bm25_standard(sf_dir)), contrib(q_cosine(sf_dir))]
+    )
+    f = (
+        allr.groupby(["query_id", "doc_id"], sort=False)["rrf_x"]
+        .sum()
+        .reset_index()
+    )
+    f = f.sort_values(
+        ["query_id", "rrf_x", "doc_id"], ascending=[True, False, True],
+        kind="mergesort",
+    )
+    f = f.groupby("query_id", sort=False).head(10).reset_index(drop=True)
+    f["rank"] = (f.groupby("query_id", sort=False).cumcount() + 1).astype(
+        np.int64
+    )
+    return f[["query_id", "rank", "doc_id", "rrf_x"]]
+
+
 def q_tfidf_keywords(sf_dir: str):
     """Per-document keyword extraction: top-3 terms per doc by
     tf·idf (idf law (a), fixed-point 1e4, ties → term asc).
@@ -2017,6 +2055,7 @@ QUERIES = {
     "prefix_search": q_prefix_search,
     "tfidf_keywords": q_tfidf_keywords,
     "top_bigrams": q_top_bigrams,
+    "hybrid_rrf": q_hybrid_rrf,
     "sessionize": q_sessionize,
 }
 
@@ -2728,6 +2767,28 @@ ranked AS (
   FROM m
 )
 SELECT prefix_id, rank, doc_id, total_tf FROM ranked WHERE rank <= 10
+""",
+    "hybrid_rrf": f"""
+WITH bm AS ({_bm25_sql(1.2, 0.75, reference_quirk=False, dedup=False)}),
+cs AS ({_cosine_sql()}),
+u AS (
+  SELECT query_id, doc_id,
+         CAST(floor(1000000.0/({RRF_K} + rank) + 0.5) AS BIGINT) AS rrf_x
+  FROM bm
+  UNION ALL
+  SELECT query_id, doc_id,
+         CAST(floor(1000000.0/({RRF_K} + rank) + 0.5) AS BIGINT)
+  FROM cs
+),
+f AS (SELECT query_id, doc_id, CAST(sum(rrf_x) AS BIGINT) AS rrf_x
+      FROM u GROUP BY query_id, doc_id),
+rr AS (
+  SELECT query_id, doc_id, rrf_x,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY rrf_x DESC, doc_id ASC) AS rank
+  FROM f
+)
+SELECT query_id, rank, doc_id, rrf_x FROM rr WHERE rank <= 10
 """,
     "tfidf_keywords": f"""
 WITH {_TOK_CTE}, {_DF_CTE},
