@@ -1624,6 +1624,80 @@ def q_phrase_search_indexed(sf_dir: str):
     return phrase_query(index_dir, PHRASESET)
 
 
+SNIPPET_CTX = 2  # tokens of context on each side of a phrase match
+
+
+def q_phrase_snippets(sf_dir: str):
+    """KWIC snippet generation: for every phrase match, the tokens
+    around the FIRST occurrence in the doc (SNIPPET_CTX each side,
+    space-joined). Zero-shuffle like q_phrase_search — a doc's snippet
+    is final within its batch; the per-doc work after the vectorized
+    match scan is a bounded join over <= L + 2·CTX tokens per MATCHING
+    doc (matches, not corpus, bound the Python)."""
+    phrases = [(pid, p.split()) for pid, p in PHRASESET]
+
+    def scan(t: pa.Table) -> pa.Table:
+        text = pc.cast(t["text"], pa.string())
+        low = pc.utf8_lower(text)
+        spaced = pc.replace_substring_regex(low, "[^a-z0-9]+", " ")
+        trimmed = pc.utf8_trim_whitespace(spaced)
+        toks = pc.split_pattern(trimmed, " ").combine_chunks()
+        offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        values = toks.values
+        s0 = offsets[0]
+        if s0 != 0 or len(values) != offsets[-1]:
+            values = values.slice(s0, offsets[-1] - s0)
+            offsets = offsets - s0
+        lens = np.diff(offsets)
+        parent = np.repeat(np.arange(len(toks), dtype=np.int64), lens)
+        flat = np.asarray(values.to_pandas(), dtype=object)
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        n = len(flat)
+        out_pid, out_doc, out_snip = [], [], []
+        for pid, words in phrases:
+            L = len(words)
+            if n < L:
+                continue
+            m = flat[: n - L + 1] == words[0]
+            for j in range(1, L):
+                m &= flat[j : n - L + 1 + j] == words[j]
+            if L > 1:
+                m &= parent[: n - L + 1] == parent[L - 1 :]
+            starts = np.nonzero(m)[0]
+            if len(starts) == 0:
+                continue
+            # first occurrence per doc: starts are ascending, so the
+            # first index of each parent run wins
+            docs_at = parent[starts]
+            first = np.ones(len(starts), dtype=bool)
+            first[1:] = docs_at[1:] != docs_at[:-1]
+            for s in starts[first]:
+                d = parent[s]
+                tok0 = offsets[d]
+                rel = s - tok0
+                lo = tok0 + max(rel - SNIPPET_CTX, 0)
+                hi = min(tok0 + rel + L + SNIPPET_CTX, offsets[d + 1])
+                out_pid.append(pid)
+                out_doc.append(doc_ids[d])
+                out_snip.append(" ".join(flat[lo:hi]))
+        return pa.table(
+            {
+                "phrase_id": pa.array(out_pid, pa.string()),
+                "doc_id": pa.array(
+                    np.asarray(out_doc, dtype=np.int64)
+                    if out_doc
+                    else [],
+                    pa.int64(),
+                ),
+                "snippet": pa.array(out_snip, pa.string()),
+            }
+        )
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(scan, batch_format="pyarrow")
+
+
 RRF_K = 60  # standard reciprocal-rank-fusion constant
 
 
@@ -2056,6 +2130,7 @@ QUERIES = {
     "tfidf_keywords": q_tfidf_keywords,
     "top_bigrams": q_top_bigrams,
     "hybrid_rrf": q_hybrid_rrf,
+    "phrase_snippets": q_phrase_snippets,
     "sessionize": q_sessionize,
 }
 
@@ -2541,6 +2616,42 @@ GROUP BY m.phrase_id, m.doc_id
 """
 
 
+def _phrase_snippets_sql() -> str:
+    """KWIC oracle: first match start per (phrase, doc) = min over the
+    same positional-intersection m CTE as _phrase_sql; the snippet is a
+    1-based inclusive list_slice of the token list (identical window to
+    the engine's 0-based half-open slice)."""
+    rows = []
+    for pid, p in PHRASESET:
+        for i, w in enumerate(p.split()):
+            rows.append(f"('{pid}', {i}, '{w}')")
+    return f"""
+WITH {_TOKS_CTE},
+pos AS (SELECT doc_id, unnest(l) AS term, unnest(range(1, len(l)+1)) AS p FROM toks),
+ph(phrase_id, i, term) AS (VALUES {", ".join(rows)}),
+phl AS (SELECT phrase_id, count(*) AS plen FROM ph GROUP BY phrase_id),
+m AS (
+  SELECT ph.phrase_id AS phrase_id, pos.doc_id AS doc_id, pos.p - ph.i AS sp,
+         count(DISTINCT ph.i) AS nhit
+  FROM ph JOIN pos ON pos.term = ph.term
+  GROUP BY ph.phrase_id, pos.doc_id, pos.p - ph.i
+),
+firsts AS (
+  SELECT m.phrase_id AS phrase_id, m.doc_id AS doc_id, min(m.sp) AS sp,
+         any_value(phl.plen) AS plen
+  FROM m JOIN phl ON phl.phrase_id = m.phrase_id
+  WHERE m.nhit = phl.plen
+  GROUP BY m.phrase_id, m.doc_id
+)
+SELECT f.phrase_id AS phrase_id, f.doc_id AS doc_id,
+       array_to_string(
+         list_slice(t.l, greatest(f.sp - {SNIPPET_CTX}, 1),
+                    least(f.sp + f.plen - 1 + {SNIPPET_CTX}, len(t.l))),
+         ' ') AS snippet
+FROM firsts f JOIN toks t ON t.doc_id = f.doc_id
+"""
+
+
 ORACLE_SQL = {
     "doc_stats": f"WITH {_DL_CTE}, {_STATS_CTE} "
                  f"SELECT lang, n_docs, {_fx('avgdl')} AS avgdl_x FROM stats",
@@ -2768,6 +2879,7 @@ ranked AS (
 )
 SELECT prefix_id, rank, doc_id, total_tf FROM ranked WHERE rank <= 10
 """,
+    "phrase_snippets": _phrase_snippets_sql(),
     "hybrid_rrf": f"""
 WITH bm AS ({_bm25_sql(1.2, 0.75, reference_quirk=False, dedup=False)}),
 cs AS ({_cosine_sql()}),

@@ -728,3 +728,38 @@ class TestSessionize:
             "user_id", "session_idx", "start_us", "end_us",
             "n_events", "value_c",
         ]
+
+
+class TestPhraseSnippets:
+    def _snips(self, docs):
+        import os
+        import tempfile
+
+        import pyarrow.parquet as pq
+
+        from document_retrieval_ray.pipelines.testdata_queries import (
+            q_phrase_snippets,
+        )
+
+        d = tempfile.mkdtemp()
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(len(docs)), pa.int64()),
+                "text": pa.array(docs, pa.string()),
+            }
+        )
+        pq.write_table(t, os.path.join(d, "documents.parquet"))
+        out = q_phrase_snippets(d).to_pandas()
+        return {(r.phrase_id, r.doc_id): r.snippet for r in out.itertuples()}
+
+    def test_window_clipping_and_first_occurrence(self, ray_session):
+        s = self._snips(
+            [
+                "table scan at start of doc",       # clipped left
+                "ends with a table scan",            # clipped right
+                "x y table scan z w table scan",     # first occurrence wins
+            ]
+        )
+        assert s[("p1", 0)] == "table scan at start"
+        assert s[("p1", 1)] == "with a table scan"
+        assert s[("p1", 2)] == "x y table scan z w"
