@@ -1624,6 +1624,72 @@ def q_phrase_search_indexed(sf_dir: str):
     return phrase_query(index_dir, PHRASESET)
 
 
+# boolean queries: (bool_id, must-have terms, must-not-have terms)
+BOOLSET = [
+    ("b1", ("hash", "join"), ("batch",)),
+    ("b2", ("table",), ("scan",)),
+    ("b3", ("group", "query", "row"), ()),
+]
+
+
+def q_bool_search(sf_dir: str):
+    """Boolean retrieval (AND / AND NOT over term presence) — the
+    classic set-model fulltext query. Zero-shuffle scan: per-batch
+    presence masks via bincount over the flat token array, one boolean
+    combine per query; a doc's verdict is final within its batch."""
+
+    def scan(t: pa.Table) -> pa.Table:
+        text = pc.cast(t["text"], pa.string())
+        low = pc.utf8_lower(text)
+        spaced = pc.replace_substring_regex(low, "[^a-z0-9]+", " ")
+        trimmed = pc.utf8_trim_whitespace(spaced)
+        toks = pc.split_pattern(trimmed, " ")
+        parent, flat = flatten_tokens(pa.table({"tokens": toks}), "tokens")
+        n = len(t)
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False)
+
+        def present(term: str) -> np.ndarray:
+            hits = parent[flat == term]
+            return np.bincount(hits, minlength=n) > 0
+
+        out_bid, out_doc = [], []
+        for bid, must, must_not in BOOLSET:
+            m = np.ones(n, dtype=bool)
+            for w in must:
+                m &= present(w)
+            for w in must_not:
+                m &= ~present(w)
+            hit = np.nonzero(m)[0]
+            out_bid.extend([bid] * len(hit))
+            out_doc.append(doc_ids[hit])
+        return pa.table(
+            {
+                "bool_id": pa.array(out_bid, pa.string()),
+                "doc_id": pa.array(
+                    np.concatenate(out_doc) if out_doc else [], pa.int64()
+                ),
+            }
+        )
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(scan, batch_format="pyarrow")
+
+
+def _bool_sql() -> str:
+    selects = []
+    for bid, must, must_not in BOOLSET:
+        conds = [f"list_contains(l, '{w}')" for w in must]
+        conds += [f"NOT list_contains(l, '{w}')" for w in must_not]
+        selects.append(
+            f"SELECT '{bid}' AS bool_id, doc_id FROM toks WHERE "
+            + " AND ".join(conds)
+        )
+    return (
+        f"WITH {_TOKS_CTE}\n" + "\nUNION ALL\n".join(selects)
+    )
+
+
 SNIPPET_CTX = 2  # tokens of context on each side of a phrase match
 
 
@@ -2131,6 +2197,7 @@ QUERIES = {
     "top_bigrams": q_top_bigrams,
     "hybrid_rrf": q_hybrid_rrf,
     "phrase_snippets": q_phrase_snippets,
+    "bool_search": q_bool_search,
     "sessionize": q_sessionize,
 }
 
@@ -2880,6 +2947,7 @@ ranked AS (
 SELECT prefix_id, rank, doc_id, total_tf FROM ranked WHERE rank <= 10
 """,
     "phrase_snippets": _phrase_snippets_sql(),
+    "bool_search": _bool_sql(),
     "hybrid_rrf": f"""
 WITH bm AS ({_bm25_sql(1.2, 0.75, reference_quirk=False, dedup=False)}),
 cs AS ({_cosine_sql()}),
