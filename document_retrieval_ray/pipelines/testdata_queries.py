@@ -1806,11 +1806,13 @@ def q_tfidf_keywords(sf_dir: str):
     """Per-document keyword extraction: top-3 terms per doc by
     tf·idf (idf law (a), fixed-point 1e4, ties → term asc).
 
-    Scale path end-to-end: df attaches to the posting rows by a
-    (lang, term)-hash COGROUP (the union/marker pattern — nothing
-    vocabulary-sized is broadcast or driver-held), then a doc_id-hash
-    partition takes each doc's top-3. Only the per-lang doc-count dict
-    (|langs| entries) rides the closure."""
+    Scale path end-to-end, ONE corpus scan: the (lang, term)-hash
+    COGROUP colocates every posting row of a term, so df is just the
+    group size computed in place (a (doc, term) pair appears exactly
+    once) — no df pipeline, no second tokenization, nothing
+    vocabulary-sized broadcast or driver-held. A doc_id-hash partition
+    then takes each doc's top-3. Only the per-lang doc-count dict
+    (|langs| entries, from a thin 1-column scan) rides the closure."""
     stats = {
         r["lang"]: r["count()"]
         for r in ray.data.read_parquet(
@@ -1828,28 +1830,13 @@ def q_tfidf_keywords(sf_dir: str):
                 "lang": t["lang"],
                 "term": t["term"],
                 "tf": t["tf"],
-                "df": pa.array(np.zeros(t.num_rows, np.int64), pa.int64()),
-            }
-        )
-
-    def df_rows(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "doc_id": pa.array(np.full(t.num_rows, -1, np.int64), pa.int64()),
-                "lang": t["lang"],
-                "term": t["term"],
-                "tf": pa.array(np.zeros(t.num_rows, np.int64), pa.int64()),
-                "df": pc.cast(t["df"], pa.int64()),
             }
         )
 
     tok = _postings_ds(sf_dir).map_batches(tok_rows, batch_format="pyarrow")
-    dft = q_term_df(sf_dir).map_batches(df_rows, batch_format="pyarrow")
 
     def attach(g: pd.DataFrame) -> pd.DataFrame:
-        d = g[g["doc_id"] >= 0][["doc_id", "lang", "term", "tf"]]
-        f = g[g["doc_id"] < 0][["lang", "term", "df"]]
-        if d.empty or f.empty:
+        if g.empty:
             return pd.DataFrame(
                 {
                     "doc_id": pd.Series(dtype="int64"),
@@ -1857,16 +1844,20 @@ def q_tfidf_keywords(sf_dir: str):
                     "tfidf_x": pd.Series(dtype="int64"),
                 }
             )
-        m = d.merge(f, on=["lang", "term"], how="inner")
-        N = m["lang"].map(stats).to_numpy(np.float64)
-        dfv = m["df"].to_numpy(np.float64)
+        dfv = (
+            g.groupby(["lang", "term"], sort=False)["doc_id"]
+            .transform("size")
+            .to_numpy(np.float64)
+        )
+        N = g["lang"].map(stats).to_numpy(np.float64)
         idf = np.log(1.0 + (N - dfv + 0.5) / (dfv + 0.5))
-        m["tfidf_x"] = np.floor(
-            m["tf"].to_numpy(np.float64) * idf * 10000.0 + 0.5
+        out = g[["doc_id", "term"]].copy()
+        out["tfidf_x"] = np.floor(
+            g["tf"].to_numpy(np.float64) * idf * 10000.0 + 0.5
         ).astype(np.int64)
-        return m[["doc_id", "term", "tfidf_x"]]
+        return out
 
-    scored = _parted(tok.union(dft), ("lang", "term")).map_groups(
+    scored = _parted(tok, ("lang", "term")).map_groups(
         attach, batch_format="pandas"
     )
 
