@@ -2135,6 +2135,395 @@ def q_sessionize(sf_dir: str):
     )
 
 
+# ------------------------------------------------- round-3 training-data ops
+
+# span-level exact dedup window size (Lee et al. 2022, "Deduplicating
+# Training Data Makes Language Models Better": repeated k-token spans)
+SPAN_N = 5
+# per-lang keep rates for stratified sampling, as 2-hex-digit md5 bucket
+# thresholds out of 256 (the K5 hash-split idiom applied per stratum)
+STRAT_RATES = {"en": "20", "de": "80", "es": "80", "fr": "80", "zh": "80"}
+SOURCE_CAP_K = 10  # per-source document quota
+LM_SCALE = 1_000_000  # fixed-point scale for per-bigram logprobs
+
+
+def _flat_tok(t: pa.Table):
+    """Vectorized simple tokenization of a text batch → (values object
+    ndarray, parent int64 row index ndarray), empties removed. Mirrors the
+    SQL ``TOKLIST`` expression. Safe for adjacency ops: the collapse-to-
+    single-space regex means '' only appears for fully-empty docs (a
+    single token), so removing it never creates false adjacency."""
+    text = pc.cast(t["text"], pa.string())
+    low = pc.utf8_lower(text)
+    spaced = pc.replace_substring_regex(low, "[^a-z0-9]+", " ")
+    trimmed = pc.utf8_trim_whitespace(spaced)
+    toks = pc.split_pattern(trimmed, " ").combine_chunks()
+    offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    values = toks.values
+    s0 = offsets[0]
+    if s0 != 0 or len(values) != offsets[-1]:
+        values = values.slice(s0, offsets[-1] - s0)
+    lens = np.diff(offsets)
+    parent = np.repeat(np.arange(len(toks), dtype=np.int64), lens)
+    vals = np.asarray(values.to_pandas(), dtype=object)
+    keep = vals != ""
+    return vals[keep], parent[keep]
+
+
+def _spans(vals: np.ndarray, parent: np.ndarray, k: int):
+    """All k-token windows over the flat token array: (span strings object
+    ndarray, parent row index ndarray). Parent-equality guard keeps
+    windows inside one document."""
+    n = len(vals)
+    if n < k:
+        return (
+            np.empty(0, dtype=object),
+            np.empty(0, dtype=np.int64),
+        )
+    m = n - k + 1
+    ok = parent[:m] == parent[k - 1 :]
+    w = vals[:m].copy()
+    for j in range(1, k):
+        w = w + " "
+        w = w + vals[j : m + j]
+    return w[ok], parent[:m][ok]
+
+
+def q_sample_stratified(sf_dir: str):
+    """Deterministic stratified corpus sampling: per-lang keep rates via
+    an md5(doc_id) 2-hex-digit bucket. Shuffle-free, reproducible without
+    RNG state — the sampling decision is a pure function of the row."""
+    from ..functions.hashing import md5_hex
+
+    def pick(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        langs = t["lang"].to_pylist()
+        keep = pa.array(
+            [
+                md5_hex(str(i))[:2] < STRAT_RATES.get(l, "00")
+                for i, l in zip(ids, langs)
+            ]
+        )
+        return t.filter(keep).select(["doc_id", "lang"])
+
+    return _docs(sf_dir).map_batches(pick, batch_format="pyarrow")
+
+
+def q_source_cap(sf_dir: str):
+    """Per-source quota enforcement (the per-domain cap of a web corpus):
+    keep the SOURCE_CAP_K lowest-doc_id docs of every source. One
+    source-hash exchange of (doc_id, source) only — the rank is computed
+    inside the partition (a source's rows are colocated), no global
+    sort."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+
+    def cap(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series(dtype="int64"),
+                    "source": pd.Series(dtype=object),
+                    "src_rank": pd.Series(dtype="int64"),
+                }
+            )
+        g = g.sort_values(["source", "doc_id"], kind="mergesort")
+        g = g.assign(src_rank=g.groupby("source", sort=False).cumcount() + 1)
+        g = g[g["src_rank"] <= SOURCE_CAP_K]
+        return g[["doc_id", "source", "src_rank"]].astype(
+            {"doc_id": "int64", "src_rank": "int64"}
+        )
+
+    return _parted(ds, ("source",)).map_groups(cap, batch_format="pandas")
+
+
+def q_rep_quality(sf_dir: str):
+    """Gopher-style repetition quality signals per doc: fraction of
+    bigram occurrences taken by the single most frequent bigram, and the
+    duplicate-trigram fraction (1 − distinct/total). Zero shuffle — a doc
+    lives in one batch; per-batch pandas hash-groupby kernels."""
+
+    def rep(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_bigrams": pa.array([], pa.int64()),
+                "top2gram_frac_x": pa.array([], pa.int64()),
+                "dup3gram_frac_x": pa.array([], pa.int64()),
+            }
+        )
+        vals, parent = _flat_tok(t)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bg, bp = _spans(vals, parent, 2)
+        if len(bg) == 0:
+            return empty
+        bdf = pd.DataFrame({"p": bp, "g": bg})
+        per = bdf.groupby(["p", "g"], sort=False).size().groupby(level=0)
+        nb = per.sum()
+        maxc = per.max()
+        tg, tp = _spans(vals, parent, 3)
+        if len(tg):
+            tdf = pd.DataFrame({"p": tp, "g": tg})
+            tper = tdf.groupby("p", sort=False)["g"]
+            nt = tper.size()
+            ndt = tper.nunique()
+            dup3 = np.floor(
+                (1.0 - ndt.to_numpy(np.float64) / nt.to_numpy(np.float64))
+                * 10000.0
+                + 0.5
+            ).astype(np.int64)
+            dup3 = pd.Series(dup3, index=nt.index)
+        else:
+            dup3 = pd.Series(dtype="int64")
+        p_idx = nb.index.to_numpy()
+        top2 = np.floor(
+            maxc.to_numpy(np.float64) / nb.to_numpy(np.float64) * 10000.0
+            + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[p_idx], pa.int64()),
+                "n_bigrams": pa.array(
+                    nb.to_numpy(np.int64), pa.int64()
+                ),
+                "top2gram_frac_x": pa.array(top2, pa.int64()),
+                "dup3gram_frac_x": pa.array(
+                    dup3.reindex(nb.index, fill_value=0).to_numpy(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(rep, batch_format="pyarrow")
+
+
+def _span_rows(t: pa.Table) -> pa.Table:
+    """Per-batch (span_hash, doc_id, c) rows: per-doc counts of each
+    SPAN_N-token window (md5-hashed so only 32-byte keys travel)."""
+    from ..functions.hashing import md5_hex
+
+    vals, parent = _flat_tok(t)
+    ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    w, wp = _spans(vals, parent, SPAN_N)
+    if len(w) == 0:
+        return pa.table(
+            {
+                "span_hash": pa.array([], pa.string()),
+                "doc_id": pa.array([], pa.int64()),
+                "c": pa.array([], pa.int64()),
+            }
+        )
+    pdf = pd.DataFrame({"span": w, "doc_id": ids[wp]})
+    g = pdf.groupby(["span", "doc_id"], sort=False).size().rename("c").reset_index()
+    uniq = {s: md5_hex(s) for s in g["span"].unique()}
+    return pa.table(
+        {
+            "span_hash": pa.array(g["span"].map(uniq), pa.string()),
+            "doc_id": pa.array(g["doc_id"].to_numpy(np.int64), pa.int64()),
+            "c": pa.array(g["c"].to_numpy(np.int64), pa.int64()),
+        }
+    )
+
+
+def q_dup_spans(sf_dir: str):
+    """Span-level exact duplicate detection (Lee et al. 2022): every
+    SPAN_N-token window appearing in ≥ 2 distinct documents, with doc and
+    occurrence counts. Per-batch partial (span_hash, n_docs, n_occ) rows —
+    a doc lives in one batch, so per-batch distinct-doc counts SUM exactly
+    across batches — then ONE span-keyed exchange of the partials (already
+    smaller than the token stream)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        r = _span_rows(t)
+        if r.num_rows == 0:
+            return pa.table(
+                {
+                    "span_hash": pa.array([], pa.string()),
+                    "nd": pa.array([], pa.int64()),
+                    "no": pa.array([], pa.int64()),
+                }
+            )
+        pdf = r.to_pandas()
+        g = pdf.groupby("span_hash", sort=False).agg(
+            nd=("doc_id", "size"), no=("c", "sum")
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        _docs(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("span_hash")
+        .aggregate(
+            ray.data.aggregate.Sum("nd", alias_name="n_docs"),
+            ray.data.aggregate.Sum("no", alias_name="n_occ"),
+        )
+    )
+    return agg.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["n_docs"], 2)),
+        batch_format="pyarrow",
+    )
+
+
+def q_dup_span_docs(sf_dir: str):
+    """The apply step of span-level dedup: per-doc duplicated-span
+    coverage (how many of a doc's SPAN_N-token windows also occur in
+    another doc). Two exchanges: the span-keyed cogroup flags duplicated
+    spans IN PLACE (all rows of a span are colocated, like the tfidf df
+    trick), emitting per-(doc, partition) partials; a doc-keyed sum
+    finishes."""
+
+    def flag(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series(dtype="int64"),
+                    "ns": pd.Series(dtype="int64"),
+                    "nd": pd.Series(dtype="int64"),
+                }
+            )
+        docs_per_span = g.groupby("span_hash", sort=False)[
+            "doc_id"
+        ].transform("nunique")
+        dup = (docs_per_span >= 2).to_numpy()
+        c = g["c"].to_numpy(np.int64)
+        out = pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(np.int64),
+                "ns": c,
+                "nd": np.where(dup, c, 0),
+            }
+        )
+        return (
+            out.groupby("doc_id", sort=False)
+            .agg(ns=("ns", "sum"), nd=("nd", "sum"))
+            .reset_index()
+        )
+
+    rows = _docs(sf_dir).map_batches(_span_rows, batch_format="pyarrow")
+    partials = _parted(rows, ("span_hash",)).map_groups(
+        flag, batch_format="pandas"
+    )
+    return partials.groupby("doc_id").aggregate(
+        ray.data.aggregate.Sum("ns", alias_name="n_spans"),
+        ray.data.aggregate.Sum("nd", alias_name="n_dup_spans"),
+    )
+
+
+def q_lm_score(sf_dir: str):
+    """Bigram-LM quality scoring (CCNet-style): train an add-one-smoothed
+    per-lang bigram model on the corpus itself and score every document's
+    total bigram log-likelihood. Count tables are attached by hash
+    COLOCATION (in-place group sums, the tfidf_keywords df trick) —
+    nothing vocabulary-sized is broadcast or driver-held; only the
+    per-lang vocab-size dict (|langs| scalars) rides the closure.
+    Per-bigram logprobs are fixed-point LM_SCALE integers so sums are
+    order-independent across engines."""
+
+    def bigram_rows(t: pa.Table) -> pa.Table:
+        vals, parent = _flat_tok(t)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        langs = np.asarray(t["lang"].to_pandas(), dtype=object)
+        n = len(vals)
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "lang": pa.array([], pa.string()),
+                "w1": pa.array([], pa.string()),
+                "w2": pa.array([], pa.string()),
+                "c": pa.array([], pa.int64()),
+            }
+        )
+        if n < 2:
+            return empty
+        ok = parent[:-1] == parent[1:]
+        if not ok.any():
+            return empty
+        p = parent[:-1][ok]
+        pdf = pd.DataFrame(
+            {
+                "doc_id": ids[p],
+                "lang": langs[p],
+                "w1": vals[:-1][ok],
+                "w2": vals[1:][ok],
+            }
+        )
+        g = (
+            pdf.groupby(["doc_id", "lang", "w1", "w2"], sort=False)
+            .size()
+            .rename("c")
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    rows = _docs(sf_dir).map_batches(bigram_rows, batch_format="pyarrow")
+
+    # per-lang vocab size V = count(DISTINCT w1): two vocab-sized groupbys,
+    # |langs| scalars on the driver
+    vdict = {
+        r["lang"]: r["count()"]
+        for r in rows.groupby(["lang", "w1"])
+        .count()
+        .groupby("lang")
+        .count()
+        .take_all()
+    }
+
+    def attach_c1(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series(dtype="int64"),
+                    "lang": pd.Series(dtype=object),
+                    "w1": pd.Series(dtype=object),
+                    "w2": pd.Series(dtype=object),
+                    "c": pd.Series(dtype="int64"),
+                    "c1": pd.Series(dtype="int64"),
+                }
+            )
+        out = g[["doc_id", "lang", "w1", "w2", "c"]].copy()
+        out["c1"] = g.groupby(["lang", "w1"], sort=False)["c"].transform("sum")
+        return out
+
+    def score(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series(dtype="int64"),
+                    "n": pd.Series(dtype="int64"),
+                    "lp": pd.Series(dtype="int64"),
+                }
+            )
+        c12 = g.groupby(["lang", "w1", "w2"], sort=False)["c"].transform(
+            "sum"
+        ).to_numpy(np.float64)
+        c1 = g["c1"].to_numpy(np.float64)
+        v = g["lang"].map(vdict).to_numpy(np.float64)
+        c = g["c"].to_numpy(np.int64)
+        lpx = np.floor(
+            np.log((c12 + 1.0) / (c1 + v)) * float(LM_SCALE) + 0.5
+        ).astype(np.int64)
+        out = pd.DataFrame(
+            {"doc_id": g["doc_id"].to_numpy(np.int64), "n": c, "lp": lpx * c}
+        )
+        return (
+            out.groupby("doc_id", sort=False)
+            .agg(n=("n", "sum"), lp=("lp", "sum"))
+            .reset_index()
+        )
+
+    with_c1 = _parted(rows, ("lang", "w1")).map_groups(
+        attach_c1, batch_format="pandas"
+    )
+    partials = _parted(with_c1, ("lang", "w1", "w2")).map_groups(
+        score, batch_format="pandas"
+    )
+    return partials.groupby("doc_id").aggregate(
+        ray.data.aggregate.Sum("n", alias_name="n_bigrams"),
+        ray.data.aggregate.Sum("lp", alias_name="logprob_x"),
+    )
+
+
 # ------------------------------------------------------------ registries
 
 QUERIES = {
@@ -2190,6 +2579,12 @@ QUERIES = {
     "phrase_snippets": q_phrase_snippets,
     "bool_search": q_bool_search,
     "sessionize": q_sessionize,
+    "sample_stratified": q_sample_stratified,
+    "source_cap": q_source_cap,
+    "rep_quality": q_rep_quality,
+    "dup_spans": q_dup_spans,
+    "dup_span_docs": q_dup_span_docs,
+    "lm_score": q_lm_score,
 }
 
 
@@ -2710,7 +3105,97 @@ FROM firsts f JOIN toks t ON t.doc_id = f.doc_id
 """
 
 
+_SPANS_CTE = f"""
+spans AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(l) - {SPAN_N - 2}),
+           i -> array_to_string(list_slice(l, i, i + {SPAN_N - 1}), ' '))) AS sp
+  FROM toks WHERE len(l) >= {SPAN_N}
+)"""
+
+_DUP_SPANS_SQL = f"""
+WITH {_TOKS_CTE}, {_SPANS_CTE},
+g AS (SELECT md5(sp) AS span_hash, count(DISTINCT doc_id) AS n_docs,
+             count(*) AS n_occ
+      FROM spans GROUP BY md5(sp))
+SELECT span_hash, n_docs, n_occ FROM g WHERE n_docs >= 2
+"""
+
+_DUP_SPAN_DOCS_SQL = f"""
+WITH {_TOKS_CTE}, {_SPANS_CTE},
+g AS (SELECT sp, count(DISTINCT doc_id) AS ndocs FROM spans GROUP BY sp)
+SELECT s.doc_id AS doc_id, count(*) AS n_spans,
+       CAST(sum(CASE WHEN g.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_spans
+FROM spans s JOIN g ON g.sp = s.sp
+GROUP BY s.doc_id
+"""
+
+_REP_QUALITY_SQL = f"""
+WITH {_TOKS_CTE},
+big AS (SELECT doc_id, unnest(list_transform(range(1, len(l)),
+          i -> array_to_string(list_slice(l, i, i + 1), ' '))) AS bg
+        FROM toks WHERE len(l) >= 2),
+bigc AS (SELECT doc_id, bg, count(*) AS c FROM big GROUP BY doc_id, bg),
+bagg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS nb, max(c) AS maxc
+         FROM bigc GROUP BY doc_id),
+tri AS (SELECT doc_id, unnest(list_transform(range(1, len(l) - 1),
+          i -> array_to_string(list_slice(l, i, i + 2), ' '))) AS tg
+        FROM toks WHERE len(l) >= 3),
+tagg AS (SELECT doc_id, count(*) AS nt, count(DISTINCT tg) AS ndt
+         FROM tri GROUP BY doc_id)
+SELECT b.doc_id AS doc_id, b.nb AS n_bigrams,
+       {_fx('maxc * 1.0 / nb')} AS top2gram_frac_x,
+       COALESCE({_fx('1.0 - ndt * 1.0 / nt')}, 0) AS dup3gram_frac_x
+FROM bagg b LEFT JOIN tagg t ON t.doc_id = b.doc_id
+"""
+
+_STRAT_CASE = " ".join(
+    f"WHEN '{lang}' THEN '{th}'" for lang, th in sorted(STRAT_RATES.items())
+)
+
+_LM_SCORE_SQL = f"""
+WITH {_TOKS_CTE},
+big AS (SELECT doc_id, lang,
+               unnest(list_transform(range(1, len(l)), i -> l[i])) AS w1,
+               unnest(list_transform(range(1, len(l)), i -> l[i + 1])) AS w2
+        FROM toks WHERE len(l) >= 2),
+docbig AS (SELECT doc_id, lang, w1, w2, count(*) AS c FROM big
+           GROUP BY doc_id, lang, w1, w2),
+c1t AS (SELECT lang, w1, CAST(sum(c) AS BIGINT) AS c1 FROM docbig
+        GROUP BY lang, w1),
+c12t AS (SELECT lang, w1, w2, CAST(sum(c) AS BIGINT) AS c12 FROM docbig
+         GROUP BY lang, w1, w2),
+vt AS (SELECT lang, count(DISTINCT w1) AS v FROM big GROUP BY lang),
+lp AS (SELECT d.doc_id AS doc_id, d.c AS c,
+              CAST(floor(ln((c12t.c12 + 1.0) / (c1t.c1 + vt.v))
+                         * {LM_SCALE}.0 + 0.5) AS BIGINT) * d.c AS lpx
+       FROM docbig d
+       JOIN c1t ON c1t.lang = d.lang AND c1t.w1 = d.w1
+       JOIN c12t ON c12t.lang = d.lang AND c12t.w1 = d.w1
+                AND c12t.w2 = d.w2
+       JOIN vt ON vt.lang = d.lang)
+SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+       CAST(sum(lpx) AS BIGINT) AS logprob_x
+FROM lp GROUP BY doc_id
+"""
+
 ORACLE_SQL = {
+    "sample_stratified": f"""
+SELECT doc_id, lang FROM documents
+WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+      CASE lang {_STRAT_CASE} ELSE '00' END
+""",
+    "source_cap": f"""
+SELECT doc_id, source, src_rank FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS src_rank
+  FROM documents
+) WHERE src_rank <= {SOURCE_CAP_K}
+""",
+    "rep_quality": _REP_QUALITY_SQL,
+    "dup_spans": _DUP_SPANS_SQL,
+    "dup_span_docs": _DUP_SPAN_DOCS_SQL,
+    "lm_score": _LM_SCORE_SQL,
     "doc_stats": f"WITH {_DL_CTE}, {_STATS_CTE} "
                  f"SELECT lang, n_docs, {_fx('avgdl')} AS avgdl_x FROM stats",
     "doc_lengths": f"WITH {_DL_CTE} SELECT doc_id, dl FROM dl",

@@ -1,0 +1,241 @@
+"""Unit tests for the round-3 training-data operators: span-level exact
+dedup (dup_spans / dup_span_docs), Gopher-style repetition quality,
+deterministic stratified sampling, per-source capping, and bigram-LM
+scoring — edge semantics the sf-parity suite can't isolate (doc-boundary
+guards, cross-block distinct-doc summation, hand-computed oracles)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from document_retrieval_ray.pipelines.testdata_queries import (
+    SOURCE_CAP_K,
+    SPAN_N,
+    STRAT_RATES,
+    _flat_tok,
+    _spans,
+    q_dup_span_docs,
+    q_dup_spans,
+    q_lm_score,
+    q_rep_quality,
+    q_sample_stratified,
+    q_source_cap,
+)
+
+
+def _write_docs(rows: list[dict], parts: int = 1) -> str:
+    """Write a documents fixture; parts > 1 forces multiple read blocks
+    (documents.parquet becomes a directory of part files)."""
+    d = tempfile.mkdtemp()
+    cols = {k: [r.get(k) for r in rows] for k in rows[0]}
+    t = pa.table(cols)
+    p = os.path.join(d, "documents.parquet")
+    if parts == 1:
+        pq.write_table(t, p)
+    else:
+        os.makedirs(p)
+        step = (len(rows) + parts - 1) // parts
+        for i in range(parts):
+            pq.write_table(
+                t.slice(i * step, step), os.path.join(p, f"part-{i}.parquet")
+            )
+    return d
+
+
+def _doc(doc_id, text, lang="en", source="srcA"):
+    return {"doc_id": doc_id, "text": text, "lang": lang, "source": source}
+
+
+# ------------------------------------------------------------- _spans
+
+
+def test_spans_doc_boundary_and_repeats():
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(["a b a b", "b a b"], pa.string()),
+            "lang": pa.array(["en", "en"], pa.string()),
+        }
+    )
+    vals, parent = _flat_tok(t)
+    w, wp = _spans(vals, parent, 2)
+    # doc 0: "a b","b a","a b"; doc 1: "b a","a b" — no cross-doc "b b"
+    assert list(w) == ["a b", "b a", "a b", "b a", "a b"]
+    assert list(wp) == [0, 0, 0, 1, 1]
+    w3, _ = _spans(vals, parent, 4)
+    assert list(w3) == ["a b a b"]  # doc 1 (3 tokens) emits nothing
+
+
+def test_spans_shorter_than_window():
+    t = pa.table(
+        {
+            "doc_id": pa.array([0], pa.int64()),
+            "text": pa.array(["only two"], pa.string()),
+            "lang": pa.array(["en"], pa.string()),
+        }
+    )
+    vals, parent = _flat_tok(t)
+    w, wp = _spans(vals, parent, 5)
+    assert len(w) == 0 and len(wp) == 0
+
+
+# ------------------------------------------------------- rep_quality
+
+
+def test_rep_quality_hand_example(ray_session):
+    sf = _write_docs(
+        [
+            _doc(0, "a a a b"),     # bigrams: (a a)x2,(a b) ; tri distinct
+            _doc(1, "c c c c"),     # bigrams: (c c)x3 ; tri (c c c)x2 dup
+            _doc(2, "single"),      # no bigrams -> absent
+        ]
+    )
+    out = q_rep_quality(sf).to_pandas().set_index("doc_id")
+    assert 2 not in out.index
+    assert out.loc[0, "n_bigrams"] == 3
+    assert out.loc[0, "top2gram_frac_x"] == int(
+        np.floor(2 / 3 * 10000 + 0.5)
+    )
+    assert out.loc[0, "dup3gram_frac_x"] == 0  # "a a a","a a b" distinct
+    assert out.loc[1, "n_bigrams"] == 3
+    assert out.loc[1, "top2gram_frac_x"] == 10000
+    assert out.loc[1, "dup3gram_frac_x"] == 5000  # 1 distinct of 2
+
+
+def test_rep_quality_short_doc_has_zero_trigram_frac(ray_session):
+    sf = _write_docs([_doc(0, "x y")])
+    out = q_rep_quality(sf).to_pandas()
+    assert out.loc[0, "n_bigrams"] == 1
+    assert out.loc[0, "dup3gram_frac_x"] == 0
+
+
+# --------------------------------------------------------- dup_spans
+
+
+SHARED = "alpha beta gamma delta epsilon"  # exactly SPAN_N tokens
+assert len(SHARED.split()) == SPAN_N
+
+
+def test_dup_spans_cross_block_distinct_docs(ray_session):
+    # the shared span sits in 3 docs split across 2 read blocks; the
+    # per-batch distinct-doc partials must SUM to 3 across blocks
+    sf = _write_docs(
+        [
+            _doc(0, SHARED + " zeta"),
+            _doc(1, "eta " + SHARED),
+            _doc(2, SHARED),
+            _doc(3, "unrelated words only here now"),
+        ],
+        parts=2,
+    )
+    out = q_dup_spans(sf).to_pandas()
+    from document_retrieval_ray.functions.hashing import md5_hex
+
+    h = md5_hex(SHARED)
+    row = out[out["span_hash"] == h]
+    assert len(row) == 1
+    assert int(row["n_docs"].iloc[0]) == 3
+    assert int(row["n_occ"].iloc[0]) == 3
+
+
+def test_dup_spans_same_doc_repeat_not_cross_doc(ray_session):
+    # a span repeated twice INSIDE one doc is not a cross-doc duplicate
+    sf = _write_docs(
+        [
+            _doc(0, SHARED + " filler " + SHARED),
+            _doc(1, "totally different text goes here"),
+        ]
+    )
+    out = q_dup_spans(sf).to_pandas()
+    from document_retrieval_ray.functions.hashing import md5_hex
+
+    hashes = (
+        set(out["span_hash"]) if "span_hash" in out.columns else set()
+    )
+    assert md5_hex(SHARED) not in hashes
+
+
+def test_dup_span_docs_coverage(ray_session):
+    # doc 0 has 2 windows, of which 1 (= SHARED) also occurs in doc 1
+    sf = _write_docs(
+        [
+            _doc(0, SHARED + " tail"),
+            _doc(1, SHARED),
+            _doc(2, "nothing in common with others at all"),
+        ]
+    )
+    out = q_dup_span_docs(sf).to_pandas().set_index("doc_id")
+    assert out.loc[0, "n_spans"] == 2
+    assert out.loc[0, "n_dup_spans"] == 1
+    assert out.loc[1, "n_spans"] == 1
+    assert out.loc[1, "n_dup_spans"] == 1
+    assert out.loc[2, "n_dup_spans"] == 0
+
+
+# ------------------------------------------------------- source_cap
+
+
+def test_source_cap_keeps_k_smallest_per_source(ray_session):
+    rows = [
+        _doc(i, f"text {i}", source=("s1" if i % 2 == 0 else "s2"))
+        for i in range(30)
+    ]
+    sf = _write_docs(rows)
+    out = q_source_cap(sf).to_pandas()
+    for src, g in out.groupby("source"):
+        assert len(g) == SOURCE_CAP_K
+        expect = sorted(
+            r["doc_id"] for r in rows if r["source"] == src
+        )[:SOURCE_CAP_K]
+        assert sorted(g["doc_id"]) == expect
+        assert sorted(g["src_rank"]) == list(range(1, SOURCE_CAP_K + 1))
+
+
+# ------------------------------------------------ sample_stratified
+
+
+def test_sample_stratified_deterministic_and_correct(ray_session):
+    from document_retrieval_ray.functions.hashing import md5_hex
+
+    sf = "/root/testdata/sf0.001"
+    a = q_sample_stratified(sf).to_pandas().sort_values("doc_id")
+    b = q_sample_stratified(sf).to_pandas().sort_values("doc_id")
+    pd.testing.assert_frame_equal(
+        a.reset_index(drop=True), b.reset_index(drop=True)
+    )
+    for r in a.itertuples():
+        assert md5_hex(str(r.doc_id))[:2] < STRAT_RATES[r.lang]
+
+
+# ---------------------------------------------------------- lm_score
+
+
+def test_lm_score_hand_example(ray_session):
+    sf = _write_docs([_doc(0, "a b"), _doc(1, "a b a c")])
+    out = q_lm_score(sf).to_pandas().set_index("doc_id")
+    # counts: c(a,b)=2 c(b,a)=1 c(a,c)=1 ; c1(a)=3 c1(b)=1 ; V={a,b} -> 2
+    lp = lambda c12, c1: int(
+        np.floor(np.log((c12 + 1.0) / (c1 + 2.0)) * 1e6 + 0.5)
+    )
+    assert out.loc[0, "n_bigrams"] == 1
+    assert out.loc[0, "logprob_x"] == lp(2, 3)
+    assert out.loc[1, "n_bigrams"] == 3
+    assert out.loc[1, "logprob_x"] == lp(2, 3) + lp(1, 1) + lp(1, 3)
+
+
+def test_lm_score_langs_are_independent(ray_session):
+    # the same bigram in another lang must not share counts
+    sf = _write_docs(
+        [_doc(0, "x y", lang="en"), _doc(1, "x y", lang="de")]
+    )
+    out = q_lm_score(sf).to_pandas().set_index("doc_id")
+    # each lang: c12=1 c1=1 V=1 -> ln(2/2)=0
+    assert out.loc[0, "logprob_x"] == 0
+    assert out.loc[1, "logprob_x"] == 0
