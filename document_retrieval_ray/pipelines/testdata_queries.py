@@ -2189,6 +2189,86 @@ def _spans(vals: np.ndarray, parent: np.ndarray, k: int):
     return w[ok], parent[:m][ok]
 
 
+RANGE_JOIN_WINDOW_US = 3_600_000_000  # 1 hour in exact integer micros
+
+
+def _range_join_partition(group: pd.DataFrame) -> pd.DataFrame:
+    """user_id-hash partition of (purchase ∪ click) rows → per purchase,
+    the count of same-user clicks with ts in [t−W, t). Count-in-range is
+    two vectorized cumulative lookups: C(t⁻) − C((t−W)⁻), each a
+    ``pd.merge_asof`` (backward, exact matches off) against the clicks'
+    per-user running count."""
+    empty = pd.DataFrame(
+        {c: pd.Series(dtype="int64") for c in ("event_id", "user_id", "n_clicks")}
+    )
+    g = group.drop(columns=["kpart"]) if "kpart" in group.columns else group
+    left = g[g["event_type"] == "purchase"][["event_id", "ts", "user_id"]]
+    if left.empty:
+        return empty
+    right = g[g["event_type"] == "click"][["ts", "user_id"]]
+    if right.empty:
+        return left.assign(n_clicks=np.int64(0))[
+            ["event_id", "user_id", "n_clicks"]
+        ].astype("int64")
+    right = right.sort_values("ts", kind="mergesort")
+    right = right.assign(
+        cum=right.groupby("user_id", sort=False).cumcount() + 1
+    )
+    users = left["user_id"].to_numpy(np.int64)
+
+    def c_before(x: np.ndarray) -> np.ndarray:
+        order = np.argsort(x, kind="stable")
+        qs = pd.DataFrame({"ts": x[order], "user_id": users[order]})
+        m = pd.merge_asof(
+            qs,
+            right,
+            on="ts",
+            by="user_id",
+            direction="backward",
+            allow_exact_matches=False,
+        )
+        out = np.zeros(len(x), np.int64)
+        out[order] = m["cum"].fillna(0).to_numpy(np.int64)
+        return out
+
+    ts = left["ts"].to_numpy(np.int64)
+    n = c_before(ts) - c_before(ts - RANGE_JOIN_WINDOW_US)
+    return pd.DataFrame(
+        {
+            "event_id": left["event_id"].to_numpy(np.int64),
+            "user_id": users,
+            "n_clicks": n,
+        }
+    )
+
+
+def q_range_join(sf_dir: str):
+    """RANGE JOIN — an operator Ray Data lacks: for every purchase event,
+    the number of same-user click events in the preceding hour
+    ([t−1h, t), exact integer microseconds). Distributed as a
+    user_id-hash cogroup like rel_asof; the per-partition kernel is two
+    C-level merge_asof passes, no per-row Python. Same partitioning
+    assumption as rel_asof: one key's timeline fits a partition."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+
+    def _sides(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.is_in(
+                t["event_type"], value_set=pa.array(["purchase", "click"])
+            )
+        )
+        return t.set_column(
+            t.schema.get_field_index("ts"), "ts", pc.cast(t["ts"], pa.int64())
+        )
+
+    return _parted(
+        ev.map_batches(_sides, batch_format="pyarrow"), ("user_id",)
+    ).map_groups(_range_join_partition, batch_format="pandas")
+
+
 def q_sample_stratified(sf_dir: str):
     """Deterministic stratified corpus sampling: per-lang keep rates via
     an md5(doc_id) 2-hex-digit bucket. Shuffle-free, reproducible without
@@ -2579,6 +2659,7 @@ QUERIES = {
     "phrase_snippets": q_phrase_snippets,
     "bool_search": q_bool_search,
     "sessionize": q_sessionize,
+    "range_join": q_range_join,
     "sample_stratified": q_sample_stratified,
     "source_cap": q_source_cap,
     "rep_quality": q_rep_quality,
@@ -3180,6 +3261,16 @@ FROM lp GROUP BY doc_id
 """
 
 ORACLE_SQL = {
+    "range_join": """
+SELECT p.event_id AS event_id, p.user_id AS user_id,
+       CAST(count(c.event_id) AS BIGINT) AS n_clicks
+FROM events p
+LEFT JOIN events c
+  ON c.user_id = p.user_id AND c.event_type = 'click'
+ AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id, p.user_id
+""",
     "sample_stratified": f"""
 SELECT doc_id, lang FROM documents
 WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <

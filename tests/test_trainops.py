@@ -239,3 +239,51 @@ def test_lm_score_langs_are_independent(ray_session):
     # each lang: c12=1 c1=1 V=1 -> ln(2/2)=0
     assert out.loc[0, "logprob_x"] == 0
     assert out.loc[1, "logprob_x"] == 0
+
+
+# --------------------------------------------------------- range_join
+
+
+def _write_events(rows: list[dict]) -> str:
+    d = tempfile.mkdtemp()
+    t = pa.table(
+        {
+            "event_id": pa.array([r["event_id"] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [r["ts"] for r in rows], pa.timestamp("us")
+            ),
+            "user_id": pa.array([r["user_id"] for r in rows], pa.int64()),
+            "event_type": pa.array(
+                [r["event_type"] for r in rows], pa.string()
+            ),
+        }
+    )
+    pq.write_table(t, os.path.join(d, "events.parquet"))
+    return d
+
+
+def test_range_join_window_boundaries(ray_session):
+    from document_retrieval_ray.pipelines.testdata_queries import (
+        q_range_join,
+    )
+
+    H = 3_600_000_000  # 1h in us
+    T = 1_700_000_000_000_000  # purchase time
+    ev = [
+        {"event_id": 1, "ts": T, "user_id": 7, "event_type": "purchase"},
+        # in [T-H, T): exactly at T-H counts, strictly before T counts
+        {"event_id": 2, "ts": T - H, "user_id": 7, "event_type": "click"},
+        {"event_id": 3, "ts": T - 1, "user_id": 7, "event_type": "click"},
+        # excluded: exactly at T, before T-H, other user, other type
+        {"event_id": 4, "ts": T, "user_id": 7, "event_type": "click"},
+        {"event_id": 5, "ts": T - H - 1, "user_id": 7, "event_type": "click"},
+        {"event_id": 6, "ts": T - 10, "user_id": 8, "event_type": "click"},
+        {"event_id": 7, "ts": T - 10, "user_id": 7, "event_type": "view"},
+        # a purchase with no clicks at all for its user
+        {"event_id": 8, "ts": T, "user_id": 9, "event_type": "purchase"},
+    ]
+    sf = _write_events(ev)
+    out = q_range_join(sf).to_pandas().set_index("event_id")
+    assert out.loc[1, "n_clicks"] == 2
+    assert out.loc[8, "n_clicks"] == 0
+    assert len(out) == 2
