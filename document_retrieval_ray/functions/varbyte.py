@@ -25,24 +25,30 @@ import numpy as np
 
 __all__ = [
     "varbyte_encode",
+    "varbyte_encode_with_lengths",
     "varbyte_decode",
     "encode_postings",
     "decode_postings",
     "encode_blocked_postings",
     "decode_blocked_postings",
+    "decode_segments_many",
     "decode_block",
 ]
 
 _MAX_BYTES = 10  # ceil(64/7)
 
 
-def varbyte_encode(values: np.ndarray) -> bytes:
-    """Encode a uint array to a varbyte stream."""
+def varbyte_encode_with_lengths(values: np.ndarray):
+    """Encode a uint array to a varbyte stream, returning
+    ``(uint8 ndarray, per-value byte lengths int64 ndarray)`` — the
+    stream is byte-identical to :func:`varbyte_encode`; the lengths let a
+    caller slice the stream at arbitrary value boundaries (the basis of
+    the multi-segment encoder in stages.index_build)."""
     arr = np.asarray(values, dtype=np.uint64)
-    if arr.size == 0:
-        return b""
     if arr.ndim != 1:
         raise ValueError("varbyte_encode expects a 1-D array")
+    if arr.size == 0:
+        return np.empty(0, dtype=np.uint8), np.empty(0, dtype=np.int64)
     # bytes needed per value: 1 + number of 7-bit groups above the first
     nb = np.ones(arr.shape, dtype=np.int64)
     for k in range(1, _MAX_BYTES):
@@ -56,6 +62,12 @@ def varbyte_encode(values: np.ndarray) -> bytes:
             (arr[mask] >> np.uint64(7 * k)) & np.uint64(0x7F)
         ).astype(np.uint8)
     out[ends - 1] |= 0x80  # terminator bit on last byte of each value
+    return out, nb
+
+
+def varbyte_encode(values: np.ndarray) -> bytes:
+    """Encode a uint array to a varbyte stream."""
+    out, _ = varbyte_encode_with_lengths(values)
     return out.tobytes()
 
 
@@ -146,6 +158,47 @@ def encode_blocked_postings(doc_ids: np.ndarray, tfs: np.ndarray, block_size: in
         chunks.append(chunk)
         prev_last = d[-1]
     return b"".join(chunks), offsets
+
+
+def decode_segments_many(bufs, dfs, block_size: int):
+    """Decode MANY block-structured posting segments in one pass →
+    ``(doc_ids int64, tfs int64, seg_starts int64)`` flat arrays, segment-
+    major. ``bufs``: iterable of per-segment byte streams (as produced by
+    :func:`encode_blocked_postings`); ``dfs``: per-segment posting counts.
+
+    Varbyte streams are self-delimiting, so decoding the concatenation of
+    all buffers equals concatenating the decodes; the gap/tf positions in
+    the interleaved value stream are recovered in closed form from the
+    block structure (mirror of ``encode_segments_many``), and absolute doc
+    ids are one segmented cumsum (within a segment, every block's first
+    gap is relative to the previous posting)."""
+    dfs = np.asarray(dfs, dtype=np.int64)
+    n = int(dfs.sum())
+    if n == 0:
+        return (
+            np.empty(0, np.int64),
+            np.empty(0, np.int64),
+            np.zeros(len(dfs) + 1, np.int64),
+        )
+    if (dfs <= 0).any():
+        raise ValueError("decode_segments_many: empty segment")
+    data = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+    vals = varbyte_decode(data)
+    if vals.size != 2 * n:
+        raise ValueError(f"expected {2*n} values, got {vals.size}")
+    starts = np.concatenate([[0], np.cumsum(dfs)]).astype(np.int64)
+    idx = np.arange(n, dtype=np.int64)
+    within = idx - np.repeat(starts[:-1], dfs)
+    gbs = np.flatnonzero((within % block_size) == 0)
+    gbe = np.concatenate([gbs[1:], [n]])
+    blen = gbe - gbs
+    bstart_per = np.repeat(gbs, blen)
+    blen_per = np.repeat(blen, blen)
+    gaps = vals[bstart_per + idx]
+    tfs = vals[bstart_per + idx + blen_per]
+    cs = np.cumsum(gaps)
+    doc = cs - np.repeat(cs[starts[:-1]] - gaps[starts[:-1]], dfs)
+    return doc.astype(np.int64), tfs.astype(np.int64), starts
 
 
 def decode_block(buf, off: int, end: int, count: int, prev_last: int):

@@ -529,6 +529,8 @@ def build_index(
         )
         final.write_parquet(d["postings"], partition_cols=["lang"])
         _mark("tokenize_encode_merge_write")
+        if _profile:
+            print(final.stats(), flush=True)
         # side-written artifacts exist only now (the single execution just
         # finished): fold sidecars + df partials → stats, df/, manifests
         stats = _read_stats(d, todo)

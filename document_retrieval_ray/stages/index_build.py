@@ -37,10 +37,16 @@ import tempfile
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from ..functions.hashing import stable_hash64
-from ..functions.varbyte import decode_blocked_postings, encode_blocked_postings
+from ..functions.varbyte import (
+    decode_blocked_postings,
+    decode_segments_many,
+    encode_blocked_postings,
+    varbyte_encode_with_lengths,
+)
 from .tokenize import flatten_tokens
 
 
@@ -136,15 +142,12 @@ class AssignDocIds:
         term, doc_id, dl, tf = term[order], doc_id[order], dl[order], tf[order]
         n = len(term)
         change = term[1:] != term[:-1]
-        starts = np.concatenate([[0], np.flatnonzero(change) + 1])
-        ends = np.concatenate([starts[1:], [n]])
-        cols = {f.name: [] for f in _ENCODED_SCHEMA}
-        for s, e in zip(starts, ends):
-            _append_segment_row(cols, lang, term[s], part, doc_id[s:e],
-                                tf[s:e], dl[s:e], self.block_size)
-        return pa.table(
-            {f.name: pa.array(cols[f.name], f.type) for f in _ENCODED_SCHEMA},
-            schema=_ENCODED_SCHEMA,
+        starts = np.concatenate([[0], np.flatnonzero(change) + 1, [n]])
+        T = len(starts) - 1
+        return encode_segments_many(
+            np.repeat(lang, T), term[starts[:-1]],
+            np.full(T, part, dtype=np.int64),
+            doc_id, tf, dl, starts, self.block_size,
         )
 
     def _write_df_partial(self, lang: str, part: int, terms) -> None:
@@ -305,6 +308,112 @@ def add_salt_and_kpart(
     return out.append_column("kpart", pa.array(np.abs(h) % num_parts, pa.int64()))
 
 
+def encode_segments_many(lang, term, salt, doc_id, tf, dl, starts,
+                         block_size: int) -> pa.Table:
+    """Vectorized encoder for MANY posting segments at once — the whole
+    group's segments in a handful of numpy passes plus ONE varbyte encode,
+    byte-identical to the per-term ``_append_segment_row`` loop (tested in
+    test_index_build). The key facts making this possible:
+
+    - within a segment the first gap of block b is relative to block
+      b−1's LAST doc id, which is simply the previous posting — so the
+      per-posting gap array is one global diff with resets to the
+      absolute doc id at segment starts;
+    - the interleaved value stream ([gaps..., tfs...] per block, blocks
+      and segments contiguous) gives value positions gap_i = bstart+i and
+      tf_i = bstart+i+blen in closed form;
+    - varbyte is per-value independent, so one encode of the full value
+      array plus its per-value byte lengths yields every block/segment
+      byte offset, and the Arrow binary/list columns are assembled
+      zero-copy from the flat buffer + offsets.
+
+    ``lang``/``term``/``salt``: per-segment arrays (length T).
+    ``doc_id``/``tf``/``dl``: flat posting arrays (length n), segment-major,
+    doc ascending within each segment. ``starts``: int64 (T+1) segment
+    boundaries into the flat arrays.
+    """
+    starts = np.asarray(starts, dtype=np.int64)
+    T = len(starts) - 1
+    if T <= 0:
+        return _empty_encoded()
+    n = int(starts[-1])
+    doc_id = np.asarray(doc_id, dtype=np.int64)
+    tf64 = np.asarray(tf, dtype=np.int64)
+    dl64 = np.asarray(dl, dtype=np.int64)
+    seg_lens = np.diff(starts)
+    if (seg_lens <= 0).any():
+        raise ValueError("encode_segments_many: empty segment")
+    idx = np.arange(n, dtype=np.int64)
+    within = idx - np.repeat(starts[:-1], seg_lens)
+    gaps = np.empty(n, dtype=np.uint64)
+    if n > 1:
+        diffs = doc_id[1:] - doc_id[:-1]
+        seg_start_mask = np.zeros(n, dtype=bool)
+        seg_start_mask[starts[:-1]] = True
+        if (diffs[~seg_start_mask[1:]] <= 0).any():
+            raise ValueError("doc_ids must be strictly ascending")
+        gaps[1:] = diffs.astype(np.uint64)
+    gaps[starts[:-1]] = doc_id[starts[:-1]].astype(np.uint64)
+    is_bstart = (within % block_size) == 0
+    gbs = np.flatnonzero(is_bstart)
+    gbe = np.concatenate([gbs[1:], [n]])
+    blen = gbe - gbs
+    bstart_per = np.repeat(gbs, blen)
+    blen_per = np.repeat(blen, blen)
+    vals = np.empty(2 * n, dtype=np.uint64)
+    vals[bstart_per + idx] = gaps
+    vals[bstart_per + idx + blen_per] = tf64.astype(np.uint64)
+    data, nb = varbyte_encode_with_lengths(vals)
+    vends = np.cumsum(nb)
+    vstarts = vends - nb
+    term_byte_off = np.empty(T + 1, dtype=np.int64)
+    term_byte_off[:-1] = vstarts[2 * starts[:-1]]
+    term_byte_off[-1] = int(vends[-1])
+    if term_byte_off[-1] > np.iinfo(np.int32).max:
+        raise ValueError(
+            "encoded partition exceeds 2 GiB (int32 Arrow binary offsets);"
+            " raise num_encode_parts"
+        )
+    blocks_per_term = (seg_lens + block_size - 1) // block_size
+    term_of_block = np.repeat(np.arange(T, dtype=np.int64), blocks_per_term)
+    block_off_flat = vstarts[2 * gbs] - term_byte_off[term_of_block]
+    loff = pa.array(
+        np.concatenate([[0], np.cumsum(blocks_per_term)]).astype(np.int32),
+        pa.int32(),
+    )
+
+    def _lst(flat):
+        return pa.ListArray.from_arrays(
+            loff, pa.array(np.asarray(flat, dtype=np.int64), pa.int64())
+        )
+
+    postings = pa.Array.from_buffers(
+        pa.binary(),
+        T,
+        [
+            None,
+            pa.py_buffer(term_byte_off.astype(np.int32)),
+            pa.py_buffer(data),
+        ],
+    )
+    return pa.table(
+        {
+            "lang": pa.array(np.asarray(lang, dtype=object), pa.string()),
+            "term": pa.array(np.asarray(term, dtype=object), pa.string()),
+            "salt": pa.array(np.asarray(salt, dtype=np.int64), pa.int64()),
+            "df": pa.array(seg_lens, pa.int64()),
+            "cf": pa.array(np.add.reduceat(tf64, starts[:-1]), pa.int64()),
+            "min_doc": pa.array(doc_id[starts[:-1]], pa.int64()),
+            "postings": postings,
+            "block_off": _lst(block_off_flat),
+            "block_last": _lst(doc_id[gbe - 1]),
+            "block_max_tf": _lst(np.maximum.reduceat(tf64, gbs)),
+            "block_min_dl": _lst(np.minimum.reduceat(dl64, gbs)),
+        },
+        schema=_ENCODED_SCHEMA,
+    )
+
+
 def _append_segment_row(cols: dict, lang, term, salt, d, t, dl,
                         block_size: int) -> None:
     """Encode one (lang, term, salt) posting segment and append its
@@ -440,16 +549,11 @@ def encode_partition_ids(group: pa.Table, block_size: int, vocab_ref) -> pa.Tabl
     tf = pdf["tf"].to_numpy()[order]
     dl = pdf["dl"].to_numpy()[order]
     change = (vid[1:] != vid[:-1]) | (salt[1:] != salt[:-1])
-    starts = np.concatenate([[0], np.flatnonzero(change) + 1])
-    ends = np.concatenate([starts[1:], [n]])
-    cols = {f.name: [] for f in _ENCODED_SCHEMA}
-    for s, e in zip(starts, ends):
-        v = int(vid[s])
-        _append_segment_row(cols, lang_arr[v], term_arr[v], salt[s],
-                            doc_id[s:e], tf[s:e], dl[s:e], block_size)
-    return pa.table(
-        {f.name: pa.array(cols[f.name], f.type) for f in _ENCODED_SCHEMA},
-        schema=_ENCODED_SCHEMA,
+    starts = np.concatenate([[0], np.flatnonzero(change) + 1, [n]])
+    seg_vids = vid[starts[:-1]]
+    return encode_segments_many(
+        lang_arr[seg_vids], term_arr[seg_vids], salt[starts[:-1]],
+        doc_id, tf, dl, starts, block_size,
     )
 
 
@@ -472,15 +576,10 @@ def encode_partition(group: pa.Table, block_size: int = 128) -> pa.Table:
     change = (
         (term[1:] != term[:-1]) | (lang[1:] != lang[:-1]) | (salt[1:] != salt[:-1])
     )
-    starts = np.concatenate([[0], np.flatnonzero(change) + 1])
-    ends = np.concatenate([starts[1:], [n]])
-    cols = {f.name: [] for f in _ENCODED_SCHEMA}
-    for s, e in zip(starts, ends):
-        _append_segment_row(cols, lang[s], term[s], salt[s], doc_id[s:e],
-                            tf[s:e], dl[s:e], block_size)
-    return pa.table(
-        {f.name: pa.array(cols[f.name], f.type) for f in _ENCODED_SCHEMA},
-        schema=_ENCODED_SCHEMA,
+    starts = np.concatenate([[0], np.flatnonzero(change) + 1, [n]])
+    head = starts[:-1]
+    return encode_segments_many(
+        lang[head], term[head], salt[head], doc_id, tf, dl, starts, block_size
     )
 
 
@@ -522,73 +621,78 @@ class MergePartition:
         drop = [c for c in ("kpart", "gsalt") if c in group.column_names]
         if drop:
             group = group.drop_columns(drop)
-        pdf = group.to_pandas()
-        has_runs = "dl_runs" in pdf.columns
-        pdf = pdf.sort_values(["lang", "term", "min_doc"], kind="mergesort")
-        lang = pdf["lang"].to_numpy(dtype=object)
-        term = pdf["term"].to_numpy(dtype=object)
-        n = len(pdf)
+        n = group.num_rows
         if n == 0:
             return _empty_final()
+        has_runs = "dl_runs" in group.column_names
+        lang = np.asarray(group["lang"].to_pandas(), dtype=object)
+        term = np.asarray(group["term"].to_pandas(), dtype=object)
+        min_doc = group["min_doc"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((min_doc, term, lang))
+        g = group.take(pa.array(order))
+        lang, term = lang[order], term[order]
+        df = g["df"].to_numpy(zero_copy_only=False).astype(np.int64)
         change = (term[1:] != term[:-1]) | (lang[1:] != lang[:-1])
-        starts = np.concatenate([[0], np.flatnonzero(change) + 1])
-        ends = np.concatenate([starts[1:], [n]])
-        keep_single = []
-        merged_rows = {k: [] for k in (
-            "lang", "term", "df", "cf", "min_doc", "postings",
-            "block_off", "block_last", "block_max_tf", "block_min_dl",
-        )}
-        for s, e in zip(starts, ends):
-            if e - s == 1:
-                if pdf["df"].iloc[s] >= self.min_df:
-                    keep_single.append(pdf.index[s])
-                continue
-            docs, tfs, dls = [], [], []
-            for i in range(s, e):
-                row = pdf.iloc[i]
-                d, t = decode_blocked_postings(
-                    row["postings"], list(row["block_off"]), int(row["df"]),
-                    self.block_size,
-                )
-                docs.append(d.astype(np.int64))
-                tfs.append(t.astype(np.int64))
-                dls.append(_row_dl_lower(row))
-            doc_ids = np.concatenate(docs)
-            tf = np.concatenate(tfs)
-            dl = np.concatenate(dls)
-            if len(doc_ids) < self.min_df:
-                continue
-            buf, block_off = encode_blocked_postings(doc_ids, tf, self.block_size)
-            last, max_tf, min_dl = _block_meta(doc_ids, tf, dl, self.block_size)
-            merged_rows["lang"].append(lang[s])
-            merged_rows["term"].append(term[s])
-            merged_rows["df"].append(len(doc_ids))
-            merged_rows["cf"].append(int(tf.sum()))
-            merged_rows["min_doc"].append(int(doc_ids[0]))
-            merged_rows["postings"].append(buf)
-            merged_rows["block_off"].append(block_off)
-            merged_rows["block_last"].append(last)
-            merged_rows["block_max_tf"].append(max_tf)
-            merged_rows["block_min_dl"].append(min_dl)
-        singles_pdf = pdf.loc[keep_single]
-        if has_runs:
-            singles_pdf = singles_pdf.drop(columns=["dl_runs"])
+        tstarts = np.concatenate([[0], np.flatnonzero(change) + 1, [n]])
+        seg_count = np.diff(tstarts)
+        heads = tstarts[:-1]
+        is_single = seg_count == 1
+        single_rows = heads[is_single]
+        single_rows = single_rows[df[single_rows] >= self.min_df]
         singles = (
-            pa.Table.from_pandas(singles_pdf, preserve_index=False,
-                                 schema=_ENCODED_SCHEMA)
-            if keep_single
+            g.take(pa.array(single_rows)).select(
+                [f.name for f in _ENCODED_SCHEMA]
+            )
+            if len(single_rows)
             else None
         )
-        fields = [f for f in _ENCODED_SCHEMA if f.name != "salt"]
-        merged = pa.table(
-            {f.name: pa.array(merged_rows[f.name], f.type) for f in fields},
-            schema=pa.schema(fields),
-        )
-        out_parts = []
-        if singles is not None:
-            out_parts.append(singles.drop_columns(["salt"]))
-        out_parts.append(merged)
-        out = pa.concat_tables(out_parts)
+        merged = None
+        multi_heads = heads[~is_single]
+        if len(multi_heads):
+            # every row of every multi-segment term, in (term, min_doc)
+            # order — all segments decode in ONE vectorized pass, dl lower
+            # bounds expand from run pairs, and the merged lists re-encode
+            # in ONE encode_segments_many call (merging IS concatenation:
+            # doc ranges of a term's segments are disjoint ascending)
+            row_term = np.repeat(np.arange(len(seg_count)), seg_count)
+            rows_multi = np.flatnonzero((~is_single)[row_term])
+            bufs = g["postings"].to_pandas().to_numpy(dtype=object)[rows_multi]
+            dfs_m = df[rows_multi]
+            doc, tf, seg_starts = decode_segments_many(
+                bufs, dfs_m, self.block_size
+            )
+            bmin = g["block_min_dl"].combine_chunks()
+            offs = bmin.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            flat = bmin.flatten().to_numpy(zero_copy_only=False)
+            row_min = np.minimum.reduceat(flat, offs[:-1] - offs[0])
+            if has_runs:
+                runs_col = g["dl_runs"].to_pandas().to_numpy(dtype=object)
+                pairs = [
+                    np.asarray(runs_col[ri], dtype=np.int64)
+                    if runs_col[ri] is not None and len(runs_col[ri]) > 0
+                    else np.array([df[ri], row_min[ri]], dtype=np.int64)
+                    for ri in rows_multi
+                ]
+                rp = np.concatenate(pairs).reshape(-1, 2)
+            else:
+                rp = np.column_stack([dfs_m, row_min[rows_multi]])
+            dl = np.repeat(rp[:, 1], rp[:, 0])
+            mrow_bounds = np.concatenate(
+                [[0], np.cumsum(seg_count[~is_single])]
+            )
+            merged = encode_segments_many(
+                lang[multi_heads], term[multi_heads],
+                np.zeros(len(multi_heads), dtype=np.int64),
+                doc, tf, dl, seg_starts[mrow_bounds], self.block_size,
+            )
+            if self.min_df > 1:
+                merged = merged.filter(
+                    pc.greater_equal(merged["df"], self.min_df)
+                )
+        out_parts = [t for t in (singles, merged) if t is not None]
+        if not out_parts:
+            return _empty_final()
+        out = pa.concat_tables([t.drop_columns(["salt"]) for t in out_parts])
         return out.drop_columns(["min_doc"])
 
 
@@ -628,72 +732,117 @@ class IntermediateMerge:
     def __call__(self, group: pa.Table) -> pa.Table:
         if "kpart" in group.column_names:
             group = group.drop_columns(["kpart"])
-        pdf = group.to_pandas()
-        if "dl_runs" not in pdf.columns:
-            pdf["dl_runs"] = [None] * len(pdf)
-        if len(pdf) == 0:
+        n = group.num_rows
+        if n == 0:
             return pa.table(
                 {f.name: pa.array([], f.type) for f in _INTERMEDIATE_SCHEMA},
                 schema=_INTERMEDIATE_SCHEMA,
             )
-        pdf = pdf.sort_values(["lang", "term", "gsalt", "min_doc"],
-                              kind="mergesort")
-        lang = pdf["lang"].to_numpy(dtype=object)
-        term = pdf["term"].to_numpy(dtype=object)
-        gsalt = pdf["gsalt"].to_numpy()
-        n = len(pdf)
+        has_runs = "dl_runs" in group.column_names
+        lang = np.asarray(group["lang"].to_pandas(), dtype=object)
+        term = np.asarray(group["term"].to_pandas(), dtype=object)
+        gsalt = group["gsalt"].to_numpy(zero_copy_only=False)
+        min_doc = group["min_doc"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((min_doc, gsalt, term, lang))
+        g = group.take(pa.array(order))
+        lang, term, gsalt = lang[order], term[order], gsalt[order]
+        df = g["df"].to_numpy(zero_copy_only=False).astype(np.int64)
         change = (
             (term[1:] != term[:-1])
             | (lang[1:] != lang[:-1])
             | (gsalt[1:] != gsalt[:-1])
         )
-        starts = np.concatenate([[0], np.flatnonzero(change) + 1])
-        ends = np.concatenate([starts[1:], [n]])
-        cols = {f.name: [] for f in _INTERMEDIATE_SCHEMA}
-        for s, e in zip(starts, ends):
-            if e - s == 1:
-                # passthrough: never re-encode a lone segment (keeps cold
-                # terms byte-identical to the flat path)
-                row = pdf.iloc[s]
-                runs = row["dl_runs"]
-                cols["lang"].append(lang[s])
-                cols["term"].append(term[s])
-                cols["salt"].append(int(gsalt[s]))
-                cols["df"].append(int(row["df"]))
-                cols["cf"].append(int(row["cf"]))
-                cols["min_doc"].append(int(row["min_doc"]))
-                cols["postings"].append(row["postings"])
-                cols["block_off"].append(list(row["block_off"]))
-                cols["block_last"].append(list(row["block_last"]))
-                cols["block_max_tf"].append(list(row["block_max_tf"]))
-                cols["block_min_dl"].append(list(row["block_min_dl"]))
-                cols["dl_runs"].append(
-                    list(np.asarray(runs, np.int64))
-                    if runs is not None and len(runs)
-                    else []
-                )
-                continue
-            docs, tfs, runs = [], [], []
-            for i in range(s, e):
-                row = pdf.iloc[i]
-                d, t = decode_blocked_postings(
-                    row["postings"], list(row["block_off"]), int(row["df"]),
-                    self.block_size,
-                )
-                docs.append(d.astype(np.int64))
-                tfs.append(t.astype(np.int64))
-                runs.extend(_row_dl_runs(row))
-            d = np.concatenate(docs)
-            t = np.concatenate(tfs)
-            r = np.asarray(runs, dtype=np.int64).reshape(-1, 2)
-            dl = np.repeat(r[:, 1], r[:, 0])
-            _append_segment_row(cols, lang[s], term[s], gsalt[s], d, t, dl,
-                                self.block_size)
-            cols["dl_runs"].append(runs)
-        return pa.table(
-            {f.name: pa.array(cols[f.name], f.type) for f in _INTERMEDIATE_SCHEMA},
-            schema=_INTERMEDIATE_SCHEMA,
+        tstarts = np.concatenate([[0], np.flatnonzero(change) + 1, [n]])
+        seg_count = np.diff(tstarts)
+        heads = tstarts[:-1]
+        is_single = seg_count == 1
+        runs_col = (
+            g["dl_runs"].to_pandas().to_numpy(dtype=object)
+            if has_runs
+            else None
         )
+
+        def _row_runs_list(ri) -> list:
+            if runs_col is not None:
+                r = runs_col[ri]
+                if r is not None and len(r) > 0:
+                    return [int(x) for x in r]
+            return []
+
+        # --- passthrough sections: take rows untouched (cold terms are
+        # never re-encoded and stay byte-identical to the flat path);
+        # only salt coarsens to gsalt
+        srows = heads[is_single]
+        singles = None
+        if len(srows):
+            st = g.take(pa.array(srows)).select(
+                [f.name for f in _ENCODED_SCHEMA]
+            )
+            st = st.set_column(
+                st.schema.get_field_index("salt"),
+                "salt",
+                pa.array(gsalt[srows].astype(np.int64), pa.int64()),
+            )
+            s_runs = pa.array(
+                [_row_runs_list(ri) for ri in srows], pa.list_(pa.int64())
+            )
+            singles = st.append_column("dl_runs", s_runs)
+        # --- multi sections: ONE vectorized decode of every segment, dl
+        # lower bounds expanded from run pairs, ONE re-encode; the merged
+        # section's dl_runs = its source rows' run pairs concatenated
+        merged = None
+        multi_heads = heads[~is_single]
+        if len(multi_heads):
+            row_sec = np.repeat(np.arange(len(seg_count)), seg_count)
+            rows_multi = np.flatnonzero((~is_single)[row_sec])
+            bufs = g["postings"].to_pandas().to_numpy(dtype=object)[rows_multi]
+            dfs_m = df[rows_multi]
+            doc, tf, seg_starts = decode_segments_many(
+                bufs, dfs_m, self.block_size
+            )
+            bmin = g["block_min_dl"].combine_chunks()
+            offs = bmin.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            flat = bmin.flatten().to_numpy(zero_copy_only=False)
+            row_min = np.minimum.reduceat(flat, offs[:-1] - offs[0])
+            pairs = [
+                np.asarray(r, dtype=np.int64)
+                if (r := (_row_runs_list(ri) or None)) is not None
+                else np.array([df[ri], row_min[ri]], dtype=np.int64)
+                for ri in rows_multi
+            ]
+            rp = np.concatenate(pairs).reshape(-1, 2)
+            dl = np.repeat(rp[:, 1], rp[:, 0])
+            mrow_bounds = np.concatenate(
+                [[0], np.cumsum(seg_count[~is_single])]
+            )
+            merged = encode_segments_many(
+                lang[multi_heads], term[multi_heads],
+                gsalt[multi_heads].astype(np.int64),
+                doc, tf, dl, seg_starts[mrow_bounds], self.block_size,
+            )
+            # merged dl_runs: per section, concat of its rows' run pairs
+            pair_counts = np.fromiter(
+                (p.size for p in pairs), dtype=np.int64, count=len(pairs)
+            )
+            run_flat = np.concatenate(pairs)
+            # pairs are per multi ROW; sum counts per section
+            sec_of_mrow = np.repeat(
+                np.arange(len(multi_heads)), seg_count[~is_single]
+            )
+            sec_counts = np.bincount(
+                sec_of_mrow, weights=pair_counts, minlength=len(multi_heads)
+            ).astype(np.int64)
+            loff = pa.array(
+                np.concatenate([[0], np.cumsum(sec_counts)]).astype(np.int32),
+                pa.int32(),
+            )
+            m_runs = pa.ListArray.from_arrays(
+                loff, pa.array(run_flat, pa.int64())
+            )
+            merged = merged.append_column("dl_runs", m_runs)
+        out_parts = [t for t in (singles, merged) if t is not None]
+        out = pa.concat_tables(out_parts)
+        return out.select([f.name for f in _INTERMEDIATE_SCHEMA])
 
 
 def intermediate_merge_group(group: pa.Table, block_size: int = 128) -> pa.Table:

@@ -209,3 +209,90 @@ def test_empty_corpus_build(tmp_path):
     )
     res = bm25_search(qds, idx).to_pandas()
     assert len(res) == 0
+
+
+def test_encode_segments_many_byte_identical_to_loop():
+    """The vectorized multi-segment encoder must be BYTE-identical to the
+    per-term _append_segment_row loop (the merge tree's associativity and
+    the resume byte-identity guarantees rest on this)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from document_retrieval_ray.stages.index_build import (
+        _ENCODED_SCHEMA,
+        _append_segment_row,
+        encode_segments_many,
+    )
+
+    rng = np.random.default_rng(11)
+    for trial in range(10):
+        T = int(rng.integers(1, 30))
+        B = int(rng.choice([1, 2, 3, 8, 128]))
+        lang, term, salt, doc, tf, dl, starts = [], [], [], [], [], [], [0]
+        for t in range(T):
+            df = int(rng.integers(1, 300))
+            d = np.sort(
+                rng.choice(
+                    np.arange(0, 5_000_000, dtype=np.int64),
+                    size=df,
+                    replace=False,
+                )
+            )
+            lang.append(f"l{rng.integers(0, 3)}")
+            term.append(f"t{trial}_{t}")
+            salt.append(int(rng.integers(0, 32)))
+            doc.append(d)
+            tf.append(rng.integers(1, 1000, size=df).astype(np.int64))
+            dl.append(rng.integers(1, 5000, size=df).astype(np.int64))
+            starts.append(starts[-1] + df)
+        docf = np.concatenate(doc)
+        tff = np.concatenate(tf)
+        dlf = np.concatenate(dl)
+        new = encode_segments_many(
+            np.array(lang, object), np.array(term, object), np.array(salt),
+            docf, tff, dlf, np.array(starts), B,
+        )
+        cols = {f.name: [] for f in _ENCODED_SCHEMA}
+        for i in range(T):
+            s, e = starts[i], starts[i + 1]
+            _append_segment_row(
+                cols, lang[i], term[i], salt[i],
+                docf[s:e], tff[s:e], dlf[s:e], B,
+            )
+        old = pa.table(
+            {f.name: pa.array(cols[f.name], f.type) for f in _ENCODED_SCHEMA},
+            schema=_ENCODED_SCHEMA,
+        )
+        assert new.equals(old), f"trial {trial} (block_size={B})"
+
+
+def test_decode_segments_many_roundtrip():
+    import numpy as np
+
+    from document_retrieval_ray.functions.varbyte import (
+        decode_segments_many,
+        encode_blocked_postings,
+    )
+
+    rng = np.random.default_rng(13)
+    for B in (1, 3, 128):
+        bufs, dfs, docs, tfs = [], [], [], []
+        for _ in range(25):
+            df = int(rng.integers(1, 500))
+            d = np.sort(
+                rng.choice(
+                    np.arange(0, 3_000_000, dtype=np.int64),
+                    size=df,
+                    replace=False,
+                )
+            )
+            f = rng.integers(1, 900, size=df).astype(np.int64)
+            buf, _ = encode_blocked_postings(d, f, B)
+            bufs.append(buf)
+            dfs.append(df)
+            docs.append(d)
+            tfs.append(f)
+        dd, tt, st = decode_segments_many(bufs, np.array(dfs), B)
+        assert np.array_equal(dd, np.concatenate(docs))
+        assert np.array_equal(tt, np.concatenate(tfs))
+        assert np.array_equal(st, np.concatenate([[0], np.cumsum(dfs)]))
