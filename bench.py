@@ -39,11 +39,16 @@ def _scaling() -> None:
             RAY_GRAFT_CPUS=str(ncpu),
             GRAFT_BENCH_HEADLINE_ONLY="1",
             # scaling needs a compute-dominated workload; fixed
-            # per-execution cost (~15 s) distorts the ratio at smaller
-            # corpora (round 2 moved the default 500k → 1M after the
-            # hot-term pre-decode removed the query stage's per-actor
-            # warm-up)
-            GRAFT_BENCH_DOCS=os.environ.get("GRAFT_BENCH_DOCS", "1000000"),
+            # per-execution cost distorts the ratio at smaller corpora
+            # (round 2 moved the default 500k → 1M after the hot-term
+            # pre-decode removed the query stage's per-actor warm-up;
+            # round 3's vectorized encode/merge halved per-doc CPU again,
+            # so the default moves 1M → 2M, with the object store sized
+            # below so neither leg spills)
+            GRAFT_BENCH_DOCS=os.environ.get("GRAFT_BENCH_DOCS", "2000000"),
+            # 2M docs shuffle ~30 GiB of posting triples; keep both legs
+            # out of spill with the same (fixed) store size
+            GRAFT_OBJ_STORE_GB=os.environ.get("GRAFT_OBJ_STORE_GB", "48"),
             PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH", ""),
         )
         out = subprocess.run(
@@ -118,10 +123,16 @@ def main() -> None:
     from document_retrieval_ray.pipelines import testdata_queries as tq
     from document_retrieval_ray.sources.synth import write_corpus, LANGS
 
+    # object store sized for the corpus, FIXED across parallelism levels
+    # (the scaling criterion varies CPUs only). 16 GiB holds the 1M-doc
+    # workload; the 2M-doc scaling corpus needs ~48 GiB to keep the
+    # posting-triple shuffle out of spill (measured: 2M at 16 GiB spills
+    # and the run goes superlinear).
+    store_gb = int(os.environ.get("GRAFT_OBJ_STORE_GB", "16"))
     ray.init(
         address="local", num_cpus=NUM_CPUS,
         include_dashboard=False, logging_level="ERROR",
-        object_store_memory=16 * 1024**3,  # fixed across parallelism levels
+        object_store_memory=store_gb * 1024**3,
     )
     ctx = ray.data.DataContext.get_current()
     ctx.enable_progress_bars = False

@@ -54,9 +54,9 @@ import ray
 import ray.data
 
 from ..config import BM25Config, IndexConfig, TokenizerConfig
-from ..functions.varbyte import decode_blocked_postings
+from ..functions.varbyte import decode_segments_many
 from ..state.manifest import read_manifest
-from ..stages.index_build import _append_segment_row, _ENCODED_SCHEMA, add_kpart
+from ..stages.index_build import _ENCODED_SCHEMA, add_kpart, encode_segments_many
 from ..util import default_pool
 from .build_index import build_index
 from .sharded import bm25_search_sharded, build_global_df
@@ -254,42 +254,54 @@ def compact_postings_partition(group: pd.DataFrame, offsets_by_lang: dict,
     if n == 0:
         return _empty_final_rows()
     change = (term[1:] != term[:-1]) | (lang[1:] != lang[:-1])
-    starts = np.concatenate([[0], np.flatnonzero(change) + 1])
-    ends = np.concatenate([starts[1:], [n]])
-    cols = {f.name: [] for f in _ENCODED_SCHEMA}
-    passthrough_idx = []
-    for s, e in zip(starts, ends):
-        if e - s == 1 and src[s] == 0:
-            passthrough_idx.append(g.index[s])
-            continue
-        docs, tfs, dls = [], [], []
-        for i in range(s, e):
-            row = g.iloc[i]
-            off = offsets_by_lang[row["lang"]][int(row["src"])]
-            d, t = decode_blocked_postings(
-                row["postings"], list(row["block_off"]), int(row["df"]),
-                block_size,
-            )
-            d = d.astype(np.int64) + int(off)
-            bmin = np.asarray(row["block_min_dl"], dtype=np.int64)
-            counts = np.minimum(
-                block_size,
-                int(row["df"]) - np.arange(len(bmin), dtype=np.int64) * block_size,
-            )
-            docs.append(d)
-            tfs.append(t.astype(np.int64))
-            dls.append(np.repeat(bmin, counts))
-        _append_segment_row(
-            cols, lang[s], term[s], 0,
-            np.concatenate(docs), np.concatenate(tfs), np.concatenate(dls),
-            block_size,
+    tstarts = np.concatenate([[0], np.flatnonzero(change) + 1, [n]])
+    seg_count = np.diff(tstarts)
+    heads = tstarts[:-1]
+    row_sec = np.repeat(np.arange(len(seg_count)), seg_count)
+    # passthrough = a section that is ONE row living in generation 0
+    is_pass = (seg_count == 1) & (src[heads] == 0)
+    passthrough_idx = g.index.to_numpy()[heads[is_pass]]
+    merged = _empty_final_rows()
+    dec_heads = heads[~is_pass]
+    if len(dec_heads):
+        # all decode-sections' rows, vectorized: ONE decode pass, per-row
+        # doc-id rebase by generation offset, dl lower bounds repeated at
+        # ORIGINAL-block granularity, ONE re-encode over term boundaries
+        rows_dec = np.flatnonzero((~is_pass)[row_sec])
+        df_m = g["df"].to_numpy()[rows_dec].astype(np.int64)
+        bufs = g["postings"].to_numpy()[rows_dec]
+        doc, tf, seg_starts = decode_segments_many(bufs, df_m, block_size)
+        offs = np.fromiter(
+            (
+                offsets_by_lang[lang[ri]][int(src[ri])]
+                for ri in rows_dec
+            ),
+            dtype=np.int64,
+            count=len(rows_dec),
         )
-    merged = pa.table(
-        {f.name: pa.array(cols[f.name], f.type) for f in _ENCODED_SCHEMA},
-        schema=_ENCODED_SCHEMA,
-    ).drop_columns(["salt", "min_doc"])
+        doc = doc + np.repeat(offs, df_m)
+        nb = (df_m + block_size - 1) // block_size
+        bidx = np.arange(int(nb.sum()), dtype=np.int64) - np.repeat(
+            np.cumsum(nb) - nb, nb
+        )
+        counts = np.minimum(
+            block_size, np.repeat(df_m, nb) - bidx * block_size
+        )
+        bmin_flat = np.concatenate(
+            [
+                np.asarray(x, dtype=np.int64)
+                for x in g["block_min_dl"].to_numpy()[rows_dec]
+            ]
+        )
+        dl = np.repeat(bmin_flat, counts)
+        sec_bounds = np.concatenate([[0], np.cumsum(seg_count[~is_pass])])
+        merged = encode_segments_many(
+            lang[dec_heads], term[dec_heads],
+            np.zeros(len(dec_heads), dtype=np.int64),
+            doc, tf, dl, seg_starts[sec_bounds], block_size,
+        ).drop_columns(["salt", "min_doc"])
     parts = [merged]
-    if passthrough_idx:
+    if len(passthrough_idx):
         pt = g.loc[passthrough_idx, ["lang"] + _POSTING_COLS]
         parts.append(
             pa.Table.from_pandas(pt, preserve_index=False, schema=merged.schema)

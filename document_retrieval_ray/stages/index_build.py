@@ -138,10 +138,16 @@ class AssignDocIds:
         )
 
     def _emit_segments(self, lang, part, term, doc_id, dl, tf) -> pa.Table:
-        order = np.lexsort((doc_id, term))
+        # factorize(sort=True) → integer codes in exact term-string order:
+        # the lexsort is then O(n) integer work instead of O(n log n)
+        # Python string compares (the dominant cost at ~5M postings/group),
+        # with byte-identical output order
+        tcodes = pd.factorize(term, sort=True)[0]
+        order = np.lexsort((doc_id, tcodes))
         term, doc_id, dl, tf = term[order], doc_id[order], dl[order], tf[order]
+        tcodes = tcodes[order]
         n = len(term)
-        change = term[1:] != term[:-1]
+        change = tcodes[1:] != tcodes[:-1]
         starts = np.concatenate([[0], np.flatnonzero(change) + 1, [n]])
         T = len(starts) - 1
         return encode_segments_many(
@@ -563,18 +569,26 @@ def encode_partition(group: pa.Table, block_size: int = 128) -> pa.Table:
     output table. Replaces per-term map_groups (5 ms/group of Arrow and
     scheduling overhead at one row per group). Plain task — stateless."""
     pdf = group.to_pandas()
-    pdf = pdf.sort_values(["lang", "term", "salt", "doc_id"], kind="mergesort")
-    lang = pdf["lang"].to_numpy(dtype=object)
-    term = pdf["term"].to_numpy(dtype=object)
-    salt = pdf["salt"].to_numpy()
-    doc_id = pdf["doc_id"].to_numpy()
-    tf = pdf["tf"].to_numpy()
-    dl = pdf["dl"].to_numpy()
     n = len(pdf)
     if n == 0:
         return _empty_encoded()
+    lang = pdf["lang"].to_numpy(dtype=object)
+    term = pdf["term"].to_numpy(dtype=object)
+    lcodes = pd.factorize(lang, sort=True)[0]
+    tcodes = pd.factorize(term, sort=True)[0]
+    order = np.lexsort(
+        (pdf["doc_id"].to_numpy(), pdf["salt"].to_numpy(), tcodes, lcodes)
+    )
+    lang, term = lang[order], term[order]
+    lcodes, tcodes = lcodes[order], tcodes[order]
+    salt = pdf["salt"].to_numpy()[order]
+    doc_id = pdf["doc_id"].to_numpy()[order]
+    tf = pdf["tf"].to_numpy()[order]
+    dl = pdf["dl"].to_numpy()[order]
     change = (
-        (term[1:] != term[:-1]) | (lang[1:] != lang[:-1]) | (salt[1:] != salt[:-1])
+        (tcodes[1:] != tcodes[:-1])
+        | (lcodes[1:] != lcodes[:-1])
+        | (salt[1:] != salt[:-1])
     )
     starts = np.concatenate([[0], np.flatnonzero(change) + 1, [n]])
     head = starts[:-1]
@@ -628,11 +642,14 @@ class MergePartition:
         lang = np.asarray(group["lang"].to_pandas(), dtype=object)
         term = np.asarray(group["term"].to_pandas(), dtype=object)
         min_doc = group["min_doc"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((min_doc, term, lang))
+        lcodes = pd.factorize(lang, sort=True)[0]
+        tcodes = pd.factorize(term, sort=True)[0]
+        order = np.lexsort((min_doc, tcodes, lcodes))
         g = group.take(pa.array(order))
         lang, term = lang[order], term[order]
+        lcodes, tcodes = lcodes[order], tcodes[order]
         df = g["df"].to_numpy(zero_copy_only=False).astype(np.int64)
-        change = (term[1:] != term[:-1]) | (lang[1:] != lang[:-1])
+        change = (tcodes[1:] != tcodes[:-1]) | (lcodes[1:] != lcodes[:-1])
         tstarts = np.concatenate([[0], np.flatnonzero(change) + 1, [n]])
         seg_count = np.diff(tstarts)
         heads = tstarts[:-1]
@@ -743,13 +760,16 @@ class IntermediateMerge:
         term = np.asarray(group["term"].to_pandas(), dtype=object)
         gsalt = group["gsalt"].to_numpy(zero_copy_only=False)
         min_doc = group["min_doc"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((min_doc, gsalt, term, lang))
+        lcodes = pd.factorize(lang, sort=True)[0]
+        tcodes = pd.factorize(term, sort=True)[0]
+        order = np.lexsort((min_doc, gsalt, tcodes, lcodes))
         g = group.take(pa.array(order))
         lang, term, gsalt = lang[order], term[order], gsalt[order]
+        lcodes, tcodes = lcodes[order], tcodes[order]
         df = g["df"].to_numpy(zero_copy_only=False).astype(np.int64)
         change = (
-            (term[1:] != term[:-1])
-            | (lang[1:] != lang[:-1])
+            (tcodes[1:] != tcodes[:-1])
+            | (lcodes[1:] != lcodes[:-1])
             | (gsalt[1:] != gsalt[:-1])
         )
         tstarts = np.concatenate([[0], np.flatnonzero(change) + 1, [n]])
