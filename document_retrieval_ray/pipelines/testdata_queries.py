@@ -2604,6 +2604,152 @@ def q_lm_score(sf_dir: str):
     )
 
 
+# --------------------------------------------- distribution / sketch ops
+
+# exact distributed percentiles: doc lengths collapse to a VALUE HISTOGRAM
+# (per-batch (lang, dl) partial counts → one tiny groupby), so the shuffle
+# and the driver tail are O(distinct dl values), never O(docs). At 100 TB
+# the histogram is still a few thousand rows per lang.
+DL_PCTS = (25, 50, 75, 95)
+
+
+def q_dl_percentiles(sf_dir: str):
+    ds = _docs(sf_dir).map_batches(_dl_batch, batch_format="pyarrow")
+
+    def partial(t: pa.Table) -> pa.Table:
+        pdf = (
+            t.to_pandas()
+            .groupby(["lang", "dl"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.Table.from_pandas(pdf, preserve_index=False)
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "dl"])
+        .aggregate(ray.data.aggregate.Sum("n", alias_name="n"))
+        .to_pandas()  # bounded: one row per distinct (lang, dl)
+    )
+    rows = []
+    for lang, g in hist.groupby("lang"):
+        g = g.sort_values("dl")
+        cum = g["n"].to_numpy(np.int64).cumsum()
+        dlv = g["dl"].to_numpy(np.int64)
+        tot = int(cum[-1])
+        row = {"lang": lang}
+        for p in DL_PCTS:
+            # smallest dl whose running count reaches ceil(p% of total);
+            # ceil in exact integer math (mirrors the SQL ceil((p*tot)/100.0),
+            # where the float quotient is never within 1/100 of a wrong int)
+            thresh = (p * tot + 99) // 100
+            row[f"p{p}"] = int(dlv[np.searchsorted(cum, thresh, side="left")])
+        rows.append(row)
+    return pd.DataFrame(rows).sort_values("lang").reset_index(drop=True)
+
+
+# HyperLogLog distinct-term sketch: the canonical MERGEABLE-SKETCH shape —
+# each batch emits its per-(lang, register) rho maxima (≤ langs × 256 rows),
+# one small groupby-max combines them, the driver folds 256 registers into
+# the estimate. Nothing vocabulary-sized ever moves or materializes; at
+# 100 TB the exchange stays a few KB per batch regardless of corpus size.
+# Hash = md5 (shared with the SQL oracle bit-for-bit): register = first
+# 8 bits, rho = leading zeros of the next 48 bits + 1.
+HLL_M = 256  # 2^8 registers
+HLL_RHO_BITS = 48
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+
+
+def _hll_partial(t: pa.Table) -> pa.Table:
+    vals, parent = _flat_tok(t)
+    langs = np.asarray(t["lang"].to_pandas(), dtype=object)[parent]
+    if len(vals) == 0:
+        return pa.table(
+            {
+                "lang": pa.array([], pa.string()),
+                "reg": pa.array([], pa.int64()),
+                "rho": pa.array([], pa.int64()),
+            }
+        )
+    # hash each (lang, term) once per batch (duplicates can't raise a max)
+    key = np.char.add(np.char.add(langs.astype(str), "\x1f"), vals.astype(str))
+    _, idx = np.unique(key, return_index=True)
+    regs = np.empty(len(idx), np.int64)
+    rhos = np.empty(len(idx), np.int64)
+    for j, i in enumerate(idx):
+        hx = hashlib.md5(str(vals[i]).encode("utf-8")).hexdigest()
+        regs[j] = int(hx[:2], 16)
+        v = int(hx[2 : 2 + HLL_RHO_BITS // 4], 16)
+        rhos[j] = (HLL_RHO_BITS - v.bit_length()) + 1 if v else HLL_RHO_BITS + 1
+    pdf = pd.DataFrame({"lang": langs[idx], "reg": regs, "rho": rhos})
+    g = pdf.groupby(["lang", "reg"], sort=False)["rho"].max().reset_index()
+    return pa.Table.from_pandas(g, preserve_index=False)
+
+
+def hll_estimate(reg_max: np.ndarray) -> int:
+    """Fold a length-256 register-maxima array into the HLL estimate.
+
+    The harmonic sum is EXACT integer math (sum of 2^(49-M), max rho 49),
+    so engine and SQL oracle agree bit-for-bit; the one float division is
+    by a power of two (commutes with rounding)."""
+    s_int = int((np.int64(1) << (49 - reg_max.astype(np.int64))).sum())
+    e = HLL_ALPHA * HLL_M * HLL_M / (s_int / (1 << 49))
+    v = int((reg_max == 0).sum())
+    if e <= 2.5 * HLL_M and v > 0:  # small-range correction
+        e = HLL_M * np.log(HLL_M / v)
+    return int(np.floor(e + 0.5))
+
+
+def q_hll_distinct(sf_dir: str):
+    agg = (
+        _docs(sf_dir)
+        .map_batches(_hll_partial, batch_format="pyarrow")
+        .groupby(["lang", "reg"])
+        .aggregate(ray.data.aggregate.Max("rho", alias_name="rho"))
+        .to_pandas()  # bounded: ≤ langs × 256 rows
+    )
+    rows = []
+    for lang, g in agg.groupby("lang"):
+        reg_max = np.zeros(HLL_M, dtype=np.int64)
+        reg_max[g["reg"].to_numpy(np.int64)] = g["rho"].to_numpy(np.int64)
+        rows.append({"lang": lang, "hll_est": hll_estimate(reg_max)})
+    return pd.DataFrame(rows).sort_values("lang").reset_index(drop=True)
+
+
+# grouped top-k with per-batch pruning: each batch forwards at most k rows
+# per group, so the final per-group merge sees O(blocks × k) rows however
+# large the corpus — the grouped analog of rel_join_top's partial top-k.
+TOPGROUP_K = 3
+
+
+def q_top_per_group(sf_dir: str):
+    ds = _docs(sf_dir).map_batches(_dl_batch, batch_format="pyarrow")
+
+    def partial(t: pa.Table) -> pa.Table:
+        pdf = t.to_pandas().sort_values(
+            ["lang", "dl", "doc_id"], ascending=[True, False, True]
+        )
+        return pa.Table.from_pandas(
+            pdf.groupby("lang", sort=False).head(TOPGROUP_K),
+            preserve_index=False,
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            g.sort_values(["dl", "doc_id"], ascending=[False, True])
+            .head(TOPGROUP_K)
+            .copy()
+        )
+        g["rnk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["lang", "doc_id", "dl", "rnk"]]
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
 # ------------------------------------------------------------ registries
 
 QUERIES = {
@@ -2666,6 +2812,9 @@ QUERIES = {
     "dup_spans": q_dup_spans,
     "dup_span_docs": q_dup_span_docs,
     "lm_score": q_lm_score,
+    "dl_percentiles": q_dl_percentiles,
+    "hll_distinct": q_hll_distinct,
+    "top_per_group": q_top_per_group,
 }
 
 
@@ -3260,7 +3409,77 @@ SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
 FROM lp GROUP BY doc_id
 """
 
+# exact percentiles over the (lang, dl) value histogram; threshold =
+# ceil(p% of total) — the float quotient (p*tot)/100.0 is never within
+# 1/100 of a wrong integer, so ceil matches the engine's integer math
+_DL_PCT_COLS = ",\n  ".join(
+    f"min(CASE WHEN cum >= ceil(({p} * tot) / 100.0) THEN dl END) AS p{p}"
+    for p in DL_PCTS
+)
+_DL_PCT_SQL = f"""
+WITH {_DL_CTE},
+h AS (SELECT lang, dl, count(*) AS n FROM dl GROUP BY lang, dl),
+c AS (SELECT lang, dl,
+        sum(n) OVER (PARTITION BY lang ORDER BY dl) AS cum,
+        sum(n) OVER (PARTITION BY lang) AS tot
+      FROM h)
+SELECT lang,
+  {_DL_PCT_COLS}
+FROM c GROUP BY lang
+"""
+
+# HyperLogLog recomputed bit-for-bit: md5 register/rho from hex chars, the
+# harmonic sum as an EXACT BIGINT (2^(49-rho) per register, absent = 2^49,
+# max 2^57), one CAST→DOUBLE, one division by 2^49 (exact power-of-two
+# scaling commutes with double rounding, so it equals the engine's
+# correctly-rounded python int division)
+_HLL_RHO_CASE = """
+CASE WHEN z0 = 12 THEN 49
+     ELSE 4 * z0 + 1 +
+       CASE WHEN substring(tail, z0 + 1, 1) IN ('8','9','a','b','c','d','e','f') THEN 0
+            WHEN substring(tail, z0 + 1, 1) IN ('4','5','6','7') THEN 1
+            WHEN substring(tail, z0 + 1, 1) IN ('2','3') THEN 2
+            ELSE 3 END
+END"""
+_HLL_SQL = f"""
+WITH tt AS (SELECT DISTINCT lang, unnest({TOKLIST.format(col='text')}) AS term
+            FROM documents),
+h AS (SELECT lang, md5(term) AS hx FROM tt),
+z AS (SELECT lang,
+        (strpos('0123456789abcdef', substring(hx, 1, 1)) - 1) * 16
+      + (strpos('0123456789abcdef', substring(hx, 2, 1)) - 1) AS reg,
+        substring(hx, 3, 12) AS tail,
+        length(regexp_extract(substring(hx, 3, 12), '^0*')) AS z0
+      FROM h),
+r AS (SELECT lang, reg, {_HLL_RHO_CASE} AS rho FROM z),
+rm AS (SELECT lang, reg, max(rho) AS mr FROM r GROUP BY lang, reg),
+s AS (SELECT lang, count(*) AS np,
+        sum(CAST(1 AS BIGINT) << (49 - mr)) AS sp
+      FROM rm GROUP BY lang),
+e AS (SELECT lang, 256 - np AS v,
+        CAST({HLL_ALPHA!r} AS DOUBLE) * 65536.0 /
+        (CAST(sp + (CAST(256 - np AS BIGINT) << 49) AS DOUBLE)
+         / 562949953421312.0) AS e_raw
+      FROM s)
+SELECT lang,
+  CAST(CASE WHEN e_raw <= 640.0 AND v > 0
+            THEN floor(256.0 * ln(256.0 / v) + 0.5)
+            ELSE floor(e_raw + 0.5) END AS BIGINT) AS hll_est
+FROM e
+"""
+
+_TOP_PER_GROUP_SQL = f"""
+WITH {_DL_CTE},
+r AS (SELECT lang, doc_id, dl,
+        row_number() OVER (PARTITION BY lang ORDER BY dl DESC, doc_id) AS rnk
+      FROM dl)
+SELECT lang, doc_id, dl, rnk FROM r WHERE rnk <= {TOPGROUP_K}
+"""
+
 ORACLE_SQL = {
+    "dl_percentiles": _DL_PCT_SQL,
+    "hll_distinct": _HLL_SQL,
+    "top_per_group": _TOP_PER_GROUP_SQL,
     "range_join": """
 SELECT p.event_id AS event_id, p.user_id AS user_id,
        CAST(count(c.event_id) AS BIGINT) AS n_clicks
