@@ -198,11 +198,13 @@ def main() -> None:
     # scorer actors map the same plasma buffers instead of re-reading disk
     from document_retrieval_ray.state.index_shard import build_shared_payload
 
+    # per-lang payload builds are independent — run them as Ray tasks so
+    # the langs load in parallel (the task's return ref IS the plasma
+    # object the scorer actors map, same as ray.put of a driver build)
+    _load = ray.remote(num_cpus=1)(build_shared_payload)
     with timed("index_share"):
-        shared_refs = {
-            lang: ray.put(build_shared_payload(index_dir, lang))
-            for lang in manifests
-        }
+        shared_refs = {lang: _load.remote(index_dir, lang) for lang in manifests}
+        ray.wait(list(shared_refs.values()), num_returns=len(shared_refs))
 
     # from_items yields ONE block → one actor would get every query;
     # repartition so the scorer pool actually fans out

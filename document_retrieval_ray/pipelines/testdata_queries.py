@@ -2750,6 +2750,36 @@ def q_top_per_group(sf_dir: str):
     )
 
 
+# BPE-ish token counting (brief: "token counting — whitespace + a BPE-ish
+# regex"): subword-style segment count from a GPT-2-flavored alternation
+# over the lowercased raw text, plus fertility = subword tokens per
+# whitespace word. Both engines run the SAME RE2 pattern (Arrow's
+# count_substring_regex and DuckDB's regexp_extract_all are both RE2),
+# so non-overlapping leftmost-match counts agree exactly. Zero shuffle.
+BPE_PAT = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def q_bpe_tokens(sf_dir: str):
+    def kernel(t: pa.Table) -> pa.Table:
+        text = pc.cast(t["text"], pa.string())
+        low = pc.utf8_lower(text)
+        n_bpe = pc.count_substring_regex(low, BPE_PAT).cast(pa.int64())
+        nb = n_bpe.to_numpy(zero_copy_only=False)
+        dl = _dl_batch(t)["dl"].to_numpy()
+        fert = np.zeros(len(nb), dtype=np.int64)
+        nz = dl > 0
+        fert[nz] = np.floor((10000.0 * nb[nz]) / dl[nz] + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_bpe": pa.array(nb, pa.int64()),
+                "fertility_x": pa.array(fert, pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(kernel, batch_format="pyarrow")
+
+
 # ------------------------------------------------------------ registries
 
 QUERIES = {
@@ -2815,6 +2845,7 @@ QUERIES = {
     "dl_percentiles": q_dl_percentiles,
     "hll_distinct": q_hll_distinct,
     "top_per_group": q_top_per_group,
+    "bpe_tokens": q_bpe_tokens,
 }
 
 
@@ -3476,10 +3507,24 @@ r AS (SELECT lang, doc_id, dl,
 SELECT lang, doc_id, dl, rnk FROM r WHERE rnk <= {TOPGROUP_K}
 """
 
+_BPE_SQL = f"""
+WITH {_DL_CTE},
+b AS (SELECT doc_id,
+        CAST(len(regexp_extract_all(lower(text), '{BPE_PAT}')) AS BIGINT)
+          AS n_bpe
+      FROM documents)
+SELECT b.doc_id AS doc_id, b.n_bpe AS n_bpe,
+       CAST(CASE WHEN dl.dl = 0 THEN 0
+                 ELSE floor((10000.0 * b.n_bpe) / dl.dl + 0.5)
+            END AS BIGINT) AS fertility_x
+FROM b JOIN dl ON dl.doc_id = b.doc_id
+"""
+
 ORACLE_SQL = {
     "dl_percentiles": _DL_PCT_SQL,
     "hll_distinct": _HLL_SQL,
     "top_per_group": _TOP_PER_GROUP_SQL,
+    "bpe_tokens": _BPE_SQL,
     "range_join": """
 SELECT p.event_id AS event_id, p.user_id AS user_id,
        CAST(count(c.event_id) AS BIGINT) AS n_clicks

@@ -41,6 +41,8 @@ import heapq
 import os
 
 import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from ..config import BM25Config
@@ -81,22 +83,31 @@ def build_shared_payload(index_dir: str, lang: str, block_size: int = None,
     )
 
     def _concat_binary(col):
-        chunks = [np.frombuffer(b, np.uint8) for b in col.to_pylist()]
-        off = np.zeros(len(chunks) + 1, dtype=np.int64)
-        np.cumsum([len(c) for c in chunks], out=off[1:])
-        buf = np.concatenate(chunks) if chunks else np.empty(0, np.uint8)
-        return buf, off
+        # zero-copy: the Arrow binary column IS already (values buffer,
+        # offsets) — reuse its buffers instead of a per-term Python loop
+        # re-concatenating the whole postings payload
+        arr = pc.cast(col.combine_chunks(), pa.large_binary())
+        n = len(arr)
+        if n == 0 or arr.buffers()[1] is None:
+            return np.empty(0, np.uint8), np.zeros(n + 1, np.int64)
+        off = np.frombuffer(arr.buffers()[1], np.int64)[
+            arr.offset : arr.offset + n + 1
+        ]
+        data = np.frombuffer(arr.buffers()[2] or b"", np.uint8)
+        buf = data[off[0] : off[-1]]
+        return buf, (off - off[0]).astype(np.int64)
 
     def _concat_lists(col):
-        lists = col.to_pylist()
-        off = np.zeros(len(lists) + 1, dtype=np.int64)
-        np.cumsum([len(x) for x in lists], out=off[1:])
-        buf = (
-            np.concatenate([np.asarray(x, np.int64) for x in lists])
-            if lists
-            else np.empty(0, np.int64)
-        )
-        return buf, off
+        arr = pc.cast(col.combine_chunks(), pa.large_list(pa.int64()))
+        n = len(arr)
+        if n == 0 or arr.buffers()[1] is None:
+            return np.empty(0, np.int64), np.zeros(n + 1, np.int64)
+        off = np.frombuffer(arr.buffers()[1], np.int64)[
+            arr.offset : arr.offset + n + 1
+        ]
+        vals = arr.values.to_numpy(zero_copy_only=False)
+        buf = vals[off[0] : off[-1]]
+        return buf, (off - off[0]).astype(np.int64)
 
     post_buf, post_off = _concat_binary(post["postings"])
     bo_buf, bo_off = _concat_lists(post["block_off"])
@@ -109,15 +120,21 @@ def build_shared_payload(index_dir: str, lang: str, block_size: int = None,
         columns=["doc_id", "url", "dl"],
     )
     order = np.argsort(dm["doc_id"].to_numpy(zero_copy_only=False))
-    urls = np.asarray(dm["url"].to_pandas(), dtype=object)[order]
-    url_bytes = [u.encode("utf-8") for u in urls]
-    url_off = np.zeros(len(url_bytes) + 1, dtype=np.int64)
-    np.cumsum([len(b) for b in url_bytes], out=url_off[1:])
-    url_buf = (
-        np.frombuffer(b"".join(url_bytes), np.uint8)
-        if url_bytes
-        else np.empty(0, np.uint8)
+    # Arrow strings are already utf-8 (values, offsets): take in doc-id
+    # order and reuse the buffers — no per-url Python encode loop
+    urls_arr = pc.cast(
+        dm["url"].combine_chunks().take(pa.array(order)), pa.large_binary()
     )
+    if len(urls_arr) == 0 or urls_arr.buffers()[1] is None:
+        url_buf = np.empty(0, np.uint8)
+        url_off = np.zeros(len(urls_arr) + 1, np.int64)
+    else:
+        url_off = np.frombuffer(urls_arr.buffers()[1], np.int64)[
+            urls_arr.offset : urls_arr.offset + len(urls_arr) + 1
+        ]
+        url_data = np.frombuffer(urls_arr.buffers()[2] or b"", np.uint8)
+        url_buf = url_data[url_off[0] : url_off[-1]]
+        url_off = (url_off - url_off[0]).astype(np.int64)
 
     norms = None
     norms_dir = os.path.join(index_dir, "norms", f"lang={lang}")
