@@ -2780,6 +2780,62 @@ def q_bpe_tokens(sf_dir: str):
     return _docs(sf_dir).map_batches(kernel, batch_format="pyarrow")
 
 
+# Benchmark decontamination (GPT-3/Lee-et-al style): flag documents whose
+# DECON_N-token windows collide with a fixed evaluation-set span list.
+# Scale shape = BROADCAST SEMI-JOIN: the eval-set hashes go to plasma once
+# (ray.put) and every task membership-tests its batch's span hashes
+# against the same object — zero shuffle, nothing corpus-sized moves, and
+# a doc lives in one batch so per-batch hit counts are final.
+DECON_N = 3
+DECON_EVAL_SPANS = (
+    "hash join order",
+    "table scan merge",
+    "stream spark window",
+    "group part hash",
+    "filter key fast",
+    "data stream vector",
+    "batch slow order",
+    "query scan slow",
+)
+
+
+def q_decontaminate(sf_dir: str):
+    from ..functions.hashing import md5_hex
+
+    eval_ref = ray.put(frozenset(md5_hex(s) for s in DECON_EVAL_SPANS))
+
+    def partial(t: pa.Table) -> pa.Table:
+        es = ray.get(eval_ref)  # zero-copy shared set, fetched per task
+        vals, parent = _flat_tok(t)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w, wp = _spans(vals, parent, DECON_N)
+        if len(w) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_eval_hits": pa.array([], pa.int64()),
+                }
+            )
+        uniq, inv = np.unique(w, return_inverse=True)
+        hit_u = np.fromiter(
+            (md5_hex(str(s)) in es for s in uniq), dtype=bool, count=len(uniq)
+        )
+        hit = hit_u[inv]
+        if not hit.any():
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_eval_hits": pa.array([], pa.int64()),
+                }
+            )
+        hits = pd.DataFrame({"doc_id": ids[wp[hit]]})
+        g = hits.groupby("doc_id", sort=False).size().rename("n_eval_hits")
+        g = g.reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return _docs(sf_dir).map_batches(partial, batch_format="pyarrow")
+
+
 # ------------------------------------------------------------ registries
 
 QUERIES = {
@@ -2846,6 +2902,7 @@ QUERIES = {
     "hll_distinct": q_hll_distinct,
     "top_per_group": q_top_per_group,
     "bpe_tokens": q_bpe_tokens,
+    "decontaminate": q_decontaminate,
 }
 
 
@@ -3520,11 +3577,25 @@ SELECT b.doc_id AS doc_id, b.n_bpe AS n_bpe,
 FROM b JOIN dl ON dl.doc_id = b.doc_id
 """
 
+_DECON_VALUES = ", ".join(f"('{s}')" for s in DECON_EVAL_SPANS)
+_DECON_SQL = f"""
+WITH {_TOKS_CTE},
+sp3 AS (SELECT doc_id,
+          unnest(list_transform(range(1, len(l) - {DECON_N - 2}),
+            i -> array_to_string(list_slice(l, i, i + {DECON_N - 1}), ' ')))
+          AS sp
+        FROM toks WHERE len(l) >= {DECON_N}),
+ev(sp) AS (VALUES {_DECON_VALUES})
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_eval_hits
+FROM sp3 JOIN ev USING (sp) GROUP BY doc_id
+"""
+
 ORACLE_SQL = {
     "dl_percentiles": _DL_PCT_SQL,
     "hll_distinct": _HLL_SQL,
     "top_per_group": _TOP_PER_GROUP_SQL,
     "bpe_tokens": _BPE_SQL,
+    "decontaminate": _DECON_SQL,
     "range_join": """
 SELECT p.event_id AS event_id, p.user_id AS user_id,
        CAST(count(c.event_id) AS BIGINT) AS n_clicks
