@@ -49,6 +49,12 @@ def _scaling() -> None:
             # 2M docs shuffle ~30 GiB of posting triples; keep both legs
             # out of spill with the same (fixed) store size
             GRAFT_OBJ_STORE_GB=os.environ.get("GRAFT_OBJ_STORE_GB", "48"),
+            # pin the read partitioning across legs (same job at both
+            # cluster sizes): 2 blocks/CPU at the HI leg's width
+            # (`hi` resolves at call time — legs run after lo/hi are set)
+            GRAFT_BENCH_READ_BLOCKS=os.environ.get(
+                "GRAFT_BENCH_READ_BLOCKS", str(2 * hi)
+            ),
             PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH", ""),
         )
         out = subprocess.run(
@@ -173,14 +179,20 @@ def main() -> None:
     cfg = IndexConfig(
         tokenizer=TokenizerConfig(mode="simple"),
         num_hash_parts=32,
-        num_encode_parts=32,
+        num_encode_parts=256,
         hot_term_threshold=1_000_000,
         salt_shift=13,
     )
+    # GRAFT_BENCH_READ_BLOCKS pins the corpus-read block count (scaling
+    # legs set it so both cluster sizes run the SAME job — like
+    # num_hash_parts/num_encode_parts above, partitioning must not vary
+    # with cluster size in a scaling comparison)
+    read_blocks = os.environ.get("GRAFT_BENCH_READ_BLOCKS")
     with timed("index_build"):
         manifests = build_index(
             os.path.join(corpus_dir, "documents.parquet"), index_dir,
             cfg=cfg, with_cosine_norms=False,
+            read_num_blocks=int(read_blocks) if read_blocks else None,
         )
     n_docs = sum(m["n_docs"] for m in manifests.values())
     timings["index_docs_per_sec"] = round(n_docs / timings["index_build"], 1)

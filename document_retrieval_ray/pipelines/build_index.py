@@ -272,6 +272,7 @@ def build_index(
     tokenize_concurrency=None,
     input_ds_factory=None,
     keep_triples: bool = False,
+    read_num_blocks: int | None = None,
 ) -> dict:
     """Build (or resume) the inverted index. Returns {lang: manifest dict}.
 
@@ -280,6 +281,12 @@ def build_index(
     driver testdata shape). A factory taking a ``columns`` argument is
     given the pruned column list so pass 0 stays a thin read.
     Fingerprinting then uses ``input_path`` as an opaque label.
+
+    ``read_num_blocks``: explicit corpus-read block count (None = the
+    auto floor below, which depends on cluster CPUs). Scaling comparisons
+    across cluster sizes should pin this so both runs execute the SAME
+    job — otherwise the smaller cluster reads in fewer blocks and gains a
+    per-block-overhead advantage that distorts the ratio.
     """
     import time
 
@@ -296,6 +303,15 @@ def build_index(
     # has no shard" (legitimately empty result)
     os.makedirs(d["manifests"], exist_ok=True)
     if tokenize_concurrency is None:
+        # quarter-size fixed pools for tokenize AND assign: both reserve
+        # their CPUs for the execution's lifetime, and together with the
+        # shuffle/write task stages they must stay under the cluster
+        # size. Measured alternatives at 2M docs / 16 CPUs: an
+        # autoscaling (1, max) range is 55% slower (ramp-up delay
+        # serializes each phase's early blocks); tokenize=0.5 +
+        # assign=0.25 speeds tokenize but slows the assign phase by more
+        # (fewer free task slots while the idle pool's reservation
+        # lingers).
         tokenize_concurrency = default_pool()
     tok = cfg.tokenizer
     fingerprint = (
@@ -344,7 +360,9 @@ def build_index(
             return input_ds_factory()
         cols = columns or (["url", "lang"] + (["html"] if extract_html else ["text"]))
         return ray.data.read_parquet(
-            input_path, columns=cols, override_num_blocks=_auto_num_blocks()
+            input_path,
+            columns=cols,
+            override_num_blocks=read_num_blocks or _auto_num_blocks(),
         )
 
     # --- pass 0: per-(lang, part) doc counts → langs + dense-id offsets.
