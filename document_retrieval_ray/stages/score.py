@@ -168,7 +168,15 @@ class BM25ScorerStage:
                 )
                 if cand.size == 0:
                     continue
-                sub_urls = idx.urls[cand]
+                # keep the candidate→url mapping LAZY: cand is the full
+                # maxscore candidate set (often 10k+ docs/query) and
+                # topk_with_ties only reads the ~k-sized preselect sliver;
+                # eagerly decoding every candidate's url costs more than
+                # the scoring itself
+                urls = idx.urls
+                sub_urls = (
+                    urls.select(cand) if hasattr(urls, "select") else urls[cand]
+                )
                 ranks, sel, keys = topk_with_ties(
                     sub_scores, sub_urls, self.cfg.k, self.round_dp
                 )

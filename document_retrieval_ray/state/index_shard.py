@@ -252,15 +252,15 @@ class LangIndex:
         self._decoded_cap = 1024
 
     @property
-    def urls(self) -> np.ndarray:
-        """Materialized url strings (decoded once, lazily, per holder)."""
+    def urls(self) -> "_LazyUrls":
+        """Decode-on-demand view over the flat (url_buf, url_off) plasma
+        buffers. Scorers only ever index candidate-sized slivers (top-k
+        preselects, WAND pivots), so materializing the whole shard's url
+        strings per actor — seconds of decode and ~0.5 GB of heap per
+        actor at web-scale shards, the query stage's dominant per-actor
+        warm-up — is wasted; the view decodes exactly the ids asked for."""
         if self._urls is None:
-            off = self._url_off
-            raw = self._url_buf.tobytes()
-            self._urls = np.array(
-                [raw[off[i]:off[i + 1]].decode("utf-8") for i in range(self.n_docs)],
-                dtype=object,
-            )
+            self._urls = _LazyUrls(self._url_buf, self._url_off)
         return self._urls
 
     # --- per-term accessors over the flat buffers ---
@@ -381,7 +381,59 @@ def score_cosine_taat(idx: LangIndex, tokens, law: str = "cosine") -> np.ndarray
     return out
 
 
-def topk_with_ties(scores: np.ndarray, urls: np.ndarray, k: int, round_dp=4):
+class _LazyUrls:
+    """Array-like view decoding url strings on demand from the shared
+    flat buffers. Supports the two access shapes the scorers use —
+    scalar int (WAND pivot admission) and int-array fancy indexing
+    (top-k slivers) — returning a plain object ndarray so lexsort /
+    list() / zip consumers are unchanged."""
+
+    __slots__ = ("_buf", "_off")
+
+    def __init__(self, buf: np.ndarray, off: np.ndarray):
+        self._buf = buf
+        self._off = off
+
+    def __len__(self) -> int:
+        return len(self._off) - 1
+
+    def __getitem__(self, i):
+        off = self._off
+        buf = self._buf
+        if isinstance(i, (int, np.integer)):
+            return bytes(buf[off[i]:off[i + 1]]).decode("utf-8")
+        idx = np.asarray(i)
+        return np.array(
+            [bytes(buf[off[j]:off[j + 1]]).decode("utf-8") for j in idx],
+            dtype=object,
+        )
+
+    def select(self, ids) -> "_LazyUrls":
+        """Lazy re-indexed view: ``view.select(cand)[i] == view[cand[i]]``
+        WITHOUT decoding ``cand``'s urls — callers that pass a large
+        candidate set into a top-k that reads only a sliver stay O(k)."""
+        return _LazyUrlsIndirect(self, np.asarray(ids, dtype=np.int64))
+
+
+class _LazyUrlsIndirect:
+    """select()-result: indexes the parent through an id map, lazily."""
+
+    __slots__ = ("_parent", "_ids")
+
+    def __init__(self, parent: "_LazyUrls", ids: np.ndarray):
+        self._parent = parent
+        self._ids = ids
+
+    def __len__(self) -> int:
+        return len(self._ids)
+
+    def __getitem__(self, i):
+        if isinstance(i, (int, np.integer)):
+            return self._parent[int(self._ids[i])]
+        return self._parent[self._ids[np.asarray(i)]]
+
+
+def topk_with_ties(scores: np.ndarray, urls, k: int, round_dp=4):
     """Top-k of positive-score docs; rank on (rounded score desc, url asc).
 
     Returns (ranks 1..k', doc_indices, score_keys). ``round_dp=None`` ranks
