@@ -214,8 +214,16 @@ def main() -> None:
     # the langs load in parallel (the task's return ref IS the plasma
     # object the scorer actors map, same as ray.put of a driver build)
     _load = ray.remote(num_cpus=1)(build_shared_payload)
+    serving_cfg = BM25Config(k1=1.2, b=0.75, compat="standard")
     with timed("index_share"):
-        shared_refs = {lang: _load.remote(index_dir, lang) for lang in manifests}
+        # contrib_cfg: the serving formula is known up front, so the
+        # payload also carries the per-posting BM25 contributions of the
+        # Zipf head — scorers read one float per posting instead of
+        # re-deriving the formula per query per actor
+        shared_refs = {
+            lang: _load.remote(index_dir, lang, contrib_cfg=serving_cfg)
+            for lang in manifests
+        }
         ray.wait(list(shared_refs.values()), num_returns=len(shared_refs))
 
     # from_items yields ONE block → one actor would get every query;
@@ -223,7 +231,7 @@ def main() -> None:
     qds = ray.data.from_items(qrows).repartition(NUM_CPUS * 4)
     with timed("bm25_queries"):
         res = bm25_search(
-            qds, index_dir, cfg=BM25Config(k1=1.2, b=0.75, compat="standard"),
+            qds, index_dir, cfg=serving_cfg,
             batch_size=64, shared_refs=shared_refs, method="maxscore",
         )
         n_res = res.count()

@@ -120,6 +120,18 @@ class _GlobalView:
     def postings(self, term: str):
         return self._idx.postings(term)
 
+    def term_contrib(self, term: str, cfg):
+        """Per-posting BM25 contribution under the GLOBAL avgdl — the
+        inner LangIndex's cached/shared contribs were computed with its
+        LOCAL avgdl and must not be reused here."""
+        from ..state.index_shard import _bm25_contrib
+
+        p = self._idx.postings(term)
+        if p is None:
+            return None
+        doc_ids, tfs = p
+        return _bm25_contrib(tfs, self.dl[doc_ids], cfg, self.avgdl)
+
 
 class ShardedBM25Scorer:
     """Group stage over (shard_id, qpart)-keyed query rows: per-shard

@@ -166,6 +166,20 @@ class BM25ScorerStage:
                 sub_scores, cand = score_bm25_maxscore(
                     idx, tokens, self.cfg, self.cfg.k, round_dp=self.round_dp
                 )
+                if cand is None:
+                    # dense exact-TAAT fallback: rank the dense array
+                    # directly (compacting ~N candidates first would just
+                    # add three dense passes)
+                    ranks, sel, keys = topk_with_ties(
+                        sub_scores, idx.urls, self.cfg.k, self.round_dp
+                    )
+                    if len(ranks) == 0:
+                        continue
+                    parts.append(
+                        _rows(qid, ranks, sel, keys, sub_scores, idx.urls,
+                              self.round_dp)
+                    )
+                    continue
                 if cand.size == 0:
                     continue
                 # keep the candidate→url mapping LAZY: cand is the full

@@ -57,7 +57,8 @@ IDF_LAWS = {
 
 
 def build_shared_payload(index_dir: str, lang: str, block_size: int = None,
-                         hot_decode_df: int = 50_000) -> dict:
+                         hot_decode_df: int = 50_000,
+                         contrib_cfg: "BM25Config" = None) -> dict:
     """Load one language shard into FLAT numpy buffers suitable for
     zero-copy sharing via ``ray.put``: every scorer actor then maps the
     same plasma memory instead of re-reading and re-materializing the
@@ -70,6 +71,15 @@ def build_shared_payload(index_dir: str, lang: str, block_size: int = None,
     query-stage scaling as the pool grows (observed: 2k queries sped up
     only 1.6× from 4→16 CPUs). Actors read the hot arrays as zero-copy
     plasma views. ``hot_decode_df=0`` disables.
+
+    ``contrib_cfg``: when the serving BM25Config is known up front, the
+    per-posting BM25 contribution tf*(k1+1)/(tf + k1*(1-b[+b]*dl/avgdl))
+    of every hot term is ALSO precomputed here (it is query-independent:
+    idf laws and term weights multiply outside). Scoring a Zipf-head term
+    then reads one float64 per posting instead of gathering dl and
+    re-deriving the formula (≈5× the traffic) per query per actor. The
+    key (k1, b, compat) is stored; scorers fall back to on-the-fly
+    computation for any other cfg.
 
     Layout: per-term variable-length data (postings bytes, block metadata
     lists) concatenated into one buffer + an int64 offsets array."""
@@ -156,6 +166,8 @@ def build_shared_payload(index_dir: str, lang: str, block_size: int = None,
         else np.empty(0, np.int64)
     )
     hot_off = np.zeros(len(hot_rows) + 1, dtype=np.int64)
+    dl_f64 = dm["dl"].to_numpy(zero_copy_only=False)[order].astype(np.float64)
+    avgdl = m["avgdl"]
 
     def _decode_one(i: int):
         dpc, tpc = decode_blocked_postings(
@@ -164,7 +176,17 @@ def build_shared_payload(index_dir: str, lang: str, block_size: int = None,
             int(df_arr[i]),
             bs,
         )
-        return dpc.astype(np.int64), tpc.astype(np.float64)
+        # int64 ids: numpy fancy-index assignment converts indices to
+        # intp internally, so int32 would force a df-sized conversion on
+        # EVERY scatter (measured 1.6× slower than int64 scatter)
+        dpc = dpc.astype(np.int64)
+        tpc = tpc.astype(np.float64)
+        con = (
+            _bm25_contrib(tpc, dl_f64[dpc], contrib_cfg, avgdl)
+            if contrib_cfg is not None and avgdl > 0
+            else None
+        )
+        return dpc, tpc, con
 
     if len(hot_rows):
         # numpy decode releases the GIL enough for thread parallelism
@@ -172,16 +194,22 @@ def build_shared_payload(index_dir: str, lang: str, block_size: int = None,
 
         with ThreadPoolExecutor(max_workers=8) as ex:
             decoded = list(ex.map(_decode_one, hot_rows))
-        hot_docs_parts = [d for d, _ in decoded]
-        hot_tfs_parts = [t for _, t in decoded]
+        hot_docs_parts = [d for d, _, _ in decoded]
+        hot_tfs_parts = [t for _, t, _ in decoded]
+        hot_con_parts = [c for _, _, c in decoded]
         np.cumsum([len(d) for d in hot_docs_parts], out=hot_off[1:])
     else:
-        hot_docs_parts, hot_tfs_parts = [], []
+        hot_docs_parts, hot_tfs_parts, hot_con_parts = [], [], []
     hot_docs = (
         np.concatenate(hot_docs_parts) if hot_docs_parts else np.empty(0, np.int64)
     )
     hot_tfs = (
         np.concatenate(hot_tfs_parts) if hot_tfs_parts else np.empty(0, np.float64)
+    )
+    hot_contrib = (
+        np.concatenate(hot_con_parts)
+        if hot_con_parts and hot_con_parts[0] is not None
+        else None
     )
 
     return {
@@ -194,11 +222,17 @@ def build_shared_payload(index_dir: str, lang: str, block_size: int = None,
         "post_buf": post_buf, "post_off": post_off,
         "bo_buf": bo_buf, "bo_off": bo_off,
         "bl_buf": bl_buf, "mt_buf": mt_buf, "md_buf": md_buf,
-        "dl": dm["dl"].to_numpy(zero_copy_only=False)[order].astype(np.float64),
+        "dl": dl_f64,
         "url_buf": url_buf, "url_off": url_off,
         "norms": norms,
         "hot_rows": np.asarray(hot_rows, np.int64),
         "hot_docs": hot_docs, "hot_tfs": hot_tfs, "hot_off": hot_off,
+        "hot_contrib": hot_contrib,
+        "contrib_key": (
+            (contrib_cfg.k1, contrib_cfg.b, contrib_cfg.compat)
+            if contrib_cfg is not None and hot_contrib is not None
+            else None
+        ),
     }
 
 
@@ -239,17 +273,29 @@ class LangIndex:
         self._urls = None
         # zero-copy views over the shared pre-decoded Zipf head
         self._hot: dict = {}
+        self._hot_contrib: dict = {}
+        self._contrib_key = p.get("contrib_key")
         hot_rows = p.get("hot_rows")
         if hot_rows is not None and len(hot_rows):
             ho = p["hot_off"]
             hd = p["hot_docs"]
             ht = p["hot_tfs"]
+            hc = p.get("hot_contrib")
             for j, i in enumerate(hot_rows):
                 self._hot[int(i)] = (hd[ho[j]:ho[j + 1]], ht[ho[j]:ho[j + 1]])
+                if hc is not None:
+                    self._hot_contrib[int(i)] = hc[ho[j]:ho[j + 1]]
         from collections import OrderedDict
 
         self._decoded: "OrderedDict" = OrderedDict()
         self._decoded_cap = 1024
+        # per-instance contribution cache for cfgs the payload didn't
+        # precompute (or disk-loaded shards): bounded by ELEMENT count —
+        # Zipf-head arrays are df-sized, so an entry cap alone could pin
+        # gigabytes per actor
+        self._contrib_cache: "OrderedDict" = OrderedDict()
+        self._contrib_elems = 0
+        self._contrib_elems_cap = 32_000_000  # ≈256 MB of float64
 
     @property
     def urls(self) -> "_LazyUrls":
@@ -309,6 +355,41 @@ class LangIndex:
             self._decoded.popitem(last=False)
         return out
 
+    def term_contrib(self, term: str, cfg: BM25Config):
+        """Per-posting BM25 contribution array for ``term`` (aligned with
+        ``postings(term)[0]``), or None for an absent term.
+
+        Query-independent given (k1, b, compat): idf laws and term
+        weights multiply OUTSIDE this factor, so one array serves every
+        query and idf variant. Zipf-head terms resolve to the payload's
+        shared plasma precompute when the cfg matches; anything else is
+        computed once and kept in a size-bounded per-instance cache —
+        per-query recomputation on head terms is ~5× the memory traffic
+        of reading the cached array."""
+        i = self._terms.get(term)
+        if i is None:
+            return None
+        key = (cfg.k1, cfg.b, cfg.compat)
+        if key == self._contrib_key:
+            shared = self._hot_contrib.get(i)
+            if shared is not None:
+                return shared
+        ck = (i, key)
+        hit = self._contrib_cache.get(ck)
+        if hit is not None:
+            self._contrib_cache.move_to_end(ck)
+            return hit
+        doc_ids, tfs = self.postings(term)
+        con = _bm25_contrib(tfs, self.dl[doc_ids], cfg, self.avgdl)
+        self._contrib_cache[ck] = con
+        self._contrib_elems += con.size
+        while self._contrib_elems > self._contrib_elems_cap and len(
+            self._contrib_cache
+        ) > 1:
+            _, old = self._contrib_cache.popitem(last=False)
+            self._contrib_elems -= old.size
+        return con
+
     def term_blocks(self, term: str):
         """Block-level access for WAND: (row_index, n_blocks) or None."""
         i = self._terms.get(term)
@@ -329,12 +410,26 @@ def _term_weights(tokens, compat: str):
 
 
 def _bm25_contrib(tf, dl, cfg: BM25Config, avgdl: float):
+    """tf*(k1+1) / (tf + k1*(1 - b [+ b]*dl/avgdl)) with in-place temps.
+
+    The naive expression allocates ~5 df-sized float64 temporaries; on
+    Zipf-head terms (df ≈ N) that temp traffic dominates scoring and is
+    pure memory-bandwidth — the resource scorer actors contend on. The
+    rewrite keeps the EXACT IEEE op order (multiplication regrouping is
+    avoided; `x + y == y + x` is exact in IEEE-754) so scores stay
+    bit-identical to the oracle."""
     k1, b = cfg.k1, cfg.b
     if cfg.compat == "reference":
-        denom = tf + k1 * (1.0 - b + dl / avgdl)  # missing-b quirk (:142)
+        denom = dl / avgdl  # missing-b quirk (reference :142)
     else:
-        denom = tf + k1 * (1.0 - b + b * dl / avgdl)
-    return (tf * (k1 + 1.0)) / denom
+        denom = b * dl
+        denom /= avgdl
+    denom += 1.0 - b
+    denom *= k1
+    denom += tf
+    out = tf * (k1 + 1.0)
+    out /= denom
+    return out
 
 
 def score_bm25_taat(idx: LangIndex, tokens, cfg: BM25Config) -> np.ndarray:
@@ -346,10 +441,11 @@ def score_bm25_taat(idx: LangIndex, tokens, cfg: BM25Config) -> np.ndarray:
         p = idx.postings(term)
         if p is None:
             continue
-        doc_ids, tfs = p
+        doc_ids = p[0]
         idf = idx.idf(term, cfg.idf)
-        contrib = weight * idf * _bm25_contrib(tfs, idx.dl[doc_ids], cfg, idx.avgdl)
-        scores[doc_ids] += contrib
+        # (weight * idf) * contrib — same float op order as the inline
+        # formula (left-assoc multiply), so cached contribs are exact
+        scores[doc_ids] += (weight * idf) * idx.term_contrib(term, cfg)
     return scores
 
 
@@ -439,19 +535,52 @@ def topk_with_ties(scores: np.ndarray, urls, k: int, round_dp=4):
     Returns (ranks 1..k', doc_indices, score_keys). ``round_dp=None`` ranks
     on raw float64 scores (oracle rank-identity tests).
     """
-    pos = np.nonzero(scores > 0)[0]
-    if pos.size == 0:
-        return np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.float64)
-    s = scores[pos]
-    key = np.floor(s * (10.0 ** round_dp) + 0.5) if round_dp is not None else s
-    # O(n) preselect: keep every candidate whose key ties-or-beats the kth
-    # largest key, then lexsort only that sliver. A full (url, key)
-    # lexsort over all positive docs dominated hot-term queries.
-    if key.size > max(4 * k, 64):
-        kth = np.partition(key, key.size - k)[key.size - k]
-        keep = np.nonzero(key >= kth)[0]
-        pos = pos[keep]
-        key = key[keep]
+    scale = 10.0 ** round_dp if round_dp is not None else None
+    # Sampled-threshold preselect for big dense arrays: nonzero-compacting
+    # ~N positive docs and np.partition-ing their keys are the two
+    # dominant passes of a Zipf-head query (measured 4.6 + 9.7 ms at
+    # 1.5M docs). A stride sample's kth-largest raw score t̂ sits near the
+    # global (k·n/m)-quantile, so `scores >= t̂` keeps a few-thousand-doc
+    # sliver in ONE dense compare pass. Exactness check: every excluded
+    # doc scores < t̂, so its rounded key ≤ key(t̂); if key(t̂) is
+    # STRICTLY below the sliver's kth key, no excluded doc can tie-or-
+    # beat rank k — otherwise fall through to the exact slow path.
+    pos = None
+    if scores.size > 200_000:
+        samp = scores[:: max(1, scores.size // 4096)]
+        if samp.size > k:
+            t_hat = np.partition(samp, samp.size - k)[samp.size - k]
+            if t_hat > 0.0:
+                cand = np.nonzero(scores >= t_hat)[0]
+                if cand.size >= k:
+                    s = scores[cand]
+                    key = np.floor(s * scale + 0.5) if scale is not None else s
+                    kth = np.partition(key, key.size - k)[key.size - k]
+                    t_key = (
+                        np.floor(t_hat * scale + 0.5) if scale is not None else t_hat
+                    )
+                    if t_key < kth:
+                        keep = np.nonzero(key >= kth)[0]
+                        pos = cand[keep]
+                        key = key[keep]
+    if pos is None:
+        pos = np.nonzero(scores > 0)[0]
+        if pos.size == 0:
+            return (
+                np.empty(0, np.int64),
+                np.empty(0, np.int64),
+                np.empty(0, np.float64),
+            )
+        s = scores[pos]
+        key = np.floor(s * scale + 0.5) if scale is not None else s
+        # O(n) preselect: keep every candidate whose key ties-or-beats the
+        # kth largest key, then lexsort only that sliver. A full (url, key)
+        # lexsort over all positive docs dominated hot-term queries.
+        if key.size > max(4 * k, 64):
+            kth = np.partition(key, key.size - k)[key.size - k]
+            keep = np.nonzero(key >= kth)[0]
+            pos = pos[keep]
+            key = key[keep]
     # order by (-key, url)
     order = np.lexsort((urls[pos], -key))
     take = order[: min(k, order.size)]
@@ -478,9 +607,12 @@ def score_bm25_maxscore(idx: LangIndex, tokens, cfg: BM25Config, k: int = 10,
 
     Zipf head terms have tiny idf, so the fast path almost always holds;
     all-hot-term queries fall back (equivalent to TAAT).
-    Returns the dense score array restricted to exact top-k semantics:
-    (scores_like, candidate_idx) where scores are valid for candidates
-    and the caller ranks candidates only.
+    Returns (scores, candidate_idx): scores are valid for the candidates
+    and the caller ranks candidates only — EXCEPT when candidate_idx is
+    None, which means "scores is the full dense array" (the exact-TAAT
+    fallback): compacting ~N candidates through nonzero + two gathers
+    costs three dense passes that ``topk_with_ties`` would immediately
+    redo, so the dense array is handed to the caller as-is.
     """
     if idx.avgdl <= 0:
         return np.zeros(0, np.float64), np.empty(0, np.int64)
@@ -494,15 +626,13 @@ def score_bm25_maxscore(idx: LangIndex, tokens, cfg: BM25Config, k: int = 10,
     if not rare and not hot:
         return np.zeros(0, np.float64), np.empty(0, np.int64)
     if not rare:
-        scores = score_bm25_taat(idx, tokens, cfg)
-        pos = np.nonzero(scores > 0)[0]
-        return scores[pos], pos
+        return score_bm25_taat(idx, tokens, cfg), None
 
     scores = np.zeros(idx.n_docs, dtype=np.float64)
     for term, w in rare:
-        doc_ids, tfs = idx.postings(term)
+        doc_ids = idx.postings(term)[0]
         idf = idx.idf(term, cfg.idf)
-        scores[doc_ids] += (w * idf) * _bm25_contrib(tfs, idx.dl[doc_ids], cfg, idx.avgdl)
+        scores[doc_ids] += (w * idf) * idx.term_contrib(term, cfg)
     cand = np.nonzero(scores > 0)[0]
 
     hot_ub = 0.0
@@ -518,13 +648,16 @@ def score_bm25_maxscore(idx: LangIndex, tokens, cfg: BM25Config, k: int = 10,
         # negative ub here would understate the outside-docs bound and
         # let the 'safe' check skip the exact fallback incorrectly
         hot_ub += max(ub, 0.0)
-        doc_ids, tfs = idx.postings(term)
-        pos = np.searchsorted(doc_ids, cand)
+        doc_ids = idx.postings(term)[0]
+        # cast the SMALL side: int64 cand vs int32 hot ids would promote
+        # (copy) the df-sized array per query
+        pos = np.searchsorted(doc_ids, cand.astype(doc_ids.dtype, copy=False))
         pos = np.clip(pos, 0, len(doc_ids) - 1)
         match = doc_ids[pos] == cand
         ci = cand[match]
-        tfi = tfs[pos[match]]
-        scores[ci] += (w * idf) * _bm25_contrib(tfi, idx.dl[ci], cfg, idx.avgdl)
+        # gather from the (shared) per-posting contribution array —
+        # elementwise, so gathering equals computing on gathered operands
+        scores[ci] += (w * idf) * idx.term_contrib(term, cfg)[pos[match]]
 
     if hot:
         cs = scores[cand]
@@ -538,9 +671,7 @@ def score_bm25_maxscore(idx: LangIndex, tokens, cfg: BM25Config, k: int = 10,
         # candidates must fill the whole top-k, else outside docs would
         # occupy the remaining ranks
         if not (cs.size >= k and safe):
-            scores = score_bm25_taat(idx, tokens, cfg)  # exact fallback
-            pos = np.nonzero(scores > 0)[0]
-            return scores[pos], pos
+            return score_bm25_taat(idx, tokens, cfg), None  # exact fallback
     return scores[cand], cand
 
 

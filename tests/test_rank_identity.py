@@ -263,6 +263,13 @@ def test_maxscore_matches_taat(built, cfg):
             ss, cand = score_bm25_maxscore(
                 idx, tokens, cfg, 10, hot_df=hot_df, round_dp=4
             )
+            if cand is None:  # dense exact-TAAT fallback contract
+                r_m = topk_with_ties(ss, idx.urls, 10, 4)
+                got = [
+                    (int(r), idx.urls[i], int(k)) for r, i, k in zip(*r_m)
+                ]
+                assert got == exp, (q["query_id"], hot_df, cfg.idf)
+                continue
             if cand.size == 0:
                 assert exp == [], (q["query_id"], hot_df, cfg.idf)
                 continue
