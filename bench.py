@@ -46,6 +46,10 @@ def _scaling() -> None:
             # so the default moves 1M → 2M, with the object store sized
             # below so neither leg spills)
             GRAFT_BENCH_DOCS=os.environ.get("GRAFT_BENCH_DOCS", "2000000"),
+            # the scorer pool's ~2.6 s actor-ramp is a per-EXECUTION
+            # constant (absent in steady-state serving); 8k queries keep
+            # the measured stage dominated by throughput, not ramp
+            GRAFT_BENCH_QUERIES=os.environ.get("GRAFT_BENCH_QUERIES", "8000"),
             # 2M docs shuffle ~30 GiB of posting triples; keep both legs
             # out of spill with the same (fixed) store size
             GRAFT_OBJ_STORE_GB=os.environ.get("GRAFT_OBJ_STORE_GB", "48"),
@@ -98,6 +102,42 @@ def _scaling() -> None:
         }
 
     stages = {k: stage(k) for k in ("index_build", "bm25_queries")}
+
+    # Host scaling ceilings, measured by the same harness: N identical
+    # processes running (a) an L1-resident ALU loop and (b) a DRAM-
+    # streaming loop, at both leg widths. On one box the 4N leg shares
+    # the SAME memory channels and thermal/frequency budget the N leg
+    # had to itself, so these are the maximum efficiency ANY engine can
+    # show here; a real cluster's 4N-node leg brings 4× the DRAM with it.
+    def _ceiling(kind: str) -> float:
+        import multiprocessing as mp_
+
+        def _burn(q):
+            import numpy as np_
+
+            if kind == "cpu":
+                a = np_.random.default_rng(1).random(20_000)
+                t0 = time.perf_counter()
+                for _ in range(6000):
+                    np_.sqrt((a * 3.14159) / (a + 1.0))
+            else:
+                a = np_.random.default_rng(1).random(8_000_000)
+                t0 = time.perf_counter()
+                for _ in range(40):
+                    _ = (a * 2.0) + a
+            q.put(time.perf_counter() - t0)
+
+        out = {}
+        for n in (lo, hi):
+            q = mp_.Queue()
+            ps = [mp_.Process(target=_burn, args=(q,)) for _ in range(n)]
+            [p.start() for p in ps]
+            ts = [q.get() for _ in ps]
+            [p.join() for p in ps]
+            out[n] = sum(ts) / len(ts)
+        return round((hi / out[hi]) / (lo / out[lo]) / (hi / lo), 3)
+
+    host_ceiling = {"cpu": _ceiling("cpu"), "mem": _ceiling("mem")}
     # headline from per-stage minima (sum of least-interference stages)
     sum_lo = sum(stages[k][f"sec_{lo}"] for k in stages)
     sum_hi = sum(stages[k][f"sec_{hi}"] for k in stages)
@@ -108,6 +148,10 @@ def _scaling() -> None:
         "cpus": [lo, hi],
         "scaling_efficiency": round(eff, 3),
         "scaling_efficiency_stage_min": round((sum_lo / sum_hi) / (hi / lo), 3),
+        # max efficiency ANY engine can reach on this host at these two
+        # widths (single box: shared DRAM channels + frequency budget) —
+        # measured fresh in the same run, compute-bound and memory-bound
+        "host_ceiling_efficiency": host_ceiling,
         "stages": stages,
         "repeats": repeats,
         f"all_sec_{lo}": [round(r["value"], 2) for r in runs_lo],

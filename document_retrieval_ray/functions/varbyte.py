@@ -49,10 +49,16 @@ def varbyte_encode_with_lengths(values: np.ndarray):
         raise ValueError("varbyte_encode expects a 1-D array")
     if arr.size == 0:
         return np.empty(0, dtype=np.uint8), np.empty(0, dtype=np.int64)
-    # bytes needed per value: 1 + number of 7-bit groups above the first
+    # bytes needed per value: 1 + number of 7-bit groups above the first.
+    # Early-exit at the stream's max (posting gaps/tfs rarely exceed 2-3
+    # bytes, so this runs 2-3 compare passes instead of 9) and add the
+    # bool mask in place (no df-sized int64 temp per pass).
     nb = np.ones(arr.shape, dtype=np.int64)
+    mx = int(arr.max())
     for k in range(1, _MAX_BYTES):
-        nb += (arr >= np.uint64(1) << np.uint64(7 * k)).astype(np.int64)
+        if mx < (1 << (7 * k)):
+            break
+        nb += arr >= np.uint64(1 << (7 * k))
     ends = np.cumsum(nb)
     starts = ends - nb
     out = np.zeros(int(ends[-1]), dtype=np.uint8)

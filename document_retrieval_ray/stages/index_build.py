@@ -101,27 +101,60 @@ class AssignDocIds:
         dls = group["dl"].to_numpy(zero_copy_only=False)
         if "tfs" in group.column_names:
             # counted input (TokenizeStage(counted=True)): tf already
-            # computed upstream — just flatten, no per-group groupby
-            rows, terms = _flatten_list_col(group["terms"])
-            _, tf_vals = _flatten_list_col(group["tfs"], as_object=False)
-            tfs_arr = tf_vals
-        else:
-            parent, toks = flatten_tokens(group)
-            if len(toks) == 0:
+            # computed upstream — flatten WITHOUT materializing the token
+            # stream as Python objects (the ~5M-object flatten +
+            # pd.factorize churn was this stage's dominant CPU; terms now
+            # stay Arrow until they are integer codes)
+            rows, term_vals = _flatten_list_values(group["terms"])
+            _, tfs_arr = _flatten_list_col(group["tfs"], as_object=False)
+            if len(rows) == 0:
                 return _empty_triples() if self.emit == "triples" else _empty_encoded()
-            counted = (
-                pd.DataFrame({"row": parent, "term": toks})
-                .groupby(["row", "term"], sort=False)
-                .size()
-                .reset_index(name="tf")
+            tcodes = uniq_sorted = None
+            if self.df_dir is not None or self.emit != "triples":
+                tcodes, uniq_sorted = _sorted_codes(term_vals)
+            if self.df_dir is not None:
+                self._write_df_partial(lang, int(part), tcodes, uniq_sorted)
+            if self.emit == "triples":
+                return pa.table(
+                    {
+                        "lang": pa.array(np.repeat(lang, len(rows)), pa.string()),
+                        "term": pc.cast(term_vals, pa.string()),
+                        "doc_id": pa.array(doc_ids[rows], pa.int64()),
+                        "dl": pa.array(dls[rows], pa.int64()),
+                        "tf": pa.array(
+                            np.asarray(tfs_arr, dtype=np.int64), pa.int64()
+                        ),
+                    }
+                )
+            return self._emit_segments(
+                lang, int(part), tcodes, uniq_sorted, doc_ids[rows],
+                dls[rows], np.asarray(tfs_arr),
             )
-            rows = counted["row"].to_numpy()
-            terms = counted["term"].to_numpy()
-            tfs_arr = counted["tf"].to_numpy()
+
+        parent, toks = flatten_tokens(group)
+        if len(toks) == 0:
+            return _empty_triples() if self.emit == "triples" else _empty_encoded()
+        counted = (
+            pd.DataFrame({"row": parent, "term": toks})
+            .groupby(["row", "term"], sort=False)
+            .size()
+            .reset_index(name="tf")
+        )
+        rows = counted["row"].to_numpy()
+        terms = counted["term"].to_numpy()
+        tfs_arr = counted["tf"].to_numpy()
         if len(terms) == 0:
             return _empty_triples() if self.emit == "triples" else _empty_encoded()
+        tcodes = uniq_sorted = None
+        if self.df_dir is not None or self.emit != "triples":
+            # factorize(sort=True) → integer codes in exact sorted-term
+            # order, same contract as _sorted_codes
+            tcodes, uniq_sorted = pd.factorize(
+                np.asarray(terms, dtype=object), sort=True
+            )
+            uniq_sorted = np.asarray(uniq_sorted, dtype=object)
         if self.df_dir is not None:
-            self._write_df_partial(lang, int(part), terms)
+            self._write_df_partial(lang, int(part), tcodes, uniq_sorted)
         if self.emit == "triples":
             return pa.table(
                 {
@@ -133,36 +166,36 @@ class AssignDocIds:
                 }
             )
         return self._emit_segments(
-            lang, int(part), np.asarray(terms, dtype=object), doc_ids[rows],
-            dls[rows], np.asarray(tfs_arr)
+            lang, int(part), tcodes, uniq_sorted, doc_ids[rows],
+            dls[rows], np.asarray(tfs_arr),
         )
 
-    def _emit_segments(self, lang, part, term, doc_id, dl, tf) -> pa.Table:
-        # factorize(sort=True) → integer codes in exact term-string order:
-        # the lexsort is then O(n) integer work instead of O(n log n)
-        # Python string compares (the dominant cost at ~5M postings/group),
-        # with byte-identical output order
-        tcodes = pd.factorize(term, sort=True)[0]
+    def _emit_segments(self, lang, part, tcodes, uniq_sorted, doc_id, dl,
+                       tf) -> pa.Table:
+        # integer codes in exact sorted-term order: the lexsort is O(n)
+        # integer work instead of O(n log n) Python string compares, with
+        # byte-identical output order
         order = np.lexsort((doc_id, tcodes))
-        term, doc_id, dl, tf = term[order], doc_id[order], dl[order], tf[order]
+        doc_id, dl, tf = doc_id[order], dl[order], tf[order]
         tcodes = tcodes[order]
-        n = len(term)
+        n = len(tcodes)
         change = tcodes[1:] != tcodes[:-1]
         starts = np.concatenate([[0], np.flatnonzero(change) + 1, [n]])
         T = len(starts) - 1
         return encode_segments_many(
-            np.repeat(lang, T), term[starts[:-1]],
+            np.repeat(lang, T), uniq_sorted[tcodes[starts[:-1]]],
             np.full(T, part, dtype=np.int64),
             doc_id, tf, dl, starts, self.block_size,
         )
 
-    def _write_df_partial(self, lang: str, part: int, terms) -> None:
-        """``terms`` is the flattened unique-(doc, term) pair list, so its
-        value counts ARE this partition's document frequencies. Written
+    def _write_df_partial(self, lang: str, part: int, tcodes,
+                          uniq_sorted) -> None:
+        """``tcodes`` codes the flattened unique-(doc, term) pair list, so
+        its value counts ARE this partition's document frequencies. Written
         atomically (dot-prefixed temp + rename, idempotent under retry)
         like the docmap side-writes."""
-        codes, uniq = pd.factorize(np.asarray(terms, dtype=object), sort=True)
-        counts = np.bincount(codes, minlength=len(uniq))
+        uniq = uniq_sorted
+        counts = np.bincount(tcodes, minlength=len(uniq))
         out_dir = os.path.join(self.df_dir, f"lang={lang}")
         os.makedirs(out_dir, exist_ok=True)
         table = pa.table(
@@ -226,6 +259,39 @@ class AssignDocIds:
         finally:
             if os.path.exists(tmp):
                 os.unlink(tmp)
+
+
+def _flatten_list_values(col):
+    """(parent_index, flat values) for a list column, with the values kept
+    as an ARROW array — flattening a group's ~5M tokens into Python
+    objects dominated the assign stage's CPU before this existed."""
+    arr = col.combine_chunks()
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.chunk(0)
+    offsets = arr.offsets.to_numpy(zero_copy_only=False)
+    values = arr.values
+    start = offsets[0]
+    if start != 0 or len(values) != offsets[-1]:
+        values = values.slice(start, offsets[-1] - start)
+    lens = np.diff(offsets)
+    parent = np.repeat(np.arange(len(arr), dtype=np.int64), lens)
+    return parent, values
+
+
+def _sorted_codes(values: pa.Array):
+    """(codes int64, unique_sorted object) with codes in EXACT sorted-term
+    order — byte-identical contract to ``pd.factorize(sort=True)`` but the
+    hashing happens in Arrow's C dictionary-encode; only the UNIQUE values
+    ever become Python strings (group vocab ≪ token stream)."""
+    denc = pc.dictionary_encode(values)
+    if isinstance(denc, pa.ChunkedArray):
+        denc = denc.combine_chunks()
+    codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    uniq = np.asarray(denc.dictionary.to_pandas(), dtype=object)
+    order_u = np.argsort(uniq)
+    rank = np.empty(len(uniq), dtype=np.int64)
+    rank[order_u] = np.arange(len(uniq), dtype=np.int64)
+    return rank[codes], uniq[order_u]
 
 
 def _flatten_list_col(col, as_object: bool = True):
