@@ -763,3 +763,133 @@ class TestPhraseSnippets:
         assert s[("p1", 0)] == "table scan at start"
         assert s[("p1", 1)] == "with a table scan"
         assert s[("p1", 2)] == "x y table scan z w"
+
+
+# ------------------------------------------- round-3 serving fast paths
+
+
+def _topk_bruteforce(scores, urls, k, round_dp):
+    """Reference implementation: full sort on (rounded key desc, url asc)."""
+    pos = np.nonzero(scores > 0)[0]
+    if pos.size == 0:
+        return [], [], []
+    key = (
+        np.floor(scores[pos] * (10.0 ** round_dp) + 0.5)
+        if round_dp is not None
+        else scores[pos]
+    )
+    order = sorted(range(pos.size), key=lambda i: (-key[i], urls[pos[i]]))[:k]
+    return (
+        list(range(1, len(order) + 1)),
+        [int(pos[i]) for i in order],
+        [key[i] for i in order],
+    )
+
+
+@pytest.mark.parametrize(
+    "case",
+    [
+        "ties_heavy",      # few distinct rounded keys → big tie groups
+        "all_equal",       # every positive doc ties
+        "sparse",          # fewer than k positives
+        "smooth",          # distinct scores (fast path should engage)
+        "tail_zeroes",     # positives rounding to key 0 fill the tail
+    ],
+)
+def test_topk_sampled_threshold_matches_bruteforce(case):
+    """The sampled-threshold dense preselect in topk_with_ties must be
+    EXACT: identical (rank, doc, key) triples to a full sort, including
+    tie groups straddling the kth key and sub-rounding scores."""
+    from document_retrieval_ray.state.index_shard import topk_with_ties
+
+    rng = np.random.default_rng(11)
+    n = 300_000  # above the fast-path threshold
+    scores = np.zeros(n, dtype=np.float64)
+    if case == "ties_heavy":
+        idx = rng.choice(n, 150_000, replace=False)
+        scores[idx] = rng.integers(1, 6, idx.size) * 0.25
+    elif case == "all_equal":
+        idx = rng.choice(n, 120_000, replace=False)
+        scores[idx] = 3.75
+    elif case == "sparse":
+        idx = rng.choice(n, 4, replace=False)
+        scores[idx] = rng.random(4) + 0.5
+    elif case == "smooth":
+        idx = rng.choice(n, 200_000, replace=False)
+        scores[idx] = rng.random(idx.size) * 10 + 0.01
+    else:  # tail_zeroes: scores > 0 but rounding to key 0
+        idx = rng.choice(n, 5_000, replace=False)
+        scores[idx] = 1e-9
+        hi = rng.choice(idx, 3, replace=False)
+        scores[hi] = 2.5
+    urls = np.array([f"u{i:07d}" for i in range(n)], dtype=object)
+    for k in (10, 100):
+        ranks, sel, keys = topk_with_ties(scores, urls, k, 4)
+        er, es, ek = _topk_bruteforce(scores, urls, k, 4)
+        assert list(ranks) == er, case
+        assert [int(i) for i in sel] == es, case
+        assert [int(x) for x in keys] == [int(x) for x in ek], case
+
+
+def test_term_contrib_shared_vs_computed(tmp_path, ray_session):
+    """term_contrib must return IDENTICAL float64 arrays whether it reads
+    the payload's shared precompute (cfg matches), computes on the fly
+    (cfg differs), or computes under a _GlobalView's global avgdl — and
+    BM25 scores must not depend on which path served the factor."""
+    import ray.data  # noqa: F401  (ray initialised by the session fixture)
+
+    from document_retrieval_ray.config import BM25Config, IndexConfig, TokenizerConfig
+    from document_retrieval_ray.pipelines.build_index import build_index
+    from document_retrieval_ray.sources.synth import write_corpus
+    from document_retrieval_ray.state.index_shard import (
+        LangIndex,
+        _bm25_contrib,
+        build_shared_payload,
+        score_bm25_maxscore,
+        score_bm25_taat,
+    )
+
+    corpus = tmp_path / "corpus"
+    index_dir = str(tmp_path / "index")
+    write_corpus(str(corpus), num_docs=400, seed=9)
+    build_index(
+        str(corpus / "documents.parquet"), index_dir,
+        cfg=IndexConfig(tokenizer=TokenizerConfig(mode="simple")),
+        with_cosine_norms=False,
+    )
+    cfg = BM25Config(k1=1.2, b=0.75, compat="standard")
+    other = BM25Config(k1=1.5, b=0.6, compat="standard")
+
+    # low threshold so the synthetic head terms actually go through the
+    # shared pre-decode + contrib path
+    pay = build_shared_payload(index_dir, "en", hot_decode_df=5,
+                               contrib_cfg=cfg)
+    assert pay["hot_contrib"] is not None and pay["contrib_key"] == (
+        1.2, 0.75, "standard")
+    idx_shared = LangIndex.from_payload(pay)
+    idx_plain = LangIndex(index_dir, "en", hot_decode_df=5)  # no contrib
+
+    terms = [t for t in pay["terms"]][:40]
+    for term in terms:
+        a = idx_shared.term_contrib(term, cfg)
+        b = idx_plain.term_contrib(term, cfg)
+        doc_ids, tfs = idx_plain.postings(term)
+        direct = _bm25_contrib(tfs, idx_plain.dl[doc_ids], cfg,
+                               idx_plain.avgdl)
+        assert np.array_equal(a, b) and np.array_equal(b, direct), term
+        # non-matching cfg must NOT serve the shared array
+        c = idx_shared.term_contrib(term, other)
+        d = _bm25_contrib(tfs, idx_plain.dl[doc_ids], other,
+                          idx_plain.avgdl)
+        assert np.array_equal(c, d), term
+
+    toks = ["entok1", "entok2", "entok7"]
+    s1 = score_bm25_taat(idx_shared, toks, cfg)
+    s2 = score_bm25_taat(idx_plain, toks, cfg)
+    assert np.array_equal(s1, s2)
+    m1 = score_bm25_maxscore(idx_shared, toks, cfg, 10, hot_df=5, round_dp=4)
+    m2 = score_bm25_maxscore(idx_plain, toks, cfg, 10, hot_df=5, round_dp=4)
+    assert np.array_equal(m1[0], m2[0])
+    assert (m1[1] is None) == (m2[1] is None)
+    if m1[1] is not None:
+        assert np.array_equal(m1[1], m2[1])
