@@ -94,7 +94,7 @@ class TokenizeStage:
 
         def _empty():
             e = pa.array([[] for _ in range(n)], pa.list_(pa.string()))
-            z = pa.array([[] for _ in range(n)], pa.list_(pa.int64()))
+            z = pa.array([[] for _ in range(n)], pa.list_(pa.int32()))
             return e, z
 
         if len(values) == 0:
@@ -120,7 +120,9 @@ class TokenizeStage:
         change = (p2[1:] != p2[:-1]) | (c2[1:] != c2[:-1])
         starts = np.concatenate([[0], np.flatnonzero(change) + 1])
         ends = np.concatenate([starts[1:], [len(p2)]])
-        tf = (ends - starts).astype(np.int64)
+        # int32 tf halves this list column's bytes through the doc-id
+        # shuffle (tf is bounded by doc length; consumers upcast at use)
+        tf = (ends - starts).astype(np.int32)
         run_parent = p2[starts]
         run_codes = c2[starts]
         lens2 = np.bincount(run_parent, minlength=n)
@@ -129,7 +131,7 @@ class TokenizeStage:
         terms = pa.ListArray.from_arrays(
             pa.array(off2), dict_arr.take(pa.array(run_codes))
         )
-        tfs = pa.ListArray.from_arrays(pa.array(off2), pa.array(tf, pa.int64()))
+        tfs = pa.ListArray.from_arrays(pa.array(off2), pa.array(tf, pa.int32()))
         return terms, tfs
 
     # --- vectorized simple mode ---
