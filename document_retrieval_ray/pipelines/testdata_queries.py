@@ -2135,6 +2135,58 @@ def q_sessionize(sf_dir: str):
     )
 
 
+WINDOW_US = 3_600_000_000  # 1h tumbling window
+
+
+def q_window_tumble(sf_dir: str):
+    """Tumbling-window aggregate (1 h) over the event stream: per
+    (event_type, window) event count, exact value cents, and distinct
+    users — the batch form of a streaming tumbling window (the engine's
+    windows are data-defined buckets, not wall-clock triggers).
+
+    Distributed plan: per-batch PARTIAL aggregation collapses each batch
+    to one row per (event_type, window, user_id) — counts and cents sum
+    exactly across batches, and the user dimension travels only as
+    per-batch-distinct (key, user) pairs (2-phase distinct) — then ONE
+    (event_type, window)-keyed exchange of partials feeds a vectorized
+    per-partition finalize. Nothing is broadcast; the exchange is
+    bounded by distinct (key, user) pairs, not the event count."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["ts", "event_type", "user_id", "value"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        tsu = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {
+                "event_type": t["event_type"].to_pandas(),
+                "ws_us": (tsu // WINDOW_US) * WINDOW_US,
+                "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+                "value_c": _cents(t["value"].to_numpy(zero_copy_only=False)),
+            }
+        )
+        g = (
+            df.groupby(["event_type", "ws_us", "user_id"], sort=False)
+            .agg(n=("value_c", "size"), value_c=("value_c", "sum"))
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.groupby(["event_type", "ws_us"], sort=False)
+            .agg(n=("n", "sum"), value_c=("value_c", "sum"),
+                 users=("user_id", "nunique"))
+            .reset_index()
+        )
+
+    parts = ev.map_batches(partial, batch_format="pyarrow")
+    return _parted(parts, ("event_type", "ws_us")).map_groups(
+        finalize, batch_format="pandas"
+    )
+
+
 # ------------------------------------------------- round-3 training-data ops
 
 # span-level exact dedup window size (Lee et al. 2022, "Deduplicating
@@ -2891,6 +2943,7 @@ QUERIES = {
     "phrase_snippets": q_phrase_snippets,
     "bool_search": q_bool_search,
     "sessionize": q_sessionize,
+    "window_tumble": q_window_tumble,
     "range_join": q_range_join,
     "sample_stratified": q_sample_stratified,
     "source_cap": q_source_cap,
@@ -3926,5 +3979,13 @@ SELECT user_id, CAST(sess AS BIGINT) AS session_idx,
        min(tsu) AS start_us, max(tsu) AS end_us,
        count(*) AS n_events, CAST(sum(value_c) AS BIGINT) AS value_c
 FROM f GROUP BY user_id, sess
+""",
+    "window_tumble": f"""
+SELECT event_type,
+       (epoch_us(ts) // {WINDOW_US}) * {WINDOW_US} AS ws_us,
+       count(*) AS n,
+       CAST(sum(CAST(floor(value*100.0 + 0.5) AS BIGINT)) AS BIGINT) AS value_c,
+       count(DISTINCT user_id) AS users
+FROM events GROUP BY 1, 2
 """,
 }
