@@ -53,5 +53,52 @@ def read_testdata_documents(sf_dir: str, columns=("doc_id", "text", "lang")) -> 
     return ds.map_batches(adapt, batch_format="pyarrow")
 
 
+def read_corpus_json(path) -> ray.data.Dataset:
+    """Read a reference-format JSON corpus — an array (or JSONL) of
+    ``{docid, text, lang}`` objects (S1; loaded with ``json.load`` at
+    bm25_text_preprocessing.py:82-90 / pd.read_json at
+    document_ranking_with_bm25.py:72-75) — and adapt it to the engine's
+    key schema (docid → url). A user of the reference can point this at
+    their existing ``corpus.json`` unchanged."""
+    ds = ray.data.read_json(path)
+
+    def adapt(batch: pa.Table) -> pa.Table:
+        cols = {c: batch[c] for c in batch.column_names}
+        url = (
+            pc.cast(cols.pop("docid"), pa.string())
+            if "docid" in cols
+            else cols.pop("url")
+        )
+        out = pa.table({"url": url})
+        for name in ("text", "lang"):
+            if name in cols:
+                out = out.append_column(name, pc.cast(cols[name], pa.string()))
+        return out
+
+    return ds.map_batches(adapt, batch_format="pyarrow")
+
+
 def read_queries(path, columns=("query_id", "query", "lang")) -> ray.data.Dataset:
+    """Read a query table (S2). Parquet by default; ``.csv`` paths use
+    the reference's CSV format (ranking_with_bm25.py:236-239 /
+    final_implementation.py:164-169 — the test set names the key column
+    ``id``, normalized to ``query_id`` here)."""
+    if str(path).endswith(".csv"):
+        ds = ray.data.read_csv(path)
+
+        def adapt(batch: pa.Table) -> pa.Table:
+            if "id" in batch.column_names and "query_id" not in batch.column_names:
+                batch = batch.rename_columns(
+                    ["query_id" if c == "id" else c for c in batch.column_names]
+                )
+            keep = [c for c in columns if c in batch.column_names]
+            out = batch.select(keep)
+            if "query_id" in out.column_names:
+                i = out.column_names.index("query_id")
+                out = out.set_column(
+                    i, "query_id", pc.cast(out["query_id"], pa.string())
+                )
+            return out
+
+        return ds.map_batches(adapt, batch_format="pyarrow")
     return ray.data.read_parquet(path, columns=list(columns))

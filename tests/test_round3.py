@@ -893,3 +893,63 @@ def test_term_contrib_shared_vs_computed(tmp_path, ray_session):
     assert (m1[1] is None) == (m2[1] is None)
     if m1[1] is not None:
         assert np.array_equal(m1[1], m2[1])
+
+
+def test_reference_format_sources_roundtrip(tmp_path, ray_session):
+    """S1/S2 reference formats: a corpus.json (JSONL of {docid, text,
+    lang}) and a test.csv (id, query, lang) must flow through the engine
+    unchanged — build an index from the JSON corpus and score the CSV
+    queries, matching the same pipeline run from Parquet inputs."""
+    import json as _json
+
+    import ray.data
+
+    from document_retrieval_ray.config import BM25Config, IndexConfig, TokenizerConfig
+    from document_retrieval_ray.pipelines.build_index import build_index
+    from document_retrieval_ray.pipelines.query import bm25_search
+    from document_retrieval_ray.sources.corpus import read_corpus_json, read_queries
+    from document_retrieval_ray.sources.synth import write_corpus
+
+    corpus = tmp_path / "corpus"
+    write_corpus(str(corpus), num_docs=300, seed=4)
+    docs = ray.data.read_parquet(str(corpus / "documents.parquet")).take_all()
+
+    jpath = tmp_path / "corpus.json"
+    with open(jpath, "w") as f:
+        for d in docs:
+            f.write(_json.dumps(
+                {"docid": d["url"], "text": d["text"], "lang": d["lang"]}) + "\n")
+    cpath = tmp_path / "test.csv"
+    qs = [
+        {"id": "q0", "query": "entok1 entok7", "lang": "en"},
+        {"id": "q1", "query": "detok3", "lang": "de"},
+    ]
+    with open(cpath, "w") as f:
+        f.write("id,query,lang\n")
+        for q in qs:
+            f.write(f"{q['id']},{q['query']},{q['lang']}\n")
+
+    jds = read_corpus_json(str(jpath))
+    assert set(jds.schema().names) == {"url", "text", "lang"}
+
+    icfg = IndexConfig(tokenizer=TokenizerConfig(mode="simple"))
+    idx_json = str(tmp_path / "idx_json")
+    idx_parq = str(tmp_path / "idx_parq")
+    build_index(
+        str(jpath), idx_json, cfg=icfg, with_cosine_norms=False,
+        input_ds_factory=lambda columns=None: read_corpus_json(str(jpath)),
+    )
+    build_index(str(corpus / "documents.parquet"), idx_parq, cfg=icfg,
+                with_cosine_norms=False)
+
+    qds = read_queries(str(cpath))
+    assert set(qds.schema().names) == {"query_id", "query", "lang"}
+    cfg = BM25Config(k1=1.2, b=0.75, compat="standard")
+    a = bm25_search(qds, idx_json, cfg=cfg).to_pandas()
+    b = bm25_search(read_queries(str(cpath)), idx_parq, cfg=cfg).to_pandas()
+    key = ["query_id", "rank"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    assert len(a) and a[["query_id", "rank", "url", "score_x"]].equals(
+        b[["query_id", "rank", "url", "score_x"]]
+    )
