@@ -106,7 +106,16 @@ def emit_positions(batch: pa.Table, num_parts: int) -> pa.Table:
             }
         )
 
-    order = np.lexsort((pos, codes, parent))
+    # packed-key radix argsort (see TokenizeStage._count), 1 pass vs
+    # lexsort's 3; (parent, code, pos) triples are distinct so order is
+    # byte-identical
+    V = len(vocab_np)
+    P = int(pos.max()) + 1 if len(pos) else 1
+    if int(parent[-1] + 1) * V * P < 2**62:
+        key = (parent * np.int64(V) + codes) * np.int64(P) + pos
+        order = np.argsort(key, kind="stable")
+    else:
+        order = np.lexsort((pos, codes, parent))
     parent, pos, codes = parent[order], pos[order], codes[order]
     change = np.ones(len(parent), dtype=bool)
     change[1:] = (parent[1:] != parent[:-1]) | (codes[1:] != codes[:-1])

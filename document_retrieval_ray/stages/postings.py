@@ -52,7 +52,13 @@ def emit_postings(batch: pa.Table, token_col: str = "tokens") -> pa.Table:
     parent, codes = parent[keep], codes[keep]
     if len(parent) == 0:
         return empty
-    order = np.lexsort((codes, parent))
+    # packed-key radix argsort (see TokenizeStage._count): 1 pass vs
+    # lexsort's 2; equal keys are identical pairs so output is unchanged
+    V = len(dict_arr)
+    if int(parent[-1] + 1) * V < 2**62:
+        order = np.argsort(parent * np.int64(V) + codes, kind="stable")
+    else:
+        order = np.lexsort((codes, parent))
     p2, c2 = parent[order], codes[order]
     change = (p2[1:] != p2[:-1]) | (c2[1:] != c2[:-1])
     starts = np.concatenate([[0], np.flatnonzero(change) + 1])
