@@ -2888,6 +2888,254 @@ def q_decontaminate(sf_dir: str):
     return _docs(sf_dir).map_batches(partial, batch_format="pyarrow")
 
 
+# ------------------------------------------ spelling correction (SymSpell)
+
+# synthetic misspellings derived from the data itself (no external lists):
+# the SPELL_NQ highest-df en terms of length >= SPELL_MIN_LEN, each with its
+# 2nd character deleted
+SPELL_NQ = 20
+SPELL_MIN_LEN = 5
+SPELL_TOPK = 3
+
+
+def _lev_le1(a: str, b: str) -> bool:
+    """Exact levenshtein(a, b) <= 1 (unit costs, same as DuckDB's)."""
+    if a == b:
+        return True
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:
+        return sum(x != y for x, y in zip(a, b)) == 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    i = j = 0
+    skipped = False
+    while i < la:
+        if a[i] == b[j]:
+            i += 1
+            j += 1
+        elif not skipped:
+            skipped = True
+            j += 1
+        else:
+            return False
+    return True
+
+
+def _deletion_variants(terms: pa.Array) -> tuple[np.ndarray, pa.Array]:
+    """(row_idx, variant) for every single-character deletion of every
+    term — vectorized per deletion POSITION with Arrow slice kernels, so
+    the loop count is max term length, not vocabulary size."""
+    if isinstance(terms, pa.ChunkedArray):
+        terms = terms.combine_chunks()
+    n = len(terms)
+    lens = pc.utf8_length(terms)
+    maxlen = pc.max(lens).as_py() if n else 0
+    idx_parts, var_parts = [], []
+    base = np.arange(n, dtype=np.int64)
+    for i in range(maxlen or 0):
+        mask = pc.greater(lens, i)
+        sel = pc.filter(terms, mask)
+        var = pc.binary_join_element_wise(
+            pc.utf8_slice_codeunits(sel, 0, i),
+            pc.utf8_slice_codeunits(sel, i + 1, 2**30),
+            "",
+        )
+        idx_parts.append(base[mask.to_numpy(zero_copy_only=False)])
+        var_parts.append(var)
+    if not idx_parts:
+        return np.empty(0, np.int64), pa.array([], pa.string())
+    return np.concatenate(idx_parts), pa.concat_arrays(var_parts)
+
+
+def _en_vocab_ds(sf_dir: str):
+    """(term, df) for lang='en' as a Dataset."""
+
+    def en_only(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["lang"], "en"))
+        return t.select(["term", "df"])
+
+    return q_term_df(sf_dir).map_batches(en_only, batch_format="pyarrow")
+
+
+def q_spell_correct(sf_dir: str):
+    """SymSpell-style spelling correction: candidates via deletion-
+    neighborhood intersection (a term t matches query m with
+    levenshtein <= 1 iff ({t} ∪ D1(t)) ∩ ({m} ∪ D1(m)) ≠ ∅ — equal /
+    insert / delete / substitute all intersect), then EXACT edit-distance
+    verify on the candidate set, ranked by df.
+
+    Scale shape: the vocabulary never leaves the cluster — each vocab
+    batch generates its deletion variants vectorized (per-position Arrow
+    slices) and probes the broadcast query-variant set; only matching
+    candidates (result-sized) reach the driver for the exact verify +
+    per-query top-k."""
+    vocab = _en_vocab_ds(sf_dir)
+
+    # 1. derive the misspelled query terms: per-batch partial top-NQ by
+    #    (df desc, term asc) over len>=MIN_LEN terms, merged on the driver
+    def partial_top(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(pc.utf8_length(t["term"]), SPELL_MIN_LEN))
+        pdf = t.to_pandas()
+        pdf = pdf.sort_values(["df", "term"], ascending=[False, True])
+        return pa.Table.from_pandas(pdf.head(SPELL_NQ), preserve_index=False)
+
+    tops = vocab.map_batches(partial_top, batch_format="pyarrow").to_pandas()
+    tops = tops.sort_values(["df", "term"], ascending=[False, True]).head(SPELL_NQ)
+    mq = sorted({t[0] + t[2:] for t in tops["term"]})
+
+    # 2. broadcast the query variant set; map variant -> misspelled terms
+    var2m: dict[str, list[str]] = {}
+    for m in mq:
+        for v in {m} | {m[:i] + m[i + 1:] for i in range(len(m))}:
+            var2m.setdefault(v, []).append(m)
+    qvars = pa.array(sorted(var2m), pa.string())
+
+    # 3. distributed candidate scan over the vocab
+    def scan(t: pa.Table) -> pa.Table:
+        terms = t["term"]
+        if isinstance(terms, pa.ChunkedArray):
+            terms = terms.combine_chunks()
+        n = len(terms)
+        idx = np.arange(n, dtype=np.int64)
+        vidx, variants = _deletion_variants(terms)
+        all_idx = np.concatenate([idx, vidx])
+        all_var = pa.concat_arrays([terms, variants])
+        hit = pc.is_in(all_var, value_set=qvars).to_numpy(zero_copy_only=False)
+        sel = all_idx[hit]
+        dfs = t["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "variant": all_var.filter(pa.array(hit)),
+                "term": terms.take(pa.array(sel)),
+                "df": pa.array(dfs[sel], pa.int64()),
+            }
+        )
+
+    cand = vocab.map_batches(scan, batch_format="pyarrow").to_pandas()
+
+    # 4. exact verify + rank (result-sized)
+    rows = []
+    for variant, term, df_ in cand.itertuples(index=False):
+        for m in var2m.get(variant, ()):
+            rows.append((m, term, df_))
+    out = pd.DataFrame(rows, columns=["misspelled", "suggestion", "df"])
+    out = out.drop_duplicates(["misspelled", "suggestion"])
+    keep = [
+        _lev_le1(m, s) for m, s in zip(out["misspelled"], out["suggestion"])
+    ]
+    out = out[np.array(keep, dtype=bool)] if len(out) else out
+    out = out.sort_values(
+        ["misspelled", "df", "suggestion"], ascending=[True, False, True]
+    )
+    out["rank"] = out.groupby("misspelled").cumcount().astype(np.int64) + 1
+    out = out[out["rank"] <= SPELL_TOPK].reset_index(drop=True)
+    out["df"] = out["df"].astype(np.int64)
+    return out[["misspelled", "suggestion", "df", "rank"]]
+
+
+# ------------------------------------------------ faceted search counts
+
+def q_facet_counts(sf_dir: str):
+    """Facet aggregation over retrieval results: for each query, how many
+    of its BM25 top-10 docs come from each corpus source. The doc->source
+    lookup is a semi-join (broadcast result-sized id set, filtered
+    column-pruned scan), never a doc-table materialization."""
+    top = q_bm25_standard(sf_dir)
+    ids = pa.array(sorted(set(top["doc_id"].astype(np.int64))), pa.int64())
+
+    def pick(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["doc_id"], value_set=ids))
+
+    src = (
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+        )
+        .map_batches(pick, batch_format="pyarrow")
+        .to_pandas()
+    )
+    merged = top.merge(src, on="doc_id")
+    out = (
+        merged.groupby(["query_id", "source"], sort=False)
+        .size()
+        .rename("n_docs")
+        .reset_index()
+    )
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    return out[["query_id", "source", "n_docs"]]
+
+
+# ------------------------------------- pseudo-relevance-feedback expansion
+
+QEXP_DOCS = 3
+QEXP_TOPK = 5
+
+
+def q_query_expand(sf_dir: str):
+    """RM3-ish query expansion: terms of each query's BM25 top-QEXP_DOCS
+    docs, scored sum(tf across those docs) * idf_x (exact integer once idf
+    is fixed-point), original query terms excluded, top-QEXP_TOPK per
+    query by (score_x desc, term asc).
+
+    Scale shape: candidate doc ids (result-sized) are broadcast into a
+    postings-stream filter; the idf stream is filtered to the candidate
+    term set (also result-sized) — neither the corpus nor the vocabulary
+    is materialized."""
+    top = q_bm25_standard(sf_dir)
+    cand = top[top["rank"] <= QEXP_DOCS][["query_id", "doc_id"]]
+    cand_ids = pa.array(sorted(set(cand["doc_id"].astype(np.int64))), pa.int64())
+
+    def pick_postings(t: pa.Table) -> pa.Table:
+        did = url_to_docid(t["url"])
+        mask = pc.is_in(did, value_set=cand_ids)
+        t2 = t.filter(mask)
+        return pa.table(
+            {
+                "doc_id": did.filter(mask),
+                "lang": t2["lang"],
+                "term": t2["term"],
+                "tf": t2["tf"],
+            }
+        )
+
+    posts = (
+        _postings_ds(sf_dir)
+        .map_batches(pick_postings, batch_format="pyarrow")
+        .to_pandas()
+    )
+
+    terms_needed = pa.array(sorted(set(posts["term"])), pa.string())
+
+    def pick_idf(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["term"], value_set=terms_needed))
+
+    idf = (
+        q_term_idf(sf_dir)
+        .map_batches(pick_idf, batch_format="pyarrow")
+        .to_pandas()[["lang", "term", "idf_x"]]
+    )
+
+    qterms = {qid: set(tokenize_simple(text)) for qid, text, _ in QUERYSET}
+    exp = cand.merge(posts, on="doc_id").merge(idf, on=["lang", "term"])
+    drop = [
+        t in qterms[q] for q, t in zip(exp["query_id"], exp["term"])
+    ]
+    exp = exp[~np.array(drop, dtype=bool)] if len(exp) else exp
+    agg = (
+        exp.groupby(["query_id", "term", "idf_x"], sort=False)["tf"]
+        .sum()
+        .reset_index()
+    )
+    agg["score_x"] = agg["tf"].astype(np.int64) * agg["idf_x"].astype(np.int64)
+    agg = agg.sort_values(
+        ["query_id", "score_x", "term"], ascending=[True, False, True]
+    )
+    agg["rank"] = agg.groupby("query_id").cumcount().astype(np.int64) + 1
+    agg = agg[agg["rank"] <= QEXP_TOPK].reset_index(drop=True)
+    return agg[["query_id", "term", "score_x", "rank"]]
+
+
 # ------------------------------------------------------------ registries
 
 QUERIES = {
@@ -2956,6 +3204,9 @@ QUERIES = {
     "top_per_group": q_top_per_group,
     "bpe_tokens": q_bpe_tokens,
     "decontaminate": q_decontaminate,
+    "spell_correct": q_spell_correct,
+    "facet_counts": q_facet_counts,
+    "query_expand": q_query_expand,
 }
 
 
@@ -3643,7 +3894,75 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_eval_hits
 FROM sp3 JOIN ev USING (sp) GROUP BY doc_id
 """
 
+_SPELL_SQL = f"""
+WITH {_TOK_CTE}, {_DF_CTE},
+v AS (SELECT term, df FROM df WHERE lang = 'en'),
+mq AS (
+  SELECT DISTINCT substr(term, 1, 1) || substr(term, 3) AS misspelled FROM (
+    SELECT term, row_number() OVER (ORDER BY df DESC, term ASC) AS rn
+    FROM v WHERE len(term) >= {SPELL_MIN_LEN}
+  ) WHERE rn <= {SPELL_NQ}
+),
+cand AS (
+  SELECT mq.misspelled, v.term AS suggestion, v.df
+  FROM mq JOIN v ON levenshtein(mq.misspelled, v.term) <= 1
+),
+ranked AS (
+  SELECT misspelled, suggestion, df,
+         row_number() OVER (PARTITION BY misspelled
+                            ORDER BY df DESC, suggestion ASC) AS rank
+  FROM cand
+)
+SELECT misspelled, suggestion, df, rank FROM ranked WHERE rank <= {SPELL_TOPK}
+"""
+
+_FACET_SQL = f"""
+WITH res AS ({{bm25}})
+SELECT res.query_id AS query_id, d.source AS source,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM res JOIN documents d ON d.doc_id = res.doc_id
+GROUP BY res.query_id, d.source
+"""
+
+_QEXP_SQL = f"""
+WITH res AS ({{bm25}}),
+cand AS (SELECT query_id, doc_id FROM res WHERE rank <= {QEXP_DOCS}),
+q(query_id, lang, term, w) AS (VALUES {_query_values(dedup=True)}),
+ql AS (SELECT DISTINCT query_id, lang FROM q),
+{_TOK_CTE}, {_DL_CTE}, {_STATS_CTE}, {_DF_CTE},
+idfx AS (
+  SELECT df.lang, df.term,
+         {_fx('ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))')} AS idf_x
+  FROM df JOIN stats s ON s.lang = df.lang
+),
+exp AS (
+  SELECT c.query_id AS query_id, tok.term AS term,
+         CAST(sum(tok.tf) AS BIGINT) * i.idf_x AS score_x
+  FROM cand c
+  JOIN ql ON ql.query_id = c.query_id
+  JOIN tok ON tok.doc_id = c.doc_id AND tok.lang = ql.lang
+  JOIN idfx i ON i.lang = ql.lang AND i.term = tok.term
+  LEFT JOIN q ON q.query_id = c.query_id AND q.term = tok.term
+  WHERE q.term IS NULL
+  GROUP BY c.query_id, tok.term, i.idf_x
+),
+ranked AS (
+  SELECT query_id, term, score_x,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score_x DESC, term ASC) AS rank
+  FROM exp
+)
+SELECT query_id, term, score_x, rank FROM ranked WHERE rank <= {QEXP_TOPK}
+"""
+
 ORACLE_SQL = {
+    "spell_correct": _SPELL_SQL,
+    "facet_counts": _FACET_SQL.format(
+        bm25=_bm25_sql(1.2, 0.75, reference_quirk=False, dedup=False)
+    ),
+    "query_expand": _QEXP_SQL.format(
+        bm25=_bm25_sql(1.2, 0.75, reference_quirk=False, dedup=False)
+    ),
     "dl_percentiles": _DL_PCT_SQL,
     "hll_distinct": _HLL_SQL,
     "top_per_group": _TOP_PER_GROUP_SQL,

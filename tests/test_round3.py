@@ -953,3 +953,68 @@ def test_reference_format_sources_roundtrip(tmp_path, ray_session):
     assert len(a) and a[["query_id", "rank", "url", "score_x"]].equals(
         b[["query_id", "rank", "url", "score_x"]]
     )
+
+
+# ---------------------------------------------------- spelling correction
+
+
+class TestSpellHelpers:
+    def _lev(self, a, b):
+        """Reference full DP levenshtein."""
+        la, lb = len(a), len(b)
+        prev = list(range(lb + 1))
+        for i in range(1, la + 1):
+            cur = [i] + [0] * lb
+            for j in range(1, lb + 1):
+                cur[j] = min(
+                    prev[j] + 1,
+                    cur[j - 1] + 1,
+                    prev[j - 1] + (a[i - 1] != b[j - 1]),
+                )
+            prev = cur
+        return prev[lb]
+
+    def test_lev_le1_matches_dp(self):
+        from document_retrieval_ray.pipelines.testdata_queries import _lev_le1
+
+        words = ["", "a", "ab", "ba", "abc", "bca", "abcd", "acd",
+                 "abce", "xbcd", "abdc", "aabc", "abcc", "hello", "hallo",
+                 "hell", "helloo", "world"]
+        for a in words:
+            for b in words:
+                assert _lev_le1(a, b) == (self._lev(a, b) <= 1), (a, b)
+
+    def test_deletion_variants_vectorized_matches_python(self):
+        import pyarrow as pa
+        from document_retrieval_ray.pipelines.testdata_queries import (
+            _deletion_variants,
+        )
+
+        terms = ["spark", "a", "", "join", "aa"]
+        idx, var = _deletion_variants(pa.array(terms, pa.string()))
+        got = sorted(zip(idx.tolist(), var.to_pylist()))
+        exp = sorted(
+            (i, t[:j] + t[j + 1:])
+            for i, t in enumerate(terms)
+            for j in range(len(t))
+        )
+        assert got == exp
+
+    def test_deletion_variants_empty(self):
+        import pyarrow as pa
+        from document_retrieval_ray.pipelines.testdata_queries import (
+            _deletion_variants,
+        )
+
+        idx, var = _deletion_variants(pa.array([], pa.string()))
+        assert len(idx) == 0 and len(var) == 0
+
+    def test_neighborhood_covers_lev_le1(self):
+        """Candidate rule: lev(a,b)<=1 ⇒ ({a}∪D1(a)) ∩ ({b}∪D1(b)) ≠ ∅."""
+        words = ["hello", "hallo", "hell", "helloo", "chello", "helo"]
+        for a in words:
+            for b in words:
+                if self._lev(a, b) <= 1:
+                    va = {a} | {a[:i] + a[i + 1:] for i in range(len(a))}
+                    vb = {b} | {b[:i] + b[i + 1:] for i in range(len(b))}
+                    assert va & vb, (a, b)
