@@ -12,7 +12,7 @@ from __future__ import annotations
 import ray.data
 
 from ..config import BM25Config, TokenizerConfig
-from ..stages.score import BM25ScorerStage, CosineScorerStage
+from ..stages.score import BM25ScorerStage, CosineScorerStage, LMScorerStage
 from ..util import default_pool
 
 
@@ -40,6 +40,34 @@ def bm25_search(
         fn_constructor_kwargs=dict(
             index_dir=index_dir, cfg=cfg, tokenizer=tokenizer,
             round_dp=round_dp, method=method, shared_refs=shared_refs,
+        ),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def lm_search(
+    queries: ray.data.Dataset,
+    index_dir: str,
+    mu: float = 2000.0,
+    tokenizer: TokenizerConfig = TokenizerConfig(),
+    k: int = 10,
+    round_dp=4,
+    concurrency=None,
+    batch_size: int = 256,
+    shared_refs=None,
+) -> ray.data.Dataset:
+    """Dirichlet-smoothed query-likelihood retrieval over the same index
+    (see :class:`LMScorerStage`); result schema identical to
+    :func:`bm25_search`."""
+    if concurrency is None:
+        concurrency = default_pool(0.5)
+    return queries.map_batches(
+        LMScorerStage,
+        fn_constructor_kwargs=dict(
+            index_dir=index_dir, mu=mu, tokenizer=tokenizer, k=k,
+            round_dp=round_dp, shared_refs=shared_refs,
         ),
         batch_format="pyarrow",
         batch_size=batch_size,

@@ -209,6 +209,47 @@ cos AS (
 """
 
 
+LM_MU = 2000.0
+
+
+def _lm_sql(mu: float) -> str:
+    """Dirichlet query-likelihood oracle. qc = the query's
+    multiplicity-weighted terms restricted to the collection vocabulary
+    (inner join on cf — engine skips out-of-vocabulary terms the same
+    way); each surviving term contributes
+    w·ln((tf + μ·cf/|C|)/(dl + μ)) for EVERY doc of the language, with
+    tf = 0 where the doc lacks the term."""
+    return f"""
+WITH {_TOK_CTE}, {_DL_CTE},
+cf AS (SELECT lang, term, sum(tf) AS cf FROM tok GROUP BY lang, term),
+coll AS (SELECT lang, sum(dl) AS cl FROM dl GROUP BY lang),
+q(query_id, lang, term, w) AS (VALUES {_query_values(dedup=False)}),
+qc AS (
+  SELECT q.query_id, q.lang, q.term, q.w, cf.cf, c.cl
+  FROM q
+  JOIN cf ON cf.lang = q.lang AND cf.term = q.term
+  JOIN coll c ON c.lang = q.lang
+),
+scores AS (
+  SELECT qc.query_id AS query_id, d.doc_id AS doc_id,
+         sum( qc.w * ln( (coalesce(tok.tf, 0) + {mu}*(qc.cf/qc.cl))
+                         / (d.dl + {mu}) ) ) AS score
+  FROM qc
+  JOIN dl d ON d.lang = qc.lang
+  LEFT JOIN tok ON tok.doc_id = d.doc_id AND tok.lang = qc.lang
+                AND tok.term = qc.term
+  GROUP BY qc.query_id, d.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, {_fx('score')} AS score_x,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY {_fx('score')} DESC, doc_id ASC) AS rank
+  FROM scores
+)
+SELECT query_id, rank, doc_id, score_x FROM ranked WHERE rank <= 10
+"""
+
+
 def _cosine_sql() -> str:
     return f"""
 WITH {_COSINE_CORE.format(qvalues=_query_values(dedup=True))},
@@ -575,6 +616,19 @@ def q_bm25_incremental(sf_dir: str):
         tokenizer=TokenizerConfig(mode="simple"),
         round_dp=4,
     )
+    return _results_to_docids(res.to_pandas())
+
+
+def q_lm_dirichlet(sf_dir: str):
+    """Dirichlet-smoothed query-likelihood retrieval (μ=2000) served from
+    the same compressed index as bm25_* — the reference's A10 dead-code
+    semantic, live. Every doc scores (smoothed background for missing
+    terms), so scores are negative and the SQL oracle cross-joins the
+    in-vocabulary query terms with every doc of the language."""
+    from .query import lm_search
+
+    index_dir = _index_for(sf_dir)
+    res = lm_search(_query_ds(), index_dir, mu=LM_MU, k=10, round_dp=4)
     return _results_to_docids(res.to_pandas())
 
 
@@ -3150,6 +3204,7 @@ QUERIES = {
     "bm25_standard": q_bm25_standard,
     "bm25_incremental": q_bm25_incremental,
     "bm25_wand": q_bm25_wand,
+    "lm_dirichlet": q_lm_dirichlet,
     "cosine": q_cosine,
     "cosine_rerank": q_cosine_rerank,
     "submission": q_submission,
@@ -4022,6 +4077,7 @@ SELECT lang, term, total_tf, rank FROM ranked WHERE rank <= 10
     # the incremental (append) path must equal a full-corpus build
     "bm25_incremental": _bm25_sql(1.2, 0.75, reference_quirk=False, dedup=False),
     "bm25_wand": _bm25_sql(1.2, 0.75, reference_quirk=False, dedup=False),
+    "lm_dirichlet": _lm_sql(LM_MU),
     "cosine": _cosine_sql(),
     "cosine_rerank": _cosine_rerank_sql(),
     "submission": (

@@ -28,7 +28,9 @@ from ..state.index_shard import (
     score_bm25_maxscore,
     score_bm25_taat,
     score_cosine_taat,
+    score_lm_dirichlet_taat,
     score_query_wand,
+    topk_all,
     topk_with_ties,
 )
 
@@ -206,6 +208,54 @@ class BM25ScorerStage:
                 )
                 if len(ranks) == 0:
                     continue
+                parts.append(
+                    _rows(qid, ranks, sel, keys, scores, idx.urls, self.round_dp)
+                )
+        return _concat(parts)
+
+
+class LMScorerStage:
+    """Dirichlet-smoothed query-likelihood top-k (the reference's dead
+    A10 semantic, served live): (query_id, query, lang) → result rows.
+
+    Unlike BM25, every shard doc scores (missing terms contribute the
+    smoothed background), so ranking uses :func:`topk_all` — no
+    positive-score filter. A query with no in-vocabulary term emits no
+    rows (matching the SQL oracle's inner join against cf)."""
+
+    def __init__(
+        self,
+        index_dir: str,
+        mu: float = 2000.0,
+        tokenizer: TokenizerConfig = TokenizerConfig(),
+        k: int = 10,
+        round_dp=4,
+        shared_refs=None,
+    ):
+        self.cache = _IndexCache(index_dir, shared_refs)
+        self.mu = mu
+        self.tok = tokenizer
+        self.k = k
+        self.round_dp = round_dp
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        parts = []
+        for qid, q, lang in zip(
+            batch["query_id"].to_pylist(),
+            batch["query"].to_pylist(),
+            batch["lang"].to_pylist(),
+        ):
+            idx = self.cache.get(lang)
+            if idx is None:
+                continue
+            tokens = tokenize_cfg(q, lang, self.tok)
+            if not tokens:
+                continue
+            scores = score_lm_dirichlet_taat(idx, tokens, mu=self.mu)
+            if scores is None:
+                continue
+            ranks, sel, keys = topk_all(scores, idx.urls, self.k, self.round_dp)
+            if len(ranks):
                 parts.append(
                     _rows(qid, ranks, sel, keys, scores, idx.urls, self.round_dp)
                 )

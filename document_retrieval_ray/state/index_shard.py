@@ -296,6 +296,8 @@ class LangIndex:
         self._contrib_cache: "OrderedDict" = OrderedDict()
         self._contrib_elems = 0
         self._contrib_elems_cap = 32_000_000  # ≈256 MB of float64
+        self._cf_cache: dict = {}
+        self._total_dl = None
 
     @property
     def urls(self) -> "_LazyUrls":
@@ -321,6 +323,29 @@ class LangIndex:
     def df(self, term: str):
         i = self._terms.get(term)
         return int(self._df[i]) if i is not None else None
+
+    def cf(self, term: str):
+        """Collection frequency — Σ tf over the term's postings, or None
+        for an absent term. The index stores df, not cf; cf is derived
+        from the (LRU-cached) decoded postings on first use and memoized
+        per shard holder. Exact: tfs are integer-valued float64 and the
+        sum stays far below 2^53 even at 10^12 docs × 10^3 tokens."""
+        i = self._terms.get(term)
+        if i is None:
+            return None
+        hit = self._cf_cache.get(i)
+        if hit is None:
+            hit = float(self.postings(term)[1].sum())
+            self._cf_cache[i] = hit
+        return hit
+
+    @property
+    def total_dl(self) -> float:
+        """Collection length |C| = Σ dl over the shard (exact integer sum
+        in float64)."""
+        if self._total_dl is None:
+            self._total_dl = float(self.dl.sum())
+        return self._total_dl
 
     def idf(self, term: str, law: str) -> float:
         d = self.df(term)
@@ -527,6 +552,82 @@ class _LazyUrlsIndirect:
         if isinstance(i, (int, np.integer)):
             return self._parent[int(self._ids[i])]
         return self._parent[self._ids[np.asarray(i)]]
+
+
+def score_lm_dirichlet_taat(idx: LangIndex, tokens, mu: float = 2000.0):
+    """Query-likelihood language-model scoring with Dirichlet smoothing
+    (Zhai & Lafferty, SIGIR 2001):
+
+        score(q, d) = Σ_t  w_t · ln( (tf_td + μ·p_t) / (dl_d + μ) )
+
+    over the query's multiplicity-weighted terms, with p_t = cf_t / |C|
+    the collection unigram probability. EVERY shard doc receives a score
+    (a missing term contributes the smoothed background probability), so
+    scores are negative log-likelihoods and ranking is descending.
+
+    Query terms absent from the collection are skipped (their p_t is
+    undefined); returns None when no query term is in the vocabulary —
+    the query then yields no result rows, mirroring the SQL oracle's
+    inner join against the cf table.
+
+    The reference carries this scorer only as dead code (A10,
+    SURVEY.md §2.5); this is the live semantic served from the same
+    compressed postings as BM25 — dense TAAT shape: one base pass over
+    the dl array plus one scatter-add per in-vocabulary query term.
+    """
+    terms = [
+        (t, float(w))
+        for t, w in _term_weights(tokens, "standard")
+        if t in idx._terms
+    ]
+    if not terms or idx.n_docs == 0:
+        return None
+    C = idx.total_dl
+    if C <= 0:
+        return None
+    scores = np.zeros(idx.n_docs, dtype=np.float64)
+    base = 0.0
+    for term, w in terms:
+        doc_ids, tfs = idx.postings(term)
+        mup = mu * (idx.cf(term) / C)
+        base += w * np.log(mup)
+        # matched docs: replace the background ln(μp) with ln(tf + μp)
+        scores[doc_ids] += w * (np.log(tfs + mup) - np.log(mup))
+    scores += base
+    W = sum(w for _, w in terms)
+    # ln(dl + μ) denominator, shared by every query term
+    scores -= W * np.log(idx.dl + mu)
+    return scores
+
+
+def topk_all(scores: np.ndarray, urls, k: int, round_dp=4):
+    """``topk_with_ties`` without the positive-score restriction: every
+    doc is a candidate (LM scores are negative log-probabilities). Same
+    contract — rank on (rounded score desc, url asc), returns
+    (ranks 1..k', doc_indices, score_keys)."""
+    if scores.size == 0:
+        return (
+            np.empty(0, np.int64),
+            np.empty(0, np.int64),
+            np.empty(0, np.float64),
+        )
+    scale = 10.0 ** round_dp if round_dp is not None else None
+    key = np.floor(scores * scale + 0.5) if scale is not None else scores
+    pos = np.arange(scores.size, dtype=np.int64)
+    if key.size > max(4 * k, 64):
+        # O(n) preselect: only the kth-largest-key ties-or-beats sliver
+        # needs the (url, key) lexsort
+        kth = np.partition(key, key.size - k)[key.size - k]
+        keep = np.nonzero(key >= kth)[0]
+        pos, key = pos[keep], key[keep]
+    order = np.lexsort((urls[pos], -key))
+    take = order[: min(k, order.size)]
+    sel = pos[take]
+    return (
+        np.arange(1, take.size + 1, dtype=np.int64),
+        sel,
+        key[take],
+    )
 
 
 def topk_with_ties(scores: np.ndarray, urls, k: int, round_dp=4):

@@ -277,3 +277,61 @@ def test_maxscore_matches_taat(built, cfg):
             r_m = topk_with_ties(ss, su, 10, 4)
             got = [(int(r), su[i], int(k)) for r, i, k in zip(*r_m)]
             assert got == exp, (q["query_id"], hot_df, cfg.idf)
+
+
+def test_lm_dirichlet_rank_identity(built):
+    """Dirichlet query-likelihood engine scores vs a textbook per-doc
+    brute force (independent float op order: per-(doc,term)
+    ln((tf+μp)/(dl+μ)) loop vs the engine's dense base+scatter
+    decomposition)."""
+    import math
+    from collections import Counter
+
+    from document_retrieval_ray.state.index_shard import (
+        score_lm_dirichlet_taat,
+        topk_all,
+    )
+
+    index_dir, oracle, queries, mode = built
+    mu = 2000.0
+    checked = 0
+    for q in queries:
+        lang = q["lang"]
+        idx = LangIndex(index_dir, lang)
+        tokens = tokenize(q["query"], lang, mode)
+        got = score_lm_dirichlet_taat(idx, tokens, mu=mu)
+
+        cf = Counter()
+        for tfd in oracle.term_freqs[lang]:
+            for t, v in tfd.items():
+                cf[t] += v
+        C = float(oracle.dl[lang].sum())
+        terms = [
+            (t, float(w))
+            for t, w in sorted(Counter(tokens).items())
+            if cf.get(t)
+        ]
+        if not terms:
+            assert got is None, q["query_id"]
+            continue
+        n = oracle.N[lang]
+        exp = np.zeros(n, dtype=np.float64)
+        for d in range(n):
+            dl = float(oracle.dl[lang][d])
+            s = 0.0
+            for t, w in terms:
+                tf = float(oracle.term_freqs[lang][d].get(t, 0))
+                p = cf[t] / C
+                s += w * math.log((tf + mu * p) / (dl + mu))
+            exp[d] = s
+        assert got == pytest.approx(exp, rel=1e-9, abs=1e-12), q["query_id"]
+        # every doc scores: the top-k must rank ALL docs, not just matches
+        ranks, sel, _ = topk_all(got, idx.urls, 10, round_dp=4)
+        key = np.floor(exp * 10000.0 + 0.5)
+        order = np.lexsort((oracle.doc_urls[lang], -key))[:10]
+        assert list(idx.urls[sel]) == list(oracle.doc_urls[lang][order]), (
+            q["query_id"]
+        )
+        assert len(ranks) == min(10, n)
+        checked += 1
+    assert checked > 0

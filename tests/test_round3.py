@@ -1018,3 +1018,25 @@ class TestSpellHelpers:
                     va = {a} | {a[:i] + a[i + 1:] for i in range(len(a))}
                     vb = {b} | {b[:i] + b[i + 1:] for i in range(len(b))}
                     assert va & vb, (a, b)
+
+
+def test_topk_all_matches_naive_with_negatives_and_ties():
+    """topk_all (preselect path) == naive full sort on (rounded key desc,
+    url asc), including negative scores and rounded-key ties — the LM
+    ranking contract."""
+    import numpy as np
+
+    from document_retrieval_ray.state.index_shard import topk_all
+
+    rng = np.random.default_rng(99)
+    for n in (5, 64, 400, 5000):
+        scores = -rng.uniform(1.0, 50.0, size=n)
+        # force rounded-key ties
+        scores[rng.integers(0, n, size=max(2, n // 10))] = -7.25
+        urls = np.array([f"{i:06d}" for i in range(n)], dtype=object)
+        ranks, sel, keys = topk_all(scores, urls, 10, round_dp=4)
+        key_all = np.floor(scores * 10000.0 + 0.5)
+        order = np.lexsort((urls, -key_all))[: min(10, n)]
+        assert list(sel) == list(order)
+        assert list(keys) == [key_all[i] for i in order]
+        assert list(ranks) == list(range(1, len(order) + 1))
