@@ -2241,6 +2241,24 @@ def q_window_tumble(sf_dir: str):
     )
 
 
+def q_latest_event(sf_dir: str):
+    """Snapshot dedup: each (user_id, event_type)'s newest event —
+    the recrawl keep-latest-capture-per-url semantic (stages/dedup.py
+    keep_latest) exercised on the events table where the driver oracle
+    can verify it. Winner = max (ts, event_id); full rows survive
+    (value rides along like html bytes would in the corpus shape)."""
+    from ..stages.dedup import keep_latest
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+    return keep_latest(
+        ev, key_cols=("user_id", "event_type"), ts_col="ts",
+        tie_col="event_id",
+    )
+
+
 # ------------------------------------------------- round-3 training-data ops
 
 # span-level exact dedup window size (Lee et al. 2022, "Deduplicating
@@ -3247,6 +3265,7 @@ QUERIES = {
     "bool_search": q_bool_search,
     "sessionize": q_sessionize,
     "window_tumble": q_window_tumble,
+    "latest_event": q_latest_event,
     "range_join": q_range_join,
     "sample_stratified": q_sample_stratified,
     "source_cap": q_source_cap,
@@ -4362,5 +4381,13 @@ SELECT event_type,
        CAST(sum(CAST(floor(value*100.0 + 0.5) AS BIGINT)) AS BIGINT) AS value_c,
        count(DISTINCT user_id) AS users
 FROM events GROUP BY 1, 2
+""",
+    "latest_event": """
+SELECT event_id, ts, user_id, event_type, value FROM (
+  SELECT event_id, ts, user_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
 """,
 }

@@ -627,3 +627,38 @@ def simhash_pairs(sim_df: pd.DataFrame, max_hamming: int = 3) -> pd.DataFrame:
     return pd.DataFrame(
         {"a": [p[0] for p in out], "b": [p[1] for p in out]}
     )
+
+
+def keep_latest(ds, key_cols, ts_col: str, tie_col: str, num_parts: int = 64):
+    """Snapshot / recrawl dedup: keep each key's NEWEST row — e.g. the
+    latest capture per url in a Common-Crawl-style corpus where re-crawls
+    append rows with fresh ``warc_ts``.
+
+    Winner per key = lexicographic max of (ts_col, tie_col); the tie
+    column makes the result deterministic when timestamps collide.
+
+    Scale shape (combiner pattern, same as the exact-dedup path): a
+    per-BATCH vectorized reduce first — a batch's duplicate captures
+    collapse before anything moves — then ONE key-hash exchange of the
+    per-batch survivors (``add_kpart``, one task per partition, not per
+    key) and a per-partition final reduce. Full rows travel only for
+    batch survivors; nothing is broadcast and no driver state exists, so
+    payload columns (html bytes) ride along untouched.
+    """
+    from .index_build import add_kpart
+
+    key_cols = list(key_cols)
+    sort_cols = key_cols + [ts_col, tie_col]
+
+    def _reduce(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(sort_cols, kind="mergesort")
+        return df.drop_duplicates(subset=key_cols, keep="last")
+
+    partial = ds.map_batches(_reduce, batch_format="pandas")
+    parted = partial.map_batches(
+        add_kpart,
+        fn_kwargs={"num_parts": num_parts, "cols": tuple(key_cols)},
+        batch_format="pyarrow",
+    )
+    out = parted.groupby("kpart").map_groups(_reduce, batch_format="pandas")
+    return out.drop_columns(["kpart"])

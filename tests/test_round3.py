@@ -1040,3 +1040,55 @@ def test_topk_all_matches_naive_with_negatives_and_ties():
         assert list(sel) == list(order)
         assert list(keys) == [key_all[i] for i in order]
         assert list(ranks) == list(range(1, len(order) + 1))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_keep_latest_corpus_shape_and_ties():
+    """keep_latest over a Common-Crawl-shaped table (url, warc_ts, html):
+    re-crawled urls collapse to the newest capture, timestamp ties break
+    on the tie column, binary payloads survive, across many small blocks
+    (per-batch partial + one key-hash exchange)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from document_retrieval_ray.stages.dedup import keep_latest
+
+    rng = np.random.default_rng(5)
+    n = 400
+    urls = [f"https://ex.org/{i % 97}" for i in range(n)]  # ~4 captures/url
+    ts = rng.integers(1_000_000, 2_000_000, size=n)
+    # forced tie on one url pair, above every other capture of that url
+    ts[10] = ts[11] = 3_000_000
+    urls[11] = urls[10]
+    df = pd.DataFrame(
+        {
+            "url": urls,
+            "warc_ts": ts,
+            "cap_id": np.arange(n, dtype=np.int64),
+            "html": [f"<b>{i}</b>".encode() for i in range(n)],
+        }
+    )
+    tbl = pa.table(df)
+    ds = ray.data.from_arrow(tbl).repartition(13)
+    got = (
+        keep_latest(ds, key_cols=("url",), ts_col="warc_ts", tie_col="cap_id",
+                    num_parts=8)
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    exp = (
+        df.sort_values(["url", "warc_ts", "cap_id"])
+        .drop_duplicates(subset=["url"], keep="last")
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["url", "warc_ts", "cap_id", "html"]],
+        exp[["url", "warc_ts", "cap_id", "html"]],
+    )
+    # the tied pair resolved to the larger cap_id
+    tied = got[got.url == urls[10]]
+    assert int(tied.cap_id.iloc[0]) == 11
