@@ -978,6 +978,29 @@ def q_ann_topk_ivf(sf_dir: str):
     return partial.groupby("query_vec").map_groups(final_topk, batch_format="pandas")
 
 
+def q_kmeans_clusters(sf_dir: str):
+    """Distributed deterministic k-means clustering of the embedding
+    table: the IVF coarse quantizer exposed as a first-class clustering
+    op — Lloyd fit with per-batch (cell, dim) partial moments (driver
+    reduces nlist×dim only), then a one-pass assignment map. Returns
+    (vec_id, cluster). The DuckDB oracle re-derives identical centroids
+    (same init / fixed-point grids), so assignments are value-checked."""
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    cent = fit_ivf_centroids(emb, IVF_NLIST, IVF_NITER)
+    assigned = emb.map_batches(
+        ivf_assign_batch, fn_kwargs={"centroids": cent}, batch_format="pyarrow"
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"vec_id": t["vec_id"],
+             "cluster": pc.cast(t["cell"], pa.int64())}
+        )
+
+    return assigned.map_batches(project, batch_format="pyarrow")
+
+
 def q_token_stats(sf_dir: str):
     return _docs(sf_dir).map_batches(doc_stats_batch, batch_format="pyarrow")
 
@@ -3240,6 +3263,7 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "ann_topk_lsh": q_ann_topk_lsh,
     "ann_topk_ivf": q_ann_topk_ivf,
+    "kmeans_clusters": q_kmeans_clusters,
     "token_stats": q_token_stats,
     "langid": q_langid,
     "binary_meta": q_binary_meta,
@@ -3538,16 +3562,16 @@ SELECT query_vec, rank, vec_id, cos_x FROM ranked WHERE rank <= 10
 """
 
 
-def _ivf_sql(nlist: int = IVF_NLIST, nprobe: int = IVF_NPROBE,
-             niter: int = IVF_NITER, k: int = 10) -> str:
-    """IVF ANN oracle: re-derives the engine's centroids from the data —
-    init = embeddings of vec_id < nlist, then ``niter`` chained Lloyd
-    iterations (assignment by fixed-point-rounded squared L2, per-dim
-    coordinate sums rounded to the 1e6 grid before the mean, empty cells
-    keep the previous centroid via LEFT JOIN + COALESCE) — then probes the
-    ``nprobe`` nearest cells per query and ranks cosine top-``k``.
-    Every cross-implementation float comparison goes through the same
-    fixed-point grids as stages/ann.py (IVF_DIST_SCALE / IVF_SUM_SCALE)."""
+def _ivf_fasg_ctes(nlist: int, niter: int) -> str:
+    """WITH-chain re-deriving the engine's k-means centroids from the
+    data and the final cell assignment (``fasg``) — init = embeddings of
+    vec_id < nlist, then ``niter`` chained Lloyd iterations (assignment
+    by fixed-point-rounded squared L2, per-dim coordinate sums rounded to
+    the 1e6 grid before the mean, empty cells keep the previous centroid
+    via LEFT JOIN + COALESCE). Every cross-implementation float
+    comparison goes through the same fixed-point grids as stages/ann.py
+    (IVF_DIST_SCALE / IVF_SUM_SCALE). Shared by the IVF-ANN and
+    kmeans-clustering oracles."""
     ctes = [f"WITH {_EMB_UNNEST},"]
     ctes.append(
         f"cent0 AS (SELECT vec_id AS cell, i, v AS c FROM u "
@@ -3594,7 +3618,23 @@ fasg AS (
            row_number() OVER (PARTITION BY vec_id
                               ORDER BY dx ASC, cell ASC) AS rn
     FROM fdist) t WHERE rn = 1
-),
+)""")
+    return "".join(ctes)
+
+
+def _kmeans_sql(nlist: int = IVF_NLIST, niter: int = IVF_NITER) -> str:
+    """k-means clustering oracle: identical centroid derivation as the
+    IVF chain, final per-vector assignment only."""
+    return _ivf_fasg_ctes(nlist, niter) + """
+SELECT vec_id, cell AS cluster FROM fasg"""
+
+
+def _ivf_sql(nlist: int = IVF_NLIST, nprobe: int = IVF_NPROBE,
+             niter: int = IVF_NITER, k: int = 10) -> str:
+    """IVF ANN oracle: the shared centroid/assignment chain
+    (:func:`_ivf_fasg_ctes`), then probes the ``nprobe`` nearest cells
+    per query and ranks cosine top-``k``."""
+    return _ivf_fasg_ctes(nlist, niter) + f""",
 qdist AS (
   SELECT vec_id AS query_vec, cell, dx FROM fdist
   WHERE vec_id IN {ANN_QUERY_IDS}
@@ -3628,8 +3668,7 @@ ranked AS (
                             ORDER BY {_fx('cos')} DESC, vec_id ASC) AS rank
   FROM c
 )
-SELECT query_vec, rank, vec_id, cos_x FROM ranked WHERE rank <= {k}""")
-    return "".join(ctes)
+SELECT query_vec, rank, vec_id, cos_x FROM ranked WHERE rank <= {k}"""
 
 
 def _sentence_bm25_sql(k1: float = 1.5, b: float = 0.75,
@@ -4143,6 +4182,7 @@ SELECT n AS doc_id, min(lbl) AS rep FROM walk GROUP BY n
     "ann_topk": _ANN_SQL,
     "ann_topk_lsh": _ANN_LSH_SQL,
     "ann_topk_ivf": _ivf_sql(),
+    "kmeans_clusters": _kmeans_sql(),
     "token_stats": _token_stats_sql(),
     "langid": _langid_sql(),
     "binary_meta": "SELECT doc_id, octet_length(encode(text)) AS n_bytes, "
