@@ -7,6 +7,7 @@
         --out /tmp/results [--rerank]
     python -m document_retrieval_ray.cli append --input delta.parquet --index /path/idx
     python -m document_retrieval_ray.cli compact --index /path/idx --out /path/idx2
+    python -m document_retrieval_ray.cli stats  --index /path/idx
 
 On a cluster: ``ray job submit --working-dir . -- python -m
 document_retrieval_ray.cli build ...`` — the module only calls
@@ -102,6 +103,10 @@ def main(argv=None) -> int:
     cp.add_argument("--index", required=True)
     cp.add_argument("--out", required=True, help="compacted index output directory")
 
+    st = sub.add_parser("stats", parents=[common],
+                        help="per-partition lineage + metrics of a built index")
+    st.add_argument("--index", required=True)
+
     c = sub.add_parser("cosine", parents=[common],
                        help="TF-IDF cosine top-k (optional BM25 rerank)")
     c.add_argument("--index", required=True)
@@ -112,6 +117,48 @@ def main(argv=None) -> int:
     c.add_argument("--k", type=int, default=10)
 
     args = p.parse_args(argv)
+
+    if args.cmd == "stats":
+        # pure metadata read (the north rule's per-partition lineage +
+        # metrics surface) — no Ray session needed
+        import os
+
+        from .pipelines.incremental import read_generations
+        from .state.manifest import read_manifest
+
+        mdir = os.path.join(args.index, "manifests")
+        if not os.path.isdir(mdir):
+            raise FileNotFoundError(
+                f"no index at {args.index!r} (manifests/ missing)"
+            )
+        langs = {}
+        for lang in sorted(os.listdir(mdir)):
+            m = read_manifest(os.path.join(mdir, lang))
+            langs[lang] = (
+                {k: v for k, v in sorted(m.items())}
+                if m is not None
+                else {"committed": False}
+            )
+        artifacts = {}
+        for sub_dir in ("postings", "docmap", "df", "norms"):
+            root = os.path.join(args.index, sub_dir)
+            if not os.path.isdir(root):
+                continue
+            files = bytes_ = 0
+            for dirpath, _dirs, names in os.walk(root):
+                for n in names:
+                    if n.endswith(".parquet"):
+                        files += 1
+                        bytes_ += os.path.getsize(os.path.join(dirpath, n))
+            artifacts[sub_dir] = {"parquet_files": files, "bytes": bytes_}
+        print(json.dumps({
+            "index": args.index,
+            "partitions": langs,
+            "generations": read_generations(args.index)["generations"],
+            "artifacts": artifacts,
+        }, sort_keys=True, default=str))
+        return 0
+
     _ensure_ray(getattr(args, "num_cpus", None))
     import ray.data
 

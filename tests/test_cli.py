@@ -75,3 +75,29 @@ def test_cli_append_query_compact_roundtrip(tiny_corpus, tmp_path, capsys):
     assert main(["compact", "--index", index_dir, "--out", compact_dir]) == 0
     compacted = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert sum(v["n_docs"] for v in compacted.values()) == docs.num_rows
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cli_stats_lineage(tiny_corpus, tmp_path, capsys):
+    """`stats` surfaces the per-partition lineage + metrics: committed
+    manifests with docs/terms/postings and the input fingerprint, plus
+    artifact shard counts — and fails loudly on a non-index dir."""
+    from document_retrieval_ray.cli import main
+
+    index_dir = str(tmp_path / "idx")
+    assert main(["build", "--input", tiny_corpus["documents"],
+                 "--index", index_dir]) == 0
+    capsys.readouterr()
+    assert main(["stats", "--index", index_dir]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["generations"] == []
+    assert out["partitions"], "at least one committed language partition"
+    for lang, m in out["partitions"].items():
+        assert m["committed"] is True, lang
+        for k in ("n_docs", "n_terms", "n_postings", "avgdl",
+                  "input_fingerprint"):
+            assert k in m, (lang, k)
+    assert out["artifacts"]["postings"]["parquet_files"] > 0
+    assert out["artifacts"]["postings"]["bytes"] > 0
+    with pytest.raises(FileNotFoundError):
+        main(["stats", "--index", str(tmp_path / "nope")])
