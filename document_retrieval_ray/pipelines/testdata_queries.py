@@ -35,6 +35,8 @@ from ..stages.dedup import (
     add_text_hash,
     attach_partition,
     band_pairs_partition,
+    containment_bucket_pairs_partition,
+    containment_partition,
     dedup_pairs_partition,
     emit_band_rows,
     emit_doc_shingles,
@@ -801,6 +803,63 @@ def q_ngram_jaccard(sf_dir: str, cfg: DedupConfig = DEFAULT_DEDUP):
     )
     return _parted(attached, ("a", "b")).map_groups(
         lambda g: jaccard_partition(g, NGRAM_JACCARD_THRESHOLD),
+        batch_format="pandas",
+    )
+
+
+CONTAINMENT_THRESHOLD = 0.8
+
+
+def q_containment(sf_dir: str, cfg: DedupConfig = DEFAULT_DEDUP):
+    """EXACT n-gram containment self-join (threshold 0.8, DIRECTIONAL):
+    every ordered pair (a, b) with |S_a ∩ S_b| / |S_a| ≥ t over distinct
+    word-3-gram sets — the asymmetric complement of q_ngram_jaccard that
+    catches excerpt/quote relationships (a short doc inside a long one)
+    whose symmetric Jaccard is far below any threshold.
+
+    Same all-distributed plan as the Jaccard join and the same lossless
+    prefix (overlap ≥ ⌈t·|S_a|⌉ forces a hit in a's first
+    |S_a| − ⌈t·|S_a|⌉ + 1 df-ascending shingles) — but candidates pair
+    the contained side's PREFIX rows against the container side's FULL
+    postings, so buckets are df-sized on one side (capped + audited)."""
+    docs = _docs(sf_dir)
+    sh_tbl = docs.map_batches(
+        emit_doc_shingles, fn_kwargs={"n": cfg.shingle_n}, batch_format="pyarrow"
+    ).materialize()
+    exploded = sh_tbl.map_batches(explode_shingle_rows, batch_format="pyarrow")
+    with_df = _parted(exploded, ("sh",)).map_groups(
+        shingle_df_partition, batch_format="pandas"
+    )
+    prefix = _parted(with_df, ("doc_id",)).map_groups(
+        lambda g: prefix_rows_partition(g, CONTAINMENT_THRESHOLD),
+        batch_format="pandas",
+    )
+
+    def _mark(role):
+        def mark(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "sh": pc.cast(t["sh"], pa.int64()),
+                    "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                    "role": pa.array([role] * t.num_rows, pa.int64()),
+                }
+            )
+
+        return mark
+
+    marked = prefix.map_batches(_mark(1), batch_format="pyarrow").union(
+        exploded.map_batches(_mark(0), batch_format="pyarrow")
+    )
+    pairs = _parted(marked, ("sh",)).map_groups(
+        lambda g: containment_bucket_pairs_partition(g, max_bucket=cfg.max_bucket),
+        batch_format="pandas",
+    )
+    sides = pairs.map_batches(pair_side_rows, batch_format="pyarrow")
+    attached = _parted(sh_tbl.union(sides), ("doc_id",)).map_groups(
+        attach_partition, batch_format="pandas"
+    )
+    return _parted(attached, ("a", "b")).map_groups(
+        lambda g: containment_partition(g, CONTAINMENT_THRESHOLD),
         batch_format="pandas",
     )
 
@@ -3256,6 +3315,7 @@ QUERIES = {
     "fingerprint": q_fingerprint,
     "minhash_pairs": q_minhash_pairs,
     "ngram_jaccard": q_ngram_jaccard,
+    "containment": q_containment,
     "neardup_components": q_neardup_components,
     "simhash_pairs": q_simhash_pairs,
     "embed_neardup": q_embed_neardup,
@@ -3392,6 +3452,31 @@ FROM inter i
 JOIN sizes za ON za.doc_id = i.a
 JOIN sizes zb ON zb.doc_id = i.b
 WHERE CAST(ni AS DOUBLE) / (za.n + zb.n - ni) >= {NGRAM_JACCARD_THRESHOLD}
+"""
+
+_CONTAINMENT_SQL = f"""
+WITH {_TOKS_CTE},
+shl AS (
+  SELECT doc_id,
+         CASE WHEN len(l) < {SHINGLE_N} THEN [array_to_string(l, ' ')]
+              ELSE list_transform(range(1, len(l) - {SHINGLE_N - 2}),
+                                  i -> array_to_string(list_slice(l, i, i + {SHINGLE_N - 1}), ' '))
+         END AS sh_list
+  FROM toks WHERE len(l) >= 1
+),
+sh AS (SELECT DISTINCT doc_id, unnest(sh_list) AS shingle FROM shl),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT sa.doc_id AS a, sb.doc_id AS b, count(*) AS ni
+  FROM sh sa JOIN sh sb ON sb.shingle = sa.shingle
+                       AND sa.doc_id <> sb.doc_id
+  GROUP BY sa.doc_id, sb.doc_id
+)
+SELECT i.a AS a, i.b AS b,
+       {_fx('CAST(ni AS DOUBLE) / za.n')} AS containment_x
+FROM inter i
+JOIN sizes za ON za.doc_id = i.a
+WHERE CAST(ni AS DOUBLE) / za.n >= 0.8
 """
 
 _EMB_UNNEST = """
@@ -4163,6 +4248,7 @@ JOIN (SELECT min(doc_id) AS k FROM documents GROUP BY md5(text)) s
                    f"md5(array_to_string(l, ' ')) AS fp, len(l) AS n_tokens FROM toks",
     "minhash_pairs": _MINHASH_SQL,
     "ngram_jaccard": _NGRAM_JACCARD_SQL,
+    "containment": _CONTAINMENT_SQL,
     "neardup_components": f"""
 WITH RECURSIVE
 pairs AS (SELECT a, b FROM ({_MINHASH_SQL}) mh),

@@ -662,3 +662,92 @@ def keep_latest(ds, key_cols, ts_col: str, tie_col: str, num_parts: int = 64):
     )
     out = parted.groupby("kpart").map_groups(_reduce, batch_format="pandas")
     return out.drop_columns(["kpart"])
+
+
+def containment_bucket_pairs_partition(group: pd.DataFrame,
+                                       max_bucket: int = MAX_BUCKET) -> pd.DataFrame:
+    """sh-hash partition of marked shingle rows (role 1 = the contained
+    side's df-ascending prefix, role 0 = full postings): DIRECTIONAL
+    candidate pairs (a contained-in b) from every bucket — a ranges over
+    the bucket's prefix rows, b over its full rows, a ≠ b. Lossless by
+    the prefix lemma: containment(a→b) ≥ t needs overlap ≥ ⌈t·|S_a|⌉, so
+    b must hit a's first |S_a| − ⌈t·|S_a|⌉ + 1 shingles. Degenerate
+    buckets truncate each side to the sorted doc_id prefix, audited."""
+    g = _drop_kpart(group)
+    parts = []
+    for sh_val, gg in g.groupby("sh", sort=False):
+        role = gg["role"].to_numpy()
+        a_all = np.sort(gg.loc[role == 1, "doc_id"].unique()).astype(np.int64)
+        b_all = np.sort(gg.loc[role == 0, "doc_id"].unique()).astype(np.int64)
+        a_ids, b_ids = a_all[:max_bucket], b_all[:max_bucket]
+        if len(a_all) > max_bucket or len(b_all) > max_bucket:
+            _audit_truncation(
+                "containment-prefix", int(sh_val),
+                len(a_ids) + len(b_ids),
+                (len(a_all) - len(a_ids)) + (len(b_all) - len(b_ids)),
+            )
+        if len(a_ids) == 0 or len(b_ids) == 0:
+            continue
+        aa = np.repeat(a_ids, len(b_ids))
+        bb = np.tile(b_ids, len(a_ids))
+        keep = aa != bb
+        if keep.any():
+            parts.append(pd.DataFrame({"a": aa[keep], "b": bb[keep]}))
+    if not parts:
+        return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                             "b": pd.Series(dtype="int64")})
+    return (
+        pd.concat(parts, ignore_index=True)
+        .drop_duplicates(["a", "b"])
+        .astype({"a": "int64", "b": "int64"})
+    )
+
+
+def containment_partition(group: pd.DataFrame, threshold: float) -> pd.DataFrame:
+    """Partition of attached DIRECTIONAL pair sides → verified
+    containments: |S_a ∩ S_b| / |S_a| ≥ t (denominator is the CONTAINED
+    side — the asymmetric complement of jaccard_partition, catching
+    excerpt/quote relationships whose symmetric Jaccard is low)."""
+    empty = pd.DataFrame({"a": pd.Series(dtype="int64"),
+                          "b": pd.Series(dtype="int64"),
+                          "containment_x": pd.Series(dtype="int64")})
+    g = _drop_kpart(group)
+    if "doc_id" in g.columns:
+        g = g.drop_duplicates(["a", "b", "doc_id"])
+    if len(g) < 2:
+        return empty
+    g = g.sort_values(["a", "b"], kind="mergesort")
+    a = g["a"].to_numpy()
+    b = g["b"].to_numpy()
+    doc = g["doc_id"].to_numpy()
+    shs = g["shs"].to_numpy()
+    ns = g["n"].to_numpy()
+    change = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+    starts = np.concatenate([[0], np.flatnonzero(change) + 1])
+    ends = np.concatenate([starts[1:], [len(g)]])
+    oa, ob, oc = [], [], []
+    for s, e in zip(starts, ends):
+        if e - s != 2:
+            continue
+        ia = s if doc[s] == a[s] else s + 1
+        ib = s + 1 if ia == s else s
+        if doc[ia] != a[s] or doc[ib] != b[s]:
+            continue
+        sa = np.asarray(shs[ia], dtype=np.int64)
+        sb = np.asarray(shs[ib], dtype=np.int64)
+        na = int(ns[ia])
+        if na <= 0:
+            continue
+        inter = int(np.intersect1d(sa, sb, assume_unique=True).size)
+        cont = inter / na
+        if cont >= threshold:
+            oa.append(int(a[s]))
+            ob.append(int(b[s]))
+            oc.append(int(np.floor(cont * 10000 + 0.5)))
+    return pd.DataFrame(
+        {
+            "a": pd.Series(oa, dtype="int64"),
+            "b": pd.Series(ob, dtype="int64"),
+            "containment_x": pd.Series(oc, dtype="int64"),
+        }
+    )

@@ -1092,3 +1092,45 @@ def test_keep_latest_corpus_shape_and_ties():
     # the tied pair resolved to the larger cap_id
     tied = got[got.url == urls[10]]
     assert int(tied.cap_id.iloc[0]) == 11
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_containment_catches_excerpt_jaccard_misses(tmp_path):
+    """A short doc fully contained in a long one: containment(a→b)=1.0
+    while symmetric Jaccard is far below threshold — the directional
+    join finds exactly the ordered pair the Jaccard join cannot."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from document_retrieval_ray.pipelines.testdata_queries import (
+        q_containment,
+        q_ngram_jaccard,
+    )
+
+    words = [f"w{i:02d}" for i in range(60)]
+    long_text = " ".join(words)
+    short_text = " ".join(words[10:18])  # 8 tokens ⊂ long, 6 shingles
+    other = " ".join(f"z{i:02d}" for i in range(40))
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [long_text, short_text, other],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": [len(long_text), len(short_text), len(other)],
+        }
+    )
+    sf = str(tmp_path)
+    pq.write_table(pa.table(df), f"{sf}/documents.parquet")
+    got = q_containment(sf)
+    got = got.to_pandas() if hasattr(got, "to_pandas") else got
+    got = got.sort_values(["a", "b"]).reset_index(drop=True)
+    # the only qualifying ordered pair: short (2) contained in long (1)
+    assert list(zip(got.a, got.b)) == [(2, 1)]
+    assert int(got.containment_x.iloc[0]) == 10000  # exactly 1.0
+    jac = q_ngram_jaccard(sf)
+    jac = jac.to_pandas() if hasattr(jac, "to_pandas") else jac
+    assert len(jac) == 0  # symmetric Jaccard ≈ 6/58 — far below 0.5
