@@ -2323,6 +2323,160 @@ def q_window_tumble(sf_dir: str):
     )
 
 
+PMI_TOP_V = 50  # per-lang candidate vocabulary (top df terms)
+PMI_MIN_CO = 2  # minimum doc co-occurrence for a pair to score
+
+
+def q_pmi_pairs(sf_dir: str):
+    """Doc-level PMI collocations: top-10 term pairs per language by
+    pointwise mutual information ln(n_xy·N / (n_x·n_y)), counting
+    document co-occurrence among each language's top-50 df terms.
+
+    Scale shape: candidates come from the distributed df table via
+    per-block partial top-V → one tiny driver merge (V×langs rows), so
+    the pair space is bounded at C(V,2) per lang regardless of corpus
+    size; the candidate set broadcasts once (`ray.put`); per-batch
+    vectorized self-merge emits partial pair counts (≤ C(V,2) rows per
+    batch after the in-batch groupby) and ONE vocabulary-bounded
+    exchange sums them."""
+    # per-lang N (thin 1-column scan) and top-V candidates by (df desc,
+    # term asc)
+    n_by_lang = {
+        r["lang"]: int(r["count()"])
+        for r in ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["lang"]
+        )
+        .groupby("lang")
+        .count()
+        .take_all()
+    }
+
+    def ptop(t: pa.Table) -> pa.Table:
+        pdf = t.to_pandas()
+        return pa.Table.from_pandas(
+            pdf.sort_values(["lang", "df", "term"],
+                            ascending=[True, False, True])
+            .groupby("lang", sort=False)
+            .head(PMI_TOP_V),
+            preserve_index=False,
+        )
+
+    cand = (
+        q_term_df(sf_dir)
+        .map_batches(ptop, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["lang", "df", "term"], ascending=[True, False, True])
+        .groupby("lang", sort=False)
+        .head(PMI_TOP_V)
+    )
+    sel_ref = ray.put(cand[["lang", "term", "df"]])
+
+    class PairCounts:
+        def __init__(self):
+            self.sel = ray.get(sel_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            text = pc.cast(t["text"], pa.string())
+            low = pc.utf8_lower(text)
+            spaced = pc.replace_substring_regex(low, "[^a-z0-9]+", " ")
+            trimmed = pc.utf8_trim_whitespace(spaced)
+            toks = pc.split_pattern(trimmed, " ").combine_chunks()
+            lens = np.diff(toks.offsets.to_numpy(zero_copy_only=False))
+            parent = np.repeat(np.arange(len(toks), dtype=np.int64), lens)
+            vals = np.asarray(toks.values.to_pandas(), dtype=object)
+            langs = np.asarray(t["lang"].to_pandas(), dtype=object)
+            pdf = pd.DataFrame(
+                {"row": parent, "lang": langs[parent], "term": vals}
+            )
+            pdf = pdf[pdf.term != ""].drop_duplicates(["row", "term"])
+            pdf = pdf.merge(self.sel[["lang", "term"]], on=["lang", "term"])
+            empty = pa.table(
+                {
+                    "lang": pa.array([], pa.string()),
+                    "term_x": pa.array([], pa.string()),
+                    "term_y": pa.array([], pa.string()),
+                    "n_xy": pa.array([], pa.int64()),
+                }
+            )
+            if len(pdf) == 0:
+                return empty
+            # within-doc pairs among the ≤V selected terms: self-merge on
+            # the row id, keep the term_x < term_y half
+            pairs = pdf.merge(pdf, on=["row", "lang"], suffixes=("_x", "_y"))
+            pairs = pairs[pairs.term_x < pairs.term_y]
+            if len(pairs) == 0:
+                return empty
+            g = (
+                pairs.groupby(["lang", "term_x", "term_y"], sort=False)
+                .size()
+                .rename("n_xy")
+                .reset_index()
+            )
+            g["n_xy"] = g["n_xy"].astype("int64")
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+    sums = (
+        _docs(sf_dir)
+        .map_batches(PairCounts, batch_format="pyarrow",
+                     concurrency=default_pool())
+        .groupby(["lang", "term_x", "term_y"])
+        .sum("n_xy")
+    )
+    df_map = {
+        (l, t): int(d)
+        for l, t, d in zip(cand["lang"], cand["term"], cand["df"])
+    }
+    dfm_ref = ray.put((df_map, n_by_lang))
+
+    class AddPmi:
+        def __init__(self):
+            self.df_map, self.n_by_lang = ray.get(dfm_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            pdf = t.to_pandas().rename(columns={"sum(n_xy)": "n_xy"})
+            pdf = pdf[pdf.n_xy >= PMI_MIN_CO]
+            if len(pdf) == 0:
+                return pa.table(
+                    {
+                        "lang": pa.array([], pa.string()),
+                        "term_x": pa.array([], pa.string()),
+                        "term_y": pa.array([], pa.string()),
+                        "n_xy": pa.array([], pa.int64()),
+                        "pmi_x": pa.array([], pa.int64()),
+                    }
+                )
+            nxy = pdf["n_xy"].to_numpy(dtype=np.float64)
+            N = np.array([self.n_by_lang[l] for l in pdf["lang"]],
+                         dtype=np.float64)
+            dfx = np.array(
+                [self.df_map[(l, x)] for l, x in zip(pdf["lang"], pdf["term_x"])],
+                dtype=np.float64,
+            )
+            dfy = np.array(
+                [self.df_map[(l, y)] for l, y in zip(pdf["lang"], pdf["term_y"])],
+                dtype=np.float64,
+            )
+            # same float op order as the SQL: (n_xy·N) / (df_x·df_y)
+            pmi = np.log((nxy * N) / (dfx * dfy))
+            pdf["pmi_x"] = np.floor(pmi * 10000.0 + 0.5).astype(np.int64)
+            pdf["n_xy"] = pdf["n_xy"].astype("int64")
+            return pa.Table.from_pandas(
+                pdf[["lang", "term_x", "term_y", "n_xy", "pmi_x"]],
+                preserve_index=False,
+            )
+
+    def top10(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["pmi_x", "term_x", "term_y"],
+                          ascending=[False, True, True]).head(10)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["lang", "rank", "term_x", "term_y", "n_xy", "pmi_x"]]
+
+    scored = sums.map_batches(AddPmi, batch_format="pyarrow",
+                              concurrency=default_pool())
+    return scored.groupby("lang").map_groups(top10, batch_format="pandas")
+
+
 def q_latest_event(sf_dir: str):
     """Snapshot dedup: each (user_id, event_type)'s newest event —
     the recrawl keep-latest-capture-per-url semantic (stages/dedup.py
@@ -3350,6 +3504,7 @@ QUERIES = {
     "sessionize": q_sessionize,
     "window_tumble": q_window_tumble,
     "latest_event": q_latest_event,
+    "pmi_pairs": q_pmi_pairs,
     "range_join": q_range_join,
     "sample_stratified": q_sample_stratified,
     "source_cap": q_source_cap,
@@ -4507,6 +4662,49 @@ SELECT event_type,
        CAST(sum(CAST(floor(value*100.0 + 0.5) AS BIGINT)) AS BIGINT) AS value_c,
        count(DISTINCT user_id) AS users
 FROM events GROUP BY 1, 2
+""",
+    "pmi_pairs": f"""
+WITH {_TOK_CTE},
+docs_n AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+{_DF_CTE},
+topv AS (
+  SELECT lang, term, df FROM (
+    SELECT lang, term, df,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY df DESC, term ASC) AS rn
+    FROM df) t WHERE rn <= {PMI_TOP_V}
+),
+sel AS (
+  SELECT t.doc_id, t.lang, t.term
+  FROM tok t JOIN topv v ON v.lang = t.lang AND v.term = t.term
+),
+pairs AS (
+  SELECT a.lang AS lang, a.term AS term_x, b.term AS term_y,
+         count(*) AS n_xy
+  FROM sel a
+  JOIN sel b ON b.doc_id = a.doc_id AND b.lang = a.lang
+            AND a.term < b.term
+  GROUP BY a.lang, a.term, b.term
+),
+pmi AS (
+  SELECT p.lang, p.term_x, p.term_y, p.n_xy,
+         ln((CAST(p.n_xy AS DOUBLE) * dn.n)
+            / (CAST(vx.df AS DOUBLE) * vy.df)) AS pmi
+  FROM pairs p
+  JOIN docs_n dn ON dn.lang = p.lang
+  JOIN topv vx ON vx.lang = p.lang AND vx.term = p.term_x
+  JOIN topv vy ON vy.lang = p.lang AND vy.term = p.term_y
+  WHERE p.n_xy >= {PMI_MIN_CO}
+),
+ranked AS (
+  SELECT lang, term_x, term_y, n_xy, {_fx('pmi')} AS pmi_x,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY {_fx('pmi')} DESC,
+                                     term_x ASC, term_y ASC) AS rank
+  FROM pmi
+)
+SELECT lang, rank, term_x, term_y, n_xy, pmi_x
+FROM ranked WHERE rank <= 10
 """,
     "latest_event": """
 SELECT event_id, ts, user_id, event_type, value FROM (
