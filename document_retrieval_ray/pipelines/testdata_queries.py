@@ -3444,6 +3444,184 @@ def q_query_expand(sf_dir: str):
     return agg[["query_id", "term", "score_x", "rank"]]
 
 
+def q_token_entropy(sf_dir: str):
+    """Per-document token-distribution Shannon entropy (nats, fixed-point
+    ``entropy_x`` = 1e-4) plus distinct-type count — the diversity /
+    repetition quality signal a webtext pipeline gates on (low entropy =
+    boilerplate, keyword stuffing, template spam). Pure per-document
+    map_batches: ZERO shuffles; entropy is derived from integer token
+    counts (H = ln(L) − Σ c·ln(c)/L) so engine and oracle round the same
+    doubles through the shared fx4 grid."""
+
+    def ent(t: pa.Table) -> pa.Table:
+        text = pc.cast(t["text"], pa.string())
+        low = pc.utf8_lower(text)
+        spaced = pc.replace_substring_regex(low, "[^a-z0-9]+", " ")
+        trimmed = pc.utf8_trim_whitespace(spaced)
+        toks = pc.split_pattern(trimmed, " ")
+        parent, flat = flatten_tokens(pa.table({"tokens": toks}), "tokens")
+        n = len(t)
+        n_tokens = np.bincount(parent, minlength=n).astype(np.int64)
+        if len(flat):
+            tcodes, tuniq = pd.factorize(flat)
+            v = np.int64(len(tuniq))
+            upak, cnt = np.unique(parent * v + tcodes, return_counts=True)
+            up = (upak // v).astype(np.int64)
+            n_types = np.bincount(up, minlength=n).astype(np.int64)
+            s = np.bincount(up, weights=cnt * np.log(cnt), minlength=n)
+        else:
+            n_types = np.zeros(n, dtype=np.int64)
+            s = np.zeros(n, dtype=np.float64)
+        safe_l = np.maximum(n_tokens, 1).astype(np.float64)
+        h = np.where(n_tokens > 0, np.log(safe_l) - s / safe_l, 0.0)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": pa.array(n_tokens, pa.int64()),
+                "n_types": pa.array(n_types, pa.int64()),
+                "entropy_x": pa.array(
+                    np.floor(h * 10000.0 + 0.5).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(ent, batch_format="pyarrow")
+
+
+def q_neardup_apply(sf_dir: str):
+    """Materialize near-dup SURVIVORS — the apply step after minhash pair
+    finding + connected components: drop every non-representative member
+    of a component (keep = component min doc_id), keep everything else.
+
+    Distributed anti-join: drop rows (components where doc_id != rep) and
+    document rows are hash-colocated on doc_id and filtered inside the
+    partition — no driver set, no broadcast, no join materialization."""
+    comp = q_neardup_components(sf_dir)
+
+    def drop_rows(t: pa.Table) -> pa.Table:
+        d = t.filter(pc.not_equal(t["doc_id"], t["rep"]))
+        return pa.table(
+            {
+                "doc_id": pc.cast(d["doc_id"], pa.int64()),
+                "lang": pa.array([""] * len(d), pa.string()),
+                "is_doc": pa.array(np.zeros(len(d), dtype=np.int8), pa.int8()),
+            }
+        )
+
+    def doc_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "lang": pc.cast(t["lang"], pa.string()),
+                "is_doc": pa.array(np.ones(len(t), dtype=np.int8), pa.int8()),
+            }
+        )
+
+    docs = _docs(sf_dir).map_batches(doc_rows, batch_format="pyarrow")
+    unioned = docs.union(comp.map_batches(drop_rows, batch_format="pyarrow"))
+
+    def keep_part(g: pd.DataFrame) -> pd.DataFrame:
+        dropped = set(g.loc[g["is_doc"] == 0, "doc_id"])
+        out = g[(g["is_doc"] == 1) & ~g["doc_id"].isin(dropped)]
+        return out[["doc_id", "lang"]].astype({"doc_id": "int64"})
+
+    return _parted(unioned, ("doc_id",)).map_groups(
+        keep_part, batch_format="pandas"
+    )
+
+
+SOURCE_LIFT_TOPK = 5
+SOURCE_LIFT_MIN_COUNT = 5
+
+
+def q_source_lift(sf_dir: str):
+    """Per-source distinctive vocabulary by EXACT integer lift:
+    lift = (c_st/n_s)/(cg_t/N), emitted fixed-point as
+    ``lift_x = (c·N·10000) // (n_s·cg)`` — all-integer arithmetic, so
+    engine and oracle agree bit-for-bit (no float division anywhere).
+    Top-5 terms per source with support c >= 5, ties broken term ASC.
+
+    Plan: per-batch partial (source, term, c) counts (vocab-sized, NOT
+    corpus-sized — materialized once for its two consumers) → per-source
+    totals are a bounded-small aggregate (≤ #sources rows) folded on the
+    driver → ONE term-hash shuffle completes per-term global counts
+    inside each partition → tiny per-source top-k. int64 note: c·N·10000
+    needs < 2^63, i.e. ≲1e14 total tokens per run — beyond that switch
+    the lift to object ints / HUGEINT."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        text = pc.cast(t["text"], pa.string())
+        low = pc.utf8_lower(text)
+        spaced = pc.replace_substring_regex(low, "[^a-z0-9]+", " ")
+        trimmed = pc.utf8_trim_whitespace(spaced)
+        toks = pc.split_pattern(trimmed, " ")
+        parent, flat = flatten_tokens(pa.table({"tokens": toks}), "tokens")
+        if not len(flat):
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "term": pa.array([], pa.string()),
+                    "c": pa.array([], pa.int64()),
+                }
+            )
+        src = np.asarray(t["source"].to_pandas(), dtype=object)[parent]
+        tcodes, tuniq = pd.factorize(flat)
+        scodes, suniq = pd.factorize(src)
+        v = np.int64(len(tuniq))
+        upak, cnt = np.unique(scodes * v + tcodes, return_counts=True)
+        return pa.table(
+            {
+                "source": pa.array(suniq[upak // v], pa.string()),
+                "term": pa.array(tuniq[upak % v], pa.string()),
+                "c": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    parts = docs.map_batches(partial_counts, batch_format="pyarrow").materialize()
+    totals = (
+        parts.groupby("source")
+        .aggregate(ray.data.aggregate.Sum("c", alias_name="n"))
+        .take_all()
+    )
+    n_by_src = {r["source"]: int(r["n"]) for r in totals}
+    big_n = int(sum(n_by_src.values()))
+
+    def merge_and_lift(g: pd.DataFrame) -> pd.DataFrame:
+        # the term-hash partition holds EVERY (source, term) row of its
+        # terms, so the per-term global count cg is exact in-partition
+        g = g.groupby(["source", "term"], as_index=False)["c"].sum()
+        cg = g.groupby("term")["c"].transform("sum").to_numpy(np.int64)
+        c = g["c"].to_numpy(np.int64)
+        ns = g["source"].map(n_by_src).to_numpy(np.int64)
+        out = pd.DataFrame(
+            {
+                "source": g["source"],
+                "term": g["term"],
+                "c": c,
+                "lift_x": (c * big_n * 10000) // (ns * cg),
+            }
+        )
+        return out[out["c"] >= SOURCE_LIFT_MIN_COUNT]
+
+    lifted = _parted(parts, ("term",)).map_groups(
+        merge_and_lift, batch_format="pandas"
+    )
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            g.sort_values(["lift_x", "term"], ascending=[False, True])
+            .head(SOURCE_LIFT_TOPK)
+            .copy()
+        )
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["source", "rank", "term", "c", "lift_x"]]
+
+    return lifted.groupby("source").map_groups(topk, batch_format="pandas")
+
+
 # ------------------------------------------------------------ registries
 
 QUERIES = {
@@ -3520,6 +3698,9 @@ QUERIES = {
     "spell_correct": q_spell_correct,
     "facet_counts": q_facet_counts,
     "query_expand": q_query_expand,
+    "token_entropy": q_token_entropy,
+    "neardup_apply": q_neardup_apply,
+    "source_lift": q_source_lift,
 }
 
 
@@ -4713,5 +4894,61 @@ SELECT event_id, ts, user_id, event_type, value FROM (
                             ORDER BY ts DESC, event_id DESC) AS rn
   FROM events
 ) WHERE rn = 1
+""",
+    "token_entropy": f"""
+WITH {_TOKS_CTE},
+tc AS (SELECT doc_id, tok, count(*) AS c
+       FROM (SELECT doc_id, unnest(l) AS tok FROM toks) GROUP BY doc_id, tok),
+e AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_types,
+             sum(c * ln(c)) AS s
+      FROM tc GROUP BY doc_id)
+SELECT d.doc_id AS doc_id,
+       COALESCE(e.n_tokens, 0) AS n_tokens,
+       COALESCE(e.n_types, 0) AS n_types,
+       COALESCE(CAST(floor((ln(e.n_tokens) - e.s / e.n_tokens) * 10000.0 + 0.5)
+                     AS BIGINT), 0) AS entropy_x
+FROM documents d LEFT JOIN e ON e.doc_id = d.doc_id
+""",
+    "neardup_apply": f"""
+WITH RECURSIVE
+pairs AS (SELECT a, b FROM ({_MINHASH_SQL}) mh),
+edges AS (SELECT a AS src, b AS dst FROM pairs
+          UNION ALL SELECT b, a FROM pairs),
+nodes AS (SELECT DISTINCT src AS n FROM edges),
+walk(n, lbl) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.n
+),
+comp AS (SELECT n AS doc_id, min(lbl) AS rep FROM walk GROUP BY n)
+SELECT d.doc_id AS doc_id, d.lang AS lang
+FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+WHERE c.doc_id IS NULL OR c.rep = d.doc_id
+""",
+    "source_lift": f"""
+WITH toks AS (SELECT doc_id, source, {TOKLIST.format(col="text")} AS l
+              FROM documents),
+st AS (SELECT source, tok AS term, count(*) AS c
+       FROM (SELECT source, unnest(l) AS tok FROM toks) GROUP BY source, tok),
+ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM st GROUP BY source),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS N FROM st),
+g AS (SELECT term, CAST(sum(c) AS BIGINT) AS cg FROM st GROUP BY term),
+lifted AS (
+  SELECT st.source AS source, st.term AS term, CAST(st.c AS BIGINT) AS c,
+         CAST((CAST(st.c AS BIGINT) * tot.N * 10000) // (ns.n * g.cg)
+              AS BIGINT) AS lift_x
+  FROM st
+  JOIN ns ON ns.source = st.source
+  JOIN g ON g.term = st.term
+  CROSS JOIN tot
+  WHERE st.c >= {SOURCE_LIFT_MIN_COUNT}
+),
+r AS (SELECT source, term, c, lift_x,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY lift_x DESC, term ASC) AS rank
+      FROM lifted)
+SELECT source, CAST(rank AS BIGINT) AS rank, term, c, lift_x
+FROM r WHERE rank <= {SOURCE_LIFT_TOPK}
 """,
 }
