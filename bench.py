@@ -29,6 +29,12 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_DOCS = int(os.environ.get("GRAFT_BENCH_DOCS", "100000"))
 BENCH_MEAN_LEN = int(os.environ.get("GRAFT_BENCH_MEAN_LEN", "200"))
 BENCH_QUERIES = int(os.environ.get("GRAFT_BENCH_QUERIES", "2000"))
+# "simple" (regex-ASCII, vectorized Arrow path) or "reference" (the
+# flagship reference-compat semantics: punctuation translate, stopword
+# removal, lemma/stem stand-ins, fr/de/es/it bigrams — ~2.3x the tokenize
+# CPU per doc and ~0.43x the post-filter tokens). Applied identically to
+# the index build and the query side.
+BENCH_TOKENIZER = os.environ.get("GRAFT_BENCH_TOKENIZER", "simple")
 REPO = os.path.dirname(os.path.abspath(__file__))
 
 
@@ -221,7 +227,7 @@ def main() -> None:
     # second (pointless) shuffle. The salt/merge path is correctness-tested
     # in tests/test_index_build.py with a low threshold.
     cfg = IndexConfig(
-        tokenizer=TokenizerConfig(mode="simple"),
+        tokenizer=TokenizerConfig(mode=BENCH_TOKENIZER),
         num_hash_parts=32,
         num_encode_parts=256,
         hot_term_threshold=1_000_000,
@@ -276,6 +282,7 @@ def main() -> None:
     with timed("bm25_queries"):
         res = bm25_search(
             qds, index_dir, cfg=serving_cfg,
+            tokenizer=TokenizerConfig(mode=BENCH_TOKENIZER),
             batch_size=64, shared_refs=shared_refs, method="maxscore",
         )
         n_res = res.count()
@@ -288,7 +295,7 @@ def main() -> None:
     from document_retrieval_ray.state.index_shard import (
         LangIndex, score_bm25_maxscore, score_bm25_taat, topk_with_ties,
     )
-    from document_retrieval_ray.functions.tokenizer import tokenize_simple
+    from document_retrieval_ray.functions.tokenizer import tokenize_cfg
 
     lidx = LangIndex(index_dir, "en")
     qcfg = _B(k1=1.2, b=0.75, compat="standard")
@@ -302,7 +309,7 @@ def main() -> None:
         for row in qrows[:500]:
             if row["lang"] != "en":
                 continue
-            toks = tokenize_simple(row["query"])
+            toks = tokenize_cfg(row["query"], "en", TokenizerConfig(mode=BENCH_TOKENIZER))
             t0 = time.perf_counter()
             fn(toks)
             lats.append((time.perf_counter() - t0) * 1000.0)

@@ -106,6 +106,14 @@ IVF_NLIST = 4
 IVF_NPROBE = 2
 IVF_NITER = 2
 
+# Product-quantization knobs (same tiny-at-test-scale philosophy: at
+# 100 TB the canonical setting is nsub=dim/2..dim/4 subspaces with
+# ksub=256 one-byte codes; the SQL oracle re-derives the codebooks from
+# the data, so no literals are embedded)
+PQ_NSUB = 4
+PQ_KSUB = 4
+PQ_NITER = 2
+
 # ------------------------------------------------------------ SQL fragments
 
 TOKLIST = (
@@ -1058,6 +1066,67 @@ def q_kmeans_clusters(sf_dir: str):
         )
 
     return assigned.map_batches(project, batch_format="pyarrow")
+
+
+def q_pq_codes(sf_dir: str):
+    """Product-quantization encode of the embedding table (FAISS IndexPQ
+    semantics — the compression leg of IVF-PQ, the standard trillion-scale
+    ANN layout): a distributed deterministic per-subspace Lloyd fit (one
+    map_batches pass per iteration covers ALL subspaces; driver reduces
+    nsub × ksub × subdim partials), then a one-pass encode map. Returns
+    (vec_id, code_s0..code_s{nsub-1}). At scale the code columns replace
+    the raw vectors: dim × 4 bytes → nsub bytes. The DuckDB oracle
+    re-derives identical codebooks (same init / fixed-point grids), so
+    codes are value-checked."""
+    from ..stages.ann import fit_pq_codebooks, pq_encode_batch
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    cb = fit_pq_codebooks(emb, PQ_NSUB, PQ_KSUB, PQ_NITER)
+    encoded = emb.map_batches(
+        pq_encode_batch, fn_kwargs={"codebooks": cb}, batch_format="pyarrow"
+    )
+    return encoded.drop_columns(["embedding"])
+
+
+def q_ann_topk_pq(sf_dir: str):
+    """ANN top-k by asymmetric distance computation over PQ codes: each
+    query precomputes an (nsub, ksub) integer distance table from its
+    EXACT subvectors to the fitted codebooks; candidate distance is nsub
+    table lookups summed — the scan ships only the one-byte-per-subspace
+    code columns, never raw vectors. Partial top-k per batch under the
+    exact (distance, vec_id) order, then a per-query merge. Returns
+    (query_vec, rank, vec_id, ad_x)."""
+    from ..stages.ann import (
+        PQTopK, final_topk_pq, fit_pq_codebooks, pq_encode_batch,
+    )
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    cb = fit_pq_codebooks(emb, PQ_NSUB, PQ_KSUB, PQ_NITER)
+    encoded = emb.map_batches(
+        pq_encode_batch, fn_kwargs={"codebooks": cb}, batch_format="pyarrow"
+    ).drop_columns(["embedding"])
+    qid_arr = pa.array(list(ANN_QUERY_IDS), pa.int64())
+    qrows = {
+        r["vec_id"]: r["embedding"]
+        for r in emb.map_batches(
+            lambda t: t.filter(pc.is_in(t["vec_id"], value_set=qid_arr)),
+            batch_format="pyarrow",
+        ).take_all()
+    }
+    qids = sorted(qrows)
+    qmat = np.array([qrows[q] for q in qids], dtype=np.float64)
+    ref = ray.put((qids, qmat))
+    partial = encoded.map_batches(
+        PQTopK,
+        fn_constructor_kwargs={"queries_ref": ref, "codebooks": cb, "k": 10},
+        batch_format="pyarrow",
+        concurrency=default_pool(),
+    )
+    return partial.groupby("query_vec").map_groups(
+        final_topk_pq, batch_format="pandas"
+    )
 
 
 def q_token_stats(sf_dir: str):
@@ -3656,6 +3725,8 @@ QUERIES = {
     "ann_topk_lsh": q_ann_topk_lsh,
     "ann_topk_ivf": q_ann_topk_ivf,
     "kmeans_clusters": q_kmeans_clusters,
+    "pq_codes": q_pq_codes,
+    "ann_topk_pq": q_ann_topk_pq,
     "token_stats": q_token_stats,
     "langid": q_langid,
     "binary_meta": q_binary_meta,
@@ -4090,6 +4161,119 @@ ranked AS (
   FROM c
 )
 SELECT query_vec, rank, vec_id, cos_x FROM ranked WHERE rank <= {k}"""
+
+
+def _pq_ctes(nsub: int, ksub: int, niter: int, dim: int = 64) -> str:
+    """WITH-chain re-deriving the engine's product-quantization codebooks
+    and per-vector codes: per subspace ``j`` the same Lloyd chain as
+    :func:`_ivf_fasg_ctes` runs over the subvector slice (``u`` rows with
+    i in subspace j; the unnest index ``i`` is 1-based), ending in the
+    final assignment ``p{j}fa`` (vec_id → code). Fixed-point grids match
+    stages/ann.py (IVF_DIST_SCALE / IVF_SUM_SCALE)."""
+    subdim = dim // nsub
+    ctes = [f"WITH {_EMB_UNNEST}"]
+    for j in range(nsub):
+        lo, hi = j * subdim, (j + 1) * subdim
+        ctes.append(
+            f""",
+u{j} AS MATERIALIZED (SELECT vec_id, i, v FROM u WHERE i > {lo} AND i <= {hi}),
+p{j}c0 AS MATERIALIZED (SELECT vec_id AS cell, i, v AS c FROM u{j} WHERE vec_id < {ksub})"""
+        )
+        prev = f"p{j}c0"
+        for it in range(1, niter + 1):
+            ctes.append(f""",
+p{j}d{it} AS MATERIALIZED (
+  SELECT u.vec_id AS vec_id, p.cell AS cell,
+         floor(sum((u.v - p.c) * (u.v - p.c)) * 1000000000.0 + 0.5) AS dx
+  FROM u{j} u JOIN {prev} p ON p.i = u.i
+  GROUP BY u.vec_id, p.cell
+),
+p{j}a{it} AS MATERIALIZED (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dx ASC, cell ASC) AS rn
+    FROM p{j}d{it}) t WHERE rn = 1
+),
+p{j}s{it} AS MATERIALIZED (
+  SELECT a.cell AS cell, u.i AS i,
+         floor(sum(u.v) * 1000000.0 + 0.5) AS sx, count(*) AS cnt
+  FROM u{j} u JOIN p{j}a{it} a ON a.vec_id = u.vec_id
+  GROUP BY a.cell, u.i
+),
+p{j}c{it} AS MATERIALIZED (
+  SELECT p.cell AS cell, p.i AS i,
+         COALESCE(s.sx / (s.cnt * 1000000.0), p.c) AS c
+  FROM {prev} p LEFT JOIN p{j}s{it} s ON s.cell = p.cell AND s.i = p.i
+)""")
+            prev = f"p{j}c{it}"
+        ctes.append(f""",
+p{j}fd AS MATERIALIZED (
+  SELECT u.vec_id AS vec_id, p.cell AS cell,
+         floor(sum((u.v - p.c) * (u.v - p.c)) * 1000000000.0 + 0.5) AS dx
+  FROM u{j} u JOIN {prev} p ON p.i = u.i
+  GROUP BY u.vec_id, p.cell
+),
+p{j}fa AS MATERIALIZED (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dx ASC, cell ASC) AS rn
+    FROM p{j}fd) t WHERE rn = 1
+)""")
+    return "".join(ctes)
+
+
+def _pq_codes_sql(nsub: int = PQ_NSUB, ksub: int = PQ_KSUB,
+                  niter: int = PQ_NITER) -> str:
+    """PQ encode oracle: per-subspace codebook derivation, final
+    assignment per vector → one code column per subspace."""
+    cols = ", ".join(f"p{j}fa.cell AS code_s{j}" for j in range(nsub))
+    joins = "".join(
+        f" JOIN p{j}fa ON p{j}fa.vec_id = p0fa.vec_id"
+        for j in range(1, nsub)
+    )
+    return _pq_ctes(nsub, ksub, niter) + f"""
+SELECT p0fa.vec_id AS vec_id, {cols} FROM p0fa{joins}"""
+
+
+def _pq_topk_sql(nsub: int = PQ_NSUB, ksub: int = PQ_KSUB,
+                 niter: int = PQ_NITER, k: int = 10) -> str:
+    """PQ ADC top-k oracle: per-query rounded subspace distance tables
+    (exact query subvectors vs final codebooks), candidate distance =
+    integer table lookups summed via the code joins, ties to the smaller
+    vec_id."""
+    qts = "".join(f""",
+qt{j} AS MATERIALIZED (
+  SELECT u.vec_id AS query_vec, p.cell AS cell,
+         floor(sum((u.v - p.c) * (u.v - p.c)) * 1000000000.0 + 0.5) AS dx
+  FROM u{j} u JOIN p{j}c{niter} p ON p.i = u.i
+  WHERE u.vec_id IN {ANN_QUERY_IDS}
+  GROUP BY u.vec_id, p.cell
+)""" for j in range(nsub))
+    joins = "".join(
+        f"\n  JOIN p{j}fa f{j} ON f{j}.vec_id = f0.vec_id"
+        for j in range(1, nsub)
+    ) + "".join(
+        f"\n  JOIN qt{j} q{j} ON q{j}.cell = f{j}.cell"
+        + (" AND q%d.query_vec = q0.query_vec" % j if j else "")
+        for j in range(nsub)
+    )
+    dist = " + ".join(f"q{j}.dx" for j in range(nsub))
+    return _pq_ctes(nsub, ksub, niter) + qts + f""",
+ad AS (
+  SELECT q0.query_vec AS query_vec, f0.vec_id AS vec_id,
+         CAST({dist} AS BIGINT) AS ad_x
+  FROM p0fa f0{joins}
+  WHERE f0.vec_id <> q0.query_vec
+),
+ranked AS (
+  SELECT query_vec, vec_id, ad_x,
+         row_number() OVER (PARTITION BY query_vec
+                            ORDER BY ad_x ASC, vec_id ASC) AS rank
+  FROM ad
+)
+SELECT query_vec, rank, vec_id, ad_x FROM ranked WHERE rank <= {k}"""
 
 
 def _sentence_bm25_sql(k1: float = 1.5, b: float = 0.75,
@@ -4605,6 +4789,8 @@ SELECT n AS doc_id, min(lbl) AS rep FROM walk GROUP BY n
     "ann_topk_lsh": _ANN_LSH_SQL,
     "ann_topk_ivf": _ivf_sql(),
     "kmeans_clusters": _kmeans_sql(),
+    "pq_codes": _pq_codes_sql(),
+    "ann_topk_pq": _pq_topk_sql(),
     "token_stats": _token_stats_sql(),
     "langid": _langid_sql(),
     "binary_meta": "SELECT doc_id, octet_length(encode(text)) AS n_bytes, "

@@ -372,6 +372,172 @@ class IVFTopK:
         )
 
 
+def pq_partial_sums(batch: pa.Table, codebooks: np.ndarray,
+                    vec_col: str = "embedding") -> pa.Table:
+    """One Lloyd-iteration partial for ALL product-quantization subspaces
+    in a single pass over the batch: (sub, cell, member count, per-dim
+    float sums over the SUBvector). The driver reduction handles
+    nsub × ksub × subdim numbers per batch regardless of corpus size."""
+    mat = _stack(batch[vec_col])
+    nsub, ksub, subdim = codebooks.shape
+    out_sub, out_cell, out_cnt, out_sum = [], [], [], []
+    for j in range(nsub):
+        sub = mat[:, j * subdim:(j + 1) * subdim]
+        cells = ivf_assign_cells(sub, codebooks[j])
+        for cell in np.unique(cells):
+            sel = cells == cell
+            out_sub.append(j)
+            out_cell.append(int(cell))
+            out_cnt.append(int(sel.sum()))
+            out_sum.append(sub[sel].sum(axis=0).tolist())
+    return pa.table(
+        {
+            "sub": pa.array(out_sub, pa.int64()),
+            "cell": pa.array(out_cell, pa.int64()),
+            "cnt": pa.array(out_cnt, pa.int64()),
+            "fsum": pa.array(out_sum, pa.list_(pa.float64())),
+        }
+    )
+
+
+def fit_pq_codebooks(emb_ds, nsub: int, ksub: int, niter: int,
+                     vec_col: str = "embedding",
+                     id_col: str = "vec_id") -> np.ndarray:
+    """Distributed deterministic product-quantization fit (FAISS
+    IndexPQ-style codebooks): the vector dim splits into ``nsub``
+    contiguous subspaces and each subspace runs an independent Lloyd
+    k-means with ``ksub`` centroids — all subspaces fitted TOGETHER, one
+    ``map_batches`` pass per iteration (not nsub passes). Init and
+    fixed-point grids are identical to :func:`fit_ivf_centroids` (init =
+    subvectors of the ``ksub`` lowest-``id_col`` rows; coordinate sums
+    rounded to IVF_SUM_SCALE before the mean; assignment distances on the
+    IVF_DIST_SCALE grid), so an external oracle fits identical codebooks.
+    Returns (nsub, ksub, subdim)."""
+    init = sorted(
+        (r[id_col], r[vec_col])
+        for r in emb_ds.filter(expr=f"{id_col} < {ksub}").take_all()
+    )
+    if len(init) != ksub:
+        raise ValueError(
+            f"PQ init expects vectors with {id_col} 0..{ksub - 1}; "
+            f"got {len(init)} rows"
+        )
+    full = np.array([v for _, v in init], dtype=np.float64)
+    dim = full.shape[1]
+    if dim % nsub:
+        raise ValueError(f"dim {dim} not divisible by nsub {nsub}")
+    subdim = dim // nsub
+    cb = np.stack(
+        [full[:, j * subdim:(j + 1) * subdim] for j in range(nsub)]
+    )  # (nsub, ksub, subdim)
+    for _ in range(niter):
+        parts = emb_ds.map_batches(
+            pq_partial_sums,
+            fn_kwargs={"codebooks": cb, "vec_col": vec_col},
+            batch_format="pyarrow",
+        ).take_all()
+        fsum = np.zeros_like(cb)
+        cnt = np.zeros((nsub, ksub), dtype=np.int64)
+        for r in parts:
+            fsum[int(r["sub"]), int(r["cell"])] += np.asarray(
+                r["fsum"], dtype=np.float64
+            )
+            cnt[int(r["sub"]), int(r["cell"])] += int(r["cnt"])
+        sx = np.floor(fsum * IVF_SUM_SCALE + 0.5)
+        denom = np.maximum(cnt, 1)[..., None] * IVF_SUM_SCALE
+        cb = np.where(cnt[..., None] > 0, sx / denom, cb)
+    return cb
+
+
+def pq_encode_batch(batch: pa.Table, codebooks: np.ndarray,
+                    vec_col: str = "embedding") -> pa.Table:
+    """Encode each vector as ``nsub`` one-byte-sized codes (nearest
+    codebook centroid per subspace, same fixed-point/tie semantics as
+    :func:`ivf_assign_cells`), appended as int64 ``code_s{j}`` columns.
+    At scale the codes column set replaces the raw embedding column —
+    dim × 4 bytes shrink to nsub bytes per vector (e.g. 256 → 8)."""
+    mat = _stack(batch[vec_col])
+    nsub, ksub, subdim = codebooks.shape
+    for j in range(nsub):
+        cells = ivf_assign_cells(mat[:, j * subdim:(j + 1) * subdim],
+                                 codebooks[j])
+        batch = batch.append_column(f"code_s{j}", pa.array(cells, pa.int64()))
+    return batch
+
+
+class PQTopK:
+    """ADC (asymmetric distance computation) top-k over PQ codes: each
+    query precomputes one (nsub, ksub) table of fixed-point-rounded
+    squared L2 distances from its exact subvectors to every codebook
+    centroid; a candidate's approximate distance is then ``nsub`` integer
+    table lookups summed — no float math and no raw vectors in the scan.
+    Emits per-batch partial top-(k+margin) smallest; merge with
+    ``final_topk_pq``. The scan reads ONLY the code columns (the raw
+    embedding column is never shipped), which is the entire point of PQ
+    at 10^12-vector scale."""
+
+    def __init__(self, queries_ref, codebooks: np.ndarray, k: int = 10,
+                 margin: int = 32, id_col: str = "vec_id"):
+        import ray
+
+        qids, qmat = ray.get(queries_ref)
+        self.qids = list(qids)
+        qmat = np.asarray(qmat, dtype=np.float64)
+        nsub, ksub, subdim = codebooks.shape
+        self.nsub = nsub
+        # tables[qi, j, cell] = rounded d2(q_sub_j, codebook[j][cell])
+        tabs = np.empty((len(self.qids), nsub, ksub), dtype=np.int64)
+        for j in range(nsub):
+            qsub = qmat[:, j * subdim:(j + 1) * subdim]
+            d = ((qsub[:, None, :] - codebooks[j][None, :, :]) ** 2).sum(axis=2)
+            tabs[:, j, :] = np.floor(d * IVF_DIST_SCALE + 0.5).astype(np.int64)
+        self.tables = tabs
+        self.keep = k + margin
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        codes = np.stack(
+            [batch[f"code_s{j}"].to_numpy(zero_copy_only=False)
+             for j in range(self.nsub)],
+            axis=1,
+        )  # (n, nsub)
+        out_q, out_v, out_d = [], [], []
+        subs = np.arange(self.nsub)
+        for qi, qid in enumerate(self.qids):
+            dist = self.tables[qi][subs[None, :], codes].sum(axis=1)
+            cand = np.nonzero(ids != qid)[0]
+            if cand.size == 0:
+                continue
+            k = min(self.keep, cand.size)
+            # quantized distances tie HEAVILY (only ksub^nsub distinct
+            # values exist), so the partial must keep the exact local
+            # top-k under the final (ad, vec_id) order — a plain
+            # argpartition on dist could drop a tied-but-smaller-id row
+            # the global merge needs
+            order = np.lexsort((ids[cand], dist[cand]))[:k]
+            top = cand[order]
+            out_q.extend([qid] * k)
+            out_v.extend(ids[top].tolist())
+            out_d.extend(dist[top].tolist())
+        return pa.table(
+            {
+                "query_vec": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "ad_x": pa.array(out_d, pa.int64()),
+            }
+        )
+
+
+def final_topk_pq(group: pd.DataFrame, k: int = 10) -> pd.DataFrame:
+    """(query_vec) group of PQTopK partials → global top-k by approximate
+    distance (ad_x asc, vec_id asc — the SQL oracle's row_number order)."""
+    g = group.sort_values(["ad_x", "vec_id"], ascending=[True, True]).head(k)
+    g = g.reset_index(drop=True)
+    g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+    return g[["query_vec", "rank", "vec_id", "ad_x"]]
+
+
 class NearDupPairs:
     """All-pairs cosine >= threshold within a blocking group (label or LSH
     bucket): map_groups over the block, one matmul per group."""
