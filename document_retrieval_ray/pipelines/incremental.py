@@ -195,9 +195,12 @@ def bm25_search_incremental(
     tokenizer: TokenizerConfig = None,
     round_dp=4,
     concurrency=None,
+    tombstones_dir=None,
 ) -> ray.data.Dataset:
     """BM25 over base + generations, rank-identical to a full rebuild
-    (global N/avgdl/df via the sharded scorer)."""
+    (global N/avgdl/df via the sharded scorer). ``tombstones_dir=None``
+    auto-detects ``<index_dir>/tombstones`` (pipelines.deletes); pass
+    ``False`` to serve the raw index."""
     g = read_generations(index_dir)
     if not g["generations"]:
         raise FileNotFoundError(
@@ -206,6 +209,9 @@ def bm25_search_incremental(
         )
     if tokenizer is None:
         tokenizer = _base_config(index_dir).tokenizer
+    if tombstones_dir is None:
+        cand = os.path.join(index_dir, "tombstones")
+        tombstones_dir = cand if os.path.isdir(cand) else False
     return bm25_search_sharded(
         queries,
         shard_dirs(index_dir),
@@ -214,6 +220,7 @@ def bm25_search_incremental(
         tokenizer=tokenizer,
         round_dp=round_dp,
         concurrency=concurrency,
+        tombstones_dir=tombstones_dir or None,
     )
 
 
@@ -236,7 +243,8 @@ def _lang_offsets(dirs) -> dict:
 
 
 def compact_postings_partition(group: pd.DataFrame, offsets_by_lang: dict,
-                               block_size: int) -> pa.Table:
+                               block_size: int,
+                               deleted_ref=None) -> pa.Table:
     """One (lang, term)-hash partition of per-generation posting rows →
     final merged rows. Terms living only in generation 0 pass through
     byte-identical (offset 0, no decode); everything else decodes,
@@ -244,7 +252,15 @@ def compact_postings_partition(group: pd.DataFrame, offsets_by_lang: dict,
     generation order (disjoint ascending id ranges by construction) and
     re-encodes. Per-doc dl lower bounds carry at ORIGINAL-block
     granularity (repeat(block_min_dl, block counts)) — sound for WAND
-    pruning, tighter than a segment-wide min."""
+    pruning, tighter than a segment-wide min.
+
+    ``deleted_ref``: optional ObjectRef of {lang: sorted GLOBAL rebased
+    doc ids} (pipelines.deletes tombstones). A lang carrying deletes
+    loses its passthrough fast path — every term decodes, tombstoned
+    postings are dropped, df is recounted from the survivors, and terms
+    whose postings empty out vanish from the output (exactly a fresh
+    build over the surviving corpus; tested)."""
+    deleted_by_lang = ray.get(deleted_ref) if deleted_ref is not None else {}
     g = group.drop(columns=[c for c in ("kpart",) if c in group.columns])
     g = g.sort_values(["lang", "term", "src"], kind="mergesort")
     lang = g["lang"].to_numpy(dtype=object)
@@ -260,6 +276,12 @@ def compact_postings_partition(group: pd.DataFrame, offsets_by_lang: dict,
     row_sec = np.repeat(np.arange(len(seg_count)), seg_count)
     # passthrough = a section that is ONE row living in generation 0
     is_pass = (seg_count == 1) & (src[heads] == 0)
+    if deleted_by_lang:
+        # a lang with tombstones must decode everything to filter
+        lang_has_del = np.array(
+            [lang[h] in deleted_by_lang for h in heads], dtype=bool
+        )
+        is_pass &= ~lang_has_del
     passthrough_idx = g.index.to_numpy()[heads[is_pass]]
     merged = _empty_final_rows()
     dec_heads = heads[~is_pass]
@@ -295,11 +317,45 @@ def compact_postings_partition(group: pd.DataFrame, offsets_by_lang: dict,
         )
         dl = np.repeat(bmin_flat, counts)
         sec_bounds = np.concatenate([[0], np.cumsum(seg_count[~is_pass])])
-        merged = encode_segments_many(
-            lang[dec_heads], term[dec_heads],
-            np.zeros(len(dec_heads), dtype=np.int64),
-            doc, tf, dl, seg_starts[sec_bounds], block_size,
-        ).drop_columns(["salt", "min_doc"])
+        sec_langs = lang[dec_heads]
+        sec_terms = term[dec_heads]
+        starts = seg_starts[sec_bounds]
+        if deleted_by_lang:
+            from .deletes import in_sorted
+
+            rows_per_sec = seg_count[~is_pass]
+            sec_of_row = np.repeat(
+                np.arange(rows_per_sec.size, dtype=np.int64), rows_per_sec
+            )
+            row_of_post = np.repeat(
+                np.arange(len(rows_dec), dtype=np.int64), df_m
+            )
+            sec_of_post = sec_of_row[row_of_post]
+            keep = np.ones(doc.size, dtype=bool)
+            row_langs = lang[rows_dec]
+            for lg, arr in deleted_by_lang.items():
+                sel = (row_langs == lg)[row_of_post]
+                if sel.any():
+                    idx = np.flatnonzero(sel)
+                    keep[idx[in_sorted(doc[idx], arr)]] = False
+                    # dense renumbering: survivor's new id = old id minus
+                    # the deleted ids below it (monotonic → ascending
+                    # order inside each segment is preserved)
+                    doc[idx] -= np.searchsorted(arr, doc[idx], side="right")
+            surv = np.bincount(
+                sec_of_post[keep], minlength=rows_per_sec.size
+            )
+            nonempty = surv > 0
+            csum = np.concatenate([[0], np.cumsum(surv)])
+            starts = np.concatenate([csum[:-1][nonempty], csum[-1:]])
+            doc, tf, dl = doc[keep], tf[keep], dl[keep]
+            sec_langs, sec_terms = sec_langs[nonempty], sec_terms[nonempty]
+        if len(sec_langs):
+            merged = encode_segments_many(
+                sec_langs, sec_terms,
+                np.zeros(len(sec_langs), dtype=np.int64),
+                doc, tf, dl, starts, block_size,
+            ).drop_columns(["salt", "min_doc"])
     parts = [merged]
     if len(passthrough_idx):
         pt = g.loc[passthrough_idx, ["lang"] + _POSTING_COLS]
@@ -322,16 +378,36 @@ def compact_index(
     *,
     num_parts: int = 64,
     concurrency=None,
+    tombstones_dir=None,
 ) -> dict:
     """Physically merge base + generations into a single fresh index at
     ``out_dir`` (servable by the plain ``bm25_search``). Doc ids rebase
     to base-first generation order; scores are identical to a full
     rebuild (tested) though block boundaries may differ. Returns the new
-    per-lang manifests."""
+    per-lang manifests.
+
+    ``tombstones_dir=None`` auto-detects ``<index_dir>/tombstones``
+    (pipelines.deletes); pass ``False`` to compact without applying
+    deletes. With deletes applied the output is a fresh index over the
+    SURVIVING corpus — postings filtered and re-encoded, df recounted,
+    N/avgdl/total_tokens recomputed from the surviving docmap — and any
+    cosine-norms artifact of the source is dropped (norms bake in global
+    idf, which deletion changes; rebuild with norms for the cosine
+    path). The output carries no tombstones."""
+    from .deletes import load_deleted, rebased_deleted_by_lang
+
     dirs = shard_dirs(index_dir)
-    if len(dirs) == 1:
-        raise FileNotFoundError(f"{index_dir} has no generations to compact")
-    _check_no_norms(dirs)
+    if tombstones_dir is None:
+        cand = os.path.join(index_dir, "tombstones")
+        tombstones_dir = cand if os.path.isdir(cand) else False
+    deleted = load_deleted(tombstones_dir) if tombstones_dir else {}
+    if len(dirs) == 1 and not deleted:
+        raise FileNotFoundError(
+            f"{index_dir} has no generations to compact and no tombstones"
+            " to apply"
+        )
+    if not deleted:
+        _check_no_norms(dirs)
     offsets = _lang_offsets(dirs)
     langs = sorted(offsets)
     base_m = read_manifest(os.path.join(dirs[0], "manifests", _langs_of(dirs[0])[0]))
@@ -343,10 +419,23 @@ def compact_index(
                 raise ValueError("generations disagree on block_size")
     if concurrency is None:
         concurrency = default_pool(0.5)
+    rebased = rebased_deleted_by_lang(deleted, offsets) if deleted else {}
+    del_ref = ray.put(rebased) if rebased else None
 
     # --- docmap: rebase per generation, one streaming pass ---
-    def _rebase(t: pa.Table, off: int, lang: str) -> pa.Table:
-        ids = t["doc_id"].to_numpy(zero_copy_only=False) + off
+    def _rebase(t: pa.Table, off: int, lang: str, dele=None,
+                dele_global=None) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        if dele is not None and dele.size:
+            from .deletes import in_sorted
+
+            t = t.filter(pa.array(~in_sorted(ids, dele)))
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        ids = ids + off
+        if dele_global is not None and dele_global.size:
+            # dense renumbering (same mapping the postings compaction
+            # applies): survivor id minus the deleted ids below it
+            ids = ids - np.searchsorted(dele_global, ids, side="right")
         t = t.set_column(
             t.schema.get_field_index("doc_id"), "doc_id", pa.array(ids, pa.int64())
         )
@@ -361,7 +450,12 @@ def compact_index(
             off = offsets[lang][si]
             dm_parts.append(
                 ray.data.read_parquet(p, columns=["doc_id", "url", "dl"]).map_batches(
-                    _rebase, fn_kwargs={"off": off, "lang": lang},
+                    _rebase,
+                    fn_kwargs={
+                        "off": off, "lang": lang,
+                        "dele": deleted.get((si, lang)),
+                        "dele_global": rebased.get(lang),
+                    },
                     batch_format="pyarrow",
                 )
             )
@@ -399,14 +493,31 @@ def compact_index(
         )
         .groupby("kpart")
         .map_groups(
-            lambda g: compact_postings_partition(g, offsets, block_size),
+            lambda g: compact_postings_partition(
+                g, offsets, block_size, deleted_ref=del_ref
+            ),
             batch_format="pandas",
         )
     )
     merged.write_parquet(os.path.join(out_dir, "postings"), partition_cols=["lang"])
 
-    # --- df artifact: one vocabulary-sized merge ---
-    build_global_df(dirs, os.path.join(out_dir, "df"))
+    # --- df artifact ---
+    if deleted:
+        # recount from the compacted postings (the source df tables still
+        # count tombstoned docs); vocabulary-sized read-back per lang
+        for lang in langs:
+            pp = os.path.join(out_dir, "postings", f"lang={lang}")
+            op = os.path.join(out_dir, "df", f"lang={lang}")
+            os.makedirs(op, exist_ok=True)
+            if os.path.isdir(pp):
+                t = pq.read_table(pp, columns=["term", "df"])
+            else:
+                t = pa.table({"term": pa.array([], pa.string()),
+                              "df": pa.array([], pa.int64())})
+            pq.write_table(t, os.path.join(op, "part-0.parquet"))
+    else:
+        # one vocabulary-sized merge of the source df tables
+        build_global_df(dirs, os.path.join(out_dir, "df"))
 
     # --- manifests: exact integer sums over source manifests ---
     from .build_index import _manifest_payload  # same payload shape
@@ -424,6 +535,18 @@ def compact_index(
             n_docs += int(m["n_docs"])
             total_tokens += int(m["total_tokens"])
             fps.append(m["input_fingerprint"])
+        if deleted:
+            # stats must reflect SURVIVORS: exact integer sums over the
+            # compacted docmap (distributed — nothing corpus-sized on the
+            # driver)
+            dmp = os.path.join(out_dir, "docmap", f"lang={lang}")
+            if os.path.isdir(dmp):
+                dm_ds = ray.data.read_parquet(dmp, columns=["dl"])
+                n_docs = dm_ds.count()
+                total_tokens = int(dm_ds.sum("dl") or 0)
+            else:
+                n_docs = total_tokens = 0
+            fps.append(f"deleted:{sum(v.size for v in deleted.values())}")
         dfp = os.path.join(out_dir, "df", f"lang={lang}")
         n_terms = 0
         if os.path.isdir(dfp):

@@ -26,13 +26,26 @@ def bm25_search(
     concurrency=None,
     batch_size: int = 256,
     shared_refs=None,
+    tombstones_dir=None,
 ) -> ray.data.Dataset:
     """queries(query_id, query, lang) → (query_id, rank, url, score, score_x).
 
     ``shared_refs``: optional {lang: ObjectRef} of
     ``state.index_shard.build_shared_payload`` dicts — scorer actors then
     map the index zero-copy from the object store instead of each loading
-    the shard from disk."""
+    the shard from disk.
+
+    ``tombstones_dir``: ``pipelines.deletes`` tombstone log — tombstoned
+    docs are excluded from results with Lucene live-docs semantics (stale
+    global stats until ``compact_index``). Default ``None`` auto-detects
+    ``<index_dir>/tombstones``; pass ``False`` to serve the raw index."""
+    import os
+
+    from .deletes import deleted_ref
+
+    if tombstones_dir is None:
+        cand = os.path.join(index_dir, "tombstones")
+        tombstones_dir = cand if os.path.isdir(cand) else False
     if concurrency is None:
         concurrency = default_pool(0.5)
     return queries.map_batches(
@@ -40,6 +53,7 @@ def bm25_search(
         fn_constructor_kwargs=dict(
             index_dir=index_dir, cfg=cfg, tokenizer=tokenizer,
             round_dp=round_dp, method=method, shared_refs=shared_refs,
+            deleted_ref=deleted_ref(tombstones_dir or None),
         ),
         batch_format="pyarrow",
         batch_size=batch_size,

@@ -149,7 +149,7 @@ class ShardedBM25Scorer:
     MAX_CACHED_VIEWS = 2
 
     def __init__(self, shard_dirs, global_df_refs, stats, cfg: BM25Config,
-                 tokenizer: TokenizerConfig, round_dp=4):
+                 tokenizer: TokenizerConfig, round_dp=4, deleted_ref=None):
         from collections import OrderedDict
 
         self.shard_dirs = list(shard_dirs)
@@ -160,6 +160,17 @@ class ShardedBM25Scorer:
         self.tok = tokenizer
         self.round_dp = round_dp
         self._cache: "OrderedDict" = OrderedDict()
+        # {(src, lang): sorted local doc ids} — pipelines.deletes live
+        # tombstones; src == shard_id in generation order
+        self._deleted_ref = deleted_ref
+        self._deleted = None
+
+    def _deleted_ids(self, shard_id: int, lang: str):
+        if self._deleted_ref is None:
+            return None
+        if self._deleted is None:
+            self._deleted = ray.get(self._deleted_ref)
+        return self._deleted.get((shard_id, lang))
 
     def _df_map(self, lang: str):
         # lazy: an actor only deserializes the vocab dicts of the langs
@@ -209,6 +220,9 @@ class ShardedBM25Scorer:
             if not tokens:
                 continue
             scores = score_bm25_taat(view, tokens, self.cfg)
+            dele = self._deleted_ids(int(sid), lang)
+            if dele is not None and dele.size:
+                scores[dele] = 0.0
             ranks, sel, keys = topk_with_ties(
                 scores, view.urls, self.cfg.k, self.round_dp
             )
@@ -241,11 +255,16 @@ def bm25_search_sharded(
     round_dp=4,
     concurrency=None,
     num_merge_parts: int = 64,
+    tombstones_dir=None,
 ) -> ray.data.Dataset:
     """Rank-identical BM25 over a group of doc-range shards.
 
     ``global_df_dir``: output of :func:`build_global_df` for these shards.
-    """
+    ``tombstones_dir``: optional ``pipelines.deletes`` log keyed by
+    (shard position, lang) — live Lucene-style delete masking."""
+    from .deletes import deleted_ref
+
+    del_ref = deleted_ref(tombstones_dir)
     shard_dirs = list(shard_dirs)
     langs = sorted(shard_langs(shard_dirs))
     stats = {lang: global_lang_stats(shard_dirs, lang) for lang in langs}
@@ -283,6 +302,7 @@ def bm25_search_sharded(
     candidates = routed.groupby(["shard_id", "qpart"]).map_groups(
         ShardedBM25Scorer,
         fn_constructor_kwargs=dict(
+            deleted_ref=del_ref,
             shard_dirs=shard_dirs, global_df_refs=global_df_refs,
             stats=stats, cfg=cfg, tokenizer=tokenizer, round_dp=round_dp,
         ),

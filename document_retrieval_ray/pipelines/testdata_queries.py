@@ -28,7 +28,7 @@ from ..config import BM25Config, IndexConfig, TokenizerConfig
 from ..functions.stopwords import EN_SQL_STOPWORDS
 from ..functions.textstats import LANG_MARKERS
 from ..functions.tokenizer import tokenize_simple
-from ..sources.corpus import read_testdata_documents, url_to_docid
+from ..sources.corpus import docid_to_url, read_testdata_documents, url_to_docid
 from ..stages.analysis import doc_stats_batch, fingerprint_batch, langid_batch
 from ..stages.dedup import (
     add_simhash,
@@ -157,7 +157,10 @@ def _query_values(dedup: bool) -> str:
     return ", ".join(rows)
 
 
-def _bm25_sql(k1: float, b: float, reference_quirk: bool, dedup: bool) -> str:
+def _bm25_sql(k1: float, b: float, reference_quirk: bool, dedup: bool,
+              where: str = "") -> str:
+    """``where``: optional filter on the scored (doc) rows — used by the
+    live-tombstone oracle (stats stay full-corpus, candidates shrink)."""
     if reference_quirk:
         denom = f"(tok.tf + {k1}*(1 - {b} + d.dl / s.avgdl))"  # missing-b quirk
     else:
@@ -174,6 +177,7 @@ scores AS (
   JOIN df ON df.lang = q.lang AND df.term = q.term
   JOIN dl d ON d.doc_id = tok.doc_id
   JOIN stats s ON s.lang = q.lang
+  {where}
   GROUP BY q.query_id, tok.doc_id
 ),
 ranked AS (
@@ -624,6 +628,75 @@ def q_bm25_incremental(sf_dir: str):
         _query_ds(), index_dir,
         cfg=BM25Config(k1=1.2, b=0.75, idf="lucene", compat="standard"),
         tokenizer=TokenizerConfig(mode="simple"),
+        round_dp=4,
+    )
+    return _results_to_docids(res.to_pandas())
+
+
+# sources tombstoned by the deletion queries (~15% of the corpus, spread
+# across every lang — documents.source is uniform over 20 values)
+DELETED_SOURCES = ("src3", "src11", "src17")
+_DELETED_PRED = "source IN ('src3', 'src11', 'src17')"
+
+
+def _deletion_urls(sf_dir: str) -> list:
+    import pyarrow.parquet as _pq
+
+    t = _pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+    m = pc.is_in(t["source"], value_set=pa.array(list(DELETED_SOURCES)))
+    return docid_to_url(t.filter(m)["doc_id"]).to_pylist()
+
+
+def _tombstones_for(sf_dir: str) -> str:
+    """Tombstone ~15% of the cached index (by source), idempotently —
+    the tombstone log lives OUTSIDE the index dir so the other bm25_*
+    queries keep serving the full corpus."""
+    from .deletes import delete_docs, read_tombstone_dirs
+
+    index_dir = _index_for(sf_dir)
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    tomb = f"/tmp/drr_cache/{key}/tombstones_src"
+    if not read_tombstone_dirs(tomb):
+        delete_docs(index_dir, _deletion_urls(sf_dir), tombstones_dir=tomb)
+    return tomb
+
+
+def q_bm25_deleted(sf_dir: str):
+    """Live tombstone serving (pipelines/deletes.py) with Lucene
+    semantics: deleted docs vanish from results while global stats stay
+    those of the full build — the oracle keeps full-corpus stats CTEs
+    and only filters the scored docs."""
+    from .query import bm25_search
+
+    index_dir = _index_for(sf_dir)
+    tomb = _tombstones_for(sf_dir)
+    res = bm25_search(
+        _query_ds(), index_dir,
+        cfg=BM25Config(k1=1.2, b=0.75, idf="lucene", compat="standard"),
+        round_dp=4, tombstones_dir=tomb,
+    )
+    return _results_to_docids(res.to_pandas())
+
+
+def q_bm25_compacted(sf_dir: str):
+    """Delete-aware compaction: tombstones physically applied (postings
+    filtered + re-encoded, df recounted, N/avgdl recomputed), then served
+    as a plain index — must equal a FRESH BUILD over the surviving corpus
+    (the oracle recomputes every stat over the filtered documents)."""
+    from .incremental import compact_index
+    from .query import bm25_search
+
+    index_dir = _index_for(sf_dir)
+    tomb = _tombstones_for(sf_dir)
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    out = f"/tmp/drr_cache/{key}/compacted_del_index"
+    if not os.path.isdir(os.path.join(out, "manifests")):
+        compact_index(index_dir, out, tombstones_dir=tomb)
+    res = bm25_search(
+        _query_ds(), out,
+        cfg=BM25Config(k1=1.2, b=0.75, idf="lucene", compat="standard"),
         round_dp=4,
     )
     return _results_to_docids(res.to_pandas())
@@ -3704,6 +3777,8 @@ QUERIES = {
     "bm25_reference": q_bm25_reference,
     "bm25_standard": q_bm25_standard,
     "bm25_incremental": q_bm25_incremental,
+    "bm25_deleted": q_bm25_deleted,
+    "bm25_compacted": q_bm25_compacted,
     "bm25_wand": q_bm25_wand,
     "lm_dirichlet": q_lm_dirichlet,
     "cosine": q_cosine,
@@ -4673,6 +4748,19 @@ ranked AS (
 SELECT query_id, term, score_x, rank FROM ranked WHERE rank <= {QEXP_TOPK}
 """
 
+def _over_survivors(sql: str) -> str:
+    """Re-point an oracle's ``documents`` references at the surviving
+    corpus (``main.documents`` minus the deleted sources) by shadowing
+    the view name with a CTE — the injected CTE must reference the view
+    schema-qualified or DuckDB reports a circular CTE."""
+    return sql.replace(
+        "\nWITH ",
+        "\nWITH documents AS "
+        f"(SELECT * FROM main.documents WHERE NOT ({_DELETED_PRED})), ",
+        1,
+    )
+
+
 ORACLE_SQL = {
     "spell_correct": _SPELL_SQL,
     "facet_counts": _FACET_SQL.format(
@@ -4739,6 +4827,16 @@ SELECT lang, term, total_tf, rank FROM ranked WHERE rank <= 10
     "bm25_standard": _bm25_sql(1.2, 0.75, reference_quirk=False, dedup=False),
     # the incremental (append) path must equal a full-corpus build
     "bm25_incremental": _bm25_sql(1.2, 0.75, reference_quirk=False, dedup=False),
+    # live tombstones: FULL-corpus stats, scored docs filtered (Lucene)
+    "bm25_deleted": _bm25_sql(
+        1.2, 0.75, reference_quirk=False, dedup=False,
+        where=f"WHERE tok.doc_id NOT IN "
+              f"(SELECT doc_id FROM documents WHERE {_DELETED_PRED})",
+    ),
+    # delete-compaction: every stat recomputed over the SURVIVING corpus
+    "bm25_compacted": _over_survivors(
+        _bm25_sql(1.2, 0.75, reference_quirk=False, dedup=False)
+    ),
     "bm25_wand": _bm25_sql(1.2, 0.75, reference_quirk=False, dedup=False),
     "lm_dirichlet": _lm_sql(LM_MU),
     "cosine": _cosine_sql(),

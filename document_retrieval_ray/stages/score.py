@@ -116,6 +116,7 @@ class BM25ScorerStage:
         round_dp=4,
         method: str = "taat",  # "taat" | "wand"
         shared_refs=None,
+        deleted_ref=None,
     ):
         if method not in ("taat", "wand", "maxscore"):
             raise ValueError(f"unknown scoring method: {method!r}")
@@ -124,6 +125,21 @@ class BM25ScorerStage:
         self.tok = tokenizer
         self.round_dp = round_dp
         self.method = method
+        # {(src, lang): sorted local doc ids} from pipelines.deletes —
+        # Lucene live-docs semantics: tombstoned docs are masked out of
+        # results, global stats stay stale until compaction. One plasma
+        # fetch per actor (zero-copy numpy views).
+        self._deleted_ref = deleted_ref
+        self._deleted = None
+
+    def _deleted_ids(self, lang: str):
+        if self._deleted_ref is None:
+            return None
+        if self._deleted is None:
+            import ray
+
+            self._deleted = ray.get(self._deleted_ref)
+        return self._deleted.get((0, lang))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         parts = []
@@ -136,6 +152,23 @@ class BM25ScorerStage:
                 continue
             tokens = tokenize_cfg(q, lang, self.tok)
             if not tokens:
+                continue
+            dele = self._deleted_ids(lang)
+            if dele is not None and dele.size:
+                # a shard with live tombstones scores via masked exact
+                # TAAT (WAND/MaxScore bounds don't know about deletions);
+                # the accelerated paths come back after compaction
+                scores = score_bm25_taat(idx, tokens, self.cfg)
+                scores[dele] = 0.0
+                ranks, sel, keys = topk_with_ties(
+                    scores, idx.urls, self.cfg.k, self.round_dp
+                )
+                if len(ranks) == 0:
+                    continue
+                parts.append(
+                    _rows(qid, ranks, sel, keys, scores, idx.urls,
+                          self.round_dp)
+                )
                 continue
             if self.method == "wand":
                 top = score_query_wand(

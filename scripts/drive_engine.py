@@ -60,5 +60,22 @@ merge = wres.merge(tres, on=["query_id", "rank"], suffixes=("_w", "_t"))
 mismatch = (merge["score_x_w"] != merge["score_x_t"]).sum()
 print("PROBE wand-vs-taat rows=%d score_x mismatches=%d" % (len(merge), int(mismatch)))
 
+# probe: tombstone deletion + delete-aware compaction (pipelines/deletes)
+from document_retrieval_ray.pipelines.deletes import delete_docs
+from document_retrieval_ray.pipelines.incremental import compact_index
+
+victims = sorted(set(tres["url"]))[:5]
+n_tomb = delete_docs(index_dir, victims)
+dres = bm25_search(qds, index_dir).to_pandas()  # auto-detects tombstones
+leaked = set(dres["url"]) & set(victims)
+print("PROBE delete: tombstoned=%d leaked-into-results=%d (expect 0)"
+      % (n_tomb, len(leaked)))
+cdir = os.path.join(work, "compacted")
+compact_index(index_dir, cdir)
+cres = bm25_search(qds, cdir).to_pandas()
+cleaked = set(cres["url"]) & set(victims)
+print("PROBE compact-deletes: rows=%d leaked=%d (expect 0)"
+      % (len(cres), len(cleaked)))
+
 ray.shutdown()
 print("DRIVE COMPLETE")
