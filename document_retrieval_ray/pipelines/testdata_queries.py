@@ -1022,6 +1022,38 @@ def q_embed_neardup_lsh(sf_dir: str):
     )
 
 
+KNN_K = 3
+
+
+def q_knn_graph(sf_dir: str):
+    """Exact k-NN graph over the embeddings (top-3 cosine neighbours per
+    vector) — the all-pairs analog of ann_topk and the building block of
+    kNN-graph dedup/clustering: block tiling puts every ordered (a, b)
+    candidate in exactly one (bi, bj) tile, each tile emits per-vector
+    PARTIAL top-k rows, and a vec_id-hash merge ranks the ≤ num_blocks×k
+    survivors. Exchange = num_blocks × input + O(N·k); the O(N²/B)
+    per-tile matmul is inherent to the exact graph (the LSH/IVF buckets
+    are the approximate scale path)."""
+    from ..stages.ann import knn_merge_partition, tile_knn_partial
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    tiles = emb.map_batches(
+        emit_tile_rows, fn_kwargs={"num_blocks": 8}, batch_format="pyarrow"
+    )
+    partials = tiles.groupby(["ti", "tj"]).map_groups(
+        lambda g: tile_knn_partial(g, KNN_K, num_blocks=8),
+        batch_format="pandas",
+    )
+    merged = partials.map_batches(
+        add_kpart, fn_kwargs={"num_parts": 32, "cols": ("vec_id",)},
+        batch_format="pyarrow",
+    ).groupby("kpart").map_groups(
+        lambda g: knn_merge_partition(g, KNN_K), batch_format="pandas"
+    )
+    return merged
+
+
 def q_ann_topk(sf_dir: str):
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                 columns=["vec_id", "embedding"])
@@ -3218,6 +3250,122 @@ def q_hll_distinct(sf_dir: str):
     return pd.DataFrame(rows).sort_values("lang").reset_index(drop=True)
 
 
+# Count-Min sketch term-frequency estimation: the mergeable bounded-state
+# point-query sketch (Cormode & Muthukrishnan 2005) — at 100 TB the
+# (lang, d, cell) partial rows per batch are ≤ langs × CMS_D × CMS_W no
+# matter the vocabulary, and the combine is ONE tiny groupby-sum; the
+# classic companion to HLL (distinct) for heavy-hitter screening.
+CMS_W = 256   # cells per row (first 2 md5 hex chars)
+CMS_D = 4     # independent rows (hash salt = "d:")
+
+
+def _cms_cell(d: int, term: str) -> int:
+    hx = hashlib.md5(f"{d}:{term}".encode("utf-8")).hexdigest()
+    return (int(hx[0], 16) * 16) + int(hx[1], 16)
+
+
+def _cms_partial(t: pa.Table) -> pa.Table:
+    """(lang, d, cell, cnt) partial — every token occurrence adds 1 to
+    its CMS_D cells; duplicates collapse per batch before hashing."""
+    vals, parent = _flat_tok(t)
+    langs = np.asarray(t["lang"].to_pandas(), dtype=object)[parent]
+    if len(vals) == 0:
+        return pa.table({
+            "lang": pa.array([], pa.string()),
+            "d": pa.array([], pa.int64()),
+            "cell": pa.array([], pa.int64()),
+            "cnt": pa.array([], pa.int64()),
+        })
+    key = np.char.add(np.char.add(langs.astype(str), "\x1f"), vals.astype(str))
+    uk, idx, counts = np.unique(key, return_index=True, return_counts=True)
+    out_lang = np.repeat(langs[idx], CMS_D)
+    out_d = np.tile(np.arange(CMS_D, dtype=np.int64), len(idx))
+    cells = np.empty(len(idx) * CMS_D, np.int64)
+    for j, i in enumerate(idx):
+        term = str(vals[i])
+        for d in range(CMS_D):
+            cells[j * CMS_D + d] = _cms_cell(d, term)
+    pdf = pd.DataFrame({
+        "lang": out_lang, "d": out_d, "cell": cells,
+        "cnt": np.repeat(counts.astype(np.int64), CMS_D),
+    })
+    g = pdf.groupby(["lang", "d", "cell"], sort=False)["cnt"].sum().reset_index()
+    return pa.Table.from_pandas(g, preserve_index=False)
+
+
+def cms_estimate(sketch: pd.DataFrame, lang: str, term: str) -> int:
+    """Point query: min over the CMS_D row cells (0 when a cell is
+    untouched). Always ≥ the true count (one-sided error)."""
+    est = None
+    for d in range(CMS_D):
+        cell = _cms_cell(d, term)
+        m = sketch[(sketch["lang"] == lang) & (sketch["d"] == d)
+                   & (sketch["cell"] == cell)]
+        v = int(m["cnt"].iloc[0]) if len(m) else 0
+        est = v if est is None else min(est, v)
+    return int(est)
+
+
+def q_cms_counts(sf_dir: str):
+    """Count-Min term-frequency estimates for the probe terms: per-batch
+    bounded partials → ONE (lang, d, cell) groupby-sum (≤ langs×4×256
+    rows) → driver point queries. ZERO corpus-sized exchange."""
+    sketch = (
+        _docs(sf_dir)
+        .map_batches(_cms_partial, batch_format="pyarrow")
+        .groupby(["lang", "d", "cell"])
+        .sum("cnt")
+        .to_pandas()  # bounded: ≤ langs × CMS_D × CMS_W rows
+    )
+    sketch = sketch.rename(columns={"sum(cnt)": "cnt"})
+    rows = [
+        {"lang": lang, "term": term,
+         "est_tf": cms_estimate(sketch, lang, term)}
+        for lang in sorted(sketch["lang"].unique())
+        for term in SAMPLE_TERMS
+    ]
+    return pd.DataFrame(rows)[["lang", "term", "est_tf"]]
+
+
+_CMS_CELL_SQL = (
+    "(strpos('0123456789abcdef', substring(md5(CAST({d} AS VARCHAR) || ':' "
+    "|| {term}), 1, 1)) - 1) * 16 + "
+    "(strpos('0123456789abcdef', substring(md5(CAST({d} AS VARCHAR) || ':' "
+    "|| {term}), 2, 1)) - 1)"
+)
+
+_CMS_SQL = f"""
+WITH occ AS (
+  SELECT lang, term, count(*) AS c
+  FROM (SELECT lang, unnest({TOKLIST.format(col='text')}) AS term
+        FROM documents)
+  GROUP BY lang, term
+),
+dd AS (SELECT unnest(range(0, {CMS_D})) AS d),
+cells AS (
+  SELECT lang, dd.d AS d,
+         {_CMS_CELL_SQL.format(d='dd.d', term='term')} AS cell,
+         sum(c) AS s
+  FROM occ, dd GROUP BY lang, dd.d, cell
+),
+probe(term) AS (VALUES {", ".join(f"('{t}')" for t in SAMPLE_TERMS)}),
+pcell AS (
+  SELECT p.term AS term, dd.d AS d,
+         {_CMS_CELL_SQL.format(d='dd.d', term='p.term')} AS cell
+  FROM probe p, dd
+),
+est AS (
+  SELECT l.lang AS lang, pc.term AS term,
+         min(coalesce(c.s, 0)) AS est_tf
+  FROM (SELECT DISTINCT lang FROM documents) l
+  CROSS JOIN pcell pc
+  LEFT JOIN cells c ON c.lang = l.lang AND c.d = pc.d AND c.cell = pc.cell
+  GROUP BY l.lang, pc.term
+)
+SELECT lang, term, CAST(est_tf AS BIGINT) AS est_tf FROM est
+"""
+
+
 # grouped top-k with per-batch pruning: each batch forwards at most k rows
 # per group, so the final per-group merge sees O(blocks × k) rows however
 # large the corpus — the grouped analog of rel_join_top's partial top-k.
@@ -3795,6 +3943,7 @@ QUERIES = {
     "neardup_components": q_neardup_components,
     "simhash_pairs": q_simhash_pairs,
     "embed_neardup": q_embed_neardup,
+    "knn_graph": q_knn_graph,
     "embed_neardup_lsh": q_embed_neardup_lsh,
     "ann_topk": q_ann_topk,
     "ann_topk_lsh": q_ann_topk_lsh,
@@ -3838,6 +3987,7 @@ QUERIES = {
     "lm_score": q_lm_score,
     "dl_percentiles": q_dl_percentiles,
     "hll_distinct": q_hll_distinct,
+    "cms_counts": q_cms_counts,
     "top_per_group": q_top_per_group,
     "bpe_tokens": q_bpe_tokens,
     "decontaminate": q_decontaminate,
@@ -4041,6 +4191,27 @@ c AS (
   WHERE na.nrm > 0 AND nb.nrm > 0
 )
 SELECT a, b, {_fx('cos')} AS cos_x FROM c WHERE cos >= {NEARDUP_COS_THRESHOLD}
+"""
+
+_KNN_SQL = f"""
+WITH {_EMB_UNNEST},
+d AS (
+  SELECT ua.vec_id AS a, ub.vec_id AS b, sum(ua.v * ub.v) AS dot
+  FROM u ua JOIN u ub ON ua.i = ub.i AND ua.vec_id <> ub.vec_id
+  GROUP BY ua.vec_id, ub.vec_id
+),
+c AS (
+  SELECT d.a AS a, d.b AS b, {_fx('d.dot / (na.nrm * nb.nrm)')} AS cos_x
+  FROM d JOIN n na ON na.vec_id = d.a JOIN n nb ON nb.vec_id = d.b
+  WHERE na.nrm > 0 AND nb.nrm > 0
+),
+r AS (
+  SELECT a AS vec_id, b AS nbr, cos_x,
+         row_number() OVER (PARTITION BY a ORDER BY cos_x DESC, b ASC) AS rnk
+  FROM c
+)
+SELECT vec_id, nbr, cos_x, CAST(rnk AS BIGINT) AS rnk FROM r
+WHERE rnk <= {KNN_K}
 """
 
 _NEARDUP_LSH_SQL = f"""
@@ -4771,6 +4942,7 @@ ORACLE_SQL = {
     ),
     "dl_percentiles": _DL_PCT_SQL,
     "hll_distinct": _HLL_SQL,
+    "cms_counts": _CMS_SQL,
     "top_per_group": _TOP_PER_GROUP_SQL,
     "bpe_tokens": _BPE_SQL,
     "decontaminate": _DECON_SQL,
@@ -4882,6 +5054,7 @@ SELECT n AS doc_id, min(lbl) AS rep FROM walk GROUP BY n
 """,
     "simhash_pairs": _SIMHASH_SQL,
     "embed_neardup": _NEARDUP_SQL,
+    "knn_graph": _KNN_SQL,
     "embed_neardup_lsh": _NEARDUP_LSH_SQL,
     "ann_topk": _ANN_SQL,
     "ann_topk_lsh": _ANN_LSH_SQL,

@@ -649,3 +649,81 @@ def tile_pairs(group: pd.DataFrame, threshold: float, num_blocks: int = 8,
             "cos_x": pd.Series(cx, dtype="int64"),
         }
     )
+
+
+def tile_knn_partial(group: pd.DataFrame, k: int, num_blocks: int = 8,
+                     round_dp: int = 4) -> pd.DataFrame:
+    """(ti, tj) tile group → per-vector PARTIAL top-k neighbour rows
+    (vec_id, nbr, cos_x) seen from THIS tile — the k-NN-graph leg of the
+    block-tiling all-pairs plan (``emit_tile_rows``). Every (a, b) pair
+    lives in exactly one tile, so the global per-vector merge sees at
+    most num_blocks × k candidate rows per vector; nothing corpus-sized
+    moves twice. Cosine matches the SQL oracle's op order on the fx4
+    grid; zero-norm vectors are neither sources nor neighbours."""
+    empty = pd.DataFrame({"vec_id": pd.Series(dtype="int64"),
+                          "nbr": pd.Series(dtype="int64"),
+                          "cos_x": pd.Series(dtype="int64")})
+    ids = group["vec_id"].to_numpy().astype(np.int64)
+    _, first = np.unique(ids, return_index=True)
+    ids = ids[first]  # sorted ascending → stable argsort ties = id asc
+    if len(ids) < 2:
+        return empty
+    mat = np.stack(group["embedding"].to_numpy()[first]).astype(
+        np.float64, copy=False
+    )
+    ti = int(group.iloc[0]["ti"])
+    tj = int(group.iloc[0]["tj"])
+    blk = ids % num_blocks
+    norms = np.linalg.norm(mat, axis=1)
+    SENT = np.int64(-(2 ** 62))
+    scale = 10.0 ** round_dp
+
+    def _emit(src_idx, cand_idx, dots):
+        # dots: (len(src), len(cand)) raw dot products
+        nsrc = norms[src_idx][:, None]
+        ncnd = norms[cand_idx][None, :]
+        cos = dots / (np.where(nsrc == 0, 1, nsrc) * np.where(ncnd == 0, 1, ncnd))
+        cx = np.floor(cos * scale + 0.5).astype(np.int64)
+        cx[:, norms[cand_idx] == 0] = SENT          # invalid neighbours
+        same = ids[src_idx][:, None] == ids[cand_idx][None, :]
+        cx[same] = SENT                              # self (diagonal tiles)
+        kk = min(k, cx.shape[1])
+        order = np.argsort(-cx, axis=1, kind="stable")[:, :kk]
+        rows = np.repeat(np.arange(cx.shape[0]), kk)
+        cols = order.ravel()
+        keep = (cx[rows, cols] > SENT) & (norms[src_idx][rows] > 0)
+        return (ids[src_idx][rows[keep]], ids[cand_idx][cols[keep]],
+                cx[rows, cols][keep])
+
+    parts = []
+    if ti == tj:
+        sel = np.nonzero(blk == ti)[0]
+        if sel.size >= 2:
+            d = mat[sel] @ mat[sel].T
+            parts.append(_emit(sel, sel, d))
+    else:
+        li = np.nonzero(blk == ti)[0]
+        ri = np.nonzero(blk == tj)[0]
+        if li.size and ri.size:
+            d = mat[li] @ mat[ri].T
+            parts.append(_emit(li, ri, d))
+            parts.append(_emit(ri, li, d.T))
+    if not parts:
+        return empty
+    return pd.DataFrame({
+        "vec_id": pd.Series(np.concatenate([p[0] for p in parts]), dtype="int64"),
+        "nbr": pd.Series(np.concatenate([p[1] for p in parts]), dtype="int64"),
+        "cos_x": pd.Series(np.concatenate([p[2] for p in parts]), dtype="int64"),
+    })
+
+
+def knn_merge_partition(group: pd.DataFrame, k: int) -> pd.DataFrame:
+    """vec_id-hash partition of tile partials → final top-k neighbour
+    rows with rank (cos_x desc, nbr asc). A pair appears in exactly one
+    tile, so no dedup is needed."""
+    g = group.drop(columns=[c for c in ("kpart",) if c in group.columns])
+    g = g.sort_values(["vec_id", "cos_x", "nbr"],
+                      ascending=[True, False, True], kind="mergesort")
+    g = g.groupby("vec_id", sort=False).head(k).copy()
+    g["rnk"] = (g.groupby("vec_id", sort=False).cumcount() + 1).astype("int64")
+    return g[["vec_id", "nbr", "cos_x", "rnk"]]

@@ -202,6 +202,55 @@ class TestAnn:
         pd.testing.assert_frame_equal(got, exp)
         assert len(exp) >= 1  # the planted near-dup is found
 
+    def test_tiled_knn_graph_equals_brute_force(self):
+        """tile_knn_partial + knn_merge_partition == brute-force top-k
+        (cos desc, id asc), incl. a zero-norm vector excluded both ways."""
+        from document_retrieval_ray.stages.ann import (
+            knn_merge_partition,
+            tile_knn_partial,
+        )
+
+        rng = np.random.default_rng(11)
+        mat = rng.standard_normal((50, 8))
+        mat[7] = 0.0  # zero-norm: no edges in or out
+        ids = np.arange(200, 250, dtype=np.int64)
+        t = pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(mat.tolist(), pa.list_(pa.float64())),
+            }
+        )
+        k = 3
+        tiles = emit_tile_rows(t, num_blocks=4).to_pandas()
+        parts = [
+            tile_knn_partial(g, k, num_blocks=4)
+            for _, g in tiles.groupby(["ti", "tj"])
+        ]
+        got = (
+            knn_merge_partition(pd.concat(parts, ignore_index=True), k)
+            .sort_values(["vec_id", "rnk"])
+            .reset_index(drop=True)
+        )
+        norms = np.linalg.norm(mat, axis=1)
+        rows = []
+        for i in range(len(ids)):
+            if norms[i] == 0:
+                continue
+            cand = [
+                (int(np.floor(
+                    (mat[i] @ mat[j]) / (norms[i] * norms[j]) * 10000 + 0.5
+                )), int(ids[j]))
+                for j in range(len(ids))
+                if j != i and norms[j] > 0
+            ]
+            cand.sort(key=lambda cv: (-cv[0], cv[1]))
+            for r, (cx, nbr) in enumerate(cand[:k], 1):
+                rows.append((int(ids[i]), nbr, cx, r))
+        exp = pd.DataFrame(
+            rows, columns=["vec_id", "nbr", "cos_x", "rnk"]
+        ).astype("int64").sort_values(["vec_id", "rnk"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, exp)
+
     def test_lsh_neardup_subset_of_all_pairs(self):
         """Bucketed near-dup pairs ⊆ exact all-pairs at the same threshold
         (LSH only ever restricts candidates)."""

@@ -117,3 +117,43 @@ def test_top_per_group_partial_prune_lossless():
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(full, pruned)
+
+
+def test_cms_overestimates_and_merges(ray_session):
+    """CMS point estimates are one-sided (est >= true occurrence count)
+    and the sketch merge is associative: combining per-batch partials in
+    any grouping gives the same cells as one global pass."""
+    import pyarrow as pa
+
+    from document_retrieval_ray.pipelines.testdata_queries import (
+        CMS_D,
+        _cms_partial,
+        cms_estimate,
+    )
+
+    texts = [
+        "spark spark join window",
+        "join join join dup spark",
+        "window dup dup",
+    ]
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en", "en", "en"], pa.string()),
+    })
+    whole = _cms_partial(t).to_pandas()
+    parts = pd.concat(
+        [_cms_partial(t.slice(i, 1)).to_pandas() for i in range(3)]
+    )
+    merged = parts.groupby(["lang", "d", "cell"], sort=False)["cnt"].sum().reset_index()
+    a = whole.sort_values(["lang", "d", "cell"]).reset_index(drop=True)
+    b = merged.sort_values(["lang", "d", "cell"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+    true = {"spark": 3, "join": 4, "window": 2, "dup": 3, "absent": 0}
+    for term, want in true.items():
+        est = cms_estimate(whole, "en", term)
+        assert est >= want
+    # with 4 terms in 256 cells collisions are absent: estimates exact
+    for term in ("spark", "join", "window", "dup"):
+        assert cms_estimate(whole, "en", term) == true[term]
