@@ -955,6 +955,36 @@ def q_neardup_components(sf_dir: str):
     return label_prop_components(q_minhash_pairs(sf_dir))
 
 
+PAGERANK_ITERS = 5
+PAGERANK_TOPN = 20
+
+
+def q_pagerank(sf_dir: str):
+    """Integer PageRank over the verified minhash near-dup graph — the
+    'which doc is the hub of its duplication cluster' canonical-copy
+    signal (stages/graph.py: all-integer recurrence, 5 fixed power
+    iterations, two pair-sized exchanges per round). Top-20 via
+    per-block partial top-N → driver merge of O(blocks×N) rows."""
+    from ..stages.graph import pagerank_integer
+
+    pr = pagerank_integer(q_minhash_pairs(sf_dir), iters=PAGERANK_ITERS)
+
+    def _partial_top(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(
+            ["pr", "doc_id"], ascending=[False, True]
+        ).head(PAGERANK_TOPN)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    cand = pr.map_batches(_partial_top, batch_format="pyarrow").to_pandas()
+    cand = cand.sort_values(
+        ["pr", "doc_id"], ascending=[False, True]
+    ).head(PAGERANK_TOPN).reset_index(drop=True)
+    cand["rnk"] = np.arange(1, len(cand) + 1, dtype=np.int64)
+    return cand[["doc_id", "pr", "rnk"]].astype(
+        {"doc_id": "int64", "pr": "int64"}
+    )
+
+
 def q_simhash_pairs(sf_dir: str, cfg: DedupConfig = DEFAULT_DEDUP):
     """SimHash near-dup pairs (Hamming <= 3) as a distributed LSH-band
     plan: 4 chunk-keyed band rows per doc (signature travels with the
@@ -3941,6 +3971,7 @@ QUERIES = {
     "ngram_jaccard": q_ngram_jaccard,
     "containment": q_containment,
     "neardup_components": q_neardup_components,
+    "pagerank": q_pagerank,
     "simhash_pairs": q_simhash_pairs,
     "embed_neardup": q_embed_neardup,
     "knn_graph": q_knn_graph,
@@ -4919,6 +4950,48 @@ ranked AS (
 SELECT query_id, term, score_x, rank FROM ranked WHERE rank <= {QEXP_TOPK}
 """
 
+def _pagerank_sql() -> str:
+    """Integer-PageRank oracle: the stages/graph.py recurrence unrolled
+    PAGERANK_ITERS times as chained CTEs (the Lloyd-chain idiom) — all
+    quantities integral, so summation order can't matter."""
+    from ..stages.graph import (
+        PAGERANK_DAMP_DEN,
+        PAGERANK_DAMP_NUM,
+        PAGERANK_SCALE,
+    )
+
+    tele = PAGERANK_DAMP_DEN - PAGERANK_DAMP_NUM
+    steps = []
+    prev = "s0"
+    for t in range(1, PAGERANK_ITERS + 1):
+        steps.append(f"""
+s{t} AS (
+  SELECT e.dst AS n,
+         CAST(({tele} * (SELECT b0 FROM base)
+               + {PAGERANK_DAMP_NUM} * sum({prev}.s // d.deg))
+              // {PAGERANK_DAMP_DEN} AS BIGINT) AS s
+  FROM edges e JOIN {prev} ON {prev}.n = e.src JOIN deg d ON d.src = e.src
+  GROUP BY e.dst
+)""")
+        prev = f"s{t}"
+    return f"""
+WITH
+pairs AS (SELECT a, b FROM ({_MINHASH_SQL}) mh),
+edges AS (SELECT a AS src, b AS dst FROM pairs
+          UNION ALL SELECT b, a FROM pairs),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+base AS (SELECT CAST({PAGERANK_SCALE} AS BIGINT) // count(*) AS b0
+         FROM deg),
+s0 AS (SELECT src AS n, (SELECT b0 FROM base) AS s FROM deg),
+{", ".join(steps)},
+r AS (SELECT n AS doc_id, s AS pr,
+             row_number() OVER (ORDER BY s DESC, n ASC) AS rnk
+      FROM {prev})
+SELECT doc_id, pr, CAST(rnk AS BIGINT) AS rnk FROM r
+WHERE rnk <= {PAGERANK_TOPN}
+"""
+
+
 def _over_survivors(sql: str) -> str:
     """Re-point an oracle's ``documents`` references at the surviving
     corpus (``main.documents`` minus the deleted sources) by shadowing
@@ -5052,6 +5125,7 @@ walk(n, lbl) AS (
 )
 SELECT n AS doc_id, min(lbl) AS rep FROM walk GROUP BY n
 """,
+    "pagerank": _pagerank_sql(),
     "simhash_pairs": _SIMHASH_SQL,
     "embed_neardup": _NEARDUP_SQL,
     "knn_graph": _KNN_SQL,

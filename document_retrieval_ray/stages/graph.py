@@ -1,0 +1,141 @@
+"""Distributed graph analytics over document-similarity graphs.
+
+The near-dup pipelines produce a pair graph (stages/dedup.py builds it,
+``label_prop_components`` collapses it into clusters); this module adds
+POWER-ITERATION analytics over the same graph — here integer PageRank,
+the canonical "which document is the hub of its duplication cluster"
+signal (pick-the-canonical-copy in a crawl dedup, template detection).
+
+Everything is EXACT INTEGER arithmetic so a SQL oracle reproduces it
+bit-for-bit regardless of summation order (the repo-wide fixed-point
+discipline):
+
+- scores live on a ``SCALE = 10^12`` integer grid; the initial mass per
+  node is ``SCALE // n``;
+- an edge (j → i) carries ``s_j // deg_j`` (integer division);
+- the damping update is ``s_i' = (15·base + 85·incoming_i) // 100``
+  (i.e. d = 0.85 with the teleport mass pinned to the INITIAL uniform
+  base, the "personalized to uniform" variant — deliberately chosen so
+  every quantity stays integral);
+- undirected graphs have no dangling nodes (every node has in-edges), so
+  no dangling-mass redistribution is needed.
+
+Distribution (mirrors ``label_prop_components``): edge rows are
+hash-partitioned by src ONCE and reused every round; a round is two
+pair-sized exchanges — (scores ∪ edges) cogrouped by src emit
+per-edge contributions, then one groupby(dst).sum. Per-src degree is
+derived IN-PARTITION (all edges of a src share its hash partition), so
+no separate degree join ever ships."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .dedup import edges_both_ways
+from .index_build import add_kpart
+
+PAGERANK_SCALE = 10 ** 12
+PAGERANK_DAMP_NUM = 85    # d = 0.85 as an integer fraction
+PAGERANK_DAMP_DEN = 100
+
+
+def pagerank_contrib_partition(group: pd.DataFrame) -> pd.DataFrame:
+    """src-keyed partition of edge rows (s = -1) ∪ score rows (dst = -1):
+    emit (node = dst, c = s_src // deg_src) per edge. deg is computed
+    in-partition — the src hash colocates all of a node's out-edges."""
+    g = group.drop(columns=[c for c in ("kpart",) if c in group.columns])
+    is_score = g["dst"].to_numpy() < 0
+    sc = g[is_score][["src", "s"]]
+    ed = g[~is_score][["src", "dst"]]
+    if not len(ed) or not len(sc):
+        return pd.DataFrame({"node": pd.Series(dtype="int64"),
+                             "c": pd.Series(dtype="int64")})
+    deg = ed.groupby("src", sort=False).size().rename("deg").reset_index()
+    m = ed.merge(sc, on="src", how="inner").merge(deg, on="src", how="inner")
+    c = m["s"].to_numpy(np.int64) // m["deg"].to_numpy(np.int64)
+    return pd.DataFrame({
+        "node": pd.Series(m["dst"].to_numpy(np.int64), dtype="int64"),
+        "c": pd.Series(c, dtype="int64"),
+    })
+
+
+def pagerank_integer(pairs_ds, iters: int = 5, num_parts: int = 64,
+                     scale: int = PAGERANK_SCALE):
+    """(a, b) undirected pair Dataset → (doc_id, pr) integer PageRank
+    after ``iters`` fixed power iterations (see module docstring for the
+    exact integer recurrence a SQL oracle can replay)."""
+    import ray.data
+
+    edges = pairs_ds.map_batches(
+        edges_both_ways, batch_format="pyarrow"
+    ).materialize()
+    if edges.count() == 0:
+        return ray.data.from_arrow(
+            pa.table({"doc_id": pa.array([], pa.int64()),
+                      "pr": pa.array([], pa.int64())})
+        )
+    nodes = (
+        edges.groupby("src").count()
+        .map_batches(lambda t: t.select(["src"]), batch_format="pyarrow")
+        .materialize()
+    )
+    n = nodes.count()
+    base = scale // n
+
+    # static edge rows, hash-partitioned once (kpart never changes)
+    e_rows = edges.map_batches(
+        lambda t: pa.table({
+            "src": t["src"], "dst": t["dst"],
+            "s": pa.array(np.full(t.num_rows, -1, np.int64), pa.int64()),
+        }),
+        batch_format="pyarrow",
+    ).map_batches(
+        add_kpart, fn_kwargs={"num_parts": num_parts, "cols": ("src",)},
+        batch_format="pyarrow",
+    ).materialize()
+
+    scores = nodes.map_batches(
+        lambda t: pa.table({
+            "src": t["src"],
+            "s": pa.array(np.full(t.num_rows, base, np.int64), pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+    for _ in range(iters):
+        s_rows = scores.map_batches(
+            lambda t: pa.table({
+                "src": t["src"],
+                "dst": pa.array(np.full(t.num_rows, -1, np.int64), pa.int64()),
+                "s": t["s"],
+            }),
+            batch_format="pyarrow",
+        ).map_batches(
+            add_kpart, fn_kwargs={"num_parts": num_parts, "cols": ("src",)},
+            batch_format="pyarrow",
+        )
+        incoming = (
+            e_rows.union(s_rows)
+            .groupby("kpart")
+            .map_groups(pagerank_contrib_partition, batch_format="pandas")
+            .groupby("node")
+            .sum("c")
+        )
+        scores = incoming.map_batches(
+            lambda t: pa.table({
+                "src": t["node"],
+                "s": pa.array(
+                    (
+                        (PAGERANK_DAMP_DEN - PAGERANK_DAMP_NUM) * base
+                        + PAGERANK_DAMP_NUM
+                        * t["sum(c)"].to_numpy(zero_copy_only=False)
+                    ) // PAGERANK_DAMP_DEN,
+                    pa.int64(),
+                ),
+            }),
+            batch_format="pyarrow",
+        ).materialize()
+    return scores.map_batches(
+        lambda t: t.rename_columns(["doc_id", "pr"]), batch_format="pyarrow"
+    )

@@ -287,3 +287,52 @@ def test_range_join_window_boundaries(ray_session):
     assert out.loc[1, "n_clicks"] == 2
     assert out.loc[8, "n_clicks"] == 0
     assert len(out) == 2
+
+
+def test_pagerank_integer_matches_reference_loop(ray_session):
+    """pagerank_integer == a hand-rolled driver loop of the documented
+    integer recurrence on a path graph (hub node 2 must rank first)."""
+    import numpy as np
+    import ray.data
+
+    from document_retrieval_ray.stages.graph import (
+        PAGERANK_SCALE,
+        pagerank_integer,
+    )
+
+    pairs = ray.data.from_items([
+        {"a": 1, "b": 2}, {"a": 2, "b": 3},
+    ])
+    got = (
+        pagerank_integer(pairs, iters=4, num_parts=4)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    # reference: adjacency {1:[2], 2:[1,3], 3:[2]}
+    adj = {1: [2], 2: [1, 3], 3: [2]}
+    base = PAGERANK_SCALE // 3
+    s = {n: base for n in adj}
+    for _ in range(4):
+        inc = {n: 0 for n in adj}
+        for j, outs in adj.items():
+            c = s[j] // len(outs)
+            for i in outs:
+                inc[i] += c
+        s = {n: (15 * base + 85 * inc[n]) // 100 for n in adj}
+    want = sorted(s.items())
+    assert list(got["doc_id"]) == [n for n, _ in want]
+    assert list(got["pr"]) == [v for _, v in want]
+    assert max(s, key=lambda n: s[n]) == 2  # the hub
+
+
+def test_pagerank_empty_graph(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from document_retrieval_ray.stages.graph import pagerank_integer
+
+    empty = ray.data.from_arrow(pa.table({
+        "a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+    }))
+    ds = pagerank_integer(empty)
+    assert ds.count() == 0
+    assert [f.name for f in ds.schema().base_schema] == ["doc_id", "pr"]
