@@ -3694,6 +3694,136 @@ def q_facet_counts(sf_dir: str):
     return out[["query_id", "source", "n_docs"]]
 
 
+# -------------------------------------------------- dense rerank (C7 live)
+
+DENSE_DIM = 16
+
+
+def q_dense_rerank(sf_dir: str):
+    """The C7 dense-rerank PIPELINE as an oracle-gated driver query: BM25
+    top-10 candidates → doc texts embedded by the REAL actor-pool
+    ``EmbedStage`` (batch-32, model loaded once per actor) → the REAL
+    ``DenseRerankStage`` cosine re-scoring — with the transformer slot
+    filled by ``HashProjectionModel``, whose md5-derived integer
+    embeddings a DuckDB oracle recomputes exactly. Proves the whole C7
+    data path end-to-end by VALUE, not just plumbing; only the encoder
+    weights differ from production."""
+    from ..stages.embed import (
+        DenseRerankStage,
+        EmbedStage,
+        HashProjectionModel,
+    )
+
+    top = q_bm25_standard(sf_dir)
+    ids = pa.array(sorted(set(top["doc_id"].astype(np.int64))), pa.int64())
+
+    def pick(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["doc_id"], value_set=ids))
+
+    emb = (
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        .map_batches(pick, batch_format="pyarrow")
+        .map_batches(
+            EmbedStage,
+            fn_constructor_kwargs=dict(
+                model_factory=lambda: HashProjectionModel(DENSE_DIM)
+            ),
+            batch_size=32, batch_format="pyarrow",
+            concurrency=default_pool(),
+        )
+        .to_pandas()  # bounded: the |queries| × 10 candidate set
+    )
+    qmap = {q: t for q, t, _ in QUERYSET}
+    cand = top[["query_id", "doc_id"]].copy()
+    cand["query"] = cand["query_id"].map(qmap)
+    cand = cand.merge(emb, on="doc_id").rename(
+        columns={"embedding": "cand_embedding"}
+    )
+    scored = (
+        ray.data.from_pandas(cand)
+        .map_batches(
+            DenseRerankStage,
+            fn_constructor_kwargs=dict(
+                model_factory=lambda: HashProjectionModel(DENSE_DIM)
+            ),
+            batch_size=32, batch_format="pyarrow",
+            concurrency=default_pool(),
+        )
+        .to_pandas()
+    )
+    scored = scored.sort_values(
+        ["query_id", "dense_score_x", "doc_id"],
+        ascending=[True, False, True],
+    )
+    scored["dense_rank"] = (
+        scored.groupby("query_id", sort=False).cumcount() + 1
+    ).astype(np.int64)
+    return scored[
+        ["query_id", "dense_rank", "doc_id", "dense_score_x"]
+    ].reset_index(drop=True)
+
+
+def _hash4_sql(md5_expr: str) -> str:
+    """First 4 hex chars of an md5 → integer − 32768 (the
+    HashProjectionModel dimension value), nibble-parsed in SQL."""
+    h = "'0123456789abcdef'"
+    parts = [
+        f"(strpos({h}, substring({md5_expr}, {k}, 1)) - 1) * {16 ** (4 - k)}"
+        for k in (1, 2, 3, 4)
+    ]
+    return "(" + " + ".join(parts) + " - 32768)"
+
+
+def _dense_rerank_sql() -> str:
+    bm25 = _bm25_sql(1.2, 0.75, reference_quirk=False, dedup=False)
+    qvals = ", ".join(f"('{q}', '{t}')" for q, t, _ in QUERYSET)
+    hdoc = _hash4_sql("md5(CAST(i.i AS VARCHAR) || ':' || d.text)")
+    hq = _hash4_sql("md5(CAST(i.i AS VARCHAR) || ':' || q.qtext)")
+    return f"""
+WITH
+cand AS (SELECT query_id, doc_id FROM ({bm25}) b),
+qt(query_id, qtext) AS (VALUES {qvals}),
+dims AS (SELECT unnest(range(0, {DENSE_DIM})) AS i),
+dvec AS (
+  SELECT d.doc_id AS doc_id, i.i AS i, {hdoc} AS v
+  FROM documents d
+  JOIN (SELECT DISTINCT doc_id FROM cand) c ON c.doc_id = d.doc_id, dims i
+),
+qvec AS (SELECT q.query_id AS query_id, i.i AS i, {hq} AS v FROM qt q, dims i),
+dt AS (
+  SELECT c.query_id AS query_id, c.doc_id AS doc_id,
+         CAST(sum(qv.v * dv.v) AS DOUBLE) AS dot
+  FROM cand c
+  JOIN qvec qv ON qv.query_id = c.query_id
+  JOIN dvec dv ON dv.doc_id = c.doc_id AND dv.i = qv.i
+  GROUP BY c.query_id, c.doc_id
+),
+nd AS (SELECT doc_id, sqrt(CAST(sum(v*v) AS DOUBLE)) AS n
+       FROM dvec GROUP BY doc_id),
+nq AS (SELECT query_id, sqrt(CAST(sum(v*v) AS DOUBLE)) AS n
+       FROM qvec GROUP BY query_id),
+cosr AS (
+  SELECT dt.query_id AS query_id, dt.doc_id AS doc_id,
+         {_fx('dt.dot / (nq.n * nd.n)')} AS dense_score_x
+  FROM dt
+  JOIN nq ON nq.query_id = dt.query_id
+  JOIN nd ON nd.doc_id = dt.doc_id
+),
+r AS (
+  SELECT query_id, doc_id, dense_score_x,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dense_score_x DESC, doc_id ASC)
+         AS dense_rank
+  FROM cosr
+)
+SELECT query_id, CAST(dense_rank AS BIGINT) AS dense_rank, doc_id,
+       dense_score_x
+FROM r
+"""
+
+
 # ------------------------------------- pseudo-relevance-feedback expansion
 
 QEXP_DOCS = 3
@@ -4024,6 +4154,7 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "spell_correct": q_spell_correct,
     "facet_counts": q_facet_counts,
+    "dense_rerank": q_dense_rerank,
     "query_expand": q_query_expand,
     "token_entropy": q_token_entropy,
     "neardup_apply": q_neardup_apply,
@@ -5007,6 +5138,7 @@ def _over_survivors(sql: str) -> str:
 
 ORACLE_SQL = {
     "spell_correct": _SPELL_SQL,
+    "dense_rerank": _dense_rerank_sql(),
     "facet_counts": _FACET_SQL.format(
         bm25=_bm25_sql(1.2, 0.75, reference_quirk=False, dedup=False)
     ),

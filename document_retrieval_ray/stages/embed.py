@@ -46,6 +46,28 @@ class _FakeModel:
         return np.stack([_fake_embedding(t or "", self.dim) for t in texts])
 
 
+class HashProjectionModel:
+    """SQL-REPRODUCIBLE deterministic encoder for oracle-gated dense
+    pipelines: dimension i of a text is
+    ``int(md5(f"{i}:{text}")[:4 hex], 16) - 32768`` — small integers, so
+    dots/norms are exact in float32/float64 and a DuckDB oracle can
+    recompute every embedding from ``md5(i || ':' || text)``. Stands in
+    for the transformer slot wherever end-to-end value parity (not just
+    plumbing) must be provable without torch."""
+
+    def __init__(self, dim: int = 16):
+        self.dim = dim
+
+    def encode(self, texts):
+        out = np.empty((len(texts), self.dim), dtype=np.float64)
+        for r, t in enumerate(texts):
+            t = t or ""
+            for i in range(self.dim):
+                hx = hashlib.md5(f"{i}:{t}".encode("utf-8")).hexdigest()
+                out[r, i] = int(hx[:4], 16) - 32768
+        return out
+
+
 class EmbedStage:
     """(id, text) → (id, embedding: list<float32>).
 
