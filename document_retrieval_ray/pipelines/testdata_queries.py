@@ -3824,6 +3824,265 @@ FROM r
 """
 
 
+# ----------------------------------------------- BM25F fielded retrieval
+
+# fields: "title" = the doc's first BM25F_TITLE_LEN tokens (lead/headline),
+# "body" = the rest — per-field length normalization, weighted-tf combine
+# (simple BM25F, Robertson & Zaragoza 2009 §3.3): tf̃ = Σ_f w_f·tf_f/den_f,
+# den_f = (1−b) + b·dl_f/avgdl_f, score = Σ_t w·idf·tf̃/(k1+tf̃)
+BM25F_K1 = 1.2
+BM25F_B = 0.75
+BM25F_WT = 2.0   # title weight
+BM25F_WB = 1.0   # body weight
+BM25F_TITLE_LEN = 8
+
+
+def _tok_positions(t: pa.Table):
+    """_flat_tok plus each token's position WITHIN its doc."""
+    vals, parent = _flat_tok(t)
+    if len(vals) == 0:
+        return vals, parent, np.empty(0, np.int64)
+    starts = np.searchsorted(parent, np.arange(t.num_rows, dtype=np.int64))
+    pos = np.arange(len(parent), dtype=np.int64) - starts[parent]
+    return vals, parent, pos
+
+
+def _bm25f_partial(t: pa.Table, qterms: tuple) -> pa.Table:
+    """ONE corpus pass emitting union-schema partials: per-(batch, lang)
+    stats rows (term='', n docs, Σdl_title, Σdl_body) plus EXACT per
+    (lang, term ∈ query vocabulary) df counts (a doc lives in one batch,
+    so distinct-doc partials sum exactly)."""
+    vals, parent, pos = _tok_positions(t)
+    n = t.num_rows
+    langs = np.asarray(t["lang"].to_pandas(), dtype=object)
+    is_t = pos < BM25F_TITLE_LEN
+    dlt = np.bincount(parent[is_t], minlength=n)
+    dlb = np.bincount(parent[~is_t], minlength=n)
+    out = {"lang": [], "term": [], "df": [], "n": [], "sdt": [], "sdb": []}
+    for lg in np.unique(langs):
+        m = langs == lg
+        out["lang"].append(lg)
+        out["term"].append("")
+        out["df"].append(0)
+        out["n"].append(int(m.sum()))
+        out["sdt"].append(int(dlt[m].sum()))
+        out["sdb"].append(int(dlb[m].sum()))
+    if len(vals):
+        keep = np.isin(vals, np.array(sorted(set(qterms)), dtype=object))
+        if keep.any():
+            sp, st = parent[keep], vals[keep]
+            key = np.char.add(np.char.add(sp.astype(str), "\x1f"),
+                              st.astype(str))
+            _, idx = np.unique(key, return_index=True)
+            pdf = (
+                pd.DataFrame({"lang": langs[sp[idx]], "term": st[idx]})
+                .groupby(["lang", "term"], sort=False).size()
+                .rename("df").reset_index()
+            )
+            for _, r in pdf.iterrows():
+                out["lang"].append(r["lang"])
+                out["term"].append(r["term"])
+                out["df"].append(int(r["df"]))
+                out["n"].append(0)
+                out["sdt"].append(0)
+                out["sdb"].append(0)
+    return pa.table({
+        "lang": pa.array(out["lang"], pa.string()),
+        "term": pa.array(out["term"], pa.string()),
+        "df": pa.array(out["df"], pa.int64()),
+        "n": pa.array(out["n"], pa.int64()),
+        "sdt": pa.array(out["sdt"], pa.int64()),
+        "sdb": pa.array(out["sdb"], pa.int64()),
+    })
+
+
+def _bm25f_score_partial(t: pa.Table, stats: dict, dfmap: dict,
+                         queries: list) -> pa.Table:
+    """Per-batch BM25F scoring → PARTIAL top-10 rows per query (a doc
+    lives in one batch, so its score is final; the merge sees
+    O(blocks × 10) rows per query)."""
+    import math
+
+    vals, parent, pos = _tok_positions(t)
+    n = t.num_rows
+    langs = np.asarray(t["lang"].to_pandas(), dtype=object)
+    ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    is_t = pos < BM25F_TITLE_LEN
+    dlt = np.bincount(parent[is_t], minlength=n).astype(np.float64)
+    dlb = np.bincount(parent[~is_t], minlength=n).astype(np.float64)
+    tf_cache: dict = {}
+
+    def tf_fields(term):
+        if term not in tf_cache:
+            m = vals == term
+            tf_cache[term] = (
+                np.bincount(parent[m & is_t], minlength=n).astype(np.float64),
+                np.bincount(parent[m & ~is_t], minlength=n).astype(np.float64),
+            )
+        return tf_cache[term]
+
+    rows = {"query_id": [], "doc_id": [], "score_x": []}
+    for qid, lang, items in queries:
+        if lang not in stats:
+            continue
+        nn, avg_t, avg_b = stats[lang]
+        score = np.zeros(n, dtype=np.float64)
+        hit = False
+        for term, w in items:
+            df = dfmap.get((lang, term))
+            if df is None:
+                continue
+            hit = True
+            tft, tfb = tf_fields(term)
+            tfn = np.zeros(n, dtype=np.float64)
+            if avg_t > 0:
+                tfn += (BM25F_WT * tft) / (
+                    (1 - BM25F_B) + (BM25F_B * dlt) / avg_t
+                )
+            if avg_b > 0:
+                tfn += (BM25F_WB * tfb) / (
+                    (1 - BM25F_B) + (BM25F_B * dlb) / avg_b
+                )
+            idf = math.log(1 + (nn - df + 0.5) / (df + 0.5))
+            score += (w * idf) * (tfn / (BM25F_K1 + tfn))
+        if not hit:
+            continue
+        score[langs != lang] = 0.0
+        cand = np.nonzero(score > 0)[0]
+        if cand.size == 0:
+            continue
+        sx = np.floor(score[cand] * 10000.0 + 0.5).astype(np.int64)
+        order = np.lexsort((ids[cand], -sx))[:10]
+        rows["query_id"].extend([qid] * len(order))
+        rows["doc_id"].extend(ids[cand[order]].tolist())
+        rows["score_x"].extend(sx[order].tolist())
+    return pa.table({
+        "query_id": pa.array(rows["query_id"], pa.string()),
+        "doc_id": pa.array(rows["doc_id"], pa.int64()),
+        "score_x": pa.array(rows["score_x"], pa.int64()),
+    })
+
+
+def q_bm25f(sf_dir: str):
+    """BM25F fielded ranking as a two-scan zero-shuffle plan: pass 1 =
+    one corpus pass of union-schema partials (lang stats + query-term
+    df), pass 2 = per-batch scoring with the tiny stats broadcast and
+    per-batch partial top-10 → driver merge of O(blocks×10) rows."""
+    qterms = tuple(sorted({
+        tok for _, text, _ in QUERYSET for tok in tokenize_simple(text)
+    }))
+    agg = (
+        _docs(sf_dir)
+        .map_batches(_bm25f_partial, fn_kwargs={"qterms": qterms},
+                     batch_format="pyarrow")
+        .groupby(["lang", "term"])
+        .sum(["df", "n", "sdt", "sdb"])
+        .to_pandas()  # bounded: langs × (1 + |query vocabulary|)
+    )
+    agg.columns = ["lang", "term", "df", "n", "sdt", "sdb"]
+    stats = {}
+    for _, r in agg[agg["term"] == ""].iterrows():
+        nn = int(r["n"])
+        stats[r["lang"]] = (
+            nn,
+            int(r["sdt"]) / nn if nn else 0.0,
+            int(r["sdb"]) / nn if nn else 0.0,
+        )
+    dfmap = {
+        (r["lang"], r["term"]): int(r["df"])
+        for _, r in agg[agg["term"] != ""].iterrows()
+    }
+    queries = []
+    for qid, text, lang in QUERYSET:
+        c: dict = {}
+        for tok in tokenize_simple(text):
+            c[tok] = c.get(tok, 0) + 1
+        queries.append((qid, lang, sorted(c.items())))
+    partials = (
+        _docs(sf_dir)
+        .map_batches(
+            _bm25f_score_partial,
+            fn_kwargs={"stats": stats, "dfmap": dfmap, "queries": queries},
+            batch_format="pyarrow",
+        )
+        .to_pandas()  # bounded: blocks × |queries| × 10
+    )
+    partials = partials.sort_values(
+        ["query_id", "score_x", "doc_id"], ascending=[True, False, True]
+    )
+    top = partials.groupby("query_id", sort=False).head(10).copy()
+    top["rank"] = (top.groupby("query_id", sort=False).cumcount() + 1).astype(
+        np.int64
+    )
+    return top[["query_id", "rank", "doc_id", "score_x"]].reset_index(
+        drop=True
+    )
+
+
+def _bm25f_sql() -> str:
+    L = BM25F_TITLE_LEN
+    avg_t = "(CAST(s.sdt AS DOUBLE) / s.n)"
+    avg_b = "(CAST(s.sdb AS DOUBLE) / s.n)"
+    tfn = (
+        f"(CASE WHEN s.sdt = 0 THEN 0 ELSE ({BM25F_WT} * t2.tft) / "
+        f"((1 - {BM25F_B}) + ({BM25F_B} * coalesce(dt.dl, 0)) / {avg_t}) END"
+        f" + CASE WHEN s.sdb = 0 THEN 0 ELSE ({BM25F_WB} * t2.tfb) / "
+        f"((1 - {BM25F_B}) + ({BM25F_B} * coalesce(db.dl, 0)) / {avg_b}) END)"
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lang, {TOKLIST.format(col='text')} AS l FROM documents
+),
+tt AS (SELECT doc_id, lang, unnest(list_slice(l, 1, {L})) AS term FROM toks),
+tb AS (SELECT doc_id, lang, unnest(list_slice(l, {L + 1}, len(l))) AS term
+       FROM toks),
+t2 AS (
+  SELECT doc_id, lang, term,
+         sum(CASE WHEN fld = 't' THEN 1 ELSE 0 END) AS tft,
+         sum(CASE WHEN fld = 'b' THEN 1 ELSE 0 END) AS tfb
+  FROM (SELECT doc_id, lang, term, 't' AS fld FROM tt
+        UNION ALL SELECT doc_id, lang, term, 'b' FROM tb)
+  GROUP BY doc_id, lang, term
+),
+dlt AS (SELECT doc_id, count(*) AS dl FROM tt GROUP BY doc_id),
+dlb AS (SELECT doc_id, count(*) AS dl FROM tb GROUP BY doc_id),
+s AS (
+  SELECT d.lang AS lang, count(*) AS n,
+         sum(coalesce(lt.dl, 0)) AS sdt, sum(coalesce(lb.dl, 0)) AS sdb
+  FROM documents d
+  LEFT JOIN dlt lt ON lt.doc_id = d.doc_id
+  LEFT JOIN dlb lb ON lb.doc_id = d.doc_id
+  GROUP BY d.lang
+),
+dfx AS (
+  SELECT lang, term, count(DISTINCT doc_id) AS df
+  FROM (SELECT doc_id, lang, term FROM tt
+        UNION ALL SELECT doc_id, lang, term FROM tb)
+  GROUP BY lang, term
+),
+q(query_id, lang, term, w) AS (VALUES {_query_values(dedup=False)}),
+scores AS (
+  SELECT q.query_id AS query_id, t2.doc_id AS doc_id,
+         sum( q.w * ln(1 + (s.n - dfx.df + 0.5) / (dfx.df + 0.5))
+              * ({tfn} / ({BM25F_K1} + {tfn})) ) AS score
+  FROM q
+  JOIN t2 ON t2.lang = q.lang AND t2.term = q.term
+  JOIN dfx ON dfx.lang = q.lang AND dfx.term = q.term
+  JOIN s ON s.lang = q.lang
+  LEFT JOIN dlt dt ON dt.doc_id = t2.doc_id
+  LEFT JOIN dlb db ON db.doc_id = t2.doc_id
+  GROUP BY q.query_id, t2.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, {_fx('score')} AS score_x,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY {_fx('score')} DESC, doc_id ASC) AS rank
+  FROM scores WHERE score > 0
+)
+SELECT query_id, rank, doc_id, score_x FROM ranked WHERE rank <= 10
+"""
+
+
 # ------------------------------------- pseudo-relevance-feedback expansion
 
 QEXP_DOCS = 3
@@ -4155,6 +4414,7 @@ QUERIES = {
     "spell_correct": q_spell_correct,
     "facet_counts": q_facet_counts,
     "dense_rerank": q_dense_rerank,
+    "bm25f": q_bm25f,
     "query_expand": q_query_expand,
     "token_entropy": q_token_entropy,
     "neardup_apply": q_neardup_apply,
@@ -5139,6 +5399,7 @@ def _over_survivors(sql: str) -> str:
 ORACLE_SQL = {
     "spell_correct": _SPELL_SQL,
     "dense_rerank": _dense_rerank_sql(),
+    "bm25f": _bm25f_sql(),
     "facet_counts": _FACET_SQL.format(
         bm25=_bm25_sql(1.2, 0.75, reference_quirk=False, dedup=False)
     ),

@@ -336,3 +336,36 @@ def test_pagerank_empty_graph(ray_session):
     ds = pagerank_integer(empty)
     assert ds.count() == 0
     assert [f.name for f in ds.schema().base_schema] == ["doc_id", "pr"]
+
+
+def test_bm25f_title_hit_outranks_body_hit():
+    """Two same-length docs, the query term in the TITLE field of one and
+    the BODY field of the other: the title hit must score higher (field
+    weight 2.0 vs 1.0); a doc without the term scores 0."""
+    import pyarrow as pa
+
+    from document_retrieval_ray.pipelines.testdata_queries import (
+        _bm25f_partial,
+        _bm25f_score_partial,
+    )
+
+    filler = ["pad%d" % i for i in range(12)]
+    title_hit = "zzkey " + " ".join(filler[:11])          # term at pos 0
+    body_hit = " ".join(filler[:11]) + " zzkey"           # term at pos 11
+    no_hit = " ".join(filler)
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([title_hit, body_hit, no_hit], pa.string()),
+        "lang": pa.array(["en"] * 3, pa.string()),
+    })
+    agg = _bm25f_partial(t, ("zzkey",)).to_pandas()
+    st = agg[agg["term"] == ""].iloc[0]
+    stats = {"en": (int(st["n"]), int(st["sdt"]) / int(st["n"]),
+                    int(st["sdb"]) / int(st["n"]))}
+    dfmap = {("en", "zzkey"): int(agg[agg["term"] == "zzkey"]["df"].iloc[0])}
+    out = _bm25f_score_partial(
+        t, stats, dfmap, [("q1", "en", [("zzkey", 1)])]
+    ).to_pandas()
+    assert set(out["doc_id"]) == {1, 2}  # no-hit doc absent
+    s = dict(zip(out["doc_id"], out["score_x"]))
+    assert s[1] > s[2]
