@@ -2475,6 +2475,101 @@ def q_sessionize(sf_dir: str):
     )
 
 
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def _funnel_partition(group: pd.DataFrame) -> pd.DataFrame:
+    """user_id-hash partition → (user_id, depth): the number of funnel
+    steps completed IN ORDER (each step's event strictly after the
+    previous step's earliest qualifying time). Vectorized: one per-user
+    min per step via a masked groupby, chained through a map."""
+    g = group.drop(columns=[c for c in ("kpart",) if c in group.columns])
+    users = g["user_id"].to_numpy(np.int64)
+    types = g["event_type"].to_numpy(dtype=object)
+    tsu = g["tsu"].to_numpy(np.int64)
+    uniq = np.unique(users)
+    prev = {int(u): -(2 ** 62) for u in uniq}
+    depth = {int(u): 0 for u in uniq}
+    for si, step in enumerate(FUNNEL_STEPS, 1):
+        m = types == step
+        if not m.any():
+            break
+        su, st = users[m], tsu[m]
+        thr = np.fromiter((prev[int(u)] for u in su), np.int64, len(su))
+        ok = (st > thr) & np.fromiter(
+            (depth[int(u)] == si - 1 for u in su), bool, len(su)
+        )
+        if not ok.any():
+            break
+        pdf = pd.DataFrame({"u": su[ok], "t": st[ok]})
+        mins = pdf.groupby("u", sort=False)["t"].min()
+        for u, t in mins.items():
+            prev[int(u)] = int(t)
+            depth[int(u)] = si
+    return pd.DataFrame({
+        "user_id": pd.Series(uniq, dtype="int64"),
+        "depth": pd.Series([depth[int(u)] for u in uniq], dtype="int64"),
+    })
+
+
+def q_funnel(sf_dir: str):
+    """Ordered funnel analysis (view → click → purchase): how many users
+    complete each prefix of the step sequence, each step strictly after
+    the previous step's first qualifying event — the classic sequential
+    event-analytics op Ray Data has no primitive for. ONE user_id-hash
+    exchange of (user, type, ts) rows; per-user logic vectorized in the
+    partition kernel; output is |steps| rows."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t["event_type"],
+                        value_set=pa.array(list(FUNNEL_STEPS)))
+        t = t.filter(keep)
+        return pa.table({
+            "user_id": t["user_id"],
+            "event_type": t["event_type"],
+            "tsu": pc.cast(t["ts"], pa.int64()),
+        })
+
+    depths = _parted(ev.map_batches(prep, batch_format="pyarrow"),
+                     ("user_id",)).map_groups(
+        _funnel_partition, batch_format="pandas"
+    )
+    counts = depths.groupby("depth").count().to_pandas()  # ≤ |steps|+1 rows
+    by_depth = dict(zip(counts["depth"].astype(int),
+                        counts["count()"].astype(int)))
+    rows = []
+    for si, step in enumerate(FUNNEL_STEPS, 1):
+        n = sum(v for d, v in by_depth.items() if d >= si)
+        rows.append({"step": si, "event_type": step, "n_users": n})
+    out = pd.DataFrame(rows)
+    return out.astype({"step": "int64", "n_users": "int64"})
+
+
+_FUNNEL_SQL = f"""
+WITH t1 AS (
+  SELECT user_id, min(ts) AS ts FROM events
+  WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY user_id
+),
+t2 AS (
+  SELECT e.user_id AS user_id, min(e.ts) AS ts
+  FROM events e JOIN t1 ON t1.user_id = e.user_id AND e.ts > t1.ts
+  WHERE e.event_type = '{FUNNEL_STEPS[1]}' GROUP BY e.user_id
+),
+t3 AS (
+  SELECT e.user_id AS user_id, min(e.ts) AS ts
+  FROM events e JOIN t2 ON t2.user_id = e.user_id AND e.ts > t2.ts
+  WHERE e.event_type = '{FUNNEL_STEPS[2]}' GROUP BY e.user_id
+)
+SELECT CAST(1 AS BIGINT) AS step, '{FUNNEL_STEPS[0]}' AS event_type,
+       (SELECT count(*) FROM t1) AS n_users
+UNION ALL SELECT 2, '{FUNNEL_STEPS[1]}', (SELECT count(*) FROM t2)
+UNION ALL SELECT 3, '{FUNNEL_STEPS[2]}', (SELECT count(*) FROM t3)
+"""
+
+
 WINDOW_US = 3_600_000_000  # 1h tumbling window
 
 
@@ -3824,6 +3919,194 @@ FROM r
 """
 
 
+# ---------------------------------------- multinomial Naive Bayes (A11)
+
+# The reference's dead A11 code is a quality classifier; the live
+# trainable-classifier semantic here is multinomial NB predicting lang
+# from tokens, trained distributively on the corpus itself. Everything
+# that crosses machines is an INTEGER (counts, fx6 log-prob products),
+# so training and scoring are order-independent and a SQL oracle
+# replays them bit-for-bit.
+NB_SCALE = 1_000_000
+
+
+def _fx6(v: float) -> int:
+    return int(np.floor(v * NB_SCALE + 0.5))
+
+
+def _nb_token_rows(t: pa.Table) -> pa.Table:
+    """(doc_id, lang, term, tf) per batch."""
+    vals, parent = _flat_tok(t)
+    ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    langs = np.asarray(t["lang"].to_pandas(), dtype=object)
+    if len(vals) == 0:
+        return pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "lang": pa.array([], pa.string()),
+            "term": pa.array([], pa.string()),
+            "tf": pa.array([], pa.int64()),
+        })
+    pdf = (
+        pd.DataFrame({"doc_id": ids[parent], "lang": langs[parent],
+                      "term": vals})
+        .groupby(["doc_id", "lang", "term"], sort=False)
+        .size().rename("tf").reset_index()
+    )
+    return pa.Table.from_pandas(pdf, preserve_index=False)
+
+
+def _nb_term_partition(group: pd.DataFrame) -> pd.DataFrame:
+    """term-hash partition (ALL rows of each term colocated): derive the
+    GLOBAL per-(lang, term) training counts in place, then emit
+    (doc_id, cand, s1) likelihood partials — tf · fx6(ln(c+1)) for every
+    candidate lang that has the term — plus marker rows: doc_id = -1
+    carries per-lang total-token partials (→ c_l), doc_id = -2 carries
+    the partition's distinct-term count (→ V). Downstream sums are all
+    integer."""
+    g = group.drop(columns=[c for c in ("kpart",) if c in group.columns])
+    if g.empty:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "cand": pd.Series(dtype=object),
+                             "s1": pd.Series(dtype="int64")})
+    ct = (
+        g.groupby(["lang", "term"], sort=False)["tf"].sum()
+        .rename("c").reset_index()
+        .rename(columns={"lang": "cand"})
+    )
+    m = g[["doc_id", "term", "tf"]].merge(ct, on="term")
+    lpx = np.floor(np.log(m["c"].to_numpy(np.float64) + 1.0)
+                   * NB_SCALE + 0.5).astype(np.int64)
+    m["s1"] = m["tf"].to_numpy(np.int64) * lpx
+    out = (
+        m.groupby(["doc_id", "cand"], sort=False)["s1"].sum().reset_index()
+    )
+    cl = ct.groupby("cand", sort=False)["c"].sum().reset_index()
+    marks = pd.DataFrame({
+        "doc_id": [-1] * len(cl) + [-2],
+        "cand": list(cl["cand"]) + [""],
+        "s1": list(cl["c"].astype(np.int64)) + [int(g["term"].nunique())],
+    })
+    res = pd.concat([out, marks], ignore_index=True)
+    return res.astype({"doc_id": "int64", "s1": "int64"})
+
+
+def _nb_argmax_partition(group: pd.DataFrame, pri_x: dict,
+                         lden_x: dict) -> pd.DataFrame:
+    """doc_id-hash partition of s1 rows ∪ dl rows (cand = '__dl__'):
+    integer argmax over candidate langs; ties break lang asc."""
+    g = group.drop(columns=[c for c in ("kpart",) if c in group.columns])
+    is_dl = g["cand"].to_numpy(dtype=object) == "__dl__"
+    dls = dict(zip(g[is_dl]["doc_id"], g[is_dl]["s1"]))
+    s1m = {
+        (int(r.doc_id), r.cand): int(r.s1)
+        for r in g[~is_dl].itertuples()
+    }
+    langs = sorted(pri_x)
+    rows = {"doc_id": [], "pred_lang": [], "score_x": []}
+    for doc, dl in sorted(dls.items()):
+        best, bs = None, None
+        for l in langs:
+            s = pri_x[l] + s1m.get((int(doc), l), 0) - int(dl) * lden_x[l]
+            if bs is None or s > bs:
+                best, bs = l, s
+        rows["doc_id"].append(int(doc))
+        rows["pred_lang"].append(best)
+        rows["score_x"].append(int(bs))
+    return pd.DataFrame(rows).astype({"doc_id": "int64", "score_x": "int64"})
+
+
+def q_nb_classify(sf_dir: str):
+    """Train-and-apply multinomial Naive Bayes (add-one smoothing, lang
+    as the label) in three bounded exchanges: token rows keyed by TERM
+    (training counts derived in-place, likelihood partials emitted),
+    ONE (doc, cand) integer sum, then a doc-keyed cogroup with the dl
+    rows for the argmax. Per-lang totals, vocabulary size and priors are
+    |langs|-sized driver scalars — nothing vocabulary-sized is broadcast
+    or driver-held."""
+    import math
+
+    rows = _docs(sf_dir).map_batches(_nb_token_rows, batch_format="pyarrow")
+    summed = (
+        _parted(rows, ("term",))
+        .map_groups(_nb_term_partition, batch_format="pandas")
+        .groupby(["doc_id", "cand"])
+        .sum("s1")
+        .map_batches(
+            lambda t: t.rename_columns(["doc_id", "cand", "s1"]),
+            batch_format="pyarrow",
+        )
+        .materialize()  # two consumers: markers (tiny) + s1 stream
+    )
+    marks = summed.filter(expr="doc_id < 0").to_pandas()  # |langs|+1 rows
+    ctot = dict(zip(marks[marks["doc_id"] == -1]["cand"],
+                    marks[marks["doc_id"] == -1]["s1"].astype(int)))
+    vocab_v = int(marks[marks["doc_id"] == -2]["s1"].iloc[0])
+
+    docs = _docs(sf_dir).map_batches(_dl_batch, batch_format="pyarrow")
+    nd = docs.groupby("lang").count().to_pandas()
+    priors = dict(zip(nd["lang"], nd["count()"].astype(int)))
+    n_total = int(sum(priors.values()))
+    pri_x = {l: _fx6(math.log(c / n_total)) for l, c in priors.items()}
+    lden_x = {
+        l: _fx6(math.log(ctot.get(l, 0) + vocab_v)) for l in priors
+    }
+
+    dl_rows = docs.map_batches(
+        lambda t: pa.table({
+            "doc_id": t["doc_id"],
+            "cand": pa.array(["__dl__"] * t.num_rows, pa.string()),
+            "s1": pc.cast(t["dl"], pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+    out = _parted(
+        summed.filter(expr="doc_id >= 0").union(dl_rows), ("doc_id",)
+    ).map_groups(
+        lambda g: _nb_argmax_partition(g, pri_x, lden_x),
+        batch_format="pandas",
+    )
+    return out
+
+
+def _nb_sql() -> str:
+    fx6 = "CAST(floor({expr} * 1000000 + 0.5) AS BIGINT)"
+    lpx = fx6.format(expr="ln(ct.c + 1)")
+    return f"""
+WITH {_TOK_CTE}, {_DL_CTE},
+ct AS (SELECT lang, term, CAST(sum(tf) AS BIGINT) AS c
+       FROM tok GROUP BY lang, term),
+cl AS (SELECT lang, CAST(sum(c) AS BIGINT) AS ctot FROM ct GROUP BY lang),
+vv AS (SELECT count(DISTINCT term) AS v FROM tok),
+pri AS (SELECT lang, count(*) AS nd FROM documents GROUP BY lang),
+nn AS (SELECT count(*) AS n FROM documents),
+s1 AS (
+  SELECT t.doc_id AS doc_id, ct.lang AS cand,
+         CAST(sum(t.tf * {lpx}) AS BIGINT) AS s1
+  FROM tok t JOIN ct ON ct.term = t.term
+  GROUP BY t.doc_id, ct.lang
+),
+base AS (
+  SELECT d.doc_id AS doc_id, p.lang AS cand,
+         {fx6.format(expr="ln(CAST(p.nd AS DOUBLE) / (SELECT n FROM nn))")}
+         + coalesce(s1.s1, 0)
+         - d.dl * {fx6.format(expr="ln(CAST(c.ctot + (SELECT v FROM vv) AS DOUBLE))")}
+         AS score_x
+  FROM dl d
+  CROSS JOIN pri p
+  JOIN cl c ON c.lang = p.lang
+  LEFT JOIN s1 ON s1.doc_id = d.doc_id AND s1.cand = p.lang
+),
+r AS (
+  SELECT doc_id, cand, score_x,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score_x DESC, cand ASC) AS rk
+  FROM base
+)
+SELECT doc_id, cand AS pred_lang, CAST(score_x AS BIGINT) AS score_x
+FROM r WHERE rk = 1
+"""
+
+
 # ----------------------------------------------- BM25F fielded retrieval
 
 # fields: "title" = the doc's first BM25F_TITLE_LEN tokens (lead/headline),
@@ -4395,6 +4678,7 @@ QUERIES = {
     "phrase_snippets": q_phrase_snippets,
     "bool_search": q_bool_search,
     "sessionize": q_sessionize,
+    "funnel": q_funnel,
     "window_tumble": q_window_tumble,
     "latest_event": q_latest_event,
     "pmi_pairs": q_pmi_pairs,
@@ -4415,6 +4699,7 @@ QUERIES = {
     "facet_counts": q_facet_counts,
     "dense_rerank": q_dense_rerank,
     "bm25f": q_bm25f,
+    "nb_classify": q_nb_classify,
     "query_expand": q_query_expand,
     "token_entropy": q_token_entropy,
     "neardup_apply": q_neardup_apply,
@@ -5400,6 +5685,7 @@ ORACLE_SQL = {
     "spell_correct": _SPELL_SQL,
     "dense_rerank": _dense_rerank_sql(),
     "bm25f": _bm25f_sql(),
+    "nb_classify": _nb_sql(),
     "facet_counts": _FACET_SQL.format(
         bm25=_bm25_sql(1.2, 0.75, reference_quirk=False, dedup=False)
     ),
@@ -5760,6 +6046,7 @@ SELECT user_id, CAST(sess AS BIGINT) AS session_idx,
        count(*) AS n_events, CAST(sum(value_c) AS BIGINT) AS value_c
 FROM f GROUP BY user_id, sess
 """,
+    "funnel": _FUNNEL_SQL,
     "window_tumble": f"""
 SELECT event_type,
        (epoch_us(ts) // {WINDOW_US}) * {WINDOW_US} AS ws_us,

@@ -369,3 +369,61 @@ def test_bm25f_title_hit_outranks_body_hit():
     assert set(out["doc_id"]) == {1, 2}  # no-hit doc absent
     s = dict(zip(out["doc_id"], out["score_x"]))
     assert s[1] > s[2]
+
+
+def test_funnel_strict_order_and_ties():
+    """Out-of-order events don't advance the funnel, and a same-timestamp
+    next-step event does NOT count (strictly-after semantics)."""
+    import pyarrow as pa
+
+    from document_retrieval_ray.pipelines.testdata_queries import (
+        _funnel_partition,
+    )
+
+    rows = [
+        # u1: clean view(10) -> click(20) -> purchase(30) => depth 3
+        (1, "view", 10), (1, "click", 20), (1, "purchase", 30),
+        # u2: click BEFORE view => only view counts => depth 1
+        (2, "click", 5), (2, "view", 10),
+        # u3: click at the SAME ts as view => strict > fails => depth 1
+        (3, "view", 10), (3, "click", 10),
+        # u4: purchase without click => depth 1 (view only)
+        (4, "view", 10), (4, "purchase", 30),
+        # u5: no view at all => depth 0
+        (5, "click", 10), (5, "purchase", 20),
+    ]
+    g = pd.DataFrame({
+        "user_id": [r[0] for r in rows],
+        "event_type": [r[1] for r in rows],
+        "tsu": [r[2] for r in rows],
+    })
+    out = _funnel_partition(g).set_index("user_id")["depth"]
+    assert dict(out) == {1: 3, 2: 1, 3: 1, 4: 1, 5: 0}
+
+
+def test_nb_classify_hand_example(ray_session):
+    """Two langs with distinctive vocab: predictions recover the true
+    lang, and one score is checked against the hand-computed integer
+    recurrence (priors + tf·fx6(ln(c+1)) − dl·fx6(ln(c_l + V)))."""
+    from document_retrieval_ray.pipelines.testdata_queries import (
+        _fx6,
+        q_nb_classify,
+    )
+
+    sf = _write_docs([
+        _doc(0, "apple apple banana", lang="en"),
+        _doc(1, "apple banana banana", lang="en"),
+        _doc(2, "pomme poire pomme", lang="fr"),
+        _doc(3, "poire poire pomme", lang="fr"),
+    ])
+    out = q_nb_classify(sf).to_pandas().set_index("doc_id")
+    assert dict(out["pred_lang"]) == {0: "en", 1: "en", 2: "fr", 3: "fr"}
+    # hand-check doc 0 under cand=en:
+    # counts en: apple=3, banana=3; c_en=6; V=4 (apple banana pomme poire)
+    # prior ln(2/4); s1 = 2*fx6(ln(4)) + 1*fx6(ln(4)); dl=3
+    want = (
+        _fx6(np.log(2 / 4))
+        + 2 * _fx6(np.log(3 + 1)) + 1 * _fx6(np.log(3 + 1))
+        - 3 * _fx6(np.log(6 + 4))
+    )
+    assert int(out.loc[0, "score_x"]) == want
