@@ -339,6 +339,10 @@ def main() -> None:
             tq.q_near_search(SF_DIR).count()
         with timed("testdata_sessionize"):
             tq.q_sessionize(SF_DIR).count()
+        with timed("testdata_knn_graph"):
+            tq.q_knn_graph(SF_DIR).count()
+        with timed("testdata_nb_classify"):
+            tq.q_nb_classify(SF_DIR).count()
 
     headline = timings["index_build"] + timings["bm25_queries"]
     out = {

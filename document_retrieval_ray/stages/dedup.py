@@ -230,26 +230,45 @@ def band_pairs_partition(group: pd.DataFrame,
     return pd.concat(parts, ignore_index=True)
 
 
-def attach_partition(group: pd.DataFrame) -> pd.DataFrame:
+_ATTACHED_SCHEMA = pa.schema([
+    ("a", pa.int64()), ("b", pa.int64()), ("doc_id", pa.int64()),
+    ("shs", pa.list_(pa.int64())), ("n", pa.int64()),
+])
+
+
+def attach_partition(group: pd.DataFrame) -> pa.Table:
     """Partition of the doc_id-keyed cogroup (shingle rows where a < 0,
     pair-membership rows otherwise): one vectorized merge replicates each
-    doc's shingle-hash array onto its pair rows."""
+    doc's shingle-hash array onto its pair rows.
+
+    Returns an ARROW table with an explicit list<int64> ``shs`` column:
+    a pandas frame carrying ndarray cells converts to Ray's tensor
+    EXTENSION types — fixed-shape in blocks where every array happens to
+    have equal length, variable-shaped otherwise — and two such blocks
+    meeting in one downstream sort-reduce partition cannot concat
+    (observed as a rare ValueError in ray::reduce at sf0.01)."""
     g = _drop_kpart(group)
     is_sh = g["a"].to_numpy() < 0
     sh = g.loc[is_sh, ["doc_id", "shs", "n"]]
     pr = g.loc[~is_sh, ["doc_id", "a", "b"]]
     if len(sh) == 0 or len(pr) == 0:
-        return pd.DataFrame({"a": pd.Series(dtype="int64"),
-                             "b": pd.Series(dtype="int64"),
-                             "doc_id": pd.Series(dtype="int64"),
-                             "shs": pd.Series(dtype="object"),
-                             "n": pd.Series(dtype="int64")})
+        return _ATTACHED_SCHEMA.empty_table()
     out = pr.merge(sh, on="doc_id", how="inner")
     # doc_id stays on the row: a pair emitted by several bands produces
     # duplicate side rows, deduped in the verify partition by
     # (a, b, doc_id) — saving a dedicated dedup shuffle
-    return out[["a", "b", "doc_id", "shs", "n"]].astype(
-        {"a": "int64", "b": "int64", "doc_id": "int64", "n": "int64"}
+    return pa.table(
+        {
+            "a": pa.array(out["a"].to_numpy(np.int64), pa.int64()),
+            "b": pa.array(out["b"].to_numpy(np.int64), pa.int64()),
+            "doc_id": pa.array(out["doc_id"].to_numpy(np.int64), pa.int64()),
+            "shs": pa.array(
+                [np.asarray(x, dtype=np.int64) for x in out["shs"]],
+                pa.list_(pa.int64()),
+            ),
+            "n": pa.array(out["n"].to_numpy(np.int64), pa.int64()),
+        },
+        schema=_ATTACHED_SCHEMA,
     )
 
 
