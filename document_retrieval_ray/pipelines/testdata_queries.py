@@ -2475,6 +2475,63 @@ def q_sessionize(sf_dir: str):
     )
 
 
+DAY_US = 86_400_000_000
+
+
+def _retention_partition(group: pd.DataFrame) -> pd.DataFrame:
+    """user_id-hash partition → distinct (cohort_day, day_offset) rows
+    per user: cohort = the user's first active day, offsets = its other
+    active days relative to it. Emitted rows are already distinct per
+    user, so the downstream count is a plain sum."""
+    g = group.drop(columns=[c for c in ("kpart",) if c in group.columns])
+    users = g["user_id"].to_numpy(np.int64)
+    days = g["tsu"].to_numpy(np.int64) // DAY_US
+    pdf = pd.DataFrame({"u": users, "d": days}).drop_duplicates()
+    coh = pdf.groupby("u", sort=False)["d"].transform("min")
+    out = pd.DataFrame({
+        "cohort_day": coh.to_numpy(np.int64),
+        "day_offset": pdf["d"].to_numpy(np.int64) - coh.to_numpy(np.int64),
+    })
+    return out.astype({"cohort_day": "int64", "day_offset": "int64"})
+
+
+def q_retention(sf_dir: str):
+    """Cohort retention: users bucketed by their first active day, and
+    for each (cohort, day-offset) the number of cohort users active that
+    day — the standard growth-analytics triangle. ONE user_id-hash
+    exchange; per-user rows are distinct by construction so the final
+    (cohort, offset) count is a tiny integer groupby."""
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "tsu": pc.cast(t["ts"], pa.int64()),
+        })
+
+    rows = _parted(ev.map_batches(prep, batch_format="pyarrow"),
+                   ("user_id",)).map_groups(
+        _retention_partition, batch_format="pandas"
+    )
+    out = rows.groupby(["cohort_day", "day_offset"]).count().to_pandas()
+    out.columns = ["cohort_day", "day_offset", "n_users"]
+    return out.astype({"cohort_day": "int64", "day_offset": "int64",
+                       "n_users": "int64"})
+
+
+_RETENTION_SQL = f"""
+WITH d AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // {DAY_US} AS day FROM events
+),
+c AS (SELECT user_id, min(day) AS cohort FROM d GROUP BY user_id)
+SELECT c.cohort AS cohort_day, d.day - c.cohort AS day_offset,
+       count(*) AS n_users
+FROM d JOIN c ON c.user_id = d.user_id
+GROUP BY c.cohort, d.day - c.cohort
+"""
+
+
 FUNNEL_STEPS = ("view", "click", "purchase")
 
 
@@ -3919,6 +3976,105 @@ FROM r
 """
 
 
+# ------------------------------------------------------- more like this
+
+MLT_DOCS = (0, 1, 2, 3, 4)
+MLT_TERMS = 3
+MLT_K = 10
+
+
+def q_mlt(sf_dir: str):
+    """More-like-this retrieval: a document's top-3 tf·idf keywords
+    become its query, served as standard BM25 from the compressed index,
+    the source doc excluded. Composition of two oracled paths (keyword
+    extraction cogroup + index serving); everything between them is a
+    15-row driver frame."""
+    from .query import bm25_search
+
+    kw = (
+        q_tfidf_keywords(sf_dir)
+        .filter(expr=f"doc_id in {list(MLT_DOCS)}")
+        .to_pandas()  # |MLT_DOCS| × MLT_TERMS rows
+    )
+    import pyarrow.parquet as _pq
+
+    dl = _pq.read_table(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "lang"])
+    langs = dict(zip(dl["doc_id"].to_pylist(), dl["lang"].to_pylist()))
+    qrows = []
+    for src, g in kw.groupby("doc_id"):
+        terms = list(g.sort_values("rank")["term"])
+        qrows.append({
+            "query_id": f"d{int(src)}",
+            "query": " ".join(sorted(set(terms))),
+            "lang": langs[int(src)],
+        })
+    index_dir = _index_for(sf_dir)
+    res = bm25_search(
+        ray.data.from_items(qrows), index_dir,
+        cfg=BM25Config(k1=1.2, b=0.75, idf="lucene", compat="standard",
+                       k=MLT_K + 1),
+        round_dp=4,
+    ).to_pandas()
+    res["doc_id"] = res["url"].astype(np.int64)
+    res["src"] = res["query_id"].str.slice(1).astype(np.int64)
+    res = res[res["doc_id"] != res["src"]]
+    res = res.sort_values(["query_id", "score_x", "url"],
+                          ascending=[True, False, True], kind="mergesort")
+    res = res.groupby("query_id", sort=False).head(MLT_K).copy()
+    res["rank"] = (res.groupby("query_id", sort=False).cumcount() + 1
+                   ).astype(np.int64)
+    return res[["query_id", "rank", "doc_id", "score_x"]].reset_index(
+        drop=True
+    )
+
+
+def _mlt_sql() -> str:
+    ids = ", ".join(str(i) for i in MLT_DOCS)
+    return f"""
+WITH {_TOK_CTE}, {_DL_CTE}, {_STATS_CTE}, {_DF_CTE},
+sc AS (
+  SELECT tok.doc_id AS doc_id, tok.lang AS lang, tok.term AS term,
+         {_fx('tok.tf * ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))')}
+         AS tfidf_x
+  FROM tok
+  JOIN df ON df.lang = tok.lang AND df.term = tok.term
+  JOIN stats s ON s.lang = tok.lang
+  WHERE tok.doc_id IN ({ids})
+),
+kw AS (
+  SELECT doc_id, lang, term FROM (
+    SELECT doc_id, lang, term,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY tfidf_x DESC, term ASC) AS rank
+    FROM sc
+  ) WHERE rank <= {MLT_TERMS}
+),
+q AS (SELECT DISTINCT 'd' || CAST(doc_id AS VARCHAR) AS query_id,
+             doc_id AS src, lang, term FROM kw),
+scores AS (
+  SELECT q.query_id AS query_id, tok.doc_id AS doc_id,
+         sum( 1 * ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * (tok.tf * (1.2 + 1))
+              / (tok.tf + 1.2*(1 - 0.75 + 0.75 * d.dl / s.avgdl)) ) AS score
+  FROM q
+  JOIN tok ON tok.lang = q.lang AND tok.term = q.term
+            AND tok.doc_id <> q.src
+  JOIN df ON df.lang = q.lang AND df.term = q.term
+  JOIN dl d ON d.doc_id = tok.doc_id
+  JOIN stats s ON s.lang = q.lang
+  GROUP BY q.query_id, tok.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, {_fx('score')} AS score_x,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY {_fx('score')} DESC, doc_id ASC) AS rank
+  FROM scores WHERE score > 0
+)
+SELECT query_id, rank, doc_id, score_x FROM ranked WHERE rank <= {MLT_K}
+"""
+
+
 # ---------------------------------------- multinomial Naive Bayes (A11)
 
 # The reference's dead A11 code is a quality classifier; the live
@@ -4687,6 +4843,7 @@ QUERIES = {
     "bool_search": q_bool_search,
     "sessionize": q_sessionize,
     "funnel": q_funnel,
+    "retention": q_retention,
     "window_tumble": q_window_tumble,
     "latest_event": q_latest_event,
     "pmi_pairs": q_pmi_pairs,
@@ -4708,6 +4865,7 @@ QUERIES = {
     "dense_rerank": q_dense_rerank,
     "bm25f": q_bm25f,
     "nb_classify": q_nb_classify,
+    "mlt": q_mlt,
     "query_expand": q_query_expand,
     "token_entropy": q_token_entropy,
     "neardup_apply": q_neardup_apply,
@@ -5694,6 +5852,7 @@ ORACLE_SQL = {
     "dense_rerank": _dense_rerank_sql(),
     "bm25f": _bm25f_sql(),
     "nb_classify": _nb_sql(),
+    "mlt": _mlt_sql(),
     "facet_counts": _FACET_SQL.format(
         bm25=_bm25_sql(1.2, 0.75, reference_quirk=False, dedup=False)
     ),
@@ -6055,6 +6214,7 @@ SELECT user_id, CAST(sess AS BIGINT) AS session_idx,
 FROM f GROUP BY user_id, sess
 """,
     "funnel": _FUNNEL_SQL,
+    "retention": _RETENTION_SQL,
     "window_tumble": f"""
 SELECT event_type,
        (epoch_us(ts) // {WINDOW_US}) * {WINDOW_US} AS ws_us,
