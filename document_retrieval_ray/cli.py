@@ -6,6 +6,7 @@
     python -m document_retrieval_ray.cli cosine --index /path/idx --queries q.parquet \
         --out /tmp/results [--rerank]
     python -m document_retrieval_ray.cli append --input delta.parquet --index /path/idx
+    python -m document_retrieval_ray.cli delete --index /path/idx --urls-file gone.txt
     python -m document_retrieval_ray.cli compact --index /path/idx --out /path/idx2
     python -m document_retrieval_ray.cli stats  --index /path/idx
 
@@ -103,6 +104,15 @@ def main(argv=None) -> int:
     cp.add_argument("--index", required=True)
     cp.add_argument("--out", required=True, help="compacted index output directory")
 
+    d = sub.add_parser("delete", parents=[common],
+                       help="tombstone documents by url (Lucene live-docs; "
+                            "stats stay stale until compact)")
+    d.add_argument("--index", required=True)
+    d.add_argument("--url", action="append", default=[],
+                   help="url to delete (repeatable)")
+    d.add_argument("--urls-file", default=None,
+                   help="text file with one url per line")
+
     st = sub.add_parser("stats", parents=[common],
                         help="per-partition lineage + metrics of a built index")
     st.add_argument("--index", required=True)
@@ -151,11 +161,19 @@ def main(argv=None) -> int:
                         files += 1
                         bytes_ += os.path.getsize(os.path.join(dirpath, n))
             artifacts[sub_dir] = {"parquet_files": files, "bytes": bytes_}
+        from .pipelines.deletes import load_deleted
+
+        tomb = os.path.join(args.index, "tombstones")
+        deleted = load_deleted(tomb) if os.path.isdir(tomb) else {}
         print(json.dumps({
             "index": args.index,
             "partitions": langs,
             "generations": read_generations(args.index)["generations"],
             "artifacts": artifacts,
+            "tombstones": {
+                f"src={s},lang={l}": int(v.size)
+                for (s, l), v in sorted(deleted.items())
+            },
         }, sort_keys=True, default=str))
         return 0
 
@@ -191,6 +209,19 @@ def main(argv=None) -> int:
             "appended": {l: {k: m[k] for k in ("n_docs", "n_terms", "n_postings")}
                          for l, m in manifests.items()},
         }, sort_keys=True))
+        return 0
+
+    if args.cmd == "delete":
+        from .pipelines.deletes import delete_docs
+
+        urls = list(args.url)
+        if args.urls_file:
+            with open(args.urls_file) as f:
+                urls.extend(line.strip() for line in f if line.strip())
+        if not urls:
+            p.error("delete: provide --url and/or --urls-file")
+        n = delete_docs(args.index, urls)
+        print(json.dumps({"tombstoned": n, "requested": len(set(urls))}))
         return 0
 
     if args.cmd == "compact":

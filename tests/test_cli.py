@@ -101,3 +101,57 @@ def test_cli_stats_lineage(tiny_corpus, tmp_path, capsys):
     assert out["artifacts"]["postings"]["bytes"] > 0
     with pytest.raises(FileNotFoundError):
         main(["stats", "--index", str(tmp_path / "nope")])
+
+
+def test_cli_delete_then_query_and_stats(tiny_corpus, tmp_path, capsys):
+    """delete subcommand tombstones urls; query then excludes them; stats
+    reports the tombstone counts; compact applies them."""
+    import pyarrow.parquet as pq
+
+    from document_retrieval_ray.cli import main
+
+    index_dir = str(tmp_path / "del_index")
+    out_dir = str(tmp_path / "del_results")
+
+    rc = main(["build", "--input", tiny_corpus["documents"],
+               "--index", index_dir, "--no-cosine-norms"])
+    assert rc == 0
+    capsys.readouterr()
+
+    docs = pq.read_table(tiny_corpus["documents"], columns=["url"])
+    victims = sorted(set(docs["url"].to_pylist()))[:4]
+    urls_file = tmp_path / "gone.txt"
+    urls_file.write_text("\n".join(victims[1:]) + "\n")
+    rc = main(["delete", "--index", index_dir, "--url", victims[0],
+               "--urls-file", str(urls_file)])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep == {"tombstoned": 4, "requested": 4}
+
+    rc = main(["query", "--index", index_dir,
+               "--queries", tiny_corpus["queries"], "--out", out_dir])
+    assert rc == 0
+    capsys.readouterr()
+    res = pq.read_table(out_dir).to_pandas()
+    assert len(res) > 0 and not set(res["url"]) & set(victims)
+
+    rc = main(["stats", "--index", index_dir])
+    assert rc == 0
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert sum(st["tombstones"].values()) == 4
+
+    out2 = str(tmp_path / "del_compacted")
+    rc = main(["compact", "--index", index_dir, "--out", out2])
+    assert rc == 0
+    capsys.readouterr()
+    rc = main(["stats", "--index", out2])
+    assert rc == 0
+    st2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert st2["tombstones"] == {}
+    n_before = sum(
+        v["n_docs"] for v in st["partitions"].values() if "n_docs" in v
+    )
+    n_after = sum(
+        v["n_docs"] for v in st2["partitions"].values() if "n_docs" in v
+    )
+    assert n_after == n_before - 4
