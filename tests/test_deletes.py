@@ -226,3 +226,46 @@ def test_generational_delete_and_compact(ray_session, tiny_corpus,
     got = _search(out, tiny_corpus["queries"])
     want = _search(surv, tiny_corpus["queries"])
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_delete_entire_language_then_compact(ray_session, tiny_corpus,
+                                             tmp_path_factory):
+    """Tombstoning EVERY doc of one language and compacting must yield a
+    servable index whose other languages are untouched and whose deleted
+    language yields zero rows (empty-partition encode/df/manifest path)."""
+    import ray.data
+
+    from document_retrieval_ray.pipelines.build_index import build_index
+    from document_retrieval_ray.pipelines.deletes import delete_docs
+    from document_retrieval_ray.pipelines.incremental import compact_index
+    from document_retrieval_ray.state.manifest import read_manifest
+
+    tmp = tmp_path_factory.mktemp("lang_del")
+    docs = pq.read_table(tiny_corpus["documents"])
+    langs = docs["lang"].to_pylist()
+    urls = docs["url"].to_pylist()
+    # pick the SMALLEST language so the test stays fast
+    import collections
+
+    victim_lang = min(collections.Counter(langs).items(),
+                      key=lambda kv: kv[1])[0]
+    victims = [u for u, l in zip(urls, langs) if l == victim_lang]
+    assert victims
+
+    idx = str(tmp / "index")
+    build_index(tiny_corpus["documents"], idx, cfg=CFG,
+                with_cosine_norms=False)
+    assert delete_docs(idx, victims) == len(victims)
+    out = str(tmp / "compacted")
+    compact_index(idx, out)
+
+    m = read_manifest(os.path.join(out, "manifests", victim_lang))
+    assert m is not None and int(m["n_docs"]) == 0
+
+    qdf = pq.read_table(tiny_corpus["queries"]).to_pandas()
+    got = _search(out, tiny_corpus["queries"])
+    assert not set(got["url"]) & set(victims)
+    # the victim language emits no rows; at least one other lang does
+    qlang = dict(zip(qdf["query_id"], qdf["lang"]))
+    got_langs = {qlang[q] for q in got["query_id"]}
+    assert victim_lang not in got_langs and got_langs
