@@ -4232,6 +4232,61 @@ def q_nb_classify(sf_dir: str):
     return out
 
 
+def _nb_confusion_partition(group: pd.DataFrame) -> pd.DataFrame:
+    """doc_id-hash partition of prediction rows (kind 0) ∪ truth rows
+    (kind 1) → (lang, pred_lang, n) partials."""
+    g = group.drop(columns=[c for c in ("kpart",) if c in group.columns])
+    kind = g["kind"].to_numpy(np.int64)
+    pred = g[kind == 0][["doc_id", "val"]].rename(columns={"val": "pred_lang"})
+    tru = g[kind == 1][["doc_id", "val"]].rename(columns={"val": "lang"})
+    m = tru.merge(pred, on="doc_id", how="inner")
+    out = (
+        m.groupby(["lang", "pred_lang"], sort=False).size()
+        .rename("n").reset_index()
+    )
+    return out.astype({"n": "int64"})
+
+
+def q_nb_confusion(sf_dir: str):
+    """Classifier evaluation as a first-class op: the (true lang ×
+    predicted lang) confusion matrix of nb_classify — predictions and
+    truths cogrouped by doc_id hash, partial counts, one |langs|²-sized
+    finalize."""
+    pred_rows = q_nb_classify(sf_dir).map_batches(
+        lambda t: pa.table({
+            "doc_id": t["doc_id"],
+            "val": t["pred_lang"],
+            "kind": pa.array(np.zeros(t.num_rows, np.int64), pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+    truth_rows = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    ).map_batches(
+        lambda t: pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "val": t["lang"],
+            "kind": pa.array(np.ones(t.num_rows, np.int64), pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+    partials = _parted(pred_rows.union(truth_rows), ("doc_id",)).map_groups(
+        _nb_confusion_partition, batch_format="pandas"
+    )
+    out = partials.groupby(["lang", "pred_lang"]).sum("n").to_pandas()
+    out.columns = ["lang", "pred_lang", "n"]
+    return out.astype({"n": "int64"})
+
+
+def _nb_confusion_sql() -> str:
+    return f"""
+SELECT d.lang AS lang, nb.pred_lang AS pred_lang, count(*) AS n
+FROM ({{nb}}) nb
+JOIN documents d ON d.doc_id = nb.doc_id
+GROUP BY d.lang, nb.pred_lang
+"""
+
+
 def _nb_sql() -> str:
     fx6 = "CAST(floor({expr} * 1000000 + 0.5) AS BIGINT)"
     lpx = fx6.format(expr="ln(ct.c + 1)")
@@ -4866,6 +4921,7 @@ QUERIES = {
     "bm25f": q_bm25f,
     "nb_classify": q_nb_classify,
     "mlt": q_mlt,
+    "nb_confusion": q_nb_confusion,
     "query_expand": q_query_expand,
     "token_entropy": q_token_entropy,
     "neardup_apply": q_neardup_apply,
@@ -5852,6 +5908,7 @@ ORACLE_SQL = {
     "dense_rerank": _dense_rerank_sql(),
     "bm25f": _bm25f_sql(),
     "nb_classify": _nb_sql(),
+    "nb_confusion": _nb_confusion_sql().format(nb=_nb_sql()),
     "mlt": _mlt_sql(),
     "facet_counts": _FACET_SQL.format(
         bm25=_bm25_sql(1.2, 0.75, reference_quirk=False, dedup=False)
