@@ -1107,6 +1107,26 @@ def q_ann_topk(sf_dir: str):
     return partial.groupby("query_vec").map_groups(final_topk, batch_format="pandas")
 
 
+def q_ann_recall(sf_dir: str):
+    """Recall@10 of the LSH-bucketed ANN path against the exact
+    brute-force ranking, per query — the quality-report op every
+    approximate index needs next to it. Both inputs are result-sized
+    (|queries| × 10), so the comparison is a driver frame; the heavy
+    lifting stays in the two oracled pipelines it composes."""
+    ex = q_ann_topk(sf_dir).to_pandas()[["query_vec", "vec_id"]]
+    ap = q_ann_topk_lsh(sf_dir).to_pandas()[["query_vec", "vec_id"]]
+    ap["hit"] = 1
+    m = ex.merge(ap, on=["query_vec", "vec_id"], how="left")
+    out = (
+        m.groupby("query_vec", sort=False)
+        .agg(n_overlap=("hit", lambda s: int(s.notna().sum())))
+        .reset_index()
+    )
+    out["recall_x"] = out["n_overlap"] * 1000  # n/10 on the fx4 grid
+    return out.astype({"query_vec": "int64", "n_overlap": "int64",
+                       "recall_x": "int64"})
+
+
 def q_ann_topk_lsh(sf_dir: str):
     """ANN top-k restricted to the query's LSH bucket (the scale path:
     candidate set shrinks by the bucket fan-out; recall traded for a
@@ -2677,6 +2697,67 @@ def q_window_tumble(sf_dir: str):
     return _parted(parts, ("event_type", "ws_us")).map_groups(
         finalize, batch_format="pandas"
     )
+
+
+HOP_US = 1_800_000_000  # 30 min hop; window stays WINDOW_US (1 h)
+
+
+def q_window_hop(sf_dir: str):
+    """HOPPING (sliding) window aggregate: 1 h windows advancing every
+    30 min, so each event lands in exactly WINDOW/HOP = 2 windows. Same
+    2-phase plan as the tumbling window — the per-batch partial just
+    replicates each event to its R member windows before collapsing, so
+    the exchange grows by R, never by the event count × window length."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+    r = WINDOW_US // HOP_US
+
+    def partial(t: pa.Table) -> pa.Table:
+        tsu = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        types = np.asarray(t["event_type"].to_pandas(), dtype=object)
+        cents = _cents(t["value"].to_numpy(zero_copy_only=False))
+        frames = []
+        for j in range(r):
+            ws = (tsu // HOP_US - j) * HOP_US
+            keep = ws >= 0
+            frames.append(pd.DataFrame({
+                "event_type": types[keep], "ws_us": ws[keep],
+                "n": 1, "value_c": cents[keep],
+            }))
+        df = pd.concat(frames, ignore_index=True)
+        g = (
+            df.groupby(["event_type", "ws_us"], sort=False)
+            .agg(n=("n", "sum"), value_c=("value_c", "sum"))
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=[c for c in ("kpart",) if c in g.columns])
+        return (
+            g.groupby(["event_type", "ws_us"], sort=False)
+            .agg(n=("n", "sum"), value_c=("value_c", "sum"))
+            .reset_index()
+            .astype({"ws_us": "int64", "n": "int64", "value_c": "int64"})
+        )
+
+    parts = ev.map_batches(partial, batch_format="pyarrow")
+    return _parted(parts, ("event_type", "ws_us")).map_groups(
+        finalize, batch_format="pandas"
+    )
+
+
+_WINDOW_HOP_SQL = f"""
+SELECT event_type,
+       ((epoch_us(ts) // {HOP_US}) - j.j) * {HOP_US} AS ws_us,
+       count(*) AS n,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+       AS value_c
+FROM events, (SELECT unnest(range(0, {WINDOW_US // HOP_US})) AS j) j
+WHERE ((epoch_us(ts) // {HOP_US}) - j.j) * {HOP_US} >= 0
+GROUP BY event_type, ws_us
+"""
 
 
 PMI_TOP_V = 50  # per-lang candidate vocabulary (top df terms)
@@ -4869,6 +4950,7 @@ QUERIES = {
     "embed_neardup_lsh": q_embed_neardup_lsh,
     "ann_topk": q_ann_topk,
     "ann_topk_lsh": q_ann_topk_lsh,
+    "ann_recall": q_ann_recall,
     "ann_topk_ivf": q_ann_topk_ivf,
     "kmeans_clusters": q_kmeans_clusters,
     "pq_codes": q_pq_codes,
@@ -4900,6 +4982,7 @@ QUERIES = {
     "funnel": q_funnel,
     "retention": q_retention,
     "window_tumble": q_window_tumble,
+    "window_hop": q_window_hop,
     "latest_event": q_latest_event,
     "pmi_pairs": q_pmi_pairs,
     "range_join": q_range_join,
@@ -6035,6 +6118,15 @@ SELECT n AS doc_id, min(lbl) AS rep FROM walk GROUP BY n
     "embed_neardup_lsh": _NEARDUP_LSH_SQL,
     "ann_topk": _ANN_SQL,
     "ann_topk_lsh": _ANN_LSH_SQL,
+    "ann_recall": f"""
+WITH ex AS ({_ANN_SQL}), ap AS ({_ANN_LSH_SQL})
+SELECT ex.query_vec AS query_vec,
+       count(ap.vec_id) AS n_overlap,
+       count(ap.vec_id) * 1000 AS recall_x
+FROM ex LEFT JOIN ap ON ap.query_vec = ex.query_vec
+                     AND ap.vec_id = ex.vec_id
+GROUP BY ex.query_vec
+""",
     "ann_topk_ivf": _ivf_sql(),
     "kmeans_clusters": _kmeans_sql(),
     "pq_codes": _pq_codes_sql(),
@@ -6272,6 +6364,7 @@ FROM f GROUP BY user_id, sess
 """,
     "funnel": _FUNNEL_SQL,
     "retention": _RETENTION_SQL,
+    "window_hop": _WINDOW_HOP_SQL,
     "window_tumble": f"""
 SELECT event_type,
        (epoch_us(ts) // {WINDOW_US}) * {WINDOW_US} AS ws_us,
