@@ -115,7 +115,12 @@ def delete_docs(index_dir: str, urls, tombstones_dir: str = None) -> int:
     generations) with the url set broadcast via ``ray.put`` — a
     distributed semi-join, nothing corpus-sized on the driver. Unknown
     urls are ignored. Returns the number of NEW tombstone rows written
-    (0 leaves the tombstone log untouched)."""
+    (0 leaves the tombstone log untouched).
+
+    Concurrency contract (same as append_index): ONE writer at a time —
+    the tombstones.json read-modify-write is atomic against readers
+    (temp + rename) but two concurrent delete_docs calls could drop one
+    another's log entry. Readers are always consistent."""
     from .incremental import shard_dirs
 
     tomb = tombstones_dir or os.path.join(index_dir, "tombstones")
