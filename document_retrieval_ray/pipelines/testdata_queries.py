@@ -985,6 +985,73 @@ def q_pagerank(sf_dir: str):
     )
 
 
+def q_triangles(sf_dir: str):
+    """Exact triangle count of the verified near-dup graph — the density
+    signal that separates tight duplicate cliques from chain-shaped
+    false-positive clusters. Cohen wedge-closing plan (stages/graph.py):
+    one center-keyed exchange emits u<v<w oriented wedges, one
+    (v, w)-keyed exchange closes them against the edge set."""
+    from ..stages.graph import count_triangles
+
+    n = count_triangles(q_minhash_pairs(sf_dir))
+    return pd.DataFrame({"n_triangles": pd.Series([n], dtype="int64")})
+
+
+def q_event_bigrams(sf_dir: str):
+    """Per-user event-type transition counts (sequence mining's order-1
+    core): consecutive (prev → next) event pairs under (ts, event_id)
+    ordering. ONE user_id-hash exchange; the kernel is a lexsort +
+    shifted compare with a same-user guard; output is |types|² rows."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id",
+                                             "event_type"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "tsu": pc.cast(t["ts"], pa.int64()),
+            "event_id": t["event_id"],
+            "event_type": t["event_type"],
+        })
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=[c for c in ("kpart",) if c in g.columns])
+        u = g["user_id"].to_numpy(np.int64)
+        tsu = g["tsu"].to_numpy(np.int64)
+        eid = g["event_id"].to_numpy(np.int64)
+        et = np.asarray(g["event_type"].to_numpy(), dtype=object)
+        order = np.lexsort((eid, tsu, u))
+        u, et = u[order], et[order]
+        if len(u) < 2:
+            return pd.DataFrame({"t1": pd.Series(dtype=object),
+                                 "t2": pd.Series(dtype=object),
+                                 "n": pd.Series(dtype="int64")})
+        same = u[1:] == u[:-1]
+        pdf = pd.DataFrame({"t1": et[:-1][same], "t2": et[1:][same]})
+        out = pdf.groupby(["t1", "t2"], sort=False).size().rename(
+            "n").reset_index()
+        return out.astype({"n": "int64"})
+
+    parts = _parted(ev.map_batches(prep, batch_format="pyarrow"),
+                    ("user_id",)).map_groups(kernel, batch_format="pandas")
+    out = parts.groupby(["t1", "t2"]).sum("n").to_pandas()
+    out.columns = ["t1", "t2", "n"]
+    return out.astype({"n": "int64"})
+
+
+_EVENT_BIGRAMS_SQL = """
+WITH o AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nxt
+  FROM events
+)
+SELECT event_type AS t1, nxt AS t2, count(*) AS n
+FROM o WHERE nxt IS NOT NULL GROUP BY event_type, nxt
+"""
+
+
 def q_simhash_pairs(sf_dir: str, cfg: DedupConfig = DEFAULT_DEDUP):
     """SimHash near-dup pairs (Hamming <= 3) as a distributed LSH-band
     plan: 4 chunk-keyed band rows per doc (signature travels with the
@@ -4944,6 +5011,8 @@ QUERIES = {
     "containment": q_containment,
     "neardup_components": q_neardup_components,
     "pagerank": q_pagerank,
+    "triangles": q_triangles,
+    "event_bigrams": q_event_bigrams,
     "simhash_pairs": q_simhash_pairs,
     "embed_neardup": q_embed_neardup,
     "knn_graph": q_knn_graph,
@@ -6112,6 +6181,14 @@ walk(n, lbl) AS (
 SELECT n AS doc_id, min(lbl) AS rep FROM walk GROUP BY n
 """,
     "pagerank": _pagerank_sql(),
+    "triangles": f"""
+WITH pairs AS (SELECT a, b FROM ({_MINHASH_SQL}) mh)
+SELECT CAST(count(*) AS BIGINT) AS n_triangles
+FROM pairs p1
+JOIN pairs p2 ON p2.a = p1.a AND p2.b > p1.b
+JOIN pairs p3 ON p3.a = p1.b AND p3.b = p2.b
+""",
+    "event_bigrams": _EVENT_BIGRAMS_SQL,
     "simhash_pairs": _SIMHASH_SQL,
     "embed_neardup": _NEARDUP_SQL,
     "knn_graph": _KNN_SQL,

@@ -427,3 +427,31 @@ def test_nb_classify_hand_example(ray_session):
         - 3 * _fx6(np.log(6 + 4))
     )
     assert int(out.loc[0, "score_x"]) == want
+
+
+def test_count_triangles_hand_graph(ray_session):
+    """Triangle {1,2,3} + 4-clique {10..13} (C(4,3)=4) + a square and a
+    dangling edge (0 each) => 5; each triangle counted exactly once."""
+    import ray.data
+
+    from document_retrieval_ray.stages.graph import count_triangles
+
+    edges = [(1, 2), (1, 3), (2, 3),            # triangle
+             (3, 4),                            # dangling
+             (5, 6), (6, 7), (7, 8), (5, 8)]    # square, no diagonal
+    edges += [(a, b) for a in (10, 11, 12, 13)
+              for b in (10, 11, 12, 13) if a < b]  # 4-clique
+    pairs = ray.data.from_items([{"a": a, "b": b} for a, b in edges])
+    assert count_triangles(pairs, num_parts=4) == 5
+
+
+def test_count_triangles_empty(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from document_retrieval_ray.stages.graph import count_triangles
+
+    empty = ray.data.from_arrow(pa.table({
+        "a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+    }))
+    assert count_triangles(empty) == 0
