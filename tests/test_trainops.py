@@ -455,3 +455,45 @@ def test_count_triangles_empty(ray_session):
         "a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
     }))
     assert count_triangles(empty) == 0
+
+
+def test_count_triangles_star_hub(ray_session):
+    """A star (hub 1 → 2..9) has C(8,2)=28 wedges but zero closures —
+    exercises the wedge path without any triangle; adding one rim edge
+    (2,3) closes exactly one."""
+    import ray.data
+
+    from document_retrieval_ray.stages.graph import count_triangles
+
+    star = [(1, b) for b in range(2, 10)]
+    pairs = ray.data.from_items([{"a": a, "b": b} for a, b in star])
+    assert count_triangles(pairs, num_parts=4) == 0
+    pairs2 = ray.data.from_items(
+        [{"a": a, "b": b} for a, b in star + [(2, 3)]])
+    assert count_triangles(pairs2, num_parts=4) == 1
+
+
+def test_event_bigrams_kernel_order_and_guard(ray_session, tmp_path):
+    """Hand oracle: ts ties break by event_id; single-event users emit
+    nothing; transitions never cross a user boundary."""
+    import pyarrow.parquet as pq_
+
+    from document_retrieval_ray.pipelines.testdata_queries import (
+        q_event_bigrams,
+    )
+
+    t = pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "ts": pa.array([100, 100, 200, 100, 300, 100],
+                       pa.timestamp("us")),
+        "user_id": pa.array([7, 7, 7, 8, 8, 9], pa.int64()),
+        "event_type": ["a", "b", "c", "b", "a", "c"],
+        "value": pa.array([0.0] * 6, pa.float64()),
+        "props": ["{}"] * 6,
+    })
+    pq_.write_table(t, str(tmp_path / "events.parquet"))
+    out = q_event_bigrams(str(tmp_path))
+    got = {(r.t1, r.t2): r.n for r in out.itertuples()}
+    # user 7: a(ts100,id1) -> b(ts100,id2) -> c(ts200): (a,b), (b,c)
+    # user 8: b -> a; user 9: single event, nothing
+    assert got == {("a", "b"): 1, ("b", "c"): 1, ("b", "a"): 1}
