@@ -985,6 +985,31 @@ def q_pagerank(sf_dir: str):
     )
 
 
+def q_degree_dist(sf_dir: str):
+    """Degree histogram of the verified near-dup graph — the cluster
+    shape profile (a long tail of degree-1 nodes = pairwise dups; high
+    degrees = template farms). One src-hash exchange colocates every
+    node's edges so the degree is exact in-partition; the histogram
+    reduce then moves at most max_degree rows per partition."""
+    from ..stages.dedup import edges_both_ways
+
+    edges = q_minhash_pairs(sf_dir).map_batches(
+        edges_both_ways, batch_format="pyarrow"
+    )
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=[c for c in ("kpart",) if c in g.columns])
+        deg = g.groupby("src", sort=False).size()
+        out = (deg.value_counts().rename_axis("degree")
+               .rename("n_nodes").reset_index())
+        return out.astype({"degree": "int64", "n_nodes": "int64"})
+
+    hist = (_parted(edges, ("src",)).map_groups(kern, batch_format="pandas")
+            .groupby("degree").sum("n_nodes").to_pandas())
+    hist.columns = ["degree", "n_nodes"]
+    return hist.astype({"degree": "int64", "n_nodes": "int64"})
+
+
 def q_triangles(sf_dir: str):
     """Exact triangle count of the verified near-dup graph — the density
     signal that separates tight duplicate cliques from chain-shaped
@@ -5011,6 +5036,7 @@ QUERIES = {
     "containment": q_containment,
     "neardup_components": q_neardup_components,
     "pagerank": q_pagerank,
+    "degree_dist": q_degree_dist,
     "triangles": q_triangles,
     "event_bigrams": q_event_bigrams,
     "simhash_pairs": q_simhash_pairs,
@@ -6181,6 +6207,16 @@ walk(n, lbl) AS (
 SELECT n AS doc_id, min(lbl) AS rep FROM walk GROUP BY n
 """,
     "pagerank": _pagerank_sql(),
+    "degree_dist": f"""
+WITH pairs AS (SELECT a, b FROM ({_MINHASH_SQL}) mh),
+deg AS (
+  SELECT node, count(*) AS degree FROM (
+    SELECT a AS node FROM pairs UNION ALL SELECT b AS node FROM pairs
+  ) GROUP BY node
+)
+SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+FROM deg GROUP BY degree
+""",
     "triangles": f"""
 WITH pairs AS (SELECT a, b FROM ({_MINHASH_SQL}) mh)
 SELECT CAST(count(*) AS BIGINT) AS n_triangles
