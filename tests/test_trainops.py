@@ -497,3 +497,26 @@ def test_event_bigrams_kernel_order_and_guard(ray_session, tmp_path):
     # user 7: a(ts100,id1) -> b(ts100,id2) -> c(ts200): (a,b), (b,c)
     # user 8: b -> a; user 9: single event, nothing
     assert got == {("a", "b"): 1, ("b", "c"): 1, ("b", "a"): 1}
+
+
+def test_count_triangles_random_vs_bruteforce(ray_session):
+    """Seeded random G(n, p) graphs vs an O(n^3) itertools oracle —
+    covers hub skew, isolated nodes, and multi-partition closure."""
+    import itertools
+
+    import ray.data
+
+    from document_retrieval_ray.stages.graph import count_triangles
+
+    rng = np.random.default_rng(1234)
+    for n, p in ((12, 0.4), (20, 0.25), (30, 0.15)):
+        edges = [(a, b) for a in range(n) for b in range(a + 1, n)
+                 if rng.random() < p]
+        want = sum(
+            1 for u, v, w in itertools.combinations(range(n), 3)
+            if (u, v) in set(edges) and (u, w) in set(edges)
+            and (v, w) in set(edges)
+        )
+        pairs = ray.data.from_items(
+            [{"a": a, "b": b} for a, b in edges])
+        assert count_triangles(pairs, num_parts=8) == want, (n, p)
