@@ -1065,6 +1065,79 @@ def q_event_bigrams(sf_dir: str):
     return out.astype({"n": "int64"})
 
 
+def q_value_outliers(sf_dir: str):
+    """Per-type outlier detection — events whose value exceeds 3× their
+    event_type's exact median. All integer: values quantize to cents
+    (floor(v*100 + .5) — identical double ops engine/SQL), the median
+    comes from a (type, cents)-histogram exchange (bounded by distinct
+    cent values per type, the dl_percentiles pattern), and the
+    thresholds broadcast back into a second column-pruned scan as a
+    tiny dict. Two input-sized reads, zero input-sized shuffles."""
+    cols = ["event_id", "event_type", "value"]
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        vc = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        return pa.table({
+            "event_id": t["event_id"],
+            "event_type": t["event_type"],
+            "vc": pa.array(vc, pa.int64()),
+        })
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=cols)
+
+    def partial(t: pa.Table) -> pa.Table:
+        pdf = (t.to_pandas().groupby(["event_type", "vc"], sort=False)
+               .size().reset_index(name="n"))
+        return pa.Table.from_pandas(pdf, preserve_index=False)
+
+    hist = (
+        ev.map_batches(to_cents, batch_format="pyarrow")
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "vc"])
+        .aggregate(ray.data.aggregate.Sum("n", alias_name="n"))
+        .to_pandas()  # bounded: one row per distinct (type, cents)
+    )
+    med = {}
+    for et, g in hist.groupby("event_type"):
+        g = g.sort_values("vc")
+        cum = g["n"].to_numpy(np.int64).cumsum()
+        tot = int(cum[-1])
+        thresh = (50 * tot + 99) // 100  # exact ceil(50*tot/100)
+        med[et] = int(g["vc"].to_numpy(np.int64)[
+            np.searchsorted(cum, thresh, side="left")])
+
+    def flag(t: pa.Table) -> pa.Table:
+        pdf = to_cents(t).to_pandas()
+        lim = pdf["event_type"].map(med).to_numpy(np.int64)
+        out = pdf[pdf["vc"].to_numpy(np.int64) > 3 * lim]
+        return pa.Table.from_pandas(
+            out.rename(columns={"vc": "value_cents"}), preserve_index=False)
+
+    res = ev.map_batches(flag, batch_format="pyarrow").to_pandas()
+    return res.astype({"event_id": "int64", "value_cents": "int64"})
+
+
+_VALUE_OUTLIERS_SQL = """
+WITH v AS (
+  SELECT event_id, event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+  FROM events
+),
+h AS (SELECT event_type, vc, count(*) AS n FROM v GROUP BY event_type, vc),
+c AS (SELECT event_type, vc,
+        sum(n) OVER (PARTITION BY event_type ORDER BY vc) AS cum,
+        sum(n) OVER (PARTITION BY event_type) AS tot
+      FROM h),
+m AS (SELECT event_type,
+        min(vc) FILTER (WHERE cum >= ceil((50 * tot) / 100.0)) AS med
+      FROM c GROUP BY event_type)
+SELECT v.event_id, v.event_type, v.vc AS value_cents
+FROM v JOIN m USING (event_type)
+WHERE v.vc > 3 * m.med
+"""
+
+
 _EVENT_BIGRAMS_SQL = """
 WITH o AS (
   SELECT user_id, event_type,
@@ -5039,6 +5112,7 @@ QUERIES = {
     "degree_dist": q_degree_dist,
     "triangles": q_triangles,
     "event_bigrams": q_event_bigrams,
+    "value_outliers": q_value_outliers,
     "simhash_pairs": q_simhash_pairs,
     "embed_neardup": q_embed_neardup,
     "knn_graph": q_knn_graph,
@@ -6225,6 +6299,7 @@ JOIN pairs p2 ON p2.a = p1.a AND p2.b > p1.b
 JOIN pairs p3 ON p3.a = p1.b AND p3.b = p2.b
 """,
     "event_bigrams": _EVENT_BIGRAMS_SQL,
+    "value_outliers": _VALUE_OUTLIERS_SQL,
     "simhash_pairs": _SIMHASH_SQL,
     "embed_neardup": _NEARDUP_SQL,
     "knn_graph": _KNN_SQL,
