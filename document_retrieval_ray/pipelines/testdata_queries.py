@@ -1065,6 +1065,34 @@ def q_event_bigrams(sf_dir: str):
     return out.astype({"n": "int64"})
 
 
+def q_user_activity(sf_dir: str):
+    """Activity histogram of the event log — #users by #events (the
+    bot-vs-casual profile that drives per-user capping). One
+    user-hash exchange of the pruned (user_id) column; the kernel
+    value-counts users then histograms the counts, so the reduce moves
+    ≤max_activity rows per partition."""
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id"])
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        cnt = g["user_id"].value_counts()
+        out = (cnt.value_counts().rename_axis("n_events")
+               .rename("n_users").reset_index())
+        return out.astype({"n_events": "int64", "n_users": "int64"})
+
+    hist = (_parted(ev, ("user_id",)).map_groups(kern, batch_format="pandas")
+            .groupby("n_events").sum("n_users").to_pandas())
+    hist.columns = ["n_events", "n_users"]
+    return hist.astype({"n_events": "int64", "n_users": "int64"})
+
+
+_USER_ACTIVITY_SQL = """
+WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id)
+SELECT n AS n_events, CAST(count(*) AS BIGINT) AS n_users
+FROM c GROUP BY n
+"""
+
+
 def q_value_outliers(sf_dir: str):
     """Per-type outlier detection — events whose value exceeds 3× their
     event_type's exact median. All integer: values quantize to cents
@@ -5113,6 +5141,7 @@ QUERIES = {
     "triangles": q_triangles,
     "event_bigrams": q_event_bigrams,
     "value_outliers": q_value_outliers,
+    "user_activity": q_user_activity,
     "simhash_pairs": q_simhash_pairs,
     "embed_neardup": q_embed_neardup,
     "knn_graph": q_knn_graph,
@@ -6300,6 +6329,7 @@ JOIN pairs p3 ON p3.a = p1.b AND p3.b = p2.b
 """,
     "event_bigrams": _EVENT_BIGRAMS_SQL,
     "value_outliers": _VALUE_OUTLIERS_SQL,
+    "user_activity": _USER_ACTIVITY_SQL,
     "simhash_pairs": _SIMHASH_SQL,
     "embed_neardup": _NEARDUP_SQL,
     "knn_graph": _KNN_SQL,
