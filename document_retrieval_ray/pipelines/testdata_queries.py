@@ -5107,6 +5107,309 @@ def q_source_lift(sf_dir: str):
     return lifted.groupby("source").map_groups(topk, batch_format="pandas")
 
 
+# TPC-H-Q5-shaped multiway join parameters
+REL_Q5_REGION = "ASIA"
+REL_Q5_FROM = "1996-01-01"
+REL_Q5_TO = "1997-01-01"
+
+
+def q_rel_q5(sf_dir: str):
+    """Multiway distributed join (TPC-H Q5 shape): revenue per nation for
+    orders in a date window where customer and supplier share a nation
+    inside one region — the canonical star-join a 100 TB warehouse plan
+    must express.
+
+    Scale plan: region/nation are constant-size driver tables; the
+    supplier→nation map (|suppliers| ≪ |orders|) is broadcast ONCE via
+    ``ray.put`` and read inside the second join kernel — never reshipped
+    per batch. The two input-sized joins run as hash cogroups that
+    exchange only pruned integer columns: (1) orders⨝customer on custkey
+    (orders pre-filtered to the date window, customers to the region's
+    nations — both predicates pushed into the scans); (2) the (orderkey,
+    c_nation) result ⨝ lineitem on orderkey, where the kernel also
+    applies the supplier-nation equality and pre-aggregates revenue per
+    nation, so the final exchange is ≤ partitions×|nations| rows.
+    Revenue is exact fixed-point cents (identical double op order as the
+    SQL oracle)."""
+    import pyarrow.parquet as _pq
+
+    nat = _pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    ).to_pandas()
+    reg = _pq.read_table(
+        os.path.join(sf_dir, "region.parquet"),
+        columns=["r_regionkey", "r_name"],
+    ).to_pandas()
+    rkey = int(reg.loc[reg["r_name"] == REL_Q5_REGION, "r_regionkey"].iloc[0])
+    nat = nat[nat["n_regionkey"] == rkey]
+    nat_keys = pa.array(nat["n_nationkey"].astype("int64").to_numpy(),
+                        pa.int64())
+    supp = _pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_nationkey"],
+    ).to_pandas()
+    # dense suppkey→nationkey lookup (−1 = supplier outside the region);
+    # bounded by |suppliers|, broadcast once
+    lut = np.full(int(supp["s_suppkey"].max()) + 1, -1, dtype=np.int64)
+    in_reg = supp["s_nationkey"].astype("int64").isin(
+        set(nat["n_nationkey"].astype("int64")))
+    lut[supp.loc[in_reg, "s_suppkey"].to_numpy()] = (
+        supp.loc[in_reg, "s_nationkey"].astype("int64").to_numpy())
+    lut_ref = ray.put(lut)
+
+    lo = int(pd.Timestamp(REL_Q5_FROM).value // 1000)
+    hi = int(pd.Timestamp(REL_Q5_TO).value // 1000)
+
+    def o_rows(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t["o_orderdate"], pa.int64())
+        t = t.filter(pc.and_(pc.greater_equal(ts, pa.scalar(lo)),
+                             pc.less(ts, pa.scalar(hi))))
+        n = len(t)
+        return pa.table({
+            "kind": pa.array(np.zeros(n, np.int8)),
+            "key": pc.cast(t["o_custkey"], pa.int64()),
+            "a": pc.cast(t["o_orderkey"], pa.int64()),
+        })
+
+    def c_rows(t: pa.Table) -> pa.Table:
+        nk = pc.cast(t["c_nationkey"], pa.int64())
+        t = t.set_column(t.schema.get_field_index("c_nationkey"),
+                         "c_nationkey", nk)
+        t = t.filter(pc.is_in(t["c_nationkey"], value_set=nat_keys))
+        n = len(t)
+        return pa.table({
+            "kind": pa.array(np.ones(n, np.int8)),
+            "key": pc.cast(t["c_custkey"], pa.int64()),
+            "a": t["c_nationkey"],
+        })
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(o_rows, batch_format="pyarrow")
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"],
+    ).map_batches(c_rows, batch_format="pyarrow")
+
+    def join1(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["kind"] == 0]
+        c = g[g["kind"] == 1]
+        if o.empty or c.empty:
+            return pd.DataFrame({"kind": pd.Series(dtype="int8"),
+                                 "key": pd.Series(dtype="int64"),
+                                 "a": pd.Series(dtype="int64"),
+                                 "rev_c": pd.Series(dtype="int64")})
+        m = o[["key", "a"]].merge(
+            c[["key", "a"]].rename(columns={"a": "c_nat"}), on="key")
+        # → (orderkey, c_nation) rows for the second cogroup
+        return pd.DataFrame({
+            "kind": np.zeros(len(m), np.int8),
+            "key": m["a"].to_numpy(),
+            "a": m["c_nat"].to_numpy(),
+            "rev_c": np.zeros(len(m), np.int64),
+        })
+
+    j1 = _parted(orders.union(cust), ("key",)).map_groups(
+        join1, batch_format="pandas")
+
+    def li_rows(t: pa.Table) -> pa.Table:
+        ext = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "kind": pa.array(np.ones(len(t), np.int8)),
+            "key": pc.cast(t["l_orderkey"], pa.int64()),
+            "a": pc.cast(t["l_suppkey"], pa.int64()),
+            "rev_c": pa.array(_cents(ext * (1.0 - disc))),
+        })
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(li_rows, batch_format="pyarrow")
+
+    def join2(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"nationkey": pd.Series(dtype="int64"),
+                              "revenue_c": pd.Series(dtype="int64")})
+        jo = g[g["kind"] == 0]
+        lit = g[g["kind"] == 1]
+        if jo.empty or lit.empty:
+            return empty
+        m = lit[["key", "a", "rev_c"]].merge(
+            jo[["key", "a"]].rename(columns={"a": "c_nat"}), on="key")
+        if m.empty:
+            return empty
+        s_lut = ray.get(lut_ref)
+        sk = m["a"].to_numpy()
+        snat = np.where(sk < len(s_lut), s_lut[np.minimum(sk, len(s_lut) - 1)],
+                        -1)
+        m = m[snat == m["c_nat"].to_numpy()]
+        if m.empty:
+            return empty
+        out = m.groupby("c_nat", sort=False)["rev_c"].sum().reset_index()
+        out.columns = ["nationkey", "revenue_c"]
+        return out.astype({"nationkey": "int64", "revenue_c": "int64"})
+
+    rev = (
+        _parted(j1.union(li), ("key",))
+        .map_groups(join2, batch_format="pandas")
+        .groupby("nationkey")
+        .aggregate(ray.data.aggregate.Sum("revenue_c",
+                                          alias_name="revenue_c"))
+        .to_pandas()
+    )
+    names = nat.rename(columns={"n_nationkey": "nationkey"})[
+        ["nationkey", "n_name"]].astype({"nationkey": "int64"})
+    out = rev.merge(names, on="nationkey")
+    out = out.sort_values(["revenue_c", "n_name"],
+                          ascending=[False, True]).reset_index(drop=True)
+    return out[["n_name", "revenue_c"]].astype({"revenue_c": "int64"})
+
+
+_REL_Q5_SQL = f"""
+SELECT n_name,
+       CAST(sum(CAST(floor(l_extendedprice*(1 - l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_c
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = '{REL_Q5_REGION}'
+  AND o_orderdate >= TIMESTAMP '{REL_Q5_FROM}'
+  AND o_orderdate < TIMESTAMP '{REL_Q5_TO}'
+GROUP BY n_name
+"""
+
+
+# embedding outlier detection: fixed-point grid + farthest-K per label
+EMB_OUT_FX = 1000.0
+EMB_OUT_TOPK = 3
+
+
+def q_embed_outliers(sf_dir: str):
+    """Embedding-space outlier detection — per label, the EMB_OUT_TOPK
+    vectors farthest from their label centroid (the data-quality gate
+    that flags mislabeled / corrupt vectors before training).
+
+    Exact and summation-order-independent: coordinates quantize to the
+    1e3 fixed-point grid, the centroid stays a RATIONAL (per-dim integer
+    sum S, count n), so the comparable distance is
+    d2n = Σ_d (q_d·n − S_d)² — all int64, no float accumulation anywhere
+    (the bound |q·n − S| < 5.3e7 keeps 64·diff² far inside int64; an
+    assert fires if a bigger corpus ever approaches it). Two
+    column-pruned passes: (1) per-batch (label, dim) partial moments →
+    one labels×dim-sized groupby; (2) the tiny (S, n) tables broadcast
+    back into a scan that computes d2n and keeps a per-batch partial
+    top-K per label, so the driver merge sees O(blocks·labels·K) rows."""
+    from ..stages.ann import _stack
+
+    emb_cols = ["vec_id", "embedding", "label"]
+
+    def _quant(col) -> np.ndarray:
+        return np.floor(_stack(col) * EMB_OUT_FX + 0.5).astype(np.int64)
+
+    def moments(t: pa.Table) -> pa.Table:
+        q = _quant(t["embedding"])
+        lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        labs, inv = np.unique(lab, return_inverse=True)
+        dim = q.shape[1]
+        sums = np.zeros((len(labs), dim), dtype=np.int64)
+        np.add.at(sums, inv, q)
+        cnt = np.bincount(inv, minlength=len(labs)).astype(np.int64)
+        # dim index 0 carries the label count; coordinate sums at 1..dim
+        out_lab = np.repeat(labs, dim + 1)
+        out_dim = np.tile(np.arange(dim + 1, dtype=np.int64), len(labs))
+        out_s = np.concatenate(
+            [np.concatenate(([cnt[i]], sums[i])) for i in range(len(labs))]
+        )
+        return pa.table({"label": out_lab, "dim": out_dim, "s": out_s})
+
+    emb = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=emb_cols
+    )
+    mom = (
+        emb.map_batches(moments, batch_format="pyarrow")
+        .groupby(["label", "dim"])
+        .aggregate(ray.data.aggregate.Sum("s", alias_name="s"))
+        .take_all()
+    )
+    by_label: dict[int, dict[int, int]] = {}
+    for r in mom:
+        by_label.setdefault(int(r["label"]), {})[int(r["dim"])] = int(r["s"])
+    n_map = {}
+    s_map = {}
+    for L, dims in by_label.items():
+        n_map[L] = dims.pop(0)
+        dim = max(dims)
+        s_map[L] = np.array([dims[i] for i in range(1, dim + 1)],
+                            dtype=np.int64)
+
+    def dist_topk(t: pa.Table) -> pa.Table:
+        q = _quant(t["embedding"])
+        lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vid = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        o_lab, o_vid, o_d = [], [], []
+        for L in np.unique(lab):
+            sel = lab == L
+            diff = q[sel] * n_map[int(L)] - s_map[int(L)][None, :]
+            assert np.abs(diff).max(initial=0) < 379_000_000, (
+                "embed_outliers: fixed-point distance would overflow "
+                "int64 — lower EMB_OUT_FX"
+            )
+            d2n = (diff * diff).sum(axis=1)
+            vids = vid[sel]
+            order = np.lexsort((vids, -d2n))[:EMB_OUT_TOPK]
+            o_lab.append(np.full(len(order), L, np.int64))
+            o_vid.append(vids[order])
+            o_d.append(d2n[order])
+        if not o_lab:
+            return pa.table({"label": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "d2n": pa.array([], pa.int64())})
+        return pa.table({"label": np.concatenate(o_lab),
+                         "vec_id": np.concatenate(o_vid),
+                         "d2n": np.concatenate(o_d)})
+
+    part = emb.map_batches(dist_topk, batch_format="pyarrow").to_pandas()
+    out = part.sort_values(["label", "d2n", "vec_id"],
+                           ascending=[True, False, True])
+    out = out.groupby("label", sort=True).head(EMB_OUT_TOPK).reset_index(
+        drop=True)
+    out["rank"] = out.groupby("label").cumcount() + 1
+    return out[["label", "vec_id", "d2n", "rank"]].astype(
+        {"label": "int64", "vec_id": "int64", "d2n": "int64",
+         "rank": "int64"})
+
+
+_EMB_OUT_SQL = f"""
+WITH u AS (
+  SELECT vec_id, label, unnest(range(1, len(embedding) + 1)) AS i,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {EMB_OUT_FX} + 0.5)
+              AS BIGINT) AS q
+  FROM embeddings
+),
+cs AS (
+  SELECT label, i, CAST(sum(q) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS n
+  FROM u GROUP BY label, i
+),
+d AS (
+  SELECT u.vec_id AS vec_id, u.label AS label,
+         CAST(sum((u.q*cs.n - cs.s)*(u.q*cs.n - cs.s)) AS BIGINT) AS d2n
+  FROM u JOIN cs ON cs.label = u.label AND cs.i = u.i
+  GROUP BY u.vec_id, u.label
+),
+r AS (
+  SELECT label, vec_id, d2n,
+         row_number() OVER (PARTITION BY label
+                            ORDER BY d2n DESC, vec_id ASC) AS rank
+  FROM d
+)
+SELECT CAST(label AS BIGINT) AS label, vec_id, d2n, rank
+FROM r WHERE rank <= {EMB_OUT_TOPK}
+"""
+
+
 # ------------------------------------------------------------ registries
 
 QUERIES = {
@@ -5158,6 +5461,8 @@ QUERIES = {
     "binary_meta": q_binary_meta,
     "rel_agg": q_rel_agg,
     "rel_join_top": q_rel_join_top,
+    "rel_q5": q_rel_q5,
+    "embed_outliers": q_embed_outliers,
     "rel_window": q_rel_window,
     "rel_asof": q_rel_asof,
     "rel_json": q_rel_json,
@@ -6360,6 +6665,8 @@ SELECT l_returnflag, l_linestatus, count(*) AS n,
        CAST(sum(CAST(floor(l_extendedprice*(1 - l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT) AS disc_price_c
 FROM lineitem GROUP BY l_returnflag, l_linestatus
 """,
+    "rel_q5": _REL_Q5_SQL,
+    "embed_outliers": _EMB_OUT_SQL,
     "rel_join_top": """
 WITH rev AS (
   SELECT o_custkey, CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_c,

@@ -1134,3 +1134,106 @@ def test_containment_catches_excerpt_jaccard_misses(tmp_path):
     jac = q_ngram_jaccard(sf)
     jac = jac.to_pandas() if hasattr(jac, "to_pandas") else jac
     assert len(jac) == 0  # symmetric Jaccard ≈ 6/58 — far below 0.5
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_embed_outliers_hand_computed(tmp_path):
+    """Crafted clusters: label 0 is a tight cluster with one far point
+    (vec 9); label 1 is symmetric so ties resolve by vec_id ASC. The
+    engine's rational-centroid integer distance must pick the planted
+    outlier first and break ties deterministically."""
+    import pyarrow.parquet as pq
+
+    from document_retrieval_ray.pipelines.testdata_queries import (
+        EMB_OUT_TOPK,
+        q_embed_outliers,
+    )
+
+    dim = 4
+    rows = []
+    # label 0: nine points at ~0, one planted far point
+    for i in range(9):
+        rows.append((i, [0.001 * i] * dim, 0))
+    rows.append((9, [0.4] * dim, 0))
+    # label 1: two mirrored points, equidistant from their centroid
+    rows.append((10, [0.2] * dim, 1))
+    rows.append((11, [-0.2] * dim, 1))
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+            "embedding": pa.array([r[1] for r in rows],
+                                  pa.list_(pa.float32())),
+            "label": pa.array([r[2] for r in rows], pa.int32()),
+        }
+    )
+    pq.write_table(tbl, f"{tmp_path}/embeddings.parquet")
+    out = q_embed_outliers(str(tmp_path))
+    lab0 = out[out["label"] == 0]
+    assert int(lab0.iloc[0]["vec_id"]) == 9
+    assert len(lab0) == min(EMB_OUT_TOPK, 10)
+    assert list(lab0["rank"]) == list(range(1, len(lab0) + 1))
+    # label 1: exact tie on d2n → vec_id ascending
+    lab1 = out[out["label"] == 1]
+    assert list(lab1["vec_id"]) == [10, 11]
+    assert lab1["d2n"].nunique() == 1
+
+    # brute-force rational-centroid oracle for label 0's winner distance
+    q = np.floor(np.array([r[1] for r in rows[:10]], dtype=np.float64)
+                 * 1000.0 + 0.5).astype(np.int64)
+    s = q.sum(axis=0)
+    d2n = ((q * 10 - s) ** 2).sum(axis=1)
+    assert int(lab0.iloc[0]["d2n"]) == int(d2n[9])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_rel_q5_pandas_oracle():
+    """rel_q5 vs an independent driver-side pandas replay of the 6-table
+    plan on sf0.001 (separate from the DuckDB parity check)."""
+    import pyarrow.parquet as pq
+
+    from document_retrieval_ray.pipelines.testdata_queries import (
+        REL_Q5_FROM,
+        REL_Q5_REGION,
+        REL_Q5_TO,
+        q_rel_q5,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = q_rel_q5(sf)
+
+    t = {
+        n: pq.read_table(f"{sf}/{n}.parquet").to_pandas()
+        for n in ("region", "nation", "customer", "supplier", "orders",
+                  "lineitem")
+    }
+    rkey = int(t["region"].loc[t["region"].r_name == REL_Q5_REGION,
+                               "r_regionkey"].iloc[0])
+    nat = t["nation"][t["nation"].n_regionkey == rkey]
+    o = t["orders"][(t["orders"].o_orderdate >= pd.Timestamp(REL_Q5_FROM))
+                    & (t["orders"].o_orderdate < pd.Timestamp(REL_Q5_TO))]
+    m = (
+        t["lineitem"]
+        .merge(o[["o_orderkey", "o_custkey"]], left_on="l_orderkey",
+               right_on="o_orderkey")
+        .merge(t["customer"][["c_custkey", "c_nationkey"]],
+               left_on="o_custkey", right_on="c_custkey")
+        .merge(t["supplier"][["s_suppkey", "s_nationkey"]],
+               left_on="l_suppkey", right_on="s_suppkey")
+    )
+    m = m[m.c_nationkey == m.s_nationkey]
+    m = m.merge(nat[["n_nationkey", "n_name"]], left_on="c_nationkey",
+                right_on="n_nationkey")
+    m["rev_c"] = np.floor(
+        m.l_extendedprice.to_numpy()
+        * (1.0 - m.l_discount.to_numpy()) * 100.0 + 0.5
+    ).astype(np.int64)
+    exp = (
+        m.groupby("n_name")["rev_c"].sum().reset_index()
+        .rename(columns={"rev_c": "revenue_c"})
+        .sort_values(["revenue_c", "n_name"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), exp.astype({"revenue_c": "int64"})
+    )
