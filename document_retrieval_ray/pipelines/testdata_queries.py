@@ -1477,6 +1477,59 @@ def q_ann_topk_pq(sf_dir: str):
     )
 
 
+def q_ann_topk_ivfpq(sf_dir: str):
+    """ANN top-k over IVF + PQ combined (the FAISS IndexIVFPQ shape, PQ
+    over raw vectors rather than residuals): the coarse k-means quantizer
+    prunes each query's scan to its ``IVF_NPROBE`` cells AND the pruned
+    candidates rank by PQ ADC distance, so at 10^12 vectors the scan
+    touches nlist/nprobe of the data and ships only cell + code columns
+    (nsub bytes per vector). Both codebook fits are the existing
+    distributed deterministic Lloyd passes; the DuckDB oracle re-derives
+    both chains and composes them."""
+    from ..stages.ann import (
+        IVFPQTopK, final_topk_pq, fit_ivf_centroids, fit_pq_codebooks,
+        ivf_assign_batch, pq_encode_batch,
+    )
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    cent = fit_ivf_centroids(emb, IVF_NLIST, IVF_NITER)
+    cb = fit_pq_codebooks(emb, PQ_NSUB, PQ_KSUB, PQ_NITER)
+    data = (
+        emb.map_batches(ivf_assign_batch, fn_kwargs={"centroids": cent},
+                        batch_format="pyarrow")
+        .map_batches(pq_encode_batch, fn_kwargs={"codebooks": cb},
+                     batch_format="pyarrow")
+        .drop_columns(["embedding"])
+    )
+    qid_arr = pa.array(list(ANN_QUERY_IDS), pa.int64())
+    qrows = {
+        r["vec_id"]: r["embedding"]
+        for r in emb.map_batches(
+            lambda t: t.filter(pc.is_in(t["vec_id"], value_set=qid_arr)),
+            batch_format="pyarrow",
+        ).take_all()
+    }
+    qids = sorted(qrows)
+    qmat = np.array([qrows[q] for q in qids], dtype=np.float64)
+    # probe cells exactly as q_ann_topk_ivf (fixed-point distances,
+    # stable argsort → ties to the smaller cell, same as the oracle)
+    d = ((qmat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    dx = np.floor(d * IVF_DIST_SCALE + 0.5)
+    order = np.argsort(dx, axis=1, kind="stable")
+    qcells = order[:, :IVF_NPROBE]
+    ref = ray.put((qids, qmat, [c.tolist() for c in qcells]))
+    partial = data.map_batches(
+        IVFPQTopK,
+        fn_constructor_kwargs={"queries_ref": ref, "codebooks": cb, "k": 10},
+        batch_format="pyarrow",
+        concurrency=default_pool(),
+    )
+    return partial.groupby("query_vec").map_groups(
+        final_topk_pq, batch_format="pandas"
+    )
+
+
 def q_token_stats(sf_dir: str):
     return _docs(sf_dir).map_batches(doc_stats_batch, batch_format="pyarrow")
 
@@ -5456,6 +5509,7 @@ QUERIES = {
     "kmeans_clusters": q_kmeans_clusters,
     "pq_codes": q_pq_codes,
     "ann_topk_pq": q_ann_topk_pq,
+    "ann_topk_ivfpq": q_ann_topk_ivfpq,
     "token_stats": q_token_stats,
     "langid": q_langid,
     "binary_meta": q_binary_meta,
@@ -5815,7 +5869,7 @@ SELECT query_vec, rank, vec_id, cos_x FROM ranked WHERE rank <= 10
 """
 
 
-def _ivf_fasg_ctes(nlist: int, niter: int) -> str:
+def _ivf_fasg_ctes(nlist: int, niter: int, with_prefix: bool = True) -> str:
     """WITH-chain re-deriving the engine's k-means centroids from the
     data and the final cell assignment (``fasg``) — init = embeddings of
     vec_id < nlist, then ``niter`` chained Lloyd iterations (assignment
@@ -5825,7 +5879,9 @@ def _ivf_fasg_ctes(nlist: int, niter: int) -> str:
     comparison goes through the same fixed-point grids as stages/ann.py
     (IVF_DIST_SCALE / IVF_SUM_SCALE). Shared by the IVF-ANN and
     kmeans-clustering oracles."""
-    ctes = [f"WITH {_EMB_UNNEST},"]
+    # with_prefix=False lets the chain append to another WITH-chain that
+    # already defined the shared ``u`` unnest (the IVF+PQ composition)
+    ctes = [f"WITH {_EMB_UNNEST}," if with_prefix else ","]
     ctes.append(
         f"cent0 AS (SELECT vec_id AS cell, i, v AS c FROM u "
         f"WHERE vec_id < {nlist})"
@@ -6035,6 +6091,66 @@ ranked AS (
   FROM ad
 )
 SELECT query_vec, rank, vec_id, ad_x FROM ranked WHERE rank <= {k}"""
+
+
+def _ivfpq_sql(nlist: int = IVF_NLIST, nprobe: int = IVF_NPROBE,
+               niter: int = IVF_NITER, nsub: int = PQ_NSUB,
+               ksub: int = PQ_KSUB, pq_niter: int = PQ_NITER,
+               k: int = 10) -> str:
+    """IVF+PQ ANN oracle: the PQ codebook/code chain and the IVF
+    centroid/assignment chain run over the same shared ``u`` unnest,
+    then the ADC distance joins of the PQ oracle are additionally
+    constrained to candidates whose IVF cell is among the query's
+    ``nprobe`` probed cells — exactly the engine's pruning."""
+    qts = "".join(f""",
+qt{j} AS MATERIALIZED (
+  SELECT u.vec_id AS query_vec, p.cell AS cell,
+         floor(sum((u.v - p.c) * (u.v - p.c)) * 1000000000.0 + 0.5) AS dx
+  FROM u{j} u JOIN p{j}c{pq_niter} p ON p.i = u.i
+  WHERE u.vec_id IN {ANN_QUERY_IDS}
+  GROUP BY u.vec_id, p.cell
+)""" for j in range(nsub))
+    joins = "".join(
+        f"\n  JOIN p{j}fa f{j} ON f{j}.vec_id = f0.vec_id"
+        for j in range(1, nsub)
+    ) + "".join(
+        f"\n  JOIN qt{j} q{j} ON q{j}.cell = f{j}.cell"
+        + (" AND q%d.query_vec = q0.query_vec" % j if j else "")
+        for j in range(nsub)
+    )
+    dist = " + ".join(f"q{j}.dx" for j in range(nsub))
+    return (
+        _pq_ctes(nsub, ksub, pq_niter)
+        + _ivf_fasg_ctes(nlist, niter, with_prefix=False)
+        + qts
+        + f""",
+qdist AS (
+  SELECT vec_id AS query_vec, cell, dx FROM fdist
+  WHERE vec_id IN {ANN_QUERY_IDS}
+),
+probe AS (
+  SELECT query_vec, cell FROM (
+    SELECT query_vec, cell,
+           row_number() OVER (PARTITION BY query_vec
+                              ORDER BY dx ASC, cell ASC) AS rn
+    FROM qdist) t WHERE rn <= {nprobe}
+),
+ad AS (
+  SELECT q0.query_vec AS query_vec, f0.vec_id AS vec_id,
+         CAST({dist} AS BIGINT) AS ad_x
+  FROM p0fa f0{joins}
+  JOIN fasg fa ON fa.vec_id = f0.vec_id
+  JOIN probe pr ON pr.query_vec = q0.query_vec AND pr.cell = fa.cell
+  WHERE f0.vec_id <> q0.query_vec
+),
+ranked AS (
+  SELECT query_vec, vec_id, ad_x,
+         row_number() OVER (PARTITION BY query_vec
+                            ORDER BY ad_x ASC, vec_id ASC) AS rank
+  FROM ad
+)
+SELECT query_vec, rank, vec_id, ad_x FROM ranked WHERE rank <= {k}"""
+    )
 
 
 def _sentence_bm25_sql(k1: float = 1.5, b: float = 0.75,
@@ -6654,6 +6770,7 @@ GROUP BY ex.query_vec
     "kmeans_clusters": _kmeans_sql(),
     "pq_codes": _pq_codes_sql(),
     "ann_topk_pq": _pq_topk_sql(),
+    "ann_topk_ivfpq": _ivfpq_sql(),
     "token_stats": _token_stats_sql(),
     "langid": _langid_sql(),
     "binary_meta": "SELECT doc_id, octet_length(encode(text)) AS n_bytes, "

@@ -529,6 +529,71 @@ class PQTopK:
         )
 
 
+class IVFPQTopK:
+    """IVF+PQ ANN (FAISS IndexIVFPQ shape, PQ over raw vectors rather
+    than residuals — documented simplification so the codebooks stay
+    independently oracle-derivable): the coarse quantizer prunes the
+    scan to each query's ``nprobe`` cells and the pruned candidates are
+    ranked by PQ ADC distance — the scan ships ONLY the cell id and the
+    code columns, which is the full 10^12-vector recipe (memory = nsub
+    bytes/vector, compute = |probed cells| table lookups).
+
+    ``queries_ref`` resolves to (qids, qmat, qcells) where qcells[i] is
+    query i's probed cell list (computed on the driver from the same
+    fixed-point centroid distances as the IVF oracle)."""
+
+    def __init__(self, queries_ref, codebooks: np.ndarray, k: int = 10,
+                 margin: int = 32, id_col: str = "vec_id"):
+        import ray
+
+        qids, qmat, qcells = ray.get(queries_ref)
+        self.qids = list(qids)
+        self.qcells = [np.asarray(c, dtype=np.int64) for c in qcells]
+        qmat = np.asarray(qmat, dtype=np.float64)
+        nsub, ksub, subdim = codebooks.shape
+        self.nsub = nsub
+        tabs = np.empty((len(self.qids), nsub, ksub), dtype=np.int64)
+        for j in range(nsub):
+            qsub = qmat[:, j * subdim:(j + 1) * subdim]
+            d = ((qsub[:, None, :] - codebooks[j][None, :, :]) ** 2).sum(axis=2)
+            tabs[:, j, :] = np.floor(d * IVF_DIST_SCALE + 0.5).astype(np.int64)
+        self.tables = tabs
+        self.keep = k + margin
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        cells = batch["cell"].to_numpy(zero_copy_only=False)
+        codes = np.stack(
+            [batch[f"code_s{j}"].to_numpy(zero_copy_only=False)
+             for j in range(self.nsub)],
+            axis=1,
+        )
+        out_q, out_v, out_d = [], [], []
+        subs = np.arange(self.nsub)
+        for qi, qid in enumerate(self.qids):
+            cand = np.nonzero(np.isin(cells, self.qcells[qi])
+                              & (ids != qid))[0]
+            if cand.size == 0:
+                continue
+            dist = self.tables[qi][subs[None, :], codes[cand]].sum(axis=1)
+            k = min(self.keep, cand.size)
+            # exact local top-k under the final (ad, vec_id) order — the
+            # quantized distances tie heavily (see PQTopK)
+            order = np.lexsort((ids[cand], dist))[:k]
+            top = cand[order]
+            out_q.extend([qid] * k)
+            out_v.extend(ids[top].tolist())
+            out_d.extend(dist[order].tolist())
+        return pa.table(
+            {
+                "query_vec": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "ad_x": pa.array(out_d, pa.int64()),
+            }
+        )
+
+
 def final_topk_pq(group: pd.DataFrame, k: int = 10) -> pd.DataFrame:
     """(query_vec) group of PQTopK partials → global top-k by approximate
     distance (ad_x asc, vec_id asc — the SQL oracle's row_number order)."""

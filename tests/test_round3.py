@@ -1237,3 +1237,68 @@ def test_rel_q5_pandas_oracle():
     pd.testing.assert_frame_equal(
         got.reset_index(drop=True), exp.astype({"revenue_c": "int64"})
     )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ivfpq_numpy_replay():
+    """ann_topk_ivfpq vs a driver-side numpy replay of the composition
+    (cells, codes, ADC tables, probe pruning, tie order) on sf0.001 —
+    independent of the DuckDB oracle."""
+    import ray.data
+
+    from document_retrieval_ray.pipelines.testdata_queries import (
+        ANN_QUERY_IDS,
+        IVF_NITER,
+        IVF_NLIST,
+        IVF_NPROBE,
+        PQ_KSUB,
+        PQ_NITER,
+        PQ_NSUB,
+        q_ann_topk_ivfpq,
+    )
+    from document_retrieval_ray.stages.ann import (
+        IVF_DIST_SCALE,
+        fit_ivf_centroids,
+        fit_pq_codebooks,
+        ivf_assign_cells,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = q_ann_topk_ivfpq(sf)
+    got = (got.to_pandas() if hasattr(got, "to_pandas") else got).sort_values(
+        ["query_vec", "rank"]).reset_index(drop=True)
+
+    emb = ray.data.read_parquet(f"{sf}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    rows = sorted((r["vec_id"], r["embedding"]) for r in emb.take_all())
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    cent = fit_ivf_centroids(emb, IVF_NLIST, IVF_NITER)
+    cb = fit_pq_codebooks(emb, PQ_NSUB, PQ_KSUB, PQ_NITER)
+    subdim = mat.shape[1] // PQ_NSUB
+    cells = ivf_assign_cells(mat, cent)
+    codes = np.stack(
+        [ivf_assign_cells(mat[:, j * subdim:(j + 1) * subdim], cb[j])
+         for j in range(PQ_NSUB)], axis=1)
+
+    exp_rows = []
+    for qid in ANN_QUERY_IDS:
+        qv = mat[ids == qid][0]
+        dq = np.floor(((qv[None, :] - cent) ** 2).sum(axis=1)
+                      * IVF_DIST_SCALE + 0.5)
+        probe = np.argsort(dq, kind="stable")[:IVF_NPROBE]
+        tabs = np.stack([
+            np.floor(((qv[j * subdim:(j + 1) * subdim][None, :] - cb[j]) ** 2)
+                     .sum(axis=1) * IVF_DIST_SCALE + 0.5).astype(np.int64)
+            for j in range(PQ_NSUB)])
+        cand = np.nonzero(np.isin(cells, probe) & (ids != qid))[0]
+        ad = tabs[np.arange(PQ_NSUB)[None, :], codes[cand]].sum(axis=1)
+        order = np.lexsort((ids[cand], ad))[:10]
+        for rk, o in enumerate(order, 1):
+            exp_rows.append((qid, rk, ids[cand][o], ad[o]))
+    exp = pd.DataFrame(exp_rows,
+                       columns=["query_vec", "rank", "vec_id", "ad_x"])
+    pd.testing.assert_frame_equal(
+        got[["query_vec", "rank", "vec_id", "ad_x"]],
+        exp.astype({c: "int64" for c in exp.columns}),
+    )
