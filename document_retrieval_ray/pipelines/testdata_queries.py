@@ -5160,6 +5160,88 @@ def q_source_lift(sf_dir: str):
     return lifted.groupby("source").map_groups(topk, batch_format="pandas")
 
 
+# debounce window for event_dedup (exact integer microseconds)
+EVENT_DEDUP_WINDOW_US = 3_600_000_000
+
+
+def q_event_dedup(sf_dir: str):
+    """Time-windowed event deduplication (debounce): drop an event when
+    the SAME (user_id, event_type) fired strictly less than
+    EVENT_DEDUP_WINDOW_US earlier (previous-event semantics, i.e. SQL
+    ``lag``; ties on ts collapse to the lowest event_id). The standard
+    at-least-once-delivery cleanup of a 100 TB event log.
+
+    Distributed as a user_id-hash cogroup (the sessionize plan): a
+    user's timeline colocates, the kernel is one lexsort + one
+    groupby-shift — no per-row Python. Exact integer microseconds
+    end-to-end."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "event_id": t["event_id"],
+            "event_type": t["event_type"],
+            "tsu": pc.cast(t["ts"], pa.int64()),
+        })
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "event_type", "tsu", "event_id"])
+        prev = g.groupby(["user_id", "event_type"], sort=False)["tsu"].shift()
+        keep = prev.isna() | ((g["tsu"] - prev) >= EVENT_DEDUP_WINDOW_US)
+        out = g.loc[keep, ["event_id", "user_id", "event_type"]]
+        return out.reset_index(drop=True)
+
+    return _parted(ev.map_batches(prep, batch_format="pyarrow"),
+                   ("user_id",)).map_groups(kern, batch_format="pandas")
+
+
+_EVENT_DEDUP_SQL = f"""
+WITH x AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS tsu,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+                                 ORDER BY epoch_us(ts), event_id) AS prev
+  FROM events
+)
+SELECT event_id, user_id, event_type FROM x
+WHERE prev IS NULL OR tsu - prev >= {EVENT_DEDUP_WINDOW_US}
+"""
+
+
+def q_rel_rollup(sf_dir: str):
+    """Multi-level aggregate (GROUP BY ROLLUP shape): leaf, per-flag
+    subtotal, and grand-total rows from ONE distributed pass — the
+    subtotals derive on the driver from the |flags×statuses|-sized leaf
+    frame (exact: everything is fixed-point integer), so no second scan
+    and no extra shuffle. 'ALL' is the rollup sentinel."""
+    leaf = q_rel_agg(sf_dir).to_pandas()
+    leaf = leaf.astype({"n": "int64", "qty_c": "int64", "price_c": "int64",
+                        "disc_price_c": "int64"})
+    meas = ["n", "qty_c", "price_c", "disc_price_c"]
+    sub = leaf.groupby("l_returnflag", as_index=False)[meas].sum()
+    sub["l_linestatus"] = "ALL"
+    tot = leaf[meas].sum().to_frame().T
+    tot["l_returnflag"] = "ALL"
+    tot["l_linestatus"] = "ALL"
+    cols = ["l_returnflag", "l_linestatus"] + meas
+    out = pd.concat([leaf[cols], sub[cols], tot[cols]], ignore_index=True)
+    return out.astype({m: "int64" for m in meas})
+
+
+_REL_ROLLUP_SQL = """
+SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+       COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+       count(*) AS n,
+       CAST(sum(CAST(floor(l_quantity*100 + 0.5) AS BIGINT)) AS BIGINT) AS qty_c,
+       CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS price_c,
+       CAST(sum(CAST(floor(l_extendedprice*(1 - l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT) AS disc_price_c
+FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
 # TPC-H-Q5-shaped multiway join parameters
 REL_Q5_REGION = "ASIA"
 REL_Q5_FROM = "1996-01-01"
@@ -5516,6 +5598,8 @@ QUERIES = {
     "rel_agg": q_rel_agg,
     "rel_join_top": q_rel_join_top,
     "rel_q5": q_rel_q5,
+    "rel_rollup": q_rel_rollup,
+    "event_dedup": q_event_dedup,
     "embed_outliers": q_embed_outliers,
     "rel_window": q_rel_window,
     "rel_asof": q_rel_asof,
@@ -6783,6 +6867,8 @@ SELECT l_returnflag, l_linestatus, count(*) AS n,
 FROM lineitem GROUP BY l_returnflag, l_linestatus
 """,
     "rel_q5": _REL_Q5_SQL,
+    "rel_rollup": _REL_ROLLUP_SQL,
+    "event_dedup": _EVENT_DEDUP_SQL,
     "embed_outliers": _EMB_OUT_SQL,
     "rel_join_top": """
 WITH rev AS (

@@ -1302,3 +1302,70 @@ def test_ivfpq_numpy_replay():
         got[["query_vec", "rank", "vec_id", "ad_x"]],
         exp.astype({c: "int64" for c in exp.columns}),
     )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_event_dedup_burst_semantics(tmp_path):
+    """Crafted bursts: previous-event (lag) semantics — a chain where
+    each event is within the window of its predecessor collapses to its
+    first event even when the chain outlasts the window; exact-tie
+    events collapse to the lowest event_id; other event_types and other
+    users never interact."""
+    import pyarrow.parquet as pq
+
+    from document_retrieval_ray.pipelines.testdata_queries import (
+        EVENT_DEDUP_WINDOW_US,
+        q_event_dedup,
+    )
+
+    W = EVENT_DEDUP_WINDOW_US
+    base = 1_700_000_000_000_000
+    rows = [
+        # user 1 click chain: 0, 0.6W, 1.2W — e2 within W of e1, e3
+        # within W of e2 (but 1.2W from e1): lag semantics drop BOTH
+        (1, 1, "click", base),
+        (2, 1, "click", base + int(0.6 * W)),
+        (3, 1, "click", base + int(1.2 * W)),
+        # exact tie: same user/type/ts → keep lowest event_id
+        (4, 1, "view", base), (5, 1, "view", base),
+        # gap exactly == W is NOT a duplicate (strict <)
+        (6, 1, "buy", base), (7, 1, "buy", base + W),
+        # another user same type/ts as user 1 → independent
+        (8, 2, "click", base),
+    ]
+    tbl = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[3] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "event_type": pa.array([r[2] for r in rows]),
+        "value": pa.array([1.0] * len(rows)),
+        "props": pa.array(["{}"] * len(rows)),
+    })
+    pq.write_table(tbl, f"{tmp_path}/events.parquet")
+    out = q_event_dedup(str(tmp_path))
+    out = out.to_pandas() if hasattr(out, "to_pandas") else out
+    assert sorted(out["event_id"]) == [1, 4, 6, 7, 8]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_rel_rollup_internally_consistent():
+    """Leaf rows sum to their flag subtotal, subtotals sum to the grand
+    total, and the grand total equals the raw lineitem row count."""
+    import pyarrow.parquet as pq
+
+    from document_retrieval_ray.pipelines.testdata_queries import q_rel_rollup
+
+    sf = "/root/testdata/sf0.001"
+    out = q_rel_rollup(sf)
+    leaf = out[(out.l_returnflag != "ALL") & (out.l_linestatus != "ALL")]
+    sub = out[(out.l_returnflag != "ALL") & (out.l_linestatus == "ALL")]
+    tot = out[(out.l_returnflag == "ALL") & (out.l_linestatus == "ALL")]
+    assert len(tot) == 1
+    for m in ("n", "qty_c", "price_c", "disc_price_c"):
+        assert leaf[m].sum() == int(tot[m].iloc[0])
+        assert sub[m].sum() == int(tot[m].iloc[0])
+        per_flag = leaf.groupby("l_returnflag")[m].sum()
+        for flag, v in per_flag.items():
+            assert int(sub.loc[sub.l_returnflag == flag, m].iloc[0]) == v
+    n_rows = pq.read_metadata(f"{sf}/lineitem.parquet").num_rows
+    assert int(tot["n"].iloc[0]) == n_rows
