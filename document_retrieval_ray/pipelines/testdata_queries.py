@@ -5160,6 +5160,74 @@ def q_source_lift(sf_dir: str):
     return lifted.groupby("source").map_groups(topk, batch_format="pandas")
 
 
+# related_docs: keyword-df cap (non-discriminative keywords skipped —
+# bounds the per-term pair fan-out at C(cap, 2)) and min shared keywords
+RELATED_MAX_TERM_DOCS = 64
+RELATED_MIN_SHARED = 2
+
+
+def q_related_docs(sf_dir: str):
+    """Related-content pairs: unordered doc pairs sharing at least
+    RELATED_MIN_SHARED of their top-3 tf·idf keywords — the bounded
+    sparse similarity self-join behind "more like this" at corpus scale.
+
+    Scale plan: the keyword table (3 rows/doc, from the one-scan
+    `q_tfidf_keywords` cogroup) is term-hash partitioned; a term shared
+    by k docs emits C(k, 2) pairs ONLY when 2 <= k <=
+    RELATED_MAX_TERM_DOCS (a keyword common to more docs is not
+    discriminative — the deterministic cap both sides mirror), so the
+    pair exchange is bounded by |terms|·C(cap, 2); the final (a, b)
+    count-groupby moves pair rows only."""
+    kw = q_tfidf_keywords(sf_dir).select_columns(["doc_id", "term"])
+
+    def pair_kern(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, sub in g.groupby("term", sort=False):
+            ids = np.sort(sub["doc_id"].to_numpy())
+            k = len(ids)
+            if k < 2 or k > RELATED_MAX_TERM_DOCS:
+                continue
+            ai, bi = np.triu_indices(k, 1)
+            out_a.append(ids[ai])
+            out_b.append(ids[bi])
+        if not out_a:
+            return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                                 "b": pd.Series(dtype="int64")})
+        return pd.DataFrame({"a": np.concatenate(out_a),
+                             "b": np.concatenate(out_b)})
+
+    pairs = _parted(kw, ("term",)).map_groups(pair_kern,
+                                              batch_format="pandas")
+
+    agg = pairs.groupby(["a", "b"]).count()
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.rename_columns(["a", "b", "n_shared"])
+        t = t.set_column(2, "n_shared", pc.cast(t["n_shared"], pa.int64()))
+        return t.filter(
+            pc.greater_equal(t["n_shared"], pa.scalar(RELATED_MIN_SHARED))
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _related_docs_sql() -> str:
+    kw = ORACLE_SQL["tfidf_keywords"]
+    return f"""
+WITH kw AS ({kw}),
+kd AS (SELECT term FROM kw GROUP BY term
+       HAVING count(*) BETWEEN 2 AND {RELATED_MAX_TERM_DOCS}),
+p AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS n_shared
+  FROM kw a JOIN kw b ON b.term = a.term AND b.doc_id > a.doc_id
+  JOIN kd ON kd.term = a.term
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT a, b, CAST(n_shared AS BIGINT) AS n_shared
+FROM p WHERE n_shared >= {RELATED_MIN_SHARED}
+"""
+
+
 # debounce window for event_dedup (exact integer microseconds)
 EVENT_DEDUP_WINDOW_US = 3_600_000_000
 
@@ -5598,6 +5666,7 @@ QUERIES = {
     "rel_agg": q_rel_agg,
     "rel_join_top": q_rel_join_top,
     "rel_q5": q_rel_q5,
+    "related_docs": q_related_docs,
     "rel_rollup": q_rel_rollup,
     "event_dedup": q_event_dedup,
     "embed_outliers": q_embed_outliers,
@@ -7209,3 +7278,6 @@ SELECT source, CAST(rank AS BIGINT) AS rank, term, c, lift_x
 FROM r WHERE rank <= {SOURCE_LIFT_TOPK}
 """,
 }
+
+# composes the tfidf_keywords oracle, so it registers after the dict
+ORACLE_SQL["related_docs"] = _related_docs_sql()

@@ -1369,3 +1369,37 @@ def test_rel_rollup_internally_consistent():
             assert int(sub.loc[sub.l_returnflag == flag, m].iloc[0]) == v
     n_rows = pq.read_metadata(f"{sf}/lineitem.parquet").num_rows
     assert int(tot["n"].iloc[0]) == n_rows
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_related_docs_pandas_replay():
+    """related_docs vs a driver-side pandas replay of the pairing rule
+    (df-cap, a<b order, shared-count threshold) over the engine's own
+    keyword table (itself oracled separately)."""
+    from document_retrieval_ray.pipelines.testdata_queries import (
+        RELATED_MAX_TERM_DOCS,
+        RELATED_MIN_SHARED,
+        q_related_docs,
+        q_tfidf_keywords,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = q_related_docs(sf)
+    got = (got.to_pandas() if hasattr(got, "to_pandas") else got)
+    got = got.sort_values(["a", "b"]).reset_index(drop=True)
+    assert (got["a"] < got["b"]).all()
+    assert got["n_shared"].between(RELATED_MIN_SHARED, 3).all()
+
+    kw = q_tfidf_keywords(sf).to_pandas()[["doc_id", "term"]]
+    sizes = kw.groupby("term")["doc_id"].transform("size")
+    kw = kw[(sizes >= 2) & (sizes <= RELATED_MAX_TERM_DOCS)]
+    m = kw.merge(kw, on="term")
+    m = m[m.doc_id_x < m.doc_id_y]
+    exp = (
+        m.groupby(["doc_id_x", "doc_id_y"]).size().reset_index(name="n_shared")
+    )
+    exp = exp[exp.n_shared >= RELATED_MIN_SHARED].rename(
+        columns={"doc_id_x": "a", "doc_id_y": "b"})
+    exp = exp.sort_values(["a", "b"]).reset_index(drop=True).astype(
+        {"a": "int64", "b": "int64", "n_shared": "int64"})
+    pd.testing.assert_frame_equal(got, exp)
