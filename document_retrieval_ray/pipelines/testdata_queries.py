@@ -5160,6 +5160,55 @@ def q_source_lift(sf_dir: str):
     return lifted.groupby("source").map_groups(topk, batch_format="pandas")
 
 
+# quality_sample: entropy tier cuts (fx4 nats) and per-tier keep rates
+# (2-hex-digit md5 thresholds, the sample_stratified idiom): boilerplate
+# tier ~12.5 %, mid tier 50 %, diverse tier ~99.6 %
+QS_TIER_CUTS = (29_000, 32_000)
+QS_RATES = ("20", "80", "ff")
+
+
+def q_quality_sample(sf_dir: str):
+    """Quality-weighted deterministic sampling (curriculum-style): docs
+    bucket into diversity tiers by token entropy and each tier keeps a
+    different deterministic md5 fraction — the standard up-weighting of
+    diverse text over boilerplate when building a training mix. Zero
+    shuffles end-to-end: entropy is per-document (q_token_entropy's
+    scan) and the keep decision is a pure function of (doc_id, tier),
+    reproducible without RNG state."""
+    from ..functions.hashing import md5_hex
+
+    def pick(t: pa.Table) -> pd.DataFrame:
+        ent = t["entropy_x"].to_numpy(zero_copy_only=False)
+        tier = np.digitize(ent, QS_TIER_CUTS).astype(np.int64)
+        ids = t["doc_id"].to_pylist()
+        keep = np.array(
+            [md5_hex(str(i))[:2] < QS_RATES[tr]
+             for i, tr in zip(ids, tier)]
+        )
+        return pd.DataFrame({"doc_id": np.asarray(ids, dtype=np.int64)[keep],
+                             "tier": tier[keep]})
+
+    return q_token_entropy(sf_dir).map_batches(pick, batch_format="pyarrow")
+
+
+def _quality_sample_sql() -> str:
+    te = ORACLE_SQL["token_entropy"]
+    t1, t2 = QS_TIER_CUTS
+    r0, r1, r2 = QS_RATES
+    return f"""
+WITH te AS ({te}),
+t AS (
+  SELECT doc_id,
+         CASE WHEN entropy_x < {t1} THEN 0
+              WHEN entropy_x < {t2} THEN 1 ELSE 2 END AS tier
+  FROM te
+)
+SELECT doc_id, CAST(tier AS BIGINT) AS tier FROM t
+WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+      CASE tier WHEN 0 THEN '{r0}' WHEN 1 THEN '{r1}' ELSE '{r2}' END
+"""
+
+
 # related_docs: keyword-df cap (non-discriminative keywords skipped —
 # bounds the per-term pair fan-out at C(cap, 2)) and min shared keywords
 RELATED_MAX_TERM_DOCS = 64
@@ -5697,6 +5746,7 @@ QUERIES = {
     "pmi_pairs": q_pmi_pairs,
     "range_join": q_range_join,
     "sample_stratified": q_sample_stratified,
+    "quality_sample": q_quality_sample,
     "source_cap": q_source_cap,
     "rep_quality": q_rep_quality,
     "dup_spans": q_dup_spans,
@@ -7279,5 +7329,6 @@ FROM r WHERE rank <= {SOURCE_LIFT_TOPK}
 """,
 }
 
-# composes the tfidf_keywords oracle, so it registers after the dict
+# these compose other oracle entries, so they register after the dict
 ORACLE_SQL["related_docs"] = _related_docs_sql()
+ORACLE_SQL["quality_sample"] = _quality_sample_sql()

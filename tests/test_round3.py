@@ -1403,3 +1403,36 @@ def test_related_docs_pandas_replay():
     exp = exp.sort_values(["a", "b"]).reset_index(drop=True).astype(
         {"a": "int64", "b": "int64", "n_shared": "int64"})
     pd.testing.assert_frame_equal(got, exp)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_quality_sample_determinism_and_rates():
+    """quality_sample is a pure function of the row (two invocations are
+    identical), tiers follow the entropy cuts, and each tier's keep rate
+    lands near its md5 threshold."""
+    from document_retrieval_ray.pipelines.testdata_queries import (
+        QS_RATES,
+        QS_TIER_CUTS,
+        q_quality_sample,
+        q_token_entropy,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a = q_quality_sample(sf).to_pandas().sort_values("doc_id").reset_index(
+        drop=True)
+    b = q_quality_sample(sf).to_pandas().sort_values("doc_id").reset_index(
+        drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+    ent = q_token_entropy(sf).to_pandas().set_index("doc_id")["entropy_x"]
+    tiers = np.digitize(ent.loc[a["doc_id"]].to_numpy(), QS_TIER_CUTS)
+    assert (tiers == a["tier"].to_numpy()).all()
+    # every tier keeps < its md5 ceiling and the kept set is non-trivial
+    full_tiers = np.digitize(ent.to_numpy(), QS_TIER_CUTS)
+    for tr, rate_hex in enumerate(QS_RATES):
+        n_all = int((full_tiers == tr).sum())
+        n_kept = int((a["tier"] == tr).sum())
+        if n_all:
+            expect = int(rate_hex, 16) / 256.0
+            assert abs(n_kept / n_all - expect) < 0.15
+    assert 0 < len(a) < len(ent)
