@@ -5662,6 +5662,248 @@ FROM r WHERE rank <= {EMB_OUT_TOPK}
 """
 
 
+# group_percentiles: exact per-event-type value percentiles
+GP_PCTS = (25, 50, 75, 90, 99)
+
+
+def q_group_percentiles(sf_dir: str):
+    """Exact per-group percentiles (p25/p50/p75/p90/p99 of event value
+    per event_type) — the grouped-quantile primitive a data-quality
+    dashboard needs. Same plan as dl_percentiles: values quantize to
+    exact integer cents, each batch emits a (type, cents) partial
+    histogram, one bounded groupby-sum combines them (rows = distinct
+    cent values per type, NOT rows of input), and the driver walks the
+    ≤|types| cumulative sums. Zero input-sized shuffles at any scale."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        vc = np.floor(
+            t["value"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        pdf = (pd.DataFrame({"event_type": t["event_type"].to_pandas(),
+                             "vc": vc})
+               .groupby(["event_type", "vc"], sort=False)
+               .size().reset_index(name="n"))
+        return pa.Table.from_pandas(pdf, preserve_index=False)
+
+    hist = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "vc"])
+        .aggregate(ray.data.aggregate.Sum("n", alias_name="n"))
+        .to_pandas()  # bounded: one row per distinct (type, cents)
+    )
+    rows = []
+    for et, g in hist.groupby("event_type"):
+        g = g.sort_values("vc")
+        cum = g["n"].to_numpy(np.int64).cumsum()
+        vcv = g["vc"].to_numpy(np.int64)
+        tot = int(cum[-1])
+        row = {"event_type": et}
+        for p in GP_PCTS:
+            thresh = (p * tot + 99) // 100  # exact ceil(p*tot/100)
+            row[f"p{p}"] = int(vcv[np.searchsorted(cum, thresh, side="left")])
+        rows.append(row)
+    return (pd.DataFrame(rows).sort_values("event_type")
+            .reset_index(drop=True))
+
+
+_GP_PCT_COLS = ",\n  ".join(
+    f"min(vc) FILTER (WHERE cum >= ceil(({p} * tot) / 100.0)) AS p{p}"
+    for p in GP_PCTS
+)
+_GROUP_PCT_SQL = f"""
+WITH v AS (
+  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+  FROM events
+),
+h AS (SELECT event_type, vc, count(*) AS n FROM v GROUP BY event_type, vc),
+c AS (SELECT event_type, vc,
+        sum(n) OVER (PARTITION BY event_type ORDER BY vc) AS cum,
+        sum(n) OVER (PARTITION BY event_type) AS tot
+      FROM h)
+SELECT event_type,
+  {_GP_PCT_COLS}
+FROM c GROUP BY event_type
+"""
+
+
+def q_rel_antijoin(sf_dir: str):
+    """Anti-join primitive (TPC-H Q22 shape): customers with an
+    above-average account balance who placed NO urgent order. The
+    above-average test is exact integer cross-multiplication
+    (vc·n > Σvc — no float average), and the anti-join is a custkey-hash
+    cogroup where the orders side is pre-filtered to '1-URGENT' and
+    ships only per-batch-distinct custkeys (a key set, not order rows):
+    per partition, keep the customer rows whose key never appears on the
+    orders side. Exchange = |customers| + |distinct urgent custkeys|
+    rows; no broadcast, no driver set."""
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_acctbal"])
+
+    def c_cents(t: pa.Table) -> pa.Table:
+        vc = np.floor(
+            t["c_acctbal"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        return pa.table({"key": pc.cast(t["c_custkey"], pa.int64()),
+                         "vc": pa.array(vc, pa.int64())})
+
+    cents = cust.map_batches(c_cents, batch_format="pyarrow")
+
+    def bal_partial(t: pa.Table) -> pa.Table:
+        vc = t["vc"].to_numpy(zero_copy_only=False)
+        return pa.table({"s": pa.array([int(vc.sum())], pa.int64()),
+                         "n": pa.array([len(vc)], pa.int64())})
+
+    stats = cents.map_batches(bal_partial, batch_format="pyarrow").to_pandas()
+    tot, n = int(stats["s"].sum()), int(stats["n"].sum())
+
+    def c_rows(t: pa.Table) -> pa.Table:
+        vc = t["vc"].to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(vc * n > tot))
+        return pa.table({"kind": pa.array(np.zeros(len(t), np.int8)),
+                         "key": t["key"], "vc": t["vc"]})
+
+    def o_rows(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["o_orderpriority"], "1-URGENT"))
+        keys = np.unique(pc.cast(t["o_custkey"], pa.int64())
+                         .to_numpy(zero_copy_only=False))
+        return pa.table({"kind": pa.array(np.ones(len(keys), np.int8)),
+                         "key": pa.array(keys, pa.int64()),
+                         "vc": pa.array(np.zeros(len(keys), np.int64))})
+
+    cand = cents.map_batches(c_rows, batch_format="pyarrow")
+    okeys = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderpriority"],
+    ).map_batches(o_rows, batch_format="pyarrow")
+
+    def anti(g: pd.DataFrame) -> pd.DataFrame:
+        c = g[g["kind"] == 0]
+        placed = g.loc[g["kind"] == 1, "key"].to_numpy()
+        keep = c[~c["key"].isin(placed)]
+        return pd.DataFrame({
+            "c_custkey": keep["key"].to_numpy(np.int64),
+            "acctbal_cents": keep["vc"].to_numpy(np.int64)})
+
+    return _parted(cand.union(okeys), ("key",)).map_groups(
+        anti, batch_format="pandas"
+    ).select_columns(["c_custkey", "acctbal_cents"])
+
+
+_REL_ANTIJOIN_SQL = """
+WITH c AS (
+  SELECT c_custkey,
+         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS vc
+  FROM customer
+),
+s AS (SELECT CAST(sum(vc) AS BIGINT) AS tot,
+             CAST(count(*) AS BIGINT) AS n FROM c)
+SELECT c.c_custkey AS c_custkey, c.vc AS acctbal_cents
+FROM c, s
+WHERE c.vc * s.n > s.tot
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+"""
+
+
+# linreg_fit: fixed-point scale for the fitted coefficients
+LINREG_SCALE = 10**9
+
+
+def q_linreg_fit(sf_dir: str):
+    """Distributed ordinary-least-squares fit (the trainable-regression
+    analog of nb_classify): predict a document's character count from
+    two integer features — tokenized length dl and 'e'-occurrence
+    count (a letter-frequency feature; the synthetic text carries no
+    punctuation) — by
+    solving the 3×3 normal equations. Each batch emits ONE row of exact
+    int64 moment sums (n, Σx1, Σx2, Σy, Σx1², Σx1x2, Σx2², Σx1y, Σx2y);
+    the driver folds the ≤num_batches rows and solves via an explicit
+    Cramer expansion written with the IDENTICAL float64 operation order
+    as the SQL oracle, so the fx9 coefficients hash-match bit-for-bit.
+    Exchange is 9 integers per batch regardless of corpus size. (Moments
+    stay < 2^53 well past 10^9 docs at these feature magnitudes; beyond
+    that the fold would move to hugeint/compensated summation.)"""
+    docs = _docs(sf_dir)
+
+    def moments(t: pa.Table) -> pa.Table:
+        text = pc.cast(t["text"], pa.string())
+        y = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        x2 = (y - pc.utf8_length(pc.replace_substring(text, "e", ""))
+              .to_numpy(zero_copy_only=False)).astype(np.int64)
+        x1 = _dl_batch(t)["dl"].to_numpy(zero_copy_only=False)
+        return pa.table({k: pa.array([int(v)], pa.int64()) for k, v in {
+            "n": len(y), "s1": x1.sum(), "s2": x2.sum(), "sy": y.sum(),
+            "s11": (x1 * x1).sum(), "s12": (x1 * x2).sum(),
+            "s22": (x2 * x2).sum(), "s1y": (x1 * y).sum(),
+            "s2y": (x2 * y).sum()}.items()})
+
+    m = docs.map_batches(moments, batch_format="pyarrow").to_pandas()
+    n, s1, s2, sy, s11, s12, s22, s1y, s2y = (
+        float(int(m[c].sum())) for c in
+        ("n", "s1", "s2", "sy", "s11", "s12", "s22", "s1y", "s2y"))
+
+    def det3(a, b, c, d, e, f, g, h, i):
+        # identical operation order to the SQL oracle's expansion
+        return a * (e * i - f * h) - b * (d * i - f * g) + c * (d * h - e * g)
+
+    det = det3(n, s1, s2, s1, s11, s12, s2, s12, s22)
+    b0 = det3(sy, s1, s2, s1y, s11, s12, s2y, s12, s22) / det
+    b1 = det3(n, sy, s2, s1, s1y, s12, s2, s2y, s22) / det
+    b2 = det3(n, s1, sy, s1, s11, s1y, s2, s12, s2y) / det
+    fx = LINREG_SCALE
+    return pd.DataFrame({
+        "n": pd.array([int(n)], dtype="int64"),
+        "b0_x": pd.array([int(np.floor(b0 * fx + 0.5))], dtype="int64"),
+        "b1_x": pd.array([int(np.floor(b1 * fx + 0.5))], dtype="int64"),
+        "b2_x": pd.array([int(np.floor(b2 * fx + 0.5))], dtype="int64"),
+    })
+
+
+_LINREG_SQL = f"""
+WITH {_DL_CTE},
+f AS (
+  SELECT d.dl AS x1,
+         length(doc.text) - length(replace(doc.text, 'e', '')) AS x2,
+         length(doc.text) AS y
+  FROM documents doc JOIN dl d USING (doc_id)
+),
+mom AS (
+  SELECT CAST(CAST(count(*) AS BIGINT) AS DOUBLE) AS n,
+         CAST(CAST(sum(x1) AS BIGINT) AS DOUBLE) AS s1,
+         CAST(CAST(sum(x2) AS BIGINT) AS DOUBLE) AS s2,
+         CAST(CAST(sum(y) AS BIGINT) AS DOUBLE) AS sy,
+         CAST(CAST(sum(x1*x1) AS BIGINT) AS DOUBLE) AS s11,
+         CAST(CAST(sum(x1*x2) AS BIGINT) AS DOUBLE) AS s12,
+         CAST(CAST(sum(x2*x2) AS BIGINT) AS DOUBLE) AS s22,
+         CAST(CAST(sum(x1*y) AS BIGINT) AS DOUBLE) AS s1y,
+         CAST(CAST(sum(x2*y) AS BIGINT) AS DOUBLE) AS s2y
+  FROM f
+),
+sol AS (
+  SELECT CAST(n AS BIGINT) AS n,
+    (n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2) + s2*(s1*s12 - s11*s2))
+      AS det,
+    (sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y)
+       + s2*(s1y*s12 - s11*s2y)) AS d0,
+    (n*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2)
+       + s2*(s1*s2y - s1y*s2)) AS d1,
+    (n*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2)
+       + sy*(s1*s12 - s11*s2)) AS d2
+  FROM mom
+)
+SELECT n,
+  CAST(floor((d0/det) * {LINREG_SCALE} + 0.5) AS BIGINT) AS b0_x,
+  CAST(floor((d1/det) * {LINREG_SCALE} + 0.5) AS BIGINT) AS b1_x,
+  CAST(floor((d2/det) * {LINREG_SCALE} + 0.5) AS BIGINT) AS b2_x
+FROM sol
+"""
+
+
 # ------------------------------------------------------------ registries
 
 QUERIES = {
@@ -5696,6 +5938,7 @@ QUERIES = {
     "triangles": q_triangles,
     "event_bigrams": q_event_bigrams,
     "value_outliers": q_value_outliers,
+    "group_percentiles": q_group_percentiles,
     "user_activity": q_user_activity,
     "simhash_pairs": q_simhash_pairs,
     "embed_neardup": q_embed_neardup,
@@ -5715,6 +5958,8 @@ QUERIES = {
     "rel_agg": q_rel_agg,
     "rel_join_top": q_rel_join_top,
     "rel_q5": q_rel_q5,
+    "rel_antijoin": q_rel_antijoin,
+    "linreg_fit": q_linreg_fit,
     "related_docs": q_related_docs,
     "rel_rollup": q_rel_rollup,
     "event_dedup": q_event_dedup,
@@ -6953,6 +7198,7 @@ JOIN pairs p3 ON p3.a = p1.b AND p3.b = p2.b
 """,
     "event_bigrams": _EVENT_BIGRAMS_SQL,
     "value_outliers": _VALUE_OUTLIERS_SQL,
+    "group_percentiles": _GROUP_PCT_SQL,
     "user_activity": _USER_ACTIVITY_SQL,
     "simhash_pairs": _SIMHASH_SQL,
     "embed_neardup": _NEARDUP_SQL,
@@ -6986,6 +7232,8 @@ SELECT l_returnflag, l_linestatus, count(*) AS n,
 FROM lineitem GROUP BY l_returnflag, l_linestatus
 """,
     "rel_q5": _REL_Q5_SQL,
+    "rel_antijoin": _REL_ANTIJOIN_SQL,
+    "linreg_fit": _LINREG_SQL,
     "rel_rollup": _REL_ROLLUP_SQL,
     "event_dedup": _EVENT_DEDUP_SQL,
     "embed_outliers": _EMB_OUT_SQL,

@@ -1436,3 +1436,89 @@ def test_quality_sample_determinism_and_rates():
             expect = int(rate_hex, 16) / 256.0
             assert abs(n_kept / n_all - expect) < 0.15
     assert 0 < len(a) < len(ent)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_group_percentiles_pandas_replay():
+    """group_percentiles equals a direct pandas ceil-rank walk over the
+    exact cents histogram."""
+    from document_retrieval_ray.pipelines.testdata_queries import (
+        GP_PCTS,
+        q_group_percentiles,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = q_group_percentiles(sf).sort_values("event_type").reset_index(
+        drop=True)
+
+    ev = pd.read_parquet(f"{sf}/events.parquet",
+                         columns=["event_type", "value"])
+    ev["vc"] = np.floor(ev["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+    rows = []
+    for et, g in ev.groupby("event_type"):
+        v = np.sort(g["vc"].to_numpy())
+        tot = len(v)
+        row = {"event_type": et}
+        for p in GP_PCTS:
+            row[f"p{p}"] = int(v[(p * tot + 99) // 100 - 1])
+        rows.append(row)
+    exp = pd.DataFrame(rows).sort_values("event_type").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_rel_antijoin_pandas_replay():
+    """rel_antijoin equals the pandas isin anti-join with the exact
+    integer above-average test."""
+    from document_retrieval_ray.pipelines.testdata_queries import (
+        q_rel_antijoin,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = (q_rel_antijoin(sf).to_pandas().sort_values("c_custkey")
+           .reset_index(drop=True))
+
+    cust = pd.read_parquet(f"{sf}/customer.parquet",
+                           columns=["c_custkey", "c_acctbal"])
+    vc = np.floor(cust["c_acctbal"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+    orders = pd.read_parquet(f"{sf}/orders.parquet",
+                             columns=["o_custkey", "o_orderpriority"])
+    urgent = set(orders.loc[orders["o_orderpriority"] == "1-URGENT",
+                            "o_custkey"].to_numpy())
+    keep = (vc * len(cust) > vc.sum()) & ~cust["c_custkey"].isin(urgent)
+    exp = pd.DataFrame({
+        "c_custkey": cust.loc[keep, "c_custkey"].to_numpy(np.int64),
+        "acctbal_cents": vc[keep.to_numpy()],
+    }).sort_values("c_custkey").reset_index(drop=True)
+    assert len(exp) > 0
+    pd.testing.assert_frame_equal(got, exp)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_linreg_fit_matches_lstsq():
+    """linreg_fit's Cramer solution agrees with numpy lstsq on the raw
+    design matrix (rtol 1e-6 — different float op order, same system)."""
+    from document_retrieval_ray.pipelines.testdata_queries import (
+        LINREG_SCALE,
+        q_linreg_fit,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = q_linreg_fit(sf)
+    assert int(got["n"].iloc[0]) > 0
+
+    docs = pd.read_parquet(f"{sf}/documents.parquet",
+                           columns=["doc_id", "text", "lang"])
+    txt = docs["text"]
+    y = txt.str.len().to_numpy(np.float64)
+    x2 = (txt.str.len() - txt.str.replace("e", "", regex=False).str.len()
+          ).to_numpy(np.float64)
+    norm = (txt.str.lower().str.replace(r"[^a-z0-9]+", " ", regex=True)
+            .str.strip())
+    x1 = np.where(norm.str.len() == 0, 0,
+                  norm.str.count(" ") + 1).astype(np.float64)
+    A = np.column_stack([np.ones_like(x1), x1, x2])
+    beta, *_ = np.linalg.lstsq(A, y, rcond=None)
+    got_beta = np.array([got[f"b{i}_x"].iloc[0] for i in range(3)],
+                        np.float64) / LINREG_SCALE
+    assert np.allclose(got_beta, beta, rtol=1e-6, atol=1e-6)
