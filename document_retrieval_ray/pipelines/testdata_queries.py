@@ -5904,6 +5904,137 @@ FROM sol
 """
 
 
+# mmr_rerank: query vector, candidate pool, picks, quantization scale.
+# λ = 0.5 is exact in integers: score = 2·rel − max-sim-to-selected.
+MMR_QUERY_ID = 0
+MMR_POOL = 20
+MMR_K = 5
+MMR_Q_SCALE = 10**6
+
+
+def q_mmr_rerank(sf_dir: str):
+    """Maximal-marginal-relevance diversified retrieval: greedily pick
+    MMR_K vectors from the query's top-MMR_POOL inner-product candidates,
+    each step maximizing 2·rel(i) − max_{j∈selected} sim(i, j) (λ = 0.5
+    kept exact by the ×2). Everything is exact int64 — embeddings
+    quantize to floor(v·10⁶ + 0.5) so dots are integers and the greedy
+    argmax (ties → lowest vec_id) is deterministic on any cluster.
+
+    Scale plan: the relevance scan is the ann_topk shape — the tiny
+    quantized query vector rides the closure, each batch emits its
+    partial top-POOL (exchange = batches × POOL rows), and everything
+    after the pool selection is O(POOL²) driver math on 20 vectors. The
+    candidate-embedding fetch is a second column-pruned filtered scan,
+    not a take_all of the corpus."""
+    from ..stages.ann import _stack
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    qid_arr = pa.array([MMR_QUERY_ID], pa.int64())
+    qrow = emb.map_batches(
+        lambda t: t.filter(pc.is_in(t["vec_id"], value_set=qid_arr)),
+        batch_format="pyarrow",
+    ).take_all()
+    qq = np.floor(
+        np.asarray(qrow[0]["embedding"], np.float64) * MMR_Q_SCALE + 0.5
+    ).astype(np.int64)
+
+    def rel_partial(t: pa.Table) -> pa.Table:
+        m = _stack(t["embedding"])
+        q = np.floor(m * MMR_Q_SCALE + 0.5).astype(np.int64)
+        rel = q @ qq
+        vec = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mask = vec != MMR_QUERY_ID
+        rel, vec = rel[mask], vec[mask]
+        order = np.lexsort((vec, -rel))[:MMR_POOL]
+        return pa.table({"vec_id": pa.array(vec[order], pa.int64()),
+                         "rel": pa.array(rel[order], pa.int64())})
+
+    pool = (emb.map_batches(rel_partial, batch_format="pyarrow")
+            .to_pandas()  # bounded: ≤ num_batches × MMR_POOL rows
+            .sort_values(["rel", "vec_id"], ascending=[False, True])
+            .head(MMR_POOL).reset_index(drop=True))
+    cand_ids = pool["vec_id"].to_numpy(np.int64)
+    rel_by_id = dict(zip(cand_ids, pool["rel"].to_numpy(np.int64)))
+
+    cid_arr = pa.array([int(c) for c in cand_ids], pa.int64())
+    crows = emb.map_batches(
+        lambda t: t.filter(pc.is_in(t["vec_id"], value_set=cid_arr)),
+        batch_format="pyarrow",
+    ).take_all()  # bounded: MMR_POOL rows
+    cvecs = {r["vec_id"]: np.floor(
+        np.asarray(r["embedding"], np.float64) * MMR_Q_SCALE + 0.5
+    ).astype(np.int64) for r in crows}
+    cmat = np.stack([cvecs[c] for c in cand_ids])
+    sims = cmat @ cmat.T  # exact int64, POOL × POOL
+    idx = {int(c): i for i, c in enumerate(cand_ids)}
+
+    selected: list[tuple[int, int]] = []
+    remaining = [int(c) for c in cand_ids]
+    while remaining and len(selected) < MMR_K:
+        best = None
+        for c in remaining:  # ≤ MMR_POOL iterations — driver-tiny
+            sc = 2 * int(rel_by_id[c])
+            if selected:
+                sc -= max(int(sims[idx[c], idx[s]]) for s, _ in selected)
+            if best is None or sc > best[1] or (sc == best[1] and c < best[0]):
+                best = (c, sc)
+        selected.append(best)
+        remaining.remove(best[0])
+    return pd.DataFrame({
+        "rank": pd.array(range(1, len(selected) + 1), dtype="int64"),
+        "vec_id": pd.array([c for c, _ in selected], dtype="int64"),
+        "mmr_x": pd.array([s for _, s in selected], dtype="int64"),
+    })
+
+
+def _mmr_sql() -> str:
+    """Greedy selection unrolled to MMR_K picks — each step re-scores the
+    unselected pool against the selected set and takes the (sc DESC,
+    vec_id ASC) head; all-integer so the argmax is exact."""
+    qid, pooln, scale = MMR_QUERY_ID, MMR_POOL, MMR_Q_SCALE
+    ctes = [f"""uq AS (
+  SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS i,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {scale}.0 + 0.5)
+              AS BIGINT) AS q
+  FROM embeddings
+)""", f"""rel AS (
+  SELECT ub.vec_id AS vec_id, CAST(sum(a.q * ub.q) AS BIGINT) AS rel
+  FROM uq a JOIN uq ub ON ub.i = a.i AND ub.vec_id <> {qid}
+  WHERE a.vec_id = {qid}
+  GROUP BY ub.vec_id
+)""", f"""cand AS (
+  SELECT vec_id, rel FROM (
+    SELECT vec_id, rel,
+           row_number() OVER (ORDER BY rel DESC, vec_id ASC) AS rn
+    FROM rel) WHERE rn <= {pooln}
+)""", """sims AS (
+  SELECT ua.vec_id AS a, ub.vec_id AS b, CAST(sum(ua.q * ub.q) AS BIGINT) AS s
+  FROM uq ua JOIN uq ub ON ub.i = ua.i AND ua.vec_id <> ub.vec_id
+  JOIN cand ca ON ca.vec_id = ua.vec_id
+  JOIN cand cb ON cb.vec_id = ub.vec_id
+  GROUP BY ua.vec_id, ub.vec_id
+)""", "pick1 AS (SELECT vec_id, 2*rel AS sc FROM cand "
+      "ORDER BY rel DESC, vec_id ASC LIMIT 1)",
+      "sel1 AS (SELECT vec_id FROM pick1)"]
+    for st in range(2, MMR_K + 1):
+        ctes.append(f"""p{st} AS (
+  SELECT c.vec_id AS vec_id, 2*c.rel - max(s.s) AS sc
+  FROM cand c JOIN sims s ON s.a = c.vec_id
+  JOIN sel{st - 1} sl ON sl.vec_id = s.b
+  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{st - 1})
+  GROUP BY c.vec_id, c.rel
+)""")
+        ctes.append(f"pick{st} AS (SELECT vec_id, sc FROM p{st} "
+                    "ORDER BY sc DESC, vec_id ASC LIMIT 1)")
+        ctes.append(f"sel{st} AS (SELECT vec_id FROM sel{st - 1} "
+                    f"UNION ALL SELECT vec_id FROM pick{st})")
+    out = "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS BIGINT) AS rank, vec_id, sc AS mmr_x "
+        f"FROM pick{i}" for i in range(1, MMR_K + 1))
+    return "WITH " + ",\n".join(ctes) + "\n" + out
+
+
 # ------------------------------------------------------------ registries
 
 QUERIES = {
@@ -5952,6 +6083,7 @@ QUERIES = {
     "pq_codes": q_pq_codes,
     "ann_topk_pq": q_ann_topk_pq,
     "ann_topk_ivfpq": q_ann_topk_ivfpq,
+    "mmr_rerank": q_mmr_rerank,
     "token_stats": q_token_stats,
     "langid": q_langid,
     "binary_meta": q_binary_meta,
@@ -7580,3 +7712,4 @@ FROM r WHERE rank <= {SOURCE_LIFT_TOPK}
 # these compose other oracle entries, so they register after the dict
 ORACLE_SQL["related_docs"] = _related_docs_sql()
 ORACLE_SQL["quality_sample"] = _quality_sample_sql()
+ORACLE_SQL["mmr_rerank"] = _mmr_sql()

@@ -1522,3 +1522,54 @@ def test_linreg_fit_matches_lstsq():
     got_beta = np.array([got[f"b{i}_x"].iloc[0] for i in range(3)],
                         np.float64) / LINREG_SCALE
     assert np.allclose(got_beta, beta, rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_mmr_rerank_numpy_replay():
+    """mmr_rerank equals a direct numpy replay of the greedy λ=0.5 MMR
+    over the exact quantized top-POOL pool, and actually diversifies
+    (selection order differs from pure relevance order unless the pool
+    is already diverse)."""
+    from document_retrieval_ray.pipelines.testdata_queries import (
+        MMR_K,
+        MMR_POOL,
+        MMR_Q_SCALE,
+        MMR_QUERY_ID,
+        q_mmr_rerank,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = q_mmr_rerank(sf)
+
+    emb = pd.read_parquet(f"{sf}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    mat = np.floor(np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+                   * MMR_Q_SCALE + 0.5).astype(np.int64)
+    vec = emb["vec_id"].to_numpy(np.int64)
+    qv = mat[vec == MMR_QUERY_ID][0]
+    mask = vec != MMR_QUERY_ID
+    rel = mat[mask] @ qv
+    ids = vec[mask]
+    order = np.lexsort((ids, -rel))[:MMR_POOL]
+    cand, crel = ids[order], rel[order]
+    cmat = mat[mask][order]
+    sims = cmat @ cmat.T
+    sel, rem = [], list(range(MMR_POOL))
+    while rem and len(sel) < MMR_K:
+        best = None
+        for i in rem:
+            sc = 2 * int(crel[i])
+            if sel:
+                sc -= max(int(sims[i, j]) for j, _ in sel)
+            if (best is None or sc > best[2]
+                    or (sc == best[2] and cand[i] < cand[best[0]])):
+                best = (i, int(cand[i]), sc)
+        sel.append((best[0], best[2]))
+        rem.remove(best[0])
+    exp = pd.DataFrame({
+        "rank": pd.array(range(1, MMR_K + 1), dtype="int64"),
+        "vec_id": pd.array([int(cand[i]) for i, _ in sel], dtype="int64"),
+        "mmr_x": pd.array([s for _, s in sel], dtype="int64"),
+    })
+    pd.testing.assert_frame_equal(got, exp)
+    assert int(got["rank"].iloc[0]) == 1 and len(got) == MMR_K
