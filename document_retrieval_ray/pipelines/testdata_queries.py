@@ -6035,6 +6035,103 @@ def _mmr_sql() -> str:
     return "WITH " + ",\n".join(ctes) + "\n" + out
 
 
+# cross_dedup: the "incoming crawl" source batch — near-dup pairs are
+# reported only when exactly one side belongs to it
+CROSS_NEW_SOURCES = ("src0", "src1", "src2", "src3", "src4")
+
+
+def q_cross_dedup(sf_dir: str):
+    """Incremental-crawl dedup: near-duplicate pairs where exactly one
+    side belongs to the incoming source batch (CROSS_NEW_SOURCES) — the
+    dedupe-new-data-against-the-existing-corpus step every recurring
+    crawl ingestion runs. Composes the fully-distributed minhash verify,
+    then attaches each side's source by a doc_id-hash cogroup against a
+    two-column (doc_id, source) scan (the pair list is near-dup-sized;
+    the corpus-sized side travels only by hash colocation, nothing is
+    broadcast), and keeps pairs with exactly one new side. Output:
+    (new_doc, dup_of, jaccard_x)."""
+    pairs = q_minhash_pairs(sf_dir)
+
+    def side_rows(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        j = t["jaccard_x"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(np.concatenate([a, b]), pa.int64()),
+            "a": pa.array(np.concatenate([a, a]), pa.int64()),
+            "b": pa.array(np.concatenate([b, b]), pa.int64()),
+            "jaccard_x": pa.array(np.concatenate([j, j]), pa.int64()),
+        })
+
+    new_arr = pa.array(list(CROSS_NEW_SOURCES), pa.string())
+
+    def src_rows(t: pa.Table) -> pa.Table:
+        # source rows ride the same schema: a = −1 marks a new-batch doc,
+        # a = −2 an existing-corpus doc (pair rows always have a ≥ 0)
+        is_new = pc.is_in(t["source"], value_set=new_arr).to_numpy(
+            zero_copy_only=False)
+        flag = np.where(is_new, -1, -2).astype(np.int64)
+        n = len(t)
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "a": pa.array(flag, pa.int64()),
+            "b": pa.array(np.zeros(n, np.int64)),
+            "jaccard_x": pa.array(np.zeros(n, np.int64)),
+        })
+
+    srcs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    ).map_batches(src_rows, batch_format="pyarrow")
+
+    def attach_src(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["kpart"]) if "kpart" in g.columns else g
+        src = g[g["a"] < 0]
+        pr = g[g["a"] >= 0]
+        if src.empty or pr.empty:
+            return pd.DataFrame({c: pd.Series(dtype="int64") for c in
+                                 ("a", "b", "jaccard_x", "doc_id", "is_new")})
+        m = pr.merge(src[["doc_id", "a"]].rename(columns={"a": "flag"}),
+                     on="doc_id")
+        m["is_new"] = (m["flag"] == -1).astype(np.int64)
+        return m[["a", "b", "jaccard_x", "doc_id", "is_new"]]
+
+    sides = pairs.map_batches(side_rows, batch_format="pyarrow")
+    attached = _parted(sides.union(srcs), ("doc_id",)).map_groups(
+        attach_src, batch_format="pandas")
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["kpart"]) if "kpart" in g.columns else g
+        out_new, out_dup, out_j = [], [], []
+        for (a, b), gg in g.groupby(["a", "b"], sort=False):
+            if len(gg) != 2 or int(gg["is_new"].sum()) != 1:
+                continue
+            new_row = gg[gg["is_new"] == 1].iloc[0]
+            out_new.append(int(new_row["doc_id"]))
+            out_dup.append(int(b if int(new_row["doc_id"]) == a else a))
+            out_j.append(int(new_row["jaccard_x"]))
+        return pd.DataFrame({
+            "new_doc": pd.Series(out_new, dtype="int64"),
+            "dup_of": pd.Series(out_dup, dtype="int64"),
+            "jaccard_x": pd.Series(out_j, dtype="int64")})
+
+    return _parted(attached, ("a", "b")).map_groups(
+        combine, batch_format="pandas")
+
+
+def _cross_dedup_sql() -> str:
+    new_in = ", ".join(f"'{s}'" for s in CROSS_NEW_SOURCES)
+    return f"""
+WITH p AS ({ORACLE_SQL["minhash_pairs"]})
+SELECT CASE WHEN sa.source IN ({new_in}) THEN p.a ELSE p.b END AS new_doc,
+       CASE WHEN sa.source IN ({new_in}) THEN p.b ELSE p.a END AS dup_of,
+       p.jaccard_x AS jaccard_x
+FROM p
+JOIN documents sa ON sa.doc_id = p.a
+JOIN documents sb ON sb.doc_id = p.b
+WHERE (sa.source IN ({new_in})) <> (sb.source IN ({new_in}))
+"""
+
+
 # ------------------------------------------------------------ registries
 
 QUERIES = {
@@ -6145,6 +6242,7 @@ QUERIES = {
     "query_expand": q_query_expand,
     "token_entropy": q_token_entropy,
     "neardup_apply": q_neardup_apply,
+    "cross_dedup": q_cross_dedup,
     "source_lift": q_source_lift,
 }
 
@@ -7713,3 +7811,4 @@ FROM r WHERE rank <= {SOURCE_LIFT_TOPK}
 ORACLE_SQL["related_docs"] = _related_docs_sql()
 ORACLE_SQL["quality_sample"] = _quality_sample_sql()
 ORACLE_SQL["mmr_rerank"] = _mmr_sql()
+ORACLE_SQL["cross_dedup"] = _cross_dedup_sql()

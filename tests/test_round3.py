@@ -1573,3 +1573,36 @@ def test_mmr_rerank_numpy_replay():
     })
     pd.testing.assert_frame_equal(got, exp)
     assert int(got["rank"].iloc[0]) == 1 and len(got) == MMR_K
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cross_dedup_sides_and_subset():
+    """cross_dedup rows are exactly the minhash pairs with one side in
+    the new-source batch, oriented new_doc → dup_of."""
+    from document_retrieval_ray.pipelines.testdata_queries import (
+        CROSS_NEW_SOURCES,
+        q_cross_dedup,
+        q_minhash_pairs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = (q_cross_dedup(sf).to_pandas()
+           .sort_values(["new_doc", "dup_of"]).reset_index(drop=True))
+    pairs = q_minhash_pairs(sf).to_pandas()
+    src = pd.read_parquet(f"{sf}/documents.parquet",
+                          columns=["doc_id", "source"])
+    is_new = src.set_index("doc_id")["source"].isin(CROSS_NEW_SOURCES)
+    na = is_new.loc[pairs["a"]].to_numpy()
+    nb = is_new.loc[pairs["b"]].to_numpy()
+    keep = pairs[na ^ nb]
+    exp = pd.DataFrame({
+        "new_doc": np.where(is_new.loc[keep["a"]].to_numpy(),
+                            keep["a"], keep["b"]).astype(np.int64),
+        "dup_of": np.where(is_new.loc[keep["a"]].to_numpy(),
+                           keep["b"], keep["a"]).astype(np.int64),
+        "jaccard_x": keep["jaccard_x"].to_numpy(np.int64),
+    }).sort_values(["new_doc", "dup_of"]).reset_index(drop=True)
+    assert len(exp) > 0
+    pd.testing.assert_frame_equal(got, exp)
+    assert is_new.loc[got["new_doc"]].all()
+    assert not is_new.loc[got["dup_of"]].any()
