@@ -6132,6 +6132,71 @@ WHERE (sa.source IN ({new_in})) <> (sb.source IN ({new_in}))
 """
 
 
+def q_value_norm(sf_dir: str):
+    """Per-group min–max feature scaling (the fit+transform shape of a
+    distributed preprocessing step): each event's value rescaled to
+    [0, 10000] within its event_type. Exact end-to-end: values quantize
+    to integer cents, per-type (min, max) come from 2-integers-per-batch
+    partials folded on the driver (a tiny dict, captured by the second
+    scan's closure — never reshipped per batch), and the transform is
+    integer floor division ((vc−min)·10⁴ // (max−min)). Two column-pruned
+    scans, zero shuffles."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "value"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        vc = np.floor(
+            t["value"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        return pa.table({"event_id": pc.cast(t["event_id"], pa.int64()),
+                         "event_type": t["event_type"],
+                         "vc": pa.array(vc, pa.int64())})
+
+    def mm_partial(t: pa.Table) -> pa.Table:
+        pdf = (t.to_pandas().groupby("event_type", sort=False)["vc"]
+               .agg(["min", "max"]).reset_index())
+        return pa.Table.from_pandas(pdf, preserve_index=False)
+
+    cents = ev.map_batches(to_cents, batch_format="pyarrow")
+    mm = (cents.map_batches(mm_partial, batch_format="pyarrow")
+          .to_pandas()  # bounded: |types| rows per batch
+          .groupby("event_type").agg(mn=("min", "min"), mx=("max", "max")))
+    lo = mm["mn"].to_dict()
+    hi = mm["mx"].to_dict()
+
+    def transform(t: pa.Table) -> pa.Table:
+        pdf = t.to_pandas()
+        mn = pdf["event_type"].map(lo).to_numpy(np.int64)
+        mx = pdf["event_type"].map(hi).to_numpy(np.int64)
+        span = mx - mn
+        vc = pdf["vc"].to_numpy(np.int64)
+        # degenerate group (min == max) pins to 0, mirrored in SQL
+        norm = np.where(span > 0, ((vc - mn) * 10000) // np.maximum(span, 1),
+                        0).astype(np.int64)
+        return pa.table({"event_id": pa.array(pdf["event_id"], pa.int64()),
+                         "event_type": pa.array(pdf["event_type"]),
+                         "norm_x": pa.array(norm, pa.int64())})
+
+    return cents.map_batches(transform, batch_format="pyarrow")
+
+
+_VALUE_NORM_SQL = """
+WITH v AS (
+  SELECT event_id, event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+  FROM events
+),
+mm AS (SELECT event_type, min(vc) AS mn, max(vc) AS mx
+       FROM v GROUP BY event_type)
+SELECT v.event_id AS event_id, v.event_type AS event_type,
+       CASE WHEN mm.mx > mm.mn
+            THEN CAST(((v.vc - mm.mn) * 10000) // (mm.mx - mm.mn) AS BIGINT)
+            ELSE 0 END AS norm_x
+FROM v JOIN mm USING (event_type)
+"""
+
+
 # ------------------------------------------------------------ registries
 
 QUERIES = {
@@ -6167,6 +6232,7 @@ QUERIES = {
     "event_bigrams": q_event_bigrams,
     "value_outliers": q_value_outliers,
     "group_percentiles": q_group_percentiles,
+    "value_norm": q_value_norm,
     "user_activity": q_user_activity,
     "simhash_pairs": q_simhash_pairs,
     "embed_neardup": q_embed_neardup,
@@ -7429,6 +7495,7 @@ JOIN pairs p3 ON p3.a = p1.b AND p3.b = p2.b
     "event_bigrams": _EVENT_BIGRAMS_SQL,
     "value_outliers": _VALUE_OUTLIERS_SQL,
     "group_percentiles": _GROUP_PCT_SQL,
+    "value_norm": _VALUE_NORM_SQL,
     "user_activity": _USER_ACTIVITY_SQL,
     "simhash_pairs": _SIMHASH_SQL,
     "embed_neardup": _NEARDUP_SQL,

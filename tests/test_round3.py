@@ -1606,3 +1606,35 @@ def test_cross_dedup_sides_and_subset():
     pd.testing.assert_frame_equal(got, exp)
     assert is_new.loc[got["new_doc"]].all()
     assert not is_new.loc[got["dup_of"]].any()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_value_norm_bounds_and_replay():
+    """value_norm equals the pandas min-max replay, lands in [0, 10000],
+    and hits both endpoints (each group's min → 0, max → 10000)."""
+    from document_retrieval_ray.pipelines.testdata_queries import (
+        q_value_norm,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = (q_value_norm(sf).to_pandas().sort_values("event_id")
+           .reset_index(drop=True))
+
+    ev = pd.read_parquet(f"{sf}/events.parquet",
+                         columns=["event_id", "event_type", "value"])
+    ev["vc"] = np.floor(ev["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+    g = ev.groupby("event_type")["vc"]
+    mn = g.transform("min").to_numpy(np.int64)
+    mx = g.transform("max").to_numpy(np.int64)
+    span = mx - mn
+    norm = np.where(span > 0,
+                    ((ev["vc"].to_numpy(np.int64) - mn) * 10000)
+                    // np.maximum(span, 1), 0).astype(np.int64)
+    exp = pd.DataFrame({"event_id": ev["event_id"].to_numpy(np.int64),
+                        "event_type": ev["event_type"],
+                        "norm_x": norm}).sort_values("event_id").reset_index(
+        drop=True)
+    pd.testing.assert_frame_equal(got, exp)
+    assert got["norm_x"].between(0, 10000).all()
+    per_type = got.groupby("event_type")["norm_x"]
+    assert (per_type.min() == 0).all() and (per_type.max() == 10000).all()
