@@ -483,6 +483,10 @@ def label_prop_components(pairs_ds, max_rounds: int = 64,
             pa.table({"doc_id": pa.array([], pa.int64()),
                       "rep": pa.array([], pa.int64())})
         )
+    # partition count follows the data (~4k edge rows per partition):
+    # a toy graph runs 1-2 tasks per round instead of 64 near-empty
+    # ones; a 100 TB graph keeps the full ``num_parts`` fan-out
+    num_parts = max(1, min(num_parts, edges.count() // 4096 + 1))
 
     labels = (
         edges.map_batches(

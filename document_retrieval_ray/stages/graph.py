@@ -84,6 +84,10 @@ def pagerank_integer(pairs_ds, iters: int = 5, num_parts: int = 64,
     )
     n = nodes.count()
     base = scale // n
+    # partition count follows the data: ~4k edge rows per partition, so a
+    # toy graph runs 1-2 tasks per iteration while a 100 TB near-dup
+    # graph keeps (and should raise) the full fan-out via ``num_parts``
+    num_parts = max(1, min(num_parts, edges.count() // 4096 + 1))
 
     # static edge rows, hash-partitioned once (kpart never changes)
     e_rows = edges.map_batches(
