@@ -431,6 +431,19 @@ def simhash_pairs_partition(group: pd.DataFrame, max_hamming: int = 3,
 # between rounds ⟺ converged — a cheap aggregate, no driver graph.
 
 
+def compact_blocks(ds, num_parts: int):
+    """Collapse an over-fragmented MATERIALIZED Dataset to ~num_parts
+    blocks before an iterative pipeline consumes it. Upstream groupby
+    fan-out can hand a 25-row pair graph over in 100+ near-empty blocks,
+    and every power-iteration round then pays per-block scheduling cost
+    on TWO shuffles — at sf0.01 this was 124 s of pure overhead for a
+    47-node graph. At 100 TB ``num_parts`` is data-sized (rows/4k), so
+    the repartition is a no-op there and a one-off tiny exchange here."""
+    if ds.num_blocks() > 2 * num_parts:
+        return ds.repartition(num_parts).materialize()
+    return ds
+
+
 def edges_both_ways(batch: pa.Table) -> pa.Table:
     a = batch["a"].to_numpy(zero_copy_only=False)
     b = batch["b"].to_numpy(zero_copy_only=False)
@@ -487,6 +500,7 @@ def label_prop_components(pairs_ds, max_rounds: int = 64,
     # a toy graph runs 1-2 tasks per round instead of 64 near-empty
     # ones; a 100 TB graph keeps the full ``num_parts`` fan-out
     num_parts = max(1, min(num_parts, edges.count() // 4096 + 1))
+    edges = compact_blocks(edges, num_parts)
 
     labels = (
         edges.map_batches(

@@ -34,7 +34,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .dedup import edges_both_ways
+from .dedup import compact_blocks, edges_both_ways
 from .index_build import add_kpart
 
 PAGERANK_SCALE = 10 ** 12
@@ -77,6 +77,11 @@ def pagerank_integer(pairs_ds, iters: int = 5, num_parts: int = 64,
             pa.table({"doc_id": pa.array([], pa.int64()),
                       "pr": pa.array([], pa.int64())})
         )
+    # partition count follows the data: ~4k edge rows per partition, so a
+    # toy graph runs 1-2 tasks per iteration while a 100 TB near-dup
+    # graph keeps (and should raise) the full fan-out via ``num_parts``
+    num_parts = max(1, min(num_parts, edges.count() // 4096 + 1))
+    edges = compact_blocks(edges, num_parts)
     nodes = (
         edges.groupby("src").count()
         .map_batches(lambda t: t.select(["src"]), batch_format="pyarrow")
@@ -84,10 +89,6 @@ def pagerank_integer(pairs_ds, iters: int = 5, num_parts: int = 64,
     )
     n = nodes.count()
     base = scale // n
-    # partition count follows the data: ~4k edge rows per partition, so a
-    # toy graph runs 1-2 tasks per iteration while a 100 TB near-dup
-    # graph keeps (and should raise) the full fan-out via ``num_parts``
-    num_parts = max(1, min(num_parts, edges.count() // 4096 + 1))
 
     # static edge rows, hash-partitioned once (kpart never changes)
     e_rows = edges.map_batches(
@@ -217,6 +218,8 @@ def count_triangles(pairs_ds, num_parts: int = 64):
     ).materialize()
     if edges.count() == 0:
         return 0
+    num_parts = max(1, min(num_parts, edges.count() // 4096 + 1))
+    edges = compact_blocks(edges, num_parts)
     wedges = (
         edges.map_batches(
             add_kpart, fn_kwargs={"num_parts": num_parts, "cols": ("src",)},
