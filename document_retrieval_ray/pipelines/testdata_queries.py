@@ -6197,6 +6197,55 @@ FROM v JOIN mm USING (event_type)
 """
 
 
+def q_export_roundtrip(sf_dir: str):
+    """Resumable partitioned-export round-trip (pipelines/export.py, the
+    generic sink): stream documents into a hash-sharded Parquet export
+    with per-shard atomic commit manifests, then read the committed
+    export back through the integrity-checked reader and project
+    (doc_id, lang, text_chars). Hash equality against the source table
+    proves the sink+source pair is lossless end-to-end; the resume /
+    skip-committed semantics are kill-tested in tests/test_export.py.
+    Reference analog: the per-stage pickle checkpoints
+    (cosine_similarity_bm25_reranking.py:288-331) re-expressed as
+    partitioned Parquet a failed 100-TB run can resume."""
+    import shutil
+    import tempfile
+
+    from .export import export_partitioned, read_export
+
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "drr_export_rt_" + hashlib.md5(sf_dir.encode("utf-8")).hexdigest()[:10],
+    )
+    # fresh run each call: the query must re-exercise the full write path
+    shutil.rmtree(out, ignore_errors=True)
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "text"],
+    )
+    export_partitioned(
+        ds, out, num_shards=16, key_col="doc_id", fingerprint="docs:" + sf_dir
+    )
+    back = read_export(out, num_shards=16)
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "lang": t["lang"],
+                "text_chars": pc.cast(pc.utf8_length(t["text"]), pa.int64()),
+            }
+        )
+
+    return back.map_batches(proj, batch_format="pyarrow")
+
+
+_EXPORT_RT_SQL = """
+SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS text_chars
+FROM documents
+"""
+
+
 # ------------------------------------------------------------ registries
 
 QUERIES = {
@@ -6310,6 +6359,7 @@ QUERIES = {
     "neardup_apply": q_neardup_apply,
     "cross_dedup": q_cross_dedup,
     "source_lift": q_source_lift,
+    "export_roundtrip": q_export_roundtrip,
 }
 
 
@@ -7496,6 +7546,7 @@ JOIN pairs p3 ON p3.a = p1.b AND p3.b = p2.b
     "value_outliers": _VALUE_OUTLIERS_SQL,
     "group_percentiles": _GROUP_PCT_SQL,
     "value_norm": _VALUE_NORM_SQL,
+    "export_roundtrip": _EXPORT_RT_SQL,
     "user_activity": _USER_ACTIVITY_SQL,
     "simhash_pairs": _SIMHASH_SQL,
     "embed_neardup": _NEARDUP_SQL,
