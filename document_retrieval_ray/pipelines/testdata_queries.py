@@ -6246,6 +6246,348 @@ FROM documents
 """
 
 
+PACK_BUDGET = 2048  # tokens per packed training sequence (concat-and-chunk)
+PACK_RANGE = 256  # doc_id range width = one leaf of the distributed scan
+
+
+def q_seq_pack(sf_dir: str):
+    """LLM pretraining sequence packing (concat-and-chunk): per language,
+    documents are concatenated in doc_id order and the token stream is
+    cut into PACK_BUDGET-token sequences; each doc is assigned the
+    pack_id its first token falls into. The interesting primitive is the
+    ORDERED prefix sum, which no Ray Data verb provides — implemented as
+    the classic two-level distributed scan: (1) one pass counts tokens
+    per doc and folds per-(lang, doc_id-range) partial sums (tiny:
+    ranges × langs rows), (2) the driver exclusive-scans that sidecar in
+    (lang, range) order, (3) a second partition-level pass sorts each
+    range locally and adds its broadcast base offset. Exchange = one
+    (lang,range)-hash shuffle of 4 integer columns; the sidecar scan on
+    the driver is |corpus|/PACK_RANGE rows (at 100 TB with PACK_RANGE
+    sized to ~1e6 docs that is thousands of rows, not data-scale).
+    Reference analog: none (extension); semantics match GPT-style
+    concat-and-chunk dataloaders."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"])
+
+    def count_tokens(t: pa.Table) -> pa.Table:
+        n = [len(tokenize_simple(s or "")) for s in t["text"].to_pylist()]
+        did = pc.cast(t["doc_id"], pa.int64())
+        return pa.table(
+            {
+                "doc_id": did,
+                "lang": t["lang"],
+                "n_tokens": pa.array(n, pa.int64()),
+                "r": pc.divide(did, pa.scalar(PACK_RANGE, pa.int64())),
+            }
+        )
+
+    toks = docs.map_batches(count_tokens, batch_format="pyarrow")
+
+    def range_partial(t: pa.Table) -> pa.Table:
+        pdf = (
+            t.select(["lang", "r", "n_tokens"])
+            .to_pandas()
+            .groupby(["lang", "r"], sort=False)["n_tokens"]
+            .sum()
+            .reset_index(name="s")
+        )
+        return pa.Table.from_pandas(pdf, preserve_index=False)
+
+    sums = (
+        toks.map_batches(range_partial, batch_format="pyarrow")
+        .to_pandas()  # bounded: langs × ranges rows, NOT input rows
+        .groupby(["lang", "r"], as_index=False)["s"]
+        .sum()
+        .sort_values(["lang", "r"])
+    )
+    # exclusive scan per lang over range order → base offset of each range
+    sums["base"] = sums.groupby("lang")["s"].cumsum() - sums["s"]
+    off_df = sums[["lang", "r", "base"]].reset_index(drop=True)
+
+    parts = toks.map_batches(
+        add_kpart, fn_kwargs={"num_parts": 32, "cols": ("lang", "r")},
+        batch_format="pyarrow",
+    )
+
+    def scan_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["lang", "r", "doc_id"])
+        local = (
+            g.groupby(["lang", "r"], sort=False)["n_tokens"].cumsum()
+            - g["n_tokens"]
+        )
+        m = g.merge(off_df, on=["lang", "r"], how="left", sort=False)
+        start = local.to_numpy(np.int64) + m["base"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(np.int64),
+                "lang": g["lang"].to_numpy(),
+                "n_tokens": g["n_tokens"].to_numpy(np.int64),
+                "pack_id": start // PACK_BUDGET,
+            }
+        )
+
+    return parts.groupby("kpart").map_groups(
+        scan_partition, batch_format="pandas"
+    )
+
+
+_SEQ_PACK_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang, len({TOKLIST.format(col="text")}) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+  CAST(coalesce(sum(n_tokens) OVER (
+         PARTITION BY lang ORDER BY doc_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       // {PACK_BUDGET} AS BIGINT) AS pack_id
+FROM t
+"""
+
+
+# denylist-term scrub (the PII-redaction shape: emails/phones at 100 TB,
+# corpus-vocabulary terms here so the patterns actually fire on testdata)
+REDACT_PATTERN = r"\b(customer|key|value)\b"
+
+
+def q_redact_terms(sf_dir: str):
+    """Denylist-regex redaction audit — the PII-scrub stage of a training
+    -data pipeline (emails, phone numbers, denylist terms). Per doc:
+    match count and the post-redaction character length. Entirely
+    RE2-vectorized (`pc.count_substring_regex` /
+    `pc.replace_substring_regex` — both engines run RE2, so \\b
+    semantics agree); single column-pruned scan, zero shuffles, no
+    Python loop. Reference analog: the preprocessing regex strips
+    (final_implementation.py:30-47), generalized to redaction."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def scrub(t: pa.Table) -> pa.Table:
+        txt = t["text"]
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "n_hits": pc.cast(
+                    pc.count_substring_regex(txt, REDACT_PATTERN), pa.int64()
+                ),
+                "clean_chars": pc.cast(
+                    pc.utf8_length(
+                        pc.replace_substring_regex(txt, REDACT_PATTERN, "")
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return docs.map_batches(scrub, batch_format="pyarrow")
+
+
+_REDACT_SQL = f"""
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '{REDACT_PATTERN}')) AS BIGINT) AS n_hits,
+  CAST(length(regexp_replace(text, '{REDACT_PATTERN}', '', 'g')) AS BIGINT)
+    AS clean_chars
+FROM documents
+"""
+
+
+APPROX_PCT_BIN = 500  # histogram bin width in cents (5.00 units)
+APPROX_PCTS = (50, 95, 99)
+
+
+def q_approx_percentiles(sf_dir: str):
+    """Approximate per-group percentiles from a MERGEABLE fixed-width
+    histogram sketch — the scale path beside the exact
+    `group_percentiles`: the exact plan's combine state is one row per
+    DISTINCT value, this one's is one row per BIN (bounded by
+    value-range/bin, independent of cardinality), so it survives
+    columns where distinct values ≈ rows. Estimate = lower edge of the
+    first bin whose cumulative count reaches ceil(p·n/100) — a
+    deterministic estimator mirrored exactly in SQL, so parity is exact
+    even though the estimate is approximate. Error bound ≤ one bin
+    width by construction."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        vc = np.floor(
+            t["value"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        b = np.floor(vc / float(APPROX_PCT_BIN)).astype(np.int64)
+        pdf = (
+            pd.DataFrame({"event_type": t["event_type"].to_pandas(), "bin": b})
+            .groupby(["event_type", "bin"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.Table.from_pandas(pdf, preserve_index=False)
+
+    hist = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "bin"])
+        .aggregate(ray.data.aggregate.Sum("n", alias_name="n"))
+        .to_pandas()  # bounded: types × bins rows
+    )
+    rows = []
+    for et, g in hist.groupby("event_type"):
+        g = g.sort_values("bin")
+        cum = g["n"].to_numpy(np.int64).cumsum()
+        edges = g["bin"].to_numpy(np.int64) * APPROX_PCT_BIN
+        tot = int(cum[-1])
+        row = {"event_type": et}
+        for p in APPROX_PCTS:
+            thresh = (p * tot + 99) // 100  # exact ceil(p*tot/100)
+            row[f"p{p}_est"] = int(
+                edges[np.searchsorted(cum, thresh, side="left")]
+            )
+        rows.append(row)
+    return (
+        pd.DataFrame(rows).sort_values("event_type").reset_index(drop=True)
+    )
+
+
+_APPROX_PCT_COLS = ",\n  ".join(
+    f"min(edge) FILTER (WHERE cum >= ceil(({p} * tot) / 100.0)) AS p{p}_est"
+    for p in APPROX_PCTS
+)
+_APPROX_PCT_SQL = f"""
+WITH v AS (
+  SELECT event_type,
+         CAST(floor(CAST(floor(value * 100 + 0.5) AS BIGINT)
+              / {APPROX_PCT_BIN}.0) AS BIGINT) AS bin
+  FROM events
+),
+h AS (SELECT event_type, bin, count(*) AS n FROM v GROUP BY event_type, bin),
+c AS (SELECT event_type, bin * {APPROX_PCT_BIN} AS edge,
+        sum(n) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+        sum(n) OVER (PARTITION BY event_type) AS tot
+      FROM h)
+SELECT event_type,
+  {_APPROX_PCT_COLS}
+FROM c GROUP BY event_type
+"""
+
+
+SKEW_SALTS = 4  # fact-side salt fanout for hot join keys
+
+
+def q_rel_skew_join(sf_dir: str):
+    """Skew-aware (salted) repartition join: per-mktsegment event count
+    and exact-cents value total for events joined to customer on
+    user_id = c_custkey. A plain key-hash cogroup sends EVERY row of a
+    hot key to one partition — with Zipf-skewed user activity one task
+    would own the head user's entire history. The salted plan bounds
+    that: fact rows get salt = event_id mod S placement-only, the dim
+    side is replicated S× (one copy per salt), and the cogroup runs on
+    (key, salt), so a hot key's fact rows spread over S partitions at
+    the cost of S×|dim| replicated rows (|dim| ≪ |fact| makes that the
+    right trade; S sizes to the observed head/mean skew ratio). The
+    per-partition kernel joins via a dim dict and folds per-segment
+    integer partials, so the final exchange is ≤ partitions × segments
+    rows. Results are salt-invariant (asserted by the plain-join SQL
+    oracle). Reference analog: none (scale extension)."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "value"])
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"])
+
+    def fact_rows(t: pa.Table) -> pa.Table:
+        vc = np.floor(
+            t["value"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(t)
+        return pa.table(
+            {
+                "kind": pa.array(np.zeros(n, np.int8)),
+                "key": pc.cast(t["user_id"], pa.int64()),
+                "salt": pa.array(eid % SKEW_SALTS, pa.int64()),
+                "vc": pa.array(vc, pa.int64()),
+                "seg": pa.array([""] * n, pa.string()),
+            }
+        )
+
+    def dim_rows(t: pa.Table) -> pa.Table:
+        # replicate each dim row once per salt bucket
+        n = len(t)
+        key = np.repeat(
+            t["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64),
+            SKEW_SALTS,
+        )
+        seg = np.repeat(np.asarray(t["c_mktsegment"].to_pylist(), object),
+                        SKEW_SALTS)
+        salt = np.tile(np.arange(SKEW_SALTS, dtype=np.int64), n)
+        m = n * SKEW_SALTS
+        return pa.table(
+            {
+                "kind": pa.array(np.ones(m, np.int8)),
+                "key": pa.array(key, pa.int64()),
+                "salt": pa.array(salt, pa.int64()),
+                "vc": pa.array(np.zeros(m, np.int64)),
+                "seg": pa.array(seg, pa.string()),
+            }
+        )
+
+    both = (
+        ev.map_batches(fact_rows, batch_format="pyarrow")
+        .union(cust.map_batches(dim_rows, batch_format="pyarrow"))
+        .map_batches(
+            add_kpart,
+            fn_kwargs={"num_parts": 32, "cols": ("key", "salt")},
+            batch_format="pyarrow",
+        )
+    )
+
+    def join_partition(g: pd.DataFrame) -> pd.DataFrame:
+        dim = g[g["kind"] == 1]
+        fact = g[g["kind"] == 0]
+        if dim.empty or fact.empty:
+            return pd.DataFrame(
+                {"c_mktsegment": pd.Series([], dtype=object),
+                 "n_events": pd.Series([], dtype=np.int64),
+                 "value_c": pd.Series([], dtype=np.int64)}
+            )
+        # one key can land here under several salts — dedupe to a unique
+        # key→segment map (the replicas are identical by construction)
+        dim = dim.drop_duplicates("key")
+        seg = fact["key"].map(
+            pd.Series(dim["seg"].to_numpy(), index=dim["key"].to_numpy())
+        )
+        keep = seg.notna()
+        out = (
+            pd.DataFrame({"c_mktsegment": seg[keep].to_numpy(),
+                          "vc": fact.loc[keep, "vc"].to_numpy(np.int64)})
+            .groupby("c_mktsegment", sort=False)["vc"]
+            .agg(n_events="size", value_c="sum")
+            .reset_index()
+        )
+        out["n_events"] = out["n_events"].astype(np.int64)
+        out["value_c"] = out["value_c"].astype(np.int64)
+        return out
+
+    return (
+        both.groupby("kpart")
+        .map_groups(join_partition, batch_format="pandas")
+        .groupby("c_mktsegment")
+        .aggregate(
+            ray.data.aggregate.Sum("n_events", alias_name="n_events"),
+            ray.data.aggregate.Sum("value_c", alias_name="value_c"),
+        )
+    )
+
+
+_SKEW_JOIN_SQL = """
+SELECT c.c_mktsegment AS c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(e.value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS value_c
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
 # ------------------------------------------------------------ registries
 
 QUERIES = {
@@ -6360,6 +6702,10 @@ QUERIES = {
     "cross_dedup": q_cross_dedup,
     "source_lift": q_source_lift,
     "export_roundtrip": q_export_roundtrip,
+    "seq_pack": q_seq_pack,
+    "redact_terms": q_redact_terms,
+    "approx_percentiles": q_approx_percentiles,
+    "rel_skew_join": q_rel_skew_join,
 }
 
 
@@ -7547,6 +7893,10 @@ JOIN pairs p3 ON p3.a = p1.b AND p3.b = p2.b
     "group_percentiles": _GROUP_PCT_SQL,
     "value_norm": _VALUE_NORM_SQL,
     "export_roundtrip": _EXPORT_RT_SQL,
+    "seq_pack": _SEQ_PACK_SQL,
+    "redact_terms": _REDACT_SQL,
+    "approx_percentiles": _APPROX_PCT_SQL,
+    "rel_skew_join": _SKEW_JOIN_SQL,
     "user_activity": _USER_ACTIVITY_SQL,
     "simhash_pairs": _SIMHASH_SQL,
     "embed_neardup": _NEARDUP_SQL,
