@@ -6588,6 +6588,152 @@ GROUP BY c.c_mktsegment
 """
 
 
+def q_upsert_apply(sf_dir: str):
+    """CDC merge (MERGE INTO / upsert): apply a changelog of updates and
+    deletes onto a keyed base snapshot — the shape every incremental
+    100-TB ingest needs. The changelog here is derived deterministically
+    from the base in the same scan (doc_id ≡ 3 mod 7 → update bumping
+    n_chars by 1000; doc_id ≡ 5 mod 13 → delete; a key matching both
+    gets DELETE precedence): one pass emits tagged rows (0 = base,
+    1 = update, 2 = delete), a doc_id-hash cogroup colocates each key's
+    rows, and the per-partition kernel applies precedence vectorized
+    (delete wins, else update value, else base). Exchange = base +
+    changelog rows, pruned to 4 integer/str columns; at scale the
+    changelog side is the (small) incremental batch and the plan is
+    unchanged. Related: `latest_event` (keep-latest without ops),
+    `bm25_deleted` (tombstone serving)."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"])
+
+    def emit(t: pa.Table) -> pa.Table:
+        did = pc.cast(t["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        lang = np.asarray(t["lang"].to_pylist(), object)
+        nc = pc.cast(t["n_chars"], pa.int64()).to_numpy(zero_copy_only=False)
+        upd = did % 7 == 3
+        del_ = did % 13 == 5
+        kind = np.concatenate(
+            [np.zeros(len(did), np.int8),
+             np.ones(int(upd.sum()), np.int8),
+             np.full(int(del_.sum()), 2, np.int8)]
+        )
+        return pa.table(
+            {
+                "kind": pa.array(kind),
+                "doc_id": pa.array(
+                    np.concatenate([did, did[upd], did[del_]]), pa.int64()),
+                "lang": pa.array(
+                    np.concatenate([lang, lang[upd], lang[del_]]), pa.string()),
+                "n_chars": pa.array(
+                    np.concatenate([nc, nc[upd] + 1000,
+                                    np.zeros(int(del_.sum()), np.int64)]),
+                    pa.int64()),
+            }
+        )
+
+    parts = (
+        docs.map_batches(emit, batch_format="pyarrow")
+        .map_batches(add_kpart,
+                     fn_kwargs={"num_parts": 32, "cols": ("doc_id",)},
+                     batch_format="pyarrow")
+    )
+
+    def apply_partition(g: pd.DataFrame) -> pd.DataFrame:
+        deleted = set(g.loc[g["kind"] == 2, "doc_id"].to_numpy(np.int64))
+        upd = g[g["kind"] == 1]
+        new_val = pd.Series(upd["n_chars"].to_numpy(np.int64),
+                            index=upd["doc_id"].to_numpy(np.int64))
+        base = g[g["kind"] == 0]
+        keep = ~base["doc_id"].isin(deleted)
+        base = base[keep]
+        did = base["doc_id"].to_numpy(np.int64)
+        merged = pd.Series(did).map(new_val)
+        out_n = np.where(merged.notna(),
+                         merged.fillna(0).to_numpy(np.int64),
+                         base["n_chars"].to_numpy(np.int64))
+        return pd.DataFrame(
+            {"doc_id": did, "lang": base["lang"].to_numpy(),
+             "n_chars": out_n.astype(np.int64)}
+        )
+
+    return parts.groupby("kpart").map_groups(
+        apply_partition, batch_format="pandas")
+
+
+_UPSERT_SQL = """
+WITH upd AS (
+  SELECT doc_id, n_chars + 1000 AS n_chars FROM documents WHERE doc_id % 7 = 3
+),
+del AS (SELECT doc_id FROM documents WHERE doc_id % 13 = 5)
+SELECT d.doc_id AS doc_id, d.lang AS lang,
+       CAST(coalesce(u.n_chars, d.n_chars) AS BIGINT) AS n_chars
+FROM documents d LEFT JOIN upd u USING (doc_id)
+WHERE d.doc_id NOT IN (SELECT doc_id FROM del)
+"""
+
+
+def q_user_running_total(sf_dir: str):
+    """Per-key ordered analytic (running spend per user over time) — the
+    window-function shape (SUM ... OVER (PARTITION BY k ORDER BY t))
+    expressed without any global sort: users are independent, so a
+    user-hash cogroup colocates each user's events and the partition
+    kernel does ONE lexsort + grouped cumulative sum for all its users
+    at once. Exact integer cents; (ts, event_id) is a deterministic
+    total order (event_id unique), mirrored by the SQL window's ROWS
+    frame. Contrast with `seq_pack`, whose prefix sum crosses partition
+    boundaries and needs the two-level scan; here the partition key IS
+    the window key, so no sidecar pass exists."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        vc = np.floor(
+            t["value"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": pc.cast(t["event_id"], pa.int64()),
+                "user_id": pc.cast(t["user_id"], pa.int64()),
+                "ts_us": pc.cast(t["ts"], pa.int64()),
+                "vc": pa.array(vc, pa.int64()),
+            }
+        )
+
+    parts = (
+        ev.map_batches(prep, batch_format="pyarrow")
+        .map_batches(add_kpart,
+                     fn_kwargs={"num_parts": 32, "cols": ("user_id",)},
+                     batch_format="pyarrow")
+    )
+
+    def scan_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"])
+        run = g.groupby("user_id", sort=False)["vc"].cumsum()
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(np.int64),
+                "user_id": g["user_id"].to_numpy(np.int64),
+                "run_c": run.to_numpy(np.int64),
+            }
+        )
+
+    return parts.groupby("kpart").map_groups(
+        scan_partition, batch_format="pandas")
+
+
+_RUNNING_TOTAL_SQL = """
+WITH v AS (
+  SELECT event_id, user_id, ts,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+  FROM events
+)
+SELECT event_id, user_id,
+  CAST(sum(vc) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_c
+FROM v
+"""
+
+
 # ------------------------------------------------------------ registries
 
 QUERIES = {
@@ -6706,6 +6852,8 @@ QUERIES = {
     "redact_terms": q_redact_terms,
     "approx_percentiles": q_approx_percentiles,
     "rel_skew_join": q_rel_skew_join,
+    "upsert_apply": q_upsert_apply,
+    "user_running_total": q_user_running_total,
 }
 
 
@@ -7897,6 +8045,8 @@ JOIN pairs p3 ON p3.a = p1.b AND p3.b = p2.b
     "redact_terms": _REDACT_SQL,
     "approx_percentiles": _APPROX_PCT_SQL,
     "rel_skew_join": _SKEW_JOIN_SQL,
+    "upsert_apply": _UPSERT_SQL,
+    "user_running_total": _RUNNING_TOTAL_SQL,
     "user_activity": _USER_ACTIVITY_SQL,
     "simhash_pairs": _SIMHASH_SQL,
     "embed_neardup": _NEARDUP_SQL,
