@@ -6266,17 +6266,25 @@ def q_seq_pack(sf_dir: str):
     sized to ~1e6 docs that is thousands of rows, not data-scale).
     Reference analog: none (extension); semantics match GPT-style
     concat-and-chunk dataloaders."""
+    import pyarrow.parquet as _pq
+
+    n_docs = _pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
     docs = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"])
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"],
+        # data-sized fan-out: the counted stream feeds a cogroup sort
+        # whose cost is per-block (SCALE.md block-compaction rule)
+        override_num_blocks=max(8, min(256, n_docs // 20_000 + 1)))
 
     def count_tokens(t: pa.Table) -> pa.Table:
-        n = [len(tokenize_simple(s or "")) for s in t["text"].to_pylist()]
+        # vectorized token count ≙ len(TOKLIST) — same Arrow kernels as
+        # _dl_batch (tested equal to tokenize_simple in test_functions)
+        n = _dl_batch(t)["dl"]
         did = pc.cast(t["doc_id"], pa.int64())
         return pa.table(
             {
                 "doc_id": did,
                 "lang": t["lang"],
-                "n_tokens": pa.array(n, pa.int64()),
+                "n_tokens": n,
                 "r": pc.divide(did, pa.scalar(PACK_RANGE, pa.int64())),
             }
         )
@@ -6486,12 +6494,23 @@ def q_rel_skew_join(sf_dir: str):
     integer partials, so the final exchange is ≤ partitions × segments
     rows. Results are salt-invariant (asserted by the plain-join SQL
     oracle). Reference analog: none (scale extension)."""
+    import pyarrow.parquet as _pq
+
+    # size the read fan-out to the data (metadata-only row counts): the
+    # tagged union feeds a cogroup sort whose cost is per-BLOCK, so a
+    # toy input must not arrive in 128 near-empty blocks, while at scale
+    # ~50k rows/block is ordinary (same rule as the graph-iteration
+    # partition sizing in stages/graph.py)
+    n_ev = _pq.read_metadata(f"{sf_dir}/events.parquet").num_rows
+    n_cu = _pq.read_metadata(os.path.join(sf_dir, "customer.parquet")).num_rows
     ev = ray.data.read_parquet(
         f"{sf_dir}/events.parquet",
-        columns=["event_id", "user_id", "value"])
+        columns=["event_id", "user_id", "value"],
+        override_num_blocks=max(8, min(256, n_ev // 50_000 + 1)))
     cust = ray.data.read_parquet(
         os.path.join(sf_dir, "customer.parquet"),
-        columns=["c_custkey", "c_mktsegment"])
+        columns=["c_custkey", "c_mktsegment"],
+        override_num_blocks=max(4, min(64, n_cu // 50_000 + 1)))
 
     def fact_rows(t: pa.Table) -> pa.Table:
         vc = np.floor(
