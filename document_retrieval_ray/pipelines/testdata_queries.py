@@ -6753,6 +6753,171 @@ FROM v
 """
 
 
+def q_value_zscore(sf_dir: str):
+    """Per-group z-score standardization (the other classic fit+transform
+    beside `value_norm`'s min-max): each event's value standardized
+    within its event_type. Fit state = 3 exact integers per type
+    (n, Σvc, Σvc²) folded from per-batch partials — merge-associative,
+    so the fit is one bounded exchange at any scale; the transform pass
+    re-reads the cents stream with the tiny (μ, σ) table captured by
+    closure. μ/σ/z are computed in float64 with the IDENTICAL op order
+    as the SQL oracle (mu = S/n; var = S2/n − mu·mu; z = (v−mu)/sqrt),
+    exported fx4; σ = 0 (degenerate group) pins z to 0, mirrored."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "value"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        vc = np.floor(
+            t["value"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        return pa.table({"event_id": pc.cast(t["event_id"], pa.int64()),
+                         "event_type": t["event_type"],
+                         "vc": pa.array(vc, pa.int64())})
+
+    cents = ev.map_batches(to_cents, batch_format="pyarrow")
+
+    def moment_partial(t: pa.Table) -> pa.Table:
+        pdf = t.to_pandas()
+        pdf["vc2"] = pdf["vc"] * pdf["vc"]
+        g = (pdf.groupby("event_type", sort=False)
+             .agg(n=("vc", "size"), s=("vc", "sum"), s2=("vc2", "sum"))
+             .reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    mom = (cents.map_batches(moment_partial, batch_format="pyarrow")
+           .to_pandas()  # bounded: |types| rows per batch
+           .groupby("event_type")
+           .agg(n=("n", "sum"), s=("s", "sum"), s2=("s2", "sum")))
+    stats = {}
+    for et, row in mom.iterrows():
+        n = float(row["n"])
+        mu = float(row["s"]) / n
+        var = float(row["s2"]) / n - mu * mu
+        stats[et] = (mu, np.sqrt(var) if var > 0 else 0.0)
+
+    def transform(t: pa.Table) -> pa.Table:
+        pdf = t.to_pandas()
+        mu = pdf["event_type"].map({k: v[0] for k, v in stats.items()})
+        sig = pdf["event_type"].map({k: v[1] for k, v in stats.items()})
+        vc = pdf["vc"].to_numpy(np.float64)
+        z = np.where(sig > 0, (vc - mu) / np.where(sig > 0, sig, 1.0), 0.0)
+        zx = np.floor(z * 10000.0 + 0.5).astype(np.int64)
+        return pa.table({"event_id": pa.array(pdf["event_id"], pa.int64()),
+                         "event_type": pa.array(pdf["event_type"]),
+                         "z_x": pa.array(zx, pa.int64())})
+
+    return cents.map_batches(transform, batch_format="pyarrow")
+
+
+_VALUE_ZSCORE_SQL = """
+WITH v AS (
+  SELECT event_id, event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+  FROM events
+),
+m AS (SELECT event_type, count(*) AS n, sum(vc) AS s, sum(vc*vc) AS s2
+      FROM v GROUP BY event_type),
+f AS (SELECT event_type,
+        CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+        CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+          - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+            * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS var
+      FROM m)
+SELECT v.event_id AS event_id, v.event_type AS event_type,
+  CASE WHEN f.var > 0
+       THEN CAST(floor(((CAST(v.vc AS DOUBLE) - f.mu) / sqrt(f.var))
+                       * 10000.0 + 0.5) AS BIGINT)
+       ELSE 0 END AS z_x
+FROM v JOIN f USING (event_type)
+"""
+
+
+NTILE_PCTS = (25, 50, 75)
+
+
+def q_value_ntile(sf_dir: str):
+    """Quantile feature bucketization (the fit+transform a gradient-boost
+    /embedding-binning preprocessor needs): each event assigned its
+    within-type quartile bucket 1–4. EXACT at any scale: the fit reuses
+    the `group_percentiles` bounded-histogram plan (one row per distinct
+    cents value per type), thresholds are the same ceil-rank integers,
+    and the transform is pure integer comparisons — no float anywhere,
+    so no tie ambiguity (bucket = 1 + Σ [vc > p_k], mirrored in SQL)."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "value"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        vc = np.floor(
+            t["value"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        return pa.table({"event_id": pc.cast(t["event_id"], pa.int64()),
+                         "event_type": t["event_type"],
+                         "vc": pa.array(vc, pa.int64())})
+
+    cents = ev.map_batches(to_cents, batch_format="pyarrow")
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        pdf = (t.select(["event_type", "vc"]).to_pandas()
+               .groupby(["event_type", "vc"], sort=False)
+               .size().reset_index(name="n"))
+        return pa.Table.from_pandas(pdf, preserve_index=False)
+
+    hist = (cents.map_batches(hist_partial, batch_format="pyarrow")
+            .groupby(["event_type", "vc"])
+            .aggregate(ray.data.aggregate.Sum("n", alias_name="n"))
+            .to_pandas())  # bounded: distinct (type, cents) rows
+    cuts = {}
+    for et, g in hist.groupby("event_type"):
+        g = g.sort_values("vc")
+        cum = g["n"].to_numpy(np.int64).cumsum()
+        vcv = g["vc"].to_numpy(np.int64)
+        tot = int(cum[-1])
+        cuts[et] = tuple(
+            int(vcv[np.searchsorted(cum, (p * tot + 99) // 100, side="left")])
+            for p in NTILE_PCTS
+        )
+
+    def transform(t: pa.Table) -> pa.Table:
+        pdf = t.to_pandas()
+        vc = pdf["vc"].to_numpy(np.int64)
+        bucket = np.ones(len(vc), np.int64)
+        for i in range(len(NTILE_PCTS)):
+            th = pdf["event_type"].map(
+                {k: v[i] for k, v in cuts.items()}).to_numpy(np.int64)
+            bucket += (vc > th).astype(np.int64)
+        return pa.table({"event_id": pa.array(pdf["event_id"], pa.int64()),
+                         "event_type": pa.array(pdf["event_type"]),
+                         "bucket": pa.array(bucket, pa.int64())})
+
+    return cents.map_batches(transform, batch_format="pyarrow")
+
+
+_NTILE_CUT_COLS = ",\n  ".join(
+    f"min(vc) FILTER (WHERE cum >= ceil(({p} * tot) / 100.0)) AS p{p}"
+    for p in NTILE_PCTS
+)
+_VALUE_NTILE_SQL = f"""
+WITH v AS (
+  SELECT event_id, event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+  FROM events
+),
+h AS (SELECT event_type, vc, count(*) AS n FROM v GROUP BY event_type, vc),
+c AS (SELECT event_type, vc,
+        sum(n) OVER (PARTITION BY event_type ORDER BY vc) AS cum,
+        sum(n) OVER (PARTITION BY event_type) AS tot
+      FROM h),
+cuts AS (SELECT event_type, {_NTILE_CUT_COLS} FROM c GROUP BY event_type)
+SELECT v.event_id AS event_id, v.event_type AS event_type,
+  CAST(1 + CASE WHEN v.vc > cuts.p25 THEN 1 ELSE 0 END
+         + CASE WHEN v.vc > cuts.p50 THEN 1 ELSE 0 END
+         + CASE WHEN v.vc > cuts.p75 THEN 1 ELSE 0 END AS BIGINT) AS bucket
+FROM v JOIN cuts USING (event_type)
+"""
+
+
 # ------------------------------------------------------------ registries
 
 QUERIES = {
@@ -6873,6 +7038,8 @@ QUERIES = {
     "rel_skew_join": q_rel_skew_join,
     "upsert_apply": q_upsert_apply,
     "user_running_total": q_user_running_total,
+    "value_zscore": q_value_zscore,
+    "value_ntile": q_value_ntile,
 }
 
 
@@ -8066,6 +8233,8 @@ JOIN pairs p3 ON p3.a = p1.b AND p3.b = p2.b
     "rel_skew_join": _SKEW_JOIN_SQL,
     "upsert_apply": _UPSERT_SQL,
     "user_running_total": _RUNNING_TOTAL_SQL,
+    "value_zscore": _VALUE_ZSCORE_SQL,
+    "value_ntile": _VALUE_NTILE_SQL,
     "user_activity": _USER_ACTIVITY_SQL,
     "simhash_pairs": _SIMHASH_SQL,
     "embed_neardup": _NEARDUP_SQL,
