@@ -323,9 +323,24 @@ SELECT query_id, rank, doc_id, score_x FROM ranked WHERE rank <= 10
 # ------------------------------------------------------------ Ray helpers
 
 
+def _sized_blocks(path: str, rows_per_block: int, lo: int = 8,
+                  hi: int = 256) -> int:
+    """Data-sized read fan-out (metadata-only row count). Most testdata
+    pipelines funnel the read into one or more cogroup sorts whose cost
+    is per-BLOCK — a 5k-row table arriving in 64 near-empty blocks pays
+    ~3-6 s of pure scheduling per sort at toy scale, while at data scale
+    rows/rows_per_block dominates and the clamp is a no-op."""
+    import pyarrow.parquet as _pq
+
+    n = _pq.read_metadata(path).num_rows
+    return max(lo, min(hi, n // rows_per_block + 1))
+
+
 def _docs(sf_dir: str) -> ray.data.Dataset:
+    path = f"{sf_dir}/documents.parquet"
     return ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+        path, columns=["doc_id", "text", "lang"],
+        override_num_blocks=_sized_blocks(path, 5_000),
     )
 
 
