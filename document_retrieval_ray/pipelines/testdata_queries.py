@@ -344,6 +344,16 @@ def _docs(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def _events(sf_dir: str, columns=None) -> ray.data.Dataset:
+    """Shared events reader with a data-sized block count (narrow integer
+    rows pack denser than documents, hence the larger rows_per_block)."""
+    path = f"{sf_dir}/events.parquet"
+    return ray.data.read_parquet(
+        path, columns=columns,
+        override_num_blocks=_sized_blocks(path, 20_000),
+    )
+
+
 def _dl_batch(batch: pa.Table) -> pa.Table:
     text = pc.cast(batch["text"], pa.string())
     low = pc.utf8_lower(text)
@@ -1042,8 +1052,7 @@ def q_event_bigrams(sf_dir: str):
     core): consecutive (prev → next) event pairs under (ts, event_id)
     ordering. ONE user_id-hash exchange; the kernel is a lexsort +
     shifted compare with a same-user guard; output is |types|² rows."""
-    ev = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id",
+    ev = _events(sf_dir, columns=["user_id", "ts", "event_id",
                                              "event_type"]
     )
 
@@ -1086,7 +1095,7 @@ def q_user_activity(sf_dir: str):
     user-hash exchange of the pruned (user_id) column; the kernel
     value-counts users then histograms the counts, so the reduce moves
     ≤max_activity rows per partition."""
-    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ev = _events(sf_dir,
                                columns=["user_id"])
 
     def kern(g: pd.DataFrame) -> pd.DataFrame:
@@ -1127,7 +1136,7 @@ def q_value_outliers(sf_dir: str):
             "vc": pa.array(vc, pa.int64()),
         })
 
-    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=cols)
+    ev = _events(sf_dir, columns=cols)
 
     def partial(t: pa.Table) -> pa.Table:
         pdf = (t.to_pandas().groupby(["event_type", "vc"], sort=False)
@@ -1705,8 +1714,7 @@ def q_rel_asof(sf_dir: str):
     Partitioning assumption (documented): one key's timeline fits a
     partition — a degenerate key would need time-bucketing with
     boundary replication of the latest right row per bucket."""
-    ev = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet",
+    ev = _events(sf_dir,
         columns=["event_id", "ts", "user_id", "event_type"],
     )
 
@@ -1728,8 +1736,7 @@ def q_rel_asof(sf_dir: str):
 
 
 def q_rel_window(sf_dir: str):
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    ds = _events(sf_dir, columns=["user_id", "ts", "value"]
     )
 
     def partial(t: pa.Table) -> pa.Table:
@@ -1756,8 +1763,7 @@ def q_rel_window(sf_dir: str):
 
 
 def q_rel_json(sf_dir: str):
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["event_type", "props"]
+    ds = _events(sf_dir, columns=["event_type", "props"]
     )
 
     def extract(t: pa.Table) -> pa.Table:
@@ -2732,8 +2738,7 @@ def q_sessionize(sf_dir: str):
     user's event timeline fits a partition — a degenerate user would
     need time-range bucketing with boundary stitching of open sessions
     across bucket edges."""
-    ev = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
+    ev = _events(sf_dir, columns=["event_id", "ts", "user_id", "value"]
     )
 
     def prep(t: pa.Table) -> pa.Table:
@@ -2782,7 +2787,7 @@ def q_retention(sf_dir: str):
     day — the standard growth-analytics triangle. ONE user_id-hash
     exchange; per-user rows are distinct by construction so the final
     (cohort, offset) count is a tiny integer groupby."""
-    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ev = _events(sf_dir,
                                columns=["user_id", "ts"])
 
     def prep(t: pa.Table) -> pa.Table:
@@ -2857,8 +2862,7 @@ def q_funnel(sf_dir: str):
     event-analytics op Ray Data has no primitive for. ONE user_id-hash
     exchange of (user, type, ts) rows; per-user logic vectorized in the
     partition kernel; output is |steps| rows."""
-    ev = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts"]
+    ev = _events(sf_dir, columns=["user_id", "event_type", "ts"]
     )
 
     def prep(t: pa.Table) -> pa.Table:
@@ -2924,8 +2928,7 @@ def q_window_tumble(sf_dir: str):
     (event_type, window)-keyed exchange of partials feeds a vectorized
     per-partition finalize. Nothing is broadcast; the exchange is
     bounded by distinct (key, user) pairs, not the event count."""
-    ev = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet",
+    ev = _events(sf_dir,
         columns=["ts", "event_type", "user_id", "value"],
     )
 
@@ -2969,8 +2972,7 @@ def q_window_hop(sf_dir: str):
     2-phase plan as the tumbling window — the per-batch partial just
     replicates each event to its R member windows before collapsing, so
     the exchange grows by R, never by the event count × window length."""
-    ev = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    ev = _events(sf_dir, columns=["ts", "event_type", "value"]
     )
     r = WINDOW_US // HOP_US
 
@@ -3183,8 +3185,7 @@ def q_latest_event(sf_dir: str):
     (value rides along like html bytes would in the corpus shape)."""
     from ..stages.dedup import keep_latest
 
-    ev = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet",
+    ev = _events(sf_dir,
         columns=["event_id", "ts", "user_id", "event_type", "value"],
     )
     return keep_latest(
@@ -3307,8 +3308,7 @@ def q_range_join(sf_dir: str):
     user_id-hash cogroup like rel_asof; the per-partition kernel is two
     C-level merge_asof passes, no per-row Python. Same partitioning
     assumption as rel_asof: one key's timeline fits a partition."""
-    ev = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet",
+    ev = _events(sf_dir,
         columns=["event_id", "ts", "user_id", "event_type"],
     )
 
@@ -5307,8 +5307,7 @@ def q_event_dedup(sf_dir: str):
     user's timeline colocates, the kernel is one lexsort + one
     groupby-shift — no per-row Python. Exact integer microseconds
     end-to-end."""
-    ev = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet",
+    ev = _events(sf_dir,
         columns=["event_id", "ts", "user_id", "event_type"],
     )
 
@@ -5689,8 +5688,7 @@ def q_group_percentiles(sf_dir: str):
     histogram, one bounded groupby-sum combines them (rows = distinct
     cent values per type, NOT rows of input), and the driver walks the
     ≤|types| cumulative sums. Zero input-sized shuffles at any scale."""
-    ev = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    ev = _events(sf_dir, columns=["event_type", "value"])
 
     def partial(t: pa.Table) -> pa.Table:
         vc = np.floor(
@@ -6156,8 +6154,7 @@ def q_value_norm(sf_dir: str):
     scan's closure — never reshipped per batch), and the transform is
     integer floor division ((vc−min)·10⁴ // (max−min)). Two column-pruned
     scans, zero shuffles."""
-    ev = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet",
+    ev = _events(sf_dir,
         columns=["event_id", "event_type", "value"])
 
     def to_cents(t: pa.Table) -> pa.Table:
@@ -6429,8 +6426,7 @@ def q_approx_percentiles(sf_dir: str):
     deterministic estimator mirrored exactly in SQL, so parity is exact
     even though the estimate is approximate. Error bound ≤ one bin
     width by construction."""
-    ev = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    ev = _events(sf_dir, columns=["event_type", "value"])
 
     def partial(t: pa.Table) -> pa.Table:
         vc = np.floor(
@@ -6516,12 +6512,8 @@ def q_rel_skew_join(sf_dir: str):
     # toy input must not arrive in 128 near-empty blocks, while at scale
     # ~50k rows/block is ordinary (same rule as the graph-iteration
     # partition sizing in stages/graph.py)
-    n_ev = _pq.read_metadata(f"{sf_dir}/events.parquet").num_rows
     n_cu = _pq.read_metadata(os.path.join(sf_dir, "customer.parquet")).num_rows
-    ev = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet",
-        columns=["event_id", "user_id", "value"],
-        override_num_blocks=max(8, min(256, n_ev // 50_000 + 1)))
+    ev = _events(sf_dir, columns=["event_id", "user_id", "value"])
     cust = ray.data.read_parquet(
         os.path.join(sf_dir, "customer.parquet"),
         columns=["c_custkey", "c_mktsegment"],
@@ -6716,8 +6708,7 @@ def q_user_running_total(sf_dir: str):
     frame. Contrast with `seq_pack`, whose prefix sum crosses partition
     boundaries and needs the two-level scan; here the partition key IS
     the window key, so no sidecar pass exists."""
-    ev = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet",
+    ev = _events(sf_dir,
         columns=["event_id", "user_id", "ts", "value"])
 
     def prep(t: pa.Table) -> pa.Table:
@@ -6778,8 +6769,7 @@ def q_value_zscore(sf_dir: str):
     closure. μ/σ/z are computed in float64 with the IDENTICAL op order
     as the SQL oracle (mu = S/n; var = S2/n − mu·mu; z = (v−mu)/sqrt),
     exported fx4; σ = 0 (degenerate group) pins z to 0, mirrored."""
-    ev = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet",
+    ev = _events(sf_dir,
         columns=["event_id", "event_type", "value"])
 
     def to_cents(t: pa.Table) -> pa.Table:
@@ -6859,8 +6849,7 @@ def q_value_ntile(sf_dir: str):
     cents value per type), thresholds are the same ceil-rank integers,
     and the transform is pure integer comparisons — no float anywhere,
     so no tie ambiguity (bucket = 1 + Σ [vc > p_k], mirrored in SQL)."""
-    ev = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet",
+    ev = _events(sf_dir,
         columns=["event_id", "event_type", "value"])
 
     def to_cents(t: pa.Table) -> pa.Table:
