@@ -344,6 +344,26 @@ def _docs(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def _emb(sf_dir: str, columns=None) -> ray.data.Dataset:
+    """Shared embeddings reader, data-sized blocks (vectors are wide rows,
+    and the ANN kernels want a matmul-worthy batch per task)."""
+    path = f"{sf_dir}/embeddings.parquet"
+    return ray.data.read_parquet(
+        path, columns=columns,
+        override_num_blocks=_sized_blocks(path, 2_000, lo=4),
+    )
+
+
+def _tbl(sf_dir: str, name: str, columns=None,
+         rows_per_block: int = 50_000) -> ray.data.Dataset:
+    """Shared relational-table reader with a data-sized block count."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    return ray.data.read_parquet(
+        path, columns=columns,
+        override_num_blocks=_sized_blocks(path, rows_per_block),
+    )
+
+
 def _events(sf_dir: str, columns=None) -> ray.data.Dataset:
     """Shared events reader with a data-sized block count (narrow integer
     rows pack denser than documents, hence the larger rows_per_block)."""
@@ -1242,7 +1262,7 @@ def q_embed_neardup(sf_dir: str):
     each vector is replicated to its (bi, bj) tiles (8 blocks → 36 tile
     groups), every unordered pair computed in exactly one tile. No
     take_all, no broadcast of the full matrix."""
-    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+    emb = _emb(sf_dir,
                                 columns=["vec_id", "embedding"])
     tiles = emb.map_batches(
         emit_tile_rows, fn_kwargs={"num_blocks": 8}, batch_format="pyarrow"
@@ -1258,7 +1278,7 @@ def q_embed_neardup_lsh(sf_dir: str):
     path: bucketing replaces the all-to-all tiling; recall traded for a
     linear exchange). Hyperplanes are fixed module-level constants so the
     SQL oracle evaluates the identical buckets."""
-    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+    emb = _emb(sf_dir,
                                 columns=["vec_id", "embedding"])
     bucketed = emb.map_batches(
         lsh_bucket, fn_kwargs={"planes": LSH_PLANES}, batch_format="pyarrow"
@@ -1283,7 +1303,7 @@ def q_knn_graph(sf_dir: str):
     are the approximate scale path)."""
     from ..stages.ann import knn_merge_partition, tile_knn_partial
 
-    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+    emb = _emb(sf_dir,
                                 columns=["vec_id", "embedding"])
     tiles = emb.map_batches(
         emit_tile_rows, fn_kwargs={"num_blocks": 8}, batch_format="pyarrow"
@@ -1302,7 +1322,7 @@ def q_knn_graph(sf_dir: str):
 
 
 def q_ann_topk(sf_dir: str):
-    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+    emb = _emb(sf_dir,
                                 columns=["vec_id", "embedding"])
     qid_arr = pa.array(list(ANN_QUERY_IDS), pa.int64())
     qrows = {
@@ -1349,7 +1369,7 @@ def q_ann_topk_lsh(sf_dir: str):
     candidate set shrinks by the bucket fan-out; recall traded for a
     bounded matmul). Same fixed hyperplanes as embed_neardup_lsh so the
     SQL oracle computes identical buckets."""
-    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+    emb = _emb(sf_dir,
                                 columns=["vec_id", "embedding"])
     bucketed = emb.map_batches(
         lsh_bucket, fn_kwargs={"planes": LSH_PLANES}, batch_format="pyarrow"
@@ -1385,7 +1405,7 @@ def q_ann_topk_ivf(sf_dir: str):
     nlist/nprobe; recall traded for a bounded matmul. The DuckDB oracle
     re-derives identical centroids (same init, same fixed-point rounding),
     so this is fully value-hash-checked."""
-    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+    emb = _emb(sf_dir,
                                 columns=["vec_id", "embedding"])
     cent = fit_ivf_centroids(emb, IVF_NLIST, IVF_NITER)
     assigned = emb.map_batches(
@@ -1424,7 +1444,7 @@ def q_kmeans_clusters(sf_dir: str):
     reduces nlist×dim only), then a one-pass assignment map. Returns
     (vec_id, cluster). The DuckDB oracle re-derives identical centroids
     (same init / fixed-point grids), so assignments are value-checked."""
-    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+    emb = _emb(sf_dir,
                                 columns=["vec_id", "embedding"])
     cent = fit_ivf_centroids(emb, IVF_NLIST, IVF_NITER)
     assigned = emb.map_batches(
@@ -1452,7 +1472,7 @@ def q_pq_codes(sf_dir: str):
     codes are value-checked."""
     from ..stages.ann import fit_pq_codebooks, pq_encode_batch
 
-    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+    emb = _emb(sf_dir,
                                 columns=["vec_id", "embedding"])
     cb = fit_pq_codebooks(emb, PQ_NSUB, PQ_KSUB, PQ_NITER)
     encoded = emb.map_batches(
@@ -1473,7 +1493,7 @@ def q_ann_topk_pq(sf_dir: str):
         PQTopK, final_topk_pq, fit_pq_codebooks, pq_encode_batch,
     )
 
-    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+    emb = _emb(sf_dir,
                                 columns=["vec_id", "embedding"])
     cb = fit_pq_codebooks(emb, PQ_NSUB, PQ_KSUB, PQ_NITER)
     encoded = emb.map_batches(
@@ -1515,7 +1535,7 @@ def q_ann_topk_ivfpq(sf_dir: str):
         ivf_assign_batch, pq_encode_batch,
     )
 
-    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+    emb = _emb(sf_dir,
                                 columns=["vec_id", "embedding"])
     cent = fit_ivf_centroids(emb, IVF_NLIST, IVF_NITER)
     cb = fit_pq_codebooks(emb, PQ_NSUB, PQ_KSUB, PQ_NITER)
@@ -1587,8 +1607,7 @@ def _cents(v: np.ndarray) -> np.ndarray:
 
 
 def q_rel_agg(sf_dir: str):
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/lineitem.parquet",
+    ds = _tbl(sf_dir, "lineitem",
         columns=["l_returnflag", "l_linestatus", "l_quantity",
                  "l_extendedprice", "l_discount"],
     )
@@ -1623,8 +1642,7 @@ def q_rel_agg(sf_dir: str):
 
 
 def q_rel_join_top(sf_dir: str):
-    orders = ray.data.read_parquet(
-        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    orders = _tbl(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]
     )
 
     def partial(t: pa.Table) -> pa.Table:
@@ -1665,8 +1683,7 @@ def q_rel_join_top(sf_dir: str):
     # distributed semi-filter of the customer dimension by the 10 winners
     keys = pa.array(top["o_custkey"].to_numpy(), pa.int64())
     cust = (
-        ray.data.read_parquet(
-            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+        _tbl(sf_dir, "customer", columns=["c_custkey", "c_name"]
         )
         .map_batches(
             lambda t: t.filter(pc.is_in(t["c_custkey"], value_set=keys)),
@@ -5450,12 +5467,10 @@ def q_rel_q5(sf_dir: str):
             "a": t["c_nationkey"],
         })
 
-    orders = ray.data.read_parquet(
-        os.path.join(sf_dir, "orders.parquet"),
+    orders = _tbl(sf_dir, "orders",
         columns=["o_orderkey", "o_custkey", "o_orderdate"],
     ).map_batches(o_rows, batch_format="pyarrow")
-    cust = ray.data.read_parquet(
-        os.path.join(sf_dir, "customer.parquet"),
+    cust = _tbl(sf_dir, "customer",
         columns=["c_custkey", "c_nationkey"],
     ).map_batches(c_rows, batch_format="pyarrow")
 
@@ -5490,8 +5505,7 @@ def q_rel_q5(sf_dir: str):
             "rev_c": pa.array(_cents(ext * (1.0 - disc))),
         })
 
-    li = ray.data.read_parquet(
-        os.path.join(sf_dir, "lineitem.parquet"),
+    li = _tbl(sf_dir, "lineitem",
         columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
     ).map_batches(li_rows, batch_format="pyarrow")
 
@@ -5590,9 +5604,7 @@ def q_embed_outliers(sf_dir: str):
         )
         return pa.table({"label": out_lab, "dim": out_dim, "s": out_s})
 
-    emb = ray.data.read_parquet(
-        os.path.join(sf_dir, "embeddings.parquet"), columns=emb_cols
-    )
+    emb = _emb(sf_dir, columns=emb_cols)
     mom = (
         emb.map_batches(moments, batch_format="pyarrow")
         .groupby(["label", "dim"])
@@ -5751,8 +5763,7 @@ def q_rel_antijoin(sf_dir: str):
     per partition, keep the customer rows whose key never appears on the
     orders side. Exchange = |customers| + |distinct urgent custkeys|
     rows; no broadcast, no driver set."""
-    cust = ray.data.read_parquet(
-        os.path.join(sf_dir, "customer.parquet"),
+    cust = _tbl(sf_dir, "customer",
         columns=["c_custkey", "c_acctbal"])
 
     def c_cents(t: pa.Table) -> pa.Table:
@@ -5787,8 +5798,7 @@ def q_rel_antijoin(sf_dir: str):
                          "vc": pa.array(np.zeros(len(keys), np.int64))})
 
     cand = cents.map_batches(c_rows, batch_format="pyarrow")
-    okeys = ray.data.read_parquet(
-        os.path.join(sf_dir, "orders.parquet"),
+    okeys = _tbl(sf_dir, "orders",
         columns=["o_custkey", "o_orderpriority"],
     ).map_batches(o_rows, batch_format="pyarrow")
 
@@ -5941,7 +5951,7 @@ def q_mmr_rerank(sf_dir: str):
     not a take_all of the corpus."""
     from ..stages.ann import _stack
 
-    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+    emb = _emb(sf_dir,
                                 columns=["vec_id", "embedding"])
     qid_arr = pa.array([MMR_QUERY_ID], pa.int64())
     qrow = emb.map_batches(
@@ -6505,19 +6515,8 @@ def q_rel_skew_join(sf_dir: str):
     integer partials, so the final exchange is ≤ partitions × segments
     rows. Results are salt-invariant (asserted by the plain-join SQL
     oracle). Reference analog: none (scale extension)."""
-    import pyarrow.parquet as _pq
-
-    # size the read fan-out to the data (metadata-only row counts): the
-    # tagged union feeds a cogroup sort whose cost is per-BLOCK, so a
-    # toy input must not arrive in 128 near-empty blocks, while at scale
-    # ~50k rows/block is ordinary (same rule as the graph-iteration
-    # partition sizing in stages/graph.py)
-    n_cu = _pq.read_metadata(os.path.join(sf_dir, "customer.parquet")).num_rows
     ev = _events(sf_dir, columns=["event_id", "user_id", "value"])
-    cust = ray.data.read_parquet(
-        os.path.join(sf_dir, "customer.parquet"),
-        columns=["c_custkey", "c_mktsegment"],
-        override_num_blocks=max(4, min(64, n_cu // 50_000 + 1)))
+    cust = _tbl(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
 
     def fact_rows(t: pa.Table) -> pa.Table:
         vc = np.floor(
