@@ -854,6 +854,17 @@ def q_fingerprint(sf_dir: str):
     return _docs(sf_dir).map_batches(fingerprint_batch, batch_format="pyarrow")
 
 
+def _arrow_blocks(ds):
+    """Convert pandas-formatted blocks back to Arrow (zero work beyond a
+    per-block from_pandas). Ray Data 2.49's all-to-all sort/aggregate
+    path over PANDAS blocks is pathologically slow — a 256k-row
+    map_groups → groupby.aggregate chain measured 29.3 s vs 4.4 s with
+    this hop at sf0.1 — so every pandas map_groups output that feeds a
+    Ray groupby/aggregate goes through here. Chains into another
+    _parted are already safe: add_kpart is an Arrow-format map."""
+    return ds.map_batches(lambda t: t, batch_format="pyarrow")
+
+
 def _parted(ds, cols, num_parts=64):
     """Hash-partitioned groupby: one Ray group = one whole partition,
     processed vectorized (per-raw-key map_groups costs ~ms/key)."""
@@ -1049,7 +1060,8 @@ def q_degree_dist(sf_dir: str):
                .rename("n_nodes").reset_index())
         return out.astype({"degree": "int64", "n_nodes": "int64"})
 
-    hist = (_parted(edges, ("src",)).map_groups(kern, batch_format="pandas")
+    hist = (_arrow_blocks(
+        _parted(edges, ("src",)).map_groups(kern, batch_format="pandas"))
             .groupby("degree").sum("n_nodes").to_pandas())
     hist.columns = ["degree", "n_nodes"]
     return hist.astype({"degree": "int64", "n_nodes": "int64"})
@@ -1102,8 +1114,9 @@ def q_event_bigrams(sf_dir: str):
             "n").reset_index()
         return out.astype({"n": "int64"})
 
-    parts = _parted(ev.map_batches(prep, batch_format="pyarrow"),
-                    ("user_id",)).map_groups(kernel, batch_format="pandas")
+    parts = _arrow_blocks(
+        _parted(ev.map_batches(prep, batch_format="pyarrow"),
+                ("user_id",)).map_groups(kernel, batch_format="pandas"))
     out = parts.groupby(["t1", "t2"]).sum("n").to_pandas()
     out.columns = ["t1", "t2", "n"]
     return out.astype({"n": "int64"})
@@ -1124,7 +1137,8 @@ def q_user_activity(sf_dir: str):
                .rename("n_users").reset_index())
         return out.astype({"n_events": "int64", "n_users": "int64"})
 
-    hist = (_parted(ev, ("user_id",)).map_groups(kern, batch_format="pandas")
+    hist = (_arrow_blocks(
+        _parted(ev, ("user_id",)).map_groups(kern, batch_format="pandas"))
             .groupby("n_events").sum("n_users").to_pandas())
     hist.columns = ["n_events", "n_users"]
     return hist.astype({"n_events": "int64", "n_users": "int64"})
@@ -2813,10 +2827,10 @@ def q_retention(sf_dir: str):
             "tsu": pc.cast(t["ts"], pa.int64()),
         })
 
-    rows = _parted(ev.map_batches(prep, batch_format="pyarrow"),
-                   ("user_id",)).map_groups(
-        _retention_partition, batch_format="pandas"
-    )
+    rows = _arrow_blocks(
+        _parted(ev.map_batches(prep, batch_format="pyarrow"),
+                ("user_id",)).map_groups(
+            _retention_partition, batch_format="pandas"))
     out = rows.groupby(["cohort_day", "day_offset"]).count().to_pandas()
     out.columns = ["cohort_day", "day_offset", "n_users"]
     return out.astype({"cohort_day": "int64", "day_offset": "int64",
@@ -2892,10 +2906,10 @@ def q_funnel(sf_dir: str):
             "tsu": pc.cast(t["ts"], pa.int64()),
         })
 
-    depths = _parted(ev.map_batches(prep, batch_format="pyarrow"),
-                     ("user_id",)).map_groups(
-        _funnel_partition, batch_format="pandas"
-    )
+    depths = _arrow_blocks(
+        _parted(ev.map_batches(prep, batch_format="pyarrow"),
+                ("user_id",)).map_groups(
+            _funnel_partition, batch_format="pandas"))
     counts = depths.groupby("depth").count().to_pandas()  # ≤ |steps|+1 rows
     by_depth = dict(zip(counts["depth"].astype(int),
                         counts["count()"].astype(int)))
@@ -3556,9 +3570,9 @@ def q_dup_span_docs(sf_dir: str):
         )
 
     rows = _docs(sf_dir).map_batches(_span_rows, batch_format="pyarrow")
-    partials = _parted(rows, ("span_hash",)).map_groups(
+    partials = _arrow_blocks(_parted(rows, ("span_hash",)).map_groups(
         flag, batch_format="pandas"
-    )
+    ))
     return partials.groupby("doc_id").aggregate(
         ray.data.aggregate.Sum("ns", alias_name="n_spans"),
         ray.data.aggregate.Sum("nd", alias_name="n_dup_spans"),
@@ -3670,9 +3684,9 @@ def q_lm_score(sf_dir: str):
     with_c1 = _parted(rows, ("lang", "w1")).map_groups(
         attach_c1, batch_format="pandas"
     )
-    partials = _parted(with_c1, ("lang", "w1", "w2")).map_groups(
+    partials = _arrow_blocks(_parted(with_c1, ("lang", "w1", "w2")).map_groups(
         score, batch_format="pandas"
-    )
+    ))
     return partials.groupby("doc_id").aggregate(
         ray.data.aggregate.Sum("n", alias_name="n_bigrams"),
         ray.data.aggregate.Sum("lp", alias_name="logprob_x"),
@@ -4629,9 +4643,9 @@ def q_nb_confusion(sf_dir: str):
         }),
         batch_format="pyarrow",
     )
-    partials = _parted(pred_rows.union(truth_rows), ("doc_id",)).map_groups(
-        _nb_confusion_partition, batch_format="pandas"
-    )
+    partials = _arrow_blocks(
+        _parted(pred_rows.union(truth_rows), ("doc_id",)).map_groups(
+            _nb_confusion_partition, batch_format="pandas"))
     out = partials.groupby(["lang", "pred_lang"]).sum("n").to_pandas()
     out.columns = ["lang", "pred_lang", "n"]
     return out.astype({"n": "int64"})
@@ -5277,8 +5291,8 @@ def q_related_docs(sf_dir: str):
         return pd.DataFrame({"a": np.concatenate(out_a),
                              "b": np.concatenate(out_b)})
 
-    pairs = _parted(kw, ("term",)).map_groups(pair_kern,
-                                              batch_format="pandas")
+    pairs = _arrow_blocks(_parted(kw, ("term",)).map_groups(
+        pair_kern, batch_format="pandas"))
 
     agg = pairs.groupby(["a", "b"]).count()
 
@@ -5532,8 +5546,8 @@ def q_rel_q5(sf_dir: str):
         return out.astype({"nationkey": "int64", "revenue_c": "int64"})
 
     rev = (
-        _parted(j1.union(li), ("key",))
-        .map_groups(join2, batch_format="pandas")
+        _arrow_blocks(_parted(j1.union(li), ("key",))
+                      .map_groups(join2, batch_format="pandas"))
         .groupby("nationkey")
         .aggregate(ray.data.aggregate.Sum("revenue_c",
                                           alias_name="revenue_c"))
@@ -6593,8 +6607,8 @@ def q_rel_skew_join(sf_dir: str):
         return out
 
     return (
-        both.groupby("kpart")
-        .map_groups(join_partition, batch_format="pandas")
+        _arrow_blocks(both.groupby("kpart")
+                      .map_groups(join_partition, batch_format="pandas"))
         .groupby("c_mktsegment")
         .aggregate(
             ray.data.aggregate.Sum("n_events", alias_name="n_events"),
