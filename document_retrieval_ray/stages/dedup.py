@@ -43,6 +43,7 @@ from ..functions.hashing import (
 from ..functions.tokenizer import tokenize_simple
 
 from ..config import DedupConfig
+from ..util import arrow_blocks
 
 DEFAULT_DEDUP = DedupConfig()
 # module aliases kept for call sites / oracle templates built from the
@@ -549,7 +550,7 @@ def label_prop_components(pairs_ds, max_rounds: int = 64,
             add_kpart, fn_kwargs={"num_parts": num_parts, "cols": ("src",)},
             batch_format="pyarrow",
         )
-        msgs = (
+        msgs = arrow_blocks(
             e_rows.union(lab_rows)
             .groupby("kpart")
             .map_groups(spread_labels_partition, batch_format="pandas")

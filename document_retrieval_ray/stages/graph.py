@@ -36,6 +36,7 @@ import pyarrow.compute as pc
 
 from .dedup import compact_blocks, edges_both_ways
 from .index_build import add_kpart
+from ..util import arrow_blocks
 
 PAGERANK_SCALE = 10 ** 12
 PAGERANK_DAMP_NUM = 85    # d = 0.85 as an integer fraction
@@ -122,9 +123,11 @@ def pagerank_integer(pairs_ds, iters: int = 5, num_parts: int = 64,
             batch_format="pyarrow",
         )
         incoming = (
-            e_rows.union(s_rows)
-            .groupby("kpart")
-            .map_groups(pagerank_contrib_partition, batch_format="pandas")
+            arrow_blocks(
+                e_rows.union(s_rows)
+                .groupby("kpart")
+                .map_groups(pagerank_contrib_partition,
+                            batch_format="pandas"))
             .groupby("node")
             .sum("c")
         )
@@ -246,7 +249,7 @@ def count_triangles(pairs_ds, num_parts: int = 64):
         lambda t: t.filter(pc.less(t["v"], t["w"])),
         batch_format="pyarrow",
     )
-    partials = (
+    partials = arrow_blocks(
         wedges.union(edge_rows)
         .map_batches(
             add_kpart, fn_kwargs={"num_parts": num_parts, "cols": ("v", "w")},
