@@ -71,7 +71,7 @@ from ..stages.multimodal import binary_meta_batch
 from ..stages.postings import emit_postings
 from ..stages.tokenize import TokenizeStage, flatten_tokens
 from ..stages.index_build import partial_term_counts
-from ..util import default_pool
+from ..util import arrow_blocks, default_pool
 
 # ---------------------------------------------------------------- constants
 
@@ -854,15 +854,9 @@ def q_fingerprint(sf_dir: str):
     return _docs(sf_dir).map_batches(fingerprint_batch, batch_format="pyarrow")
 
 
-def _arrow_blocks(ds):
-    """Convert pandas-formatted blocks back to Arrow (zero work beyond a
-    per-block from_pandas). Ray Data 2.49's all-to-all sort/aggregate
-    path over PANDAS blocks is pathologically slow — a 256k-row
-    map_groups → groupby.aggregate chain measured 29.3 s vs 4.4 s with
-    this hop at sf0.1 — so every pandas map_groups output that feeds a
-    Ray groupby/aggregate goes through here. Chains into another
-    _parted are already safe: add_kpart is an Arrow-format map."""
-    return ds.map_batches(lambda t: t, batch_format="pyarrow")
+# see util.arrow_blocks docstring: pandas map_groups outputs MUST be
+# re-arrowed before feeding a Ray groupby/aggregate (2.49 slow path)
+_arrow_blocks = arrow_blocks
 
 
 def _parted(ds, cols, num_parts=64):
