@@ -61,6 +61,7 @@ import ray
 import ray.data
 
 from ..config import IndexConfig
+from ..util import arrow_blocks
 from ..stages.extract import ExtractText
 from ..stages.index_build import (
     AssignDocIds,
@@ -803,7 +804,9 @@ def _build_cosine_norms(triples_mat, d: dict, stats: dict,
             norm_partition, batch_format="pandas"
         )
 
-    norms = partials.groupby(["lang", "doc_id"]).sum("w2")
+    # util.arrow_blocks: pandas map_groups output must re-arrow before a
+    # Ray aggregate (2.49 pandas-block all-to-all slow path)
+    norms = arrow_blocks(partials).groupby(["lang", "doc_id"]).sum("w2")
     norms = norms.map_batches(
         lambda t: t.rename_columns(["lang", "doc_id", "norm2"]), batch_format="pyarrow"
     )
