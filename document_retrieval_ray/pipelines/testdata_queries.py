@@ -332,7 +332,14 @@ def _sized_blocks(path: str, rows_per_block: int, lo: int = 8,
     rows/rows_per_block dominates and the clamp is a no-op."""
     import pyarrow.parquet as _pq
 
-    n = _pq.read_metadata(path).num_rows
+    if os.path.isdir(path):  # a write_parquet output directory
+        n = sum(
+            _pq.read_metadata(os.path.join(path, f)).num_rows
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+    else:
+        n = _pq.read_metadata(path).num_rows
     return max(lo, min(hi, n // rows_per_block + 1))
 
 
