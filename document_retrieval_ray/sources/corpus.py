@@ -17,6 +17,8 @@ storage).
 
 from __future__ import annotations
 
+import os
+
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
@@ -43,8 +45,27 @@ def read_webpages(path, columns=None, with_html: bool = False) -> ray.data.Datas
 
 
 def read_testdata_documents(sf_dir: str, columns=("doc_id", "text", "lang")) -> ray.data.Dataset:
-    """Read driver testdata documents and adapt to the engine key schema."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns))
+    """Read driver testdata documents and adapt to the engine key schema.
+
+    Block count is sized to the footer row count (rows/5k, clamped
+    [8, 256]) — downstream cogroup sorts pay per-block scheduling, so a
+    toy table must not arrive in 64 near-empty splits; at data scale the
+    clamp is inert (see SCALE.md, data-sized read fan-out)."""
+    import pyarrow.parquet as _pq
+
+    path = f"{sf_dir}/documents.parquet"
+    if os.path.isdir(path):
+        n = sum(
+            _pq.read_metadata(os.path.join(path, f)).num_rows
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+    else:
+        n = _pq.read_metadata(path).num_rows
+    ds = ray.data.read_parquet(
+        path, columns=list(columns),
+        override_num_blocks=max(8, min(256, n // 5_000 + 1)),
+    )
 
     def adapt(batch: pa.Table) -> pa.Table:
         batch = batch.append_column("url", docid_to_url(batch["doc_id"]))
