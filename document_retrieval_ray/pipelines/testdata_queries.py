@@ -6936,6 +6936,114 @@ FROM v JOIN cuts USING (event_type)
 """
 
 
+WINSOR_LO, WINSOR_HI = 5, 95
+
+
+def q_winsorized_mean(sf_dir: str):
+    """Robust per-group mean with winsorization (the data-quality
+    aggregate that survives sensor spikes / bot outliers): each event
+    value is clipped to its type's exact [p5, p95] ceil-rank thresholds
+    (same bounded-histogram fit as group_percentiles — state is one row
+    per distinct cents value, never per event) and the clipped mean is
+    reported. n and the clipped sum are exact integers; the mean is fx4
+    with SQL-mirrored float op order. Two bounded exchanges total."""
+    cents = _events(sf_dir, columns=["event_type", "value"]).map_batches(
+        lambda t: pa.table(
+            {
+                "event_type": t["event_type"],
+                "vc": pa.array(
+                    np.floor(
+                        t["value"].to_numpy(zero_copy_only=False) * 100.0
+                        + 0.5
+                    ).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        pdf = (t.to_pandas().groupby(["event_type", "vc"], sort=False)
+               .size().reset_index(name="n"))
+        return pa.Table.from_pandas(pdf, preserve_index=False)
+
+    hist = (cents.map_batches(hist_partial, batch_format="pyarrow")
+            .groupby(["event_type", "vc"])
+            .aggregate(ray.data.aggregate.Sum("n", alias_name="n"))
+            .to_pandas())  # bounded: distinct (type, cents) rows
+    cuts = {}
+    for et, g in hist.groupby("event_type"):
+        g = g.sort_values("vc")
+        cum = g["n"].to_numpy(np.int64).cumsum()
+        vcv = g["vc"].to_numpy(np.int64)
+        tot = int(cum[-1])
+        lo = int(vcv[np.searchsorted(cum, (WINSOR_LO * tot + 99) // 100,
+                                     side="left")])
+        hi = int(vcv[np.searchsorted(cum, (WINSOR_HI * tot + 99) // 100,
+                                     side="left")])
+        cuts[et] = (lo, hi)
+
+    def clip_partial(t: pa.Table) -> pa.Table:
+        pdf = t.to_pandas()
+        lo = pdf["event_type"].map({k: v[0] for k, v in cuts.items()}
+                                   ).to_numpy(np.int64)
+        hi = pdf["event_type"].map({k: v[1] for k, v in cuts.items()}
+                                   ).to_numpy(np.int64)
+        w = np.clip(pdf["vc"].to_numpy(np.int64), lo, hi)
+        g = (pd.DataFrame({"event_type": pdf["event_type"], "w": w})
+             .groupby("event_type", sort=False)["w"]
+             .agg(n="size", wins_sum_c="sum").reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (cents.map_batches(clip_partial, batch_format="pyarrow")
+           .groupby("event_type")
+           .aggregate(ray.data.aggregate.Sum("n", alias_name="n"),
+                      ray.data.aggregate.Sum("wins_sum_c",
+                                             alias_name="wins_sum_c")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = t["wins_sum_c"].to_numpy(zero_copy_only=False).astype(np.float64)
+        mx = np.floor((s / n) * 10000.0 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "n": pc.cast(t["n"], pa.int64()),
+                "wins_sum_c": pc.cast(t["wins_sum_c"], pa.int64()),
+                "wins_mean_x": pa.array(mx, pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+_WINSOR_SQL = f"""
+WITH v AS (
+  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+  FROM events
+),
+h AS (SELECT event_type, vc, count(*) AS n FROM v GROUP BY event_type, vc),
+c AS (SELECT event_type, vc,
+        sum(n) OVER (PARTITION BY event_type ORDER BY vc) AS cum,
+        sum(n) OVER (PARTITION BY event_type) AS tot
+      FROM h),
+cuts AS (SELECT event_type,
+    min(vc) FILTER (WHERE cum >= ceil(({WINSOR_LO} * tot) / 100.0)) AS lo,
+    min(vc) FILTER (WHERE cum >= ceil(({WINSOR_HI} * tot) / 100.0)) AS hi
+  FROM c GROUP BY event_type),
+w AS (SELECT v.event_type,
+        CASE WHEN v.vc < cuts.lo THEN cuts.lo
+             WHEN v.vc > cuts.hi THEN cuts.hi ELSE v.vc END AS wv
+      FROM v JOIN cuts USING (event_type))
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(wv) AS BIGINT) AS wins_sum_c,
+  CAST(floor((CAST(sum(wv) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+             * 10000.0 + 0.5) AS BIGINT) AS wins_mean_x
+FROM w GROUP BY event_type
+"""
+
+
 # ------------------------------------------------------------ registries
 
 QUERIES = {
@@ -7058,6 +7166,7 @@ QUERIES = {
     "user_running_total": q_user_running_total,
     "value_zscore": q_value_zscore,
     "value_ntile": q_value_ntile,
+    "winsorized_mean": q_winsorized_mean,
 }
 
 
@@ -8253,6 +8362,7 @@ JOIN pairs p3 ON p3.a = p1.b AND p3.b = p2.b
     "user_running_total": _RUNNING_TOTAL_SQL,
     "value_zscore": _VALUE_ZSCORE_SQL,
     "value_ntile": _VALUE_NTILE_SQL,
+    "winsorized_mean": _WINSOR_SQL,
     "user_activity": _USER_ACTIVITY_SQL,
     "simhash_pairs": _SIMHASH_SQL,
     "embed_neardup": _NEARDUP_SQL,
