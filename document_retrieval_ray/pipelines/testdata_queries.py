@@ -7044,6 +7044,137 @@ FROM w GROUP BY event_type
 """
 
 
+BLOOM_BITS = 1 << 20  # 128 KiB bit array — broadcastable at any scale
+BLOOM_K = 4
+
+
+def _bloom_hashes(keys: np.ndarray) -> np.ndarray:
+    """BLOOM_K bit positions per key via splitmix64 double hashing
+    (deterministic, no Python loop): h_i = h1 + i*h2 mod BLOOM_BITS."""
+    x = keys.astype(np.uint64)
+    x ^= x >> np.uint64(33)
+    x *= np.uint64(0xFF51AFD7ED558CCD)
+    x ^= x >> np.uint64(33)
+    h1 = x
+    x *= np.uint64(0xC4CEB9FE1A85EC53)
+    x ^= x >> np.uint64(33)
+    h2 = x | np.uint64(1)
+    ks = np.arange(BLOOM_K, dtype=np.uint64)[:, None]
+    return ((h1[None, :] + ks * h2[None, :])
+            % np.uint64(BLOOM_BITS)).astype(np.int64)
+
+
+def q_bloom_semijoin(sf_dir: str):
+    """Bloom-prefiltered exact semi-join — revenue cents per returnflag
+    over lineitem rows whose order is URGENT. The 100-TB pattern: the
+    build side's keys fold into a fixed 128 KiB Bloom bit-array (per-
+    batch partial bitmaps OR-merged on the driver — merge-associative,
+    size independent of key count), the probe side drops non-matching
+    rows AT THE SCAN for the cost of a broadcast no bigger than a block,
+    and only the surviving ~FP-rate fraction pays the exact key-hash
+    cogroup that removes Bloom false positives. Result is EXACT (the
+    verify stage ships per-batch-distinct probe keys like rel_antijoin);
+    the SQL oracle is the plain semi-join. Exchange = survivors +
+    distinct build keys, vs the full probe table for a naive plan."""
+    orders = _tbl(sf_dir, "orders",
+                  columns=["o_orderkey", "o_orderpriority"]).map_batches(
+        lambda t: t.filter(
+            pc.equal(t["o_orderpriority"], pa.scalar("1-URGENT"))
+        ).select(["o_orderkey"]),
+        batch_format="pyarrow",
+    )
+
+    def bloom_partial(t: pa.Table) -> pa.Table:
+        bits = np.zeros(BLOOM_BITS, np.bool_)
+        keys = t["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(keys):
+            bits[_bloom_hashes(keys).ravel()] = True
+        return pa.table({"bits": pa.array([np.packbits(bits).tobytes()],
+                                          pa.binary())})
+
+    packed = orders.map_batches(bloom_partial, batch_format="pyarrow")
+    bloom = np.zeros(BLOOM_BITS // 8, np.uint8)
+    for row in packed.take_all():  # bounded: one 128 KiB row per batch
+        bloom |= np.frombuffer(row["bits"], np.uint8)
+    bloom_bits = np.unpackbits(bloom).astype(np.bool_)
+
+    def prefilter(t: pa.Table) -> pa.Table:
+        keys = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if not len(keys):
+            return t
+        hit = bloom_bits[_bloom_hashes(keys)].all(axis=0)
+        return t.filter(pa.array(hit))
+
+    li = _tbl(sf_dir, "lineitem",
+              columns=["l_orderkey", "l_extendedprice", "l_returnflag"]
+              ).map_batches(prefilter, batch_format="pyarrow")
+
+    # exact verify: cogroup survivors with per-batch-distinct build keys
+    def li_rows(t: pa.Table) -> pa.Table:
+        pc_ = _cents(t["l_extendedprice"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "kind": pa.array(np.zeros(len(t), np.int8)),
+                "key": pc.cast(t["l_orderkey"], pa.int64()),
+                "flag": t["l_returnflag"],
+                "price_c": pa.array(pc_, pa.int64()),
+            }
+        )
+
+    def key_rows(t: pa.Table) -> pa.Table:
+        k = np.unique(
+            t["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64))
+        n = len(k)
+        return pa.table(
+            {
+                "kind": pa.array(np.ones(n, np.int8)),
+                "key": pa.array(k, pa.int64()),
+                "flag": pa.array([""] * n, pa.string()),
+                "price_c": pa.array(np.zeros(n, np.int64), pa.int64()),
+            }
+        )
+
+    both = (li.map_batches(li_rows, batch_format="pyarrow")
+            .union(orders.map_batches(key_rows, batch_format="pyarrow"))
+            .map_batches(add_kpart,
+                         fn_kwargs={"num_parts": 32, "cols": ("key",)},
+                         batch_format="pyarrow"))
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        good = set(g.loc[g["kind"] == 1, "key"].to_numpy(np.int64))
+        f = g[g["kind"] == 0]
+        f = f[f["key"].isin(good)]
+        if f.empty:
+            return pd.DataFrame({"l_returnflag": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype=np.int64),
+                                 "revenue_c": pd.Series([], dtype=np.int64)})
+        out = (f.groupby("flag", sort=False)["price_c"]
+               .agg(n="size", revenue_c="sum").reset_index()
+               .rename(columns={"flag": "l_returnflag"}))
+        out["n"] = out["n"].astype(np.int64)
+        out["revenue_c"] = out["revenue_c"].astype(np.int64)
+        return out
+
+    return (_arrow_blocks(both.groupby("kpart")
+                          .map_groups(verify, batch_format="pandas"))
+            .groupby("l_returnflag")
+            .aggregate(ray.data.aggregate.Sum("n", alias_name="n"),
+                       ray.data.aggregate.Sum("revenue_c",
+                                              alias_name="revenue_c")))
+
+
+_BLOOM_SEMIJOIN_SQL = """
+SELECT l.l_returnflag AS l_returnflag,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS revenue_c
+FROM lineitem l
+WHERE l.l_orderkey IN (
+  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+GROUP BY l.l_returnflag
+"""
+
+
 # ------------------------------------------------------------ registries
 
 QUERIES = {
@@ -7167,6 +7298,7 @@ QUERIES = {
     "value_zscore": q_value_zscore,
     "value_ntile": q_value_ntile,
     "winsorized_mean": q_winsorized_mean,
+    "bloom_semijoin": q_bloom_semijoin,
 }
 
 
@@ -8363,6 +8495,7 @@ JOIN pairs p3 ON p3.a = p1.b AND p3.b = p2.b
     "value_zscore": _VALUE_ZSCORE_SQL,
     "value_ntile": _VALUE_NTILE_SQL,
     "winsorized_mean": _WINSOR_SQL,
+    "bloom_semijoin": _BLOOM_SEMIJOIN_SQL,
     "user_activity": _USER_ACTIVITY_SQL,
     "simhash_pairs": _SIMHASH_SQL,
     "embed_neardup": _NEARDUP_SQL,
