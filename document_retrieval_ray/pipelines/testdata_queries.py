@@ -1129,8 +1129,7 @@ def q_user_activity(sf_dir: str):
     user-hash exchange of the pruned (user_id) column; the kernel
     value-counts users then histograms the counts, so the reduce moves
     ≤max_activity rows per partition."""
-    ev = _events(sf_dir,
-                               columns=["user_id"])
+    ev = _events(sf_dir, columns=["user_id"])
 
     def kern(g: pd.DataFrame) -> pd.DataFrame:
         cnt = g["user_id"].value_counts()
@@ -1277,8 +1276,7 @@ def q_embed_neardup(sf_dir: str):
     each vector is replicated to its (bi, bj) tiles (8 blocks → 36 tile
     groups), every unordered pair computed in exactly one tile. No
     take_all, no broadcast of the full matrix."""
-    emb = _emb(sf_dir,
-                                columns=["vec_id", "embedding"])
+    emb = _emb(sf_dir, columns=["vec_id", "embedding"])
     tiles = emb.map_batches(
         emit_tile_rows, fn_kwargs={"num_blocks": 8}, batch_format="pyarrow"
     )
@@ -1293,8 +1291,7 @@ def q_embed_neardup_lsh(sf_dir: str):
     path: bucketing replaces the all-to-all tiling; recall traded for a
     linear exchange). Hyperplanes are fixed module-level constants so the
     SQL oracle evaluates the identical buckets."""
-    emb = _emb(sf_dir,
-                                columns=["vec_id", "embedding"])
+    emb = _emb(sf_dir, columns=["vec_id", "embedding"])
     bucketed = emb.map_batches(
         lsh_bucket, fn_kwargs={"planes": LSH_PLANES}, batch_format="pyarrow"
     )
@@ -1318,8 +1315,7 @@ def q_knn_graph(sf_dir: str):
     are the approximate scale path)."""
     from ..stages.ann import knn_merge_partition, tile_knn_partial
 
-    emb = _emb(sf_dir,
-                                columns=["vec_id", "embedding"])
+    emb = _emb(sf_dir, columns=["vec_id", "embedding"])
     tiles = emb.map_batches(
         emit_tile_rows, fn_kwargs={"num_blocks": 8}, batch_format="pyarrow"
     )
@@ -1337,8 +1333,7 @@ def q_knn_graph(sf_dir: str):
 
 
 def q_ann_topk(sf_dir: str):
-    emb = _emb(sf_dir,
-                                columns=["vec_id", "embedding"])
+    emb = _emb(sf_dir, columns=["vec_id", "embedding"])
     qid_arr = pa.array(list(ANN_QUERY_IDS), pa.int64())
     qrows = {
         r["vec_id"]: r["embedding"]
@@ -1384,8 +1379,7 @@ def q_ann_topk_lsh(sf_dir: str):
     candidate set shrinks by the bucket fan-out; recall traded for a
     bounded matmul). Same fixed hyperplanes as embed_neardup_lsh so the
     SQL oracle computes identical buckets."""
-    emb = _emb(sf_dir,
-                                columns=["vec_id", "embedding"])
+    emb = _emb(sf_dir, columns=["vec_id", "embedding"])
     bucketed = emb.map_batches(
         lsh_bucket, fn_kwargs={"planes": LSH_PLANES}, batch_format="pyarrow"
     )
@@ -1420,8 +1414,7 @@ def q_ann_topk_ivf(sf_dir: str):
     nlist/nprobe; recall traded for a bounded matmul. The DuckDB oracle
     re-derives identical centroids (same init, same fixed-point rounding),
     so this is fully value-hash-checked."""
-    emb = _emb(sf_dir,
-                                columns=["vec_id", "embedding"])
+    emb = _emb(sf_dir, columns=["vec_id", "embedding"])
     cent = fit_ivf_centroids(emb, IVF_NLIST, IVF_NITER)
     assigned = emb.map_batches(
         ivf_assign_batch, fn_kwargs={"centroids": cent}, batch_format="pyarrow"
@@ -1459,8 +1452,7 @@ def q_kmeans_clusters(sf_dir: str):
     reduces nlist×dim only), then a one-pass assignment map. Returns
     (vec_id, cluster). The DuckDB oracle re-derives identical centroids
     (same init / fixed-point grids), so assignments are value-checked."""
-    emb = _emb(sf_dir,
-                                columns=["vec_id", "embedding"])
+    emb = _emb(sf_dir, columns=["vec_id", "embedding"])
     cent = fit_ivf_centroids(emb, IVF_NLIST, IVF_NITER)
     assigned = emb.map_batches(
         ivf_assign_batch, fn_kwargs={"centroids": cent}, batch_format="pyarrow"
@@ -1487,8 +1479,7 @@ def q_pq_codes(sf_dir: str):
     codes are value-checked."""
     from ..stages.ann import fit_pq_codebooks, pq_encode_batch
 
-    emb = _emb(sf_dir,
-                                columns=["vec_id", "embedding"])
+    emb = _emb(sf_dir, columns=["vec_id", "embedding"])
     cb = fit_pq_codebooks(emb, PQ_NSUB, PQ_KSUB, PQ_NITER)
     encoded = emb.map_batches(
         pq_encode_batch, fn_kwargs={"codebooks": cb}, batch_format="pyarrow"
@@ -1508,8 +1499,7 @@ def q_ann_topk_pq(sf_dir: str):
         PQTopK, final_topk_pq, fit_pq_codebooks, pq_encode_batch,
     )
 
-    emb = _emb(sf_dir,
-                                columns=["vec_id", "embedding"])
+    emb = _emb(sf_dir, columns=["vec_id", "embedding"])
     cb = fit_pq_codebooks(emb, PQ_NSUB, PQ_KSUB, PQ_NITER)
     encoded = emb.map_batches(
         pq_encode_batch, fn_kwargs={"codebooks": cb}, batch_format="pyarrow"
@@ -1550,8 +1540,7 @@ def q_ann_topk_ivfpq(sf_dir: str):
         ivf_assign_batch, pq_encode_batch,
     )
 
-    emb = _emb(sf_dir,
-                                columns=["vec_id", "embedding"])
+    emb = _emb(sf_dir, columns=["vec_id", "embedding"])
     cent = fit_ivf_centroids(emb, IVF_NLIST, IVF_NITER)
     cb = fit_pq_codebooks(emb, PQ_NSUB, PQ_KSUB, PQ_NITER)
     data = (
@@ -2819,8 +2808,7 @@ def q_retention(sf_dir: str):
     day — the standard growth-analytics triangle. ONE user_id-hash
     exchange; per-user rows are distinct by construction so the final
     (cohort, offset) count is a tiny integer groupby."""
-    ev = _events(sf_dir,
-                               columns=["user_id", "ts"])
+    ev = _events(sf_dir, columns=["user_id", "ts"])
 
     def prep(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -5966,8 +5954,7 @@ def q_mmr_rerank(sf_dir: str):
     not a take_all of the corpus."""
     from ..stages.ann import _stack
 
-    emb = _emb(sf_dir,
-                                columns=["vec_id", "embedding"])
+    emb = _emb(sf_dir, columns=["vec_id", "embedding"])
     qid_arr = pa.array([MMR_QUERY_ID], pa.int64())
     qrow = emb.map_batches(
         lambda t: t.filter(pc.is_in(t["vec_id"], value_set=qid_arr)),
@@ -6179,8 +6166,7 @@ def q_value_norm(sf_dir: str):
     scan's closure — never reshipped per batch), and the transform is
     integer floor division ((vc−min)·10⁴ // (max−min)). Two column-pruned
     scans, zero shuffles."""
-    ev = _events(sf_dir,
-        columns=["event_id", "event_type", "value"])
+    ev = _events(sf_dir, columns=["event_id", "event_type", "value"])
 
     def to_cents(t: pa.Table) -> pa.Table:
         vc = np.floor(
@@ -6722,8 +6708,7 @@ def q_user_running_total(sf_dir: str):
     frame. Contrast with `seq_pack`, whose prefix sum crosses partition
     boundaries and needs the two-level scan; here the partition key IS
     the window key, so no sidecar pass exists."""
-    ev = _events(sf_dir,
-        columns=["event_id", "user_id", "ts", "value"])
+    ev = _events(sf_dir, columns=["event_id", "user_id", "ts", "value"])
 
     def prep(t: pa.Table) -> pa.Table:
         vc = np.floor(
@@ -6783,8 +6768,7 @@ def q_value_zscore(sf_dir: str):
     closure. μ/σ/z are computed in float64 with the IDENTICAL op order
     as the SQL oracle (mu = S/n; var = S2/n − mu·mu; z = (v−mu)/sqrt),
     exported fx4; σ = 0 (degenerate group) pins z to 0, mirrored."""
-    ev = _events(sf_dir,
-        columns=["event_id", "event_type", "value"])
+    ev = _events(sf_dir, columns=["event_id", "event_type", "value"])
 
     def to_cents(t: pa.Table) -> pa.Table:
         vc = np.floor(
@@ -6863,8 +6847,7 @@ def q_value_ntile(sf_dir: str):
     cents value per type), thresholds are the same ceil-rank integers,
     and the transform is pure integer comparisons — no float anywhere,
     so no tie ambiguity (bucket = 1 + Σ [vc > p_k], mirrored in SQL)."""
-    ev = _events(sf_dir,
-        columns=["event_id", "event_type", "value"])
+    ev = _events(sf_dir, columns=["event_id", "event_type", "value"])
 
     def to_cents(t: pa.Table) -> pa.Table:
         vc = np.floor(
