@@ -7158,6 +7158,94 @@ GROUP BY l.l_returnflag
 """
 
 
+def q_rel_broadcast_join(sf_dir: str):
+    """Map-side broadcast join — the third canonical join strategy
+    beside the key-hash cogroup (rel_join_top) and the salted cogroup
+    (rel_skew_join): when one side fits in worker memory, ship it ONCE
+    via ``ray.put`` and join inside ``map_batches`` with ZERO shuffle of
+    the big side. Per (mktsegment, event_type): event count and exact
+    cents total. The dim payload is a dense custkey→segment-code int8
+    array + code table (|customers| bytes, not a Python dict per batch);
+    each fact batch folds integer partials, so the only exchange is
+    ≤ batches × (segments × types) partial rows. The plan is the right
+    one whenever |dim| ≪ cluster worker heap — document the flip point
+    to rel_skew_join when it is not."""
+    import pyarrow.parquet as _pq
+
+    cust = _pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"],
+    )
+    keys = cust["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    segs = np.asarray(cust["c_mktsegment"].to_pylist(), object)
+    seg_names = sorted(set(segs.tolist()))
+    code_of = {s: i for i, s in enumerate(seg_names)}
+    lut = np.full(int(keys.max()) + 1, -1, np.int8)
+    lut[keys] = np.array([code_of[s] for s in segs], np.int8)
+    lut_ref = ray.put(lut)  # broadcast once; workers map the same buffer
+
+    ev = _events(sf_dir, columns=["user_id", "event_type", "value"])
+
+    class JoinFold:
+        def __init__(self):  # once per actor: fetch the shared LUT
+            self.lut = ray.get(lut_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            ok = u < len(self.lut)
+            code = np.where(ok, self.lut[np.minimum(u, len(self.lut) - 1)],
+                            -1)
+            keep = code >= 0
+            vc = np.floor(
+                t["value"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+            ).astype(np.int64)
+            pdf = pd.DataFrame(
+                {
+                    "seg_code": code[keep],
+                    "event_type": np.asarray(t["event_type"].to_pylist(),
+                                             object)[keep],
+                    "vc": vc[keep],
+                }
+            )
+            g = (pdf.groupby(["seg_code", "event_type"], sort=False)["vc"]
+                 .agg(n="size", value_c="sum").reset_index())
+            g["n"] = g["n"].astype(np.int64)
+            g["value_c"] = g["value_c"].astype(np.int64)
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (ev.map_batches(JoinFold, batch_format="pyarrow",
+                          concurrency=default_pool())
+           .groupby(["seg_code", "event_type"])
+           .aggregate(ray.data.aggregate.Sum("n", alias_name="n"),
+                      ray.data.aggregate.Sum("value_c",
+                                             alias_name="value_c")))
+
+    names = pa.array(seg_names, pa.string())
+
+    def finish(t: pa.Table) -> pa.Table:
+        codes = t["seg_code"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "c_mktsegment": pc.take(names, pa.array(codes, pa.int64())),
+                "event_type": t["event_type"],
+                "n": pc.cast(t["n"], pa.int64()),
+                "value_c": pc.cast(t["value_c"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+_BROADCAST_JOIN_SQL = """
+SELECT c.c_mktsegment AS c_mktsegment, e.event_type AS event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(floor(e.value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS value_c
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment, e.event_type
+"""
+
+
 # ------------------------------------------------------------ registries
 
 QUERIES = {
@@ -7282,6 +7370,7 @@ QUERIES = {
     "value_ntile": q_value_ntile,
     "winsorized_mean": q_winsorized_mean,
     "bloom_semijoin": q_bloom_semijoin,
+    "rel_broadcast_join": q_rel_broadcast_join,
 }
 
 
@@ -8479,6 +8568,7 @@ JOIN pairs p3 ON p3.a = p1.b AND p3.b = p2.b
     "value_ntile": _VALUE_NTILE_SQL,
     "winsorized_mean": _WINSOR_SQL,
     "bloom_semijoin": _BLOOM_SEMIJOIN_SQL,
+    "rel_broadcast_join": _BROADCAST_JOIN_SQL,
     "user_activity": _USER_ACTIVITY_SQL,
     "simhash_pairs": _SIMHASH_SQL,
     "embed_neardup": _NEARDUP_SQL,
