@@ -7246,6 +7246,172 @@ GROUP BY c.c_mktsegment, e.event_type
 """
 
 
+# ------------------------------------------- RAG / pretraining chunking
+
+# token-window chunking: window tokens per chunk, stride tokens between
+# chunk starts (overlap = window - stride). Starts run 0, S, 2S, … while
+# start < n, so every chunk contributes at least one new token and the
+# tail chunk may be short. Mirrored literally in _CHUNK_SQL.
+CHUNK_WINDOW = 8
+CHUNK_STRIDE = 6
+
+
+def _chunk_batch(t: pa.Table, window: int = CHUNK_WINDOW,
+                 stride: int = CHUNK_STRIDE) -> pa.Table:
+    """Vectorized token-window chunker: the simple-tokenizer Arrow kernels
+    (same as TokenizeStage._simple) produce flat token values + list
+    offsets; chunk rows are then pure offsets math — np.repeat/arange for
+    (parent doc, chunk_idx, start), one gather ``take`` for the chunk
+    token stream, and ``binary_join`` to rebuild chunk strings. No
+    per-doc Python loop. Overlapping windows cannot share one ListArray
+    (offsets must be disjoint), hence the explicit gather index."""
+    txt = pc.fill_null(t["text"], "")
+    low = pc.utf8_lower(txt)
+    spaced = pc.replace_substring_regex(low, "[^a-z0-9]+", " ")
+    trimmed = pc.utf8_trim_whitespace(spaced)
+    toks = pc.split_pattern(trimmed, " ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    values = toks.values
+    start0 = offsets[0]
+    if start0 != 0 or len(values) != offsets[-1]:
+        # flatten() semantics for a sliced array (positional.py pattern)
+        values = values.slice(start0, offsets[-1] - start0)
+        offsets = offsets - start0
+    lens = np.diff(offsets)
+    empty = pc.equal(trimmed, "").to_numpy(zero_copy_only=False)
+    n = np.where(empty, 0, lens).astype(np.int64)  # [""] sentinel → 0
+    doc_ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+
+    keep = n > 0
+    kn = n[keep]
+    koff = offsets[:-1][keep]
+    kdoc = doc_ids[keep]
+    n_chunks = (kn + stride - 1) // stride
+    total_c = int(n_chunks.sum())
+    schema = pa.schema(
+        [("doc_id", pa.int64()), ("chunk_idx", pa.int64()),
+         ("n_tokens", pa.int64()), ("chunk", pa.string())]
+    )
+    if total_c == 0:
+        return schema.empty_table()
+    parent = np.repeat(np.arange(len(kn), dtype=np.int64), n_chunks)
+    coff = np.concatenate(([0], np.cumsum(n_chunks)))
+    ci = np.arange(total_c, dtype=np.int64) - np.repeat(coff[:-1], n_chunks)
+    starts = ci * stride
+    clen = np.minimum(window, kn[parent] - starts)
+    flat_start = koff[parent] + starts
+    out_off = np.concatenate(([0], np.cumsum(clen)))
+    gather = (
+        np.arange(out_off[-1], dtype=np.int64)
+        - np.repeat(out_off[:-1], clen)
+        + np.repeat(flat_start, clen)
+    )
+    gathered = values.take(pa.array(gather, pa.int64()))
+    lists = pa.LargeListArray.from_arrays(
+        pa.array(out_off, pa.int64()), gathered
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(kdoc[parent], pa.int64()),
+            "chunk_idx": pa.array(ci, pa.int64()),
+            "n_tokens": pa.array(clen.astype(np.int64), pa.int64()),
+            "chunk": pc.binary_join(lists, " "),
+        }
+    )
+
+
+def q_chunk_text(sf_dir: str):
+    """RAG / pretraining document chunking: overlapping CHUNK_WINDOW-token
+    windows at CHUNK_STRIDE starts over the simple-tokenized text. A pure
+    1→many map — column-pruned scan, zero shuffles, all-Arrow kernels.
+    Reference analog: none (training-data extension; the op every
+    retrieval-augmented pipeline runs before embedding)."""
+    return _docs(sf_dir).map_batches(_chunk_batch, batch_format="pyarrow")
+
+
+def q_chunk_dedup(sf_dir: str):
+    """Cross-document repeated-passage mining over the q_chunk_text
+    windows (the C4/RefinedWeb-style passage-duplication audit): chunks
+    are md5-keyed; per input batch the (hash, doc_id) partial counts are
+    already COMPLETE (a document's chunks never span batches), so the
+    only exchange is a hash-keyed groupby of 3 compact columns; n_docs is
+    a plain row Count because the partials make (hash, doc_id) unique.
+    Emits hashes occurring more than once."""
+    from ..functions.hashing import md5_hex
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = _chunk_batch(t)
+        df = pd.DataFrame(
+            {
+                "chunk_md5": [md5_hex(s) for s in c["chunk"].to_pylist()],
+                "doc_id": c["doc_id"].to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby(["chunk_md5", "doc_id"], sort=False).size()
+        out = g.rename("cnt").reset_index()
+        return pa.table(
+            {
+                "chunk_md5": pa.array(out["chunk_md5"], pa.string()),
+                "doc_id": pa.array(out["doc_id"].to_numpy(), pa.int64()),
+                "cnt": pa.array(out["cnt"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    agg = (
+        _docs(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("chunk_md5")
+        .aggregate(
+            ray.data.aggregate.Sum("cnt", alias_name="n_occ"),
+            ray.data.aggregate.Count(alias_name="n_docs"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        m = pc.greater(pc.cast(t["n_occ"], pa.int64()), 1)
+        t = t.filter(m)
+        return pa.table(
+            {
+                "chunk_md5": t["chunk_md5"],
+                "n_occ": pc.cast(t["n_occ"], pa.int64()),
+                "n_docs": pc.cast(t["n_docs"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+_CHUNK_CTE = f"""t AS (
+  SELECT doc_id, {TOKLIST.format(col="text")} AS toks FROM documents
+), c AS (
+  SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0
+), e AS (
+  SELECT doc_id, toks, n,
+         unnest(range((n + {CHUNK_STRIDE - 1}) // {CHUNK_STRIDE})) AS ci
+  FROM c
+), chunks AS (
+  SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+         CAST(least({CHUNK_WINDOW}, n - ci*{CHUNK_STRIDE}) AS BIGINT)
+           AS n_tokens,
+         array_to_string(
+           toks[CAST(ci*{CHUNK_STRIDE}+1 AS BIGINT):
+                CAST(least(ci*{CHUNK_STRIDE}+{CHUNK_WINDOW}, n) AS BIGINT)],
+           ' ') AS chunk
+  FROM e
+)"""
+
+_CHUNK_TEXT_SQL = f"WITH {_CHUNK_CTE} SELECT * FROM chunks"
+
+_CHUNK_DEDUP_SQL = f"""
+WITH {_CHUNK_CTE}
+SELECT md5(chunk) AS chunk_md5, CAST(count(*) AS BIGINT) AS n_occ,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM chunks GROUP BY md5(chunk) HAVING count(*) > 1
+"""
+
+
 # ------------------------------------------------------------ registries
 
 QUERIES = {
@@ -7371,6 +7537,8 @@ QUERIES = {
     "winsorized_mean": q_winsorized_mean,
     "bloom_semijoin": q_bloom_semijoin,
     "rel_broadcast_join": q_rel_broadcast_join,
+    "chunk_text": q_chunk_text,
+    "chunk_dedup": q_chunk_dedup,
 }
 
 
@@ -8569,6 +8737,8 @@ JOIN pairs p3 ON p3.a = p1.b AND p3.b = p2.b
     "winsorized_mean": _WINSOR_SQL,
     "bloom_semijoin": _BLOOM_SEMIJOIN_SQL,
     "rel_broadcast_join": _BROADCAST_JOIN_SQL,
+    "chunk_text": _CHUNK_TEXT_SQL,
+    "chunk_dedup": _CHUNK_DEDUP_SQL,
     "user_activity": _USER_ACTIVITY_SQL,
     "simhash_pairs": _SIMHASH_SQL,
     "embed_neardup": _NEARDUP_SQL,
