@@ -1354,6 +1354,39 @@ def q_ann_topk(sf_dir: str):
     return partial.groupby("query_vec").map_groups(final_topk, batch_format="pandas")
 
 
+# radius (range) search threshold on the fx4 cosine grid: cos ≥ 0.3
+ANN_RANGE_TAU_X = 3000
+
+
+def q_ann_range(sf_dir: str):
+    """Radius similarity search: every corpus vector within cosine ≥
+    tau of each query vector — the threshold sibling of ann_topk
+    (recommendation candidate generation / near-duplicate probes use
+    this shape). Broadcast query matrix, per-batch matmul + fx4 filter,
+    NO merge stage at all: emissions union to the exact set because each
+    vector lives in one batch. Exchange = result rows only."""
+    from ..stages.ann import RangeSearch
+
+    emb = _emb(sf_dir, columns=["vec_id", "embedding"])
+    qid_arr = pa.array(list(ANN_QUERY_IDS), pa.int64())
+    qrows = {
+        r["vec_id"]: r["embedding"]
+        for r in emb.map_batches(
+            lambda t: t.filter(pc.is_in(t["vec_id"], value_set=qid_arr)),
+            batch_format="pyarrow",
+        ).take_all()
+    }
+    qids = sorted(qrows)
+    qmat = np.array([qrows[q] for q in qids], dtype=np.float64)
+    ref = ray.put((qids, qmat))
+    return emb.map_batches(
+        RangeSearch,
+        fn_constructor_kwargs={"queries_ref": ref, "tau_x": ANN_RANGE_TAU_X},
+        batch_format="pyarrow",
+        concurrency=default_pool(),
+    )
+
+
 def q_ann_recall(sf_dir: str):
     """Recall@10 of the LSH-bucketed ANN path against the exact
     brute-force ranking, per query — the quality-report op every
@@ -1584,6 +1617,106 @@ def q_token_stats(sf_dir: str):
 
 def q_langid(sf_dir: str):
     return _docs(sf_dir).map_batches(langid_batch, batch_format="pyarrow")
+
+
+# vocabulary size for the OOV-coverage audit (global top-K terms by tf)
+OOV_VOCAB_K = 25
+
+
+def q_oov_rate(sf_dir: str):
+    """Tokenizer/vocabulary coverage audit (the fertility-style signal a
+    training pipeline computes before committing to a vocab): the global
+    top-OOV_VOCAB_K terms by total tf form the vocabulary; per document,
+    the fraction of token OCCURRENCES outside it (fx4). Pass 1 is a full
+    (term, tf) aggregate whose top-K is taken per aggregated block then
+    merged on the driver (each term lives in exactly one block post-
+    groupby, so the union of block top-Ks contains the global top-K —
+    the driver never sees the whole vocabulary); pass 2 is a flat-token
+    ``is_in`` + bincount per batch, zero shuffles."""
+    docs = _docs(sf_dir)
+
+    def term_partials(t: pa.Table) -> pa.Table:
+        toks, _ = _simple_token_lists(t)
+        values = toks.flatten()
+        values = values.filter(pc.not_equal(values, ""))
+        vc = pc.value_counts(values)
+        return pa.table(
+            {
+                "term": vc.field("values"),
+                "tf": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    sums = (
+        docs.map_batches(term_partials, batch_format="pyarrow")
+        .groupby("term")
+        .sum("tf")
+    )
+
+    def local_top(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().rename(columns={"sum(tf)": "total_tf"})
+        df = df.sort_values(
+            ["total_tf", "term"], ascending=[False, True]
+        ).head(OOV_VOCAB_K)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    cand = pd.DataFrame(
+        sums.map_batches(local_top, batch_format="pyarrow").take_all()
+    )
+    vocab = (
+        cand.sort_values(["total_tf", "term"], ascending=[False, True])
+        .head(OOV_VOCAB_K)["term"]
+        .tolist()
+    )
+    vocab_arr = pa.array(sorted(vocab), pa.string())
+
+    def score(t: pa.Table) -> pa.Table:
+        toks, dl = _simple_token_lists(t)
+        offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        values = toks.values
+        start0 = offsets[0]
+        if start0 != 0 or len(values) != offsets[-1]:
+            values = values.slice(start0, offsets[-1] - start0)
+            offsets = offsets - start0
+        lens = np.diff(offsets)
+        parent = np.repeat(np.arange(len(toks), dtype=np.int64), lens)
+        hit = pc.is_in(values, value_set=vocab_arr).to_numpy(
+            zero_copy_only=False
+        )
+        inv = np.bincount(parent[hit], minlength=len(toks)).astype(np.int64)
+        dl_np = dl.to_numpy(zero_copy_only=False)
+        keep = dl_np > 0
+        oov = (dl_np[keep] - inv[keep]).astype(np.float64) / dl_np[keep]
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()).filter(
+                    pa.array(keep)
+                ),
+                "n_tokens": pa.array(dl_np[keep], pa.int64()),
+                "oov_x": pa.array(
+                    np.floor(oov * 10000.0 + 0.5).astype(np.int64)
+                ),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
+def _simple_token_lists(t: pa.Table):
+    """simple-tokenizer Arrow kernels → (token ListArray, dl Int64Array);
+    empty docs hold the [""] sentinel with dl=0 (TokenizeStage._simple
+    semantics)."""
+    txt = pc.fill_null(t["text"], "")
+    low = pc.utf8_lower(txt)
+    spaced = pc.replace_substring_regex(low, "[^a-z0-9]+", " ")
+    trimmed = pc.utf8_trim_whitespace(spaced)
+    toks = pc.split_pattern(trimmed, " ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    empty = pc.equal(trimmed, "").to_numpy(zero_copy_only=False)
+    dl = np.where(empty, 0, lens).astype(np.int64)
+    return toks, pa.array(dl, pa.int64())
 
 
 def q_binary_meta(sf_dir: str):
@@ -7265,13 +7398,7 @@ def _chunk_batch(t: pa.Table, window: int = CHUNK_WINDOW,
     token stream, and ``binary_join`` to rebuild chunk strings. No
     per-doc Python loop. Overlapping windows cannot share one ListArray
     (offsets must be disjoint), hence the explicit gather index."""
-    txt = pc.fill_null(t["text"], "")
-    low = pc.utf8_lower(txt)
-    spaced = pc.replace_substring_regex(low, "[^a-z0-9]+", " ")
-    trimmed = pc.utf8_trim_whitespace(spaced)
-    toks = pc.split_pattern(trimmed, " ")
-    if isinstance(toks, pa.ChunkedArray):
-        toks = toks.combine_chunks()
+    toks, dl = _simple_token_lists(t)
     offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
     values = toks.values
     start0 = offsets[0]
@@ -7279,9 +7406,7 @@ def _chunk_batch(t: pa.Table, window: int = CHUNK_WINDOW,
         # flatten() semantics for a sliced array (positional.py pattern)
         values = values.slice(start0, offsets[-1] - start0)
         offsets = offsets - start0
-    lens = np.diff(offsets)
-    empty = pc.equal(trimmed, "").to_numpy(zero_copy_only=False)
-    n = np.where(empty, 0, lens).astype(np.int64)  # [""] sentinel → 0
+    n = dl.to_numpy(zero_copy_only=False)  # [""] sentinel → 0
     doc_ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
 
     keep = n > 0
@@ -7403,6 +7528,22 @@ _CHUNK_CTE = f"""t AS (
 )"""
 
 _CHUNK_TEXT_SQL = f"WITH {_CHUNK_CTE} SELECT * FROM chunks"
+
+_OOV_RATE_SQL = f"""
+WITH {_TOK_CTE}, {_DL_CTE},
+vsum AS (SELECT term, sum(tf) AS total_tf FROM tok GROUP BY term),
+vocab AS (
+  SELECT term FROM vsum ORDER BY total_tf DESC, term ASC LIMIT {OOV_VOCAB_K}
+),
+inv AS (
+  SELECT t.doc_id, sum(t.tf) AS in_vocab
+  FROM tok t JOIN vocab v ON v.term = t.term GROUP BY t.doc_id
+)
+SELECT d.doc_id, CAST(d.dl AS BIGINT) AS n_tokens,
+       {_fx('CAST(d.dl - coalesce(i.in_vocab, 0) AS DOUBLE) / d.dl')} AS oov_x
+FROM dl d LEFT JOIN inv i ON i.doc_id = d.doc_id
+WHERE d.dl > 0
+"""
 
 _CHUNK_DEDUP_SQL = f"""
 WITH {_CHUNK_CTE}
@@ -7539,6 +7680,8 @@ QUERIES = {
     "rel_broadcast_join": q_rel_broadcast_join,
     "chunk_text": q_chunk_text,
     "chunk_dedup": q_chunk_dedup,
+    "ann_range": q_ann_range,
+    "oov_rate": q_oov_rate,
 }
 
 
@@ -7839,6 +7982,23 @@ ranked AS (
   FROM c
 )
 SELECT query_vec, rank, vec_id, cos_x FROM ranked WHERE rank <= 10
+"""
+
+_ANN_RANGE_SQL = f"""
+WITH {_EMB_UNNEST},
+d AS (
+  SELECT uq.vec_id AS query_vec, ub.vec_id AS vec_id, sum(uq.v * ub.v) AS dot
+  FROM u uq JOIN u ub ON ub.i = uq.i AND ub.vec_id <> uq.vec_id
+  WHERE uq.vec_id IN {ANN_QUERY_IDS}
+  GROUP BY uq.vec_id, ub.vec_id
+),
+c AS (
+  SELECT d.query_vec, d.vec_id, d.dot / (nq.nrm * nb.nrm) AS cos
+  FROM d JOIN n nq ON nq.vec_id = d.query_vec JOIN n nb ON nb.vec_id = d.vec_id
+  WHERE nq.nrm > 0 AND nb.nrm > 0
+)
+SELECT query_vec, vec_id, {_fx('cos')} AS cos_x
+FROM c WHERE {_fx('cos')} >= {ANN_RANGE_TAU_X}
 """
 
 
@@ -8739,6 +8899,8 @@ JOIN pairs p3 ON p3.a = p1.b AND p3.b = p2.b
     "rel_broadcast_join": _BROADCAST_JOIN_SQL,
     "chunk_text": _CHUNK_TEXT_SQL,
     "chunk_dedup": _CHUNK_DEDUP_SQL,
+    "ann_range": _ANN_RANGE_SQL,
+    "oov_rate": _OOV_RATE_SQL,
     "user_activity": _USER_ACTIVITY_SQL,
     "simhash_pairs": _SIMHASH_SQL,
     "embed_neardup": _NEARDUP_SQL,

@@ -165,6 +165,55 @@ def final_topk(group: pd.DataFrame, k: int = 10, round_dp: int = 4) -> pd.DataFr
     return g[["query_vec", "rank", "vec_id", "cos_x"]]
 
 
+class RangeSearch:
+    """Radius (range) similarity search — the threshold sibling of
+    BruteForceTopK: per batch, emit EVERY (query_vec, vec_id) with
+    fixed-point cosine ≥ tau_x. No merge stage is needed: each corpus
+    vector lives in exactly one batch, so the per-batch emissions union
+    to the exact answer (the result is a set, not a ranking). Same
+    broadcast query matrix (ray.put once, read per actor) and same
+    cos = dot/(|a||b|) op order as the SQL oracle."""
+
+    def __init__(self, queries_ref, tau_x: int, round_dp: int = 4,
+                 id_col: str = "vec_id", vec_col: str = "embedding"):
+        import ray
+
+        qids, qmat = ray.get(queries_ref)
+        self.qids = qids
+        self.qmat = np.asarray(qmat, dtype=np.float64)
+        self.qnorm = np.linalg.norm(self.qmat, axis=1)
+        self.tau_x = int(tau_x)
+        self.scale = 10.0 ** round_dp
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        mat = _stack(batch[self.vec_col])
+        norms = np.linalg.norm(mat, axis=1)
+        dots = mat @ self.qmat.T                    # (n, Q)
+        cos = dots / np.outer(np.where(norms == 0, 1, norms),
+                              np.where(self.qnorm == 0, 1, self.qnorm))
+        cos_x = np.floor(cos * self.scale + 0.5).astype(np.int64)
+        out_q, out_v, out_c = [], [], []
+        for qi, qid in enumerate(self.qids):
+            hit = np.nonzero(
+                (cos_x[:, qi] >= self.tau_x) & (ids != qid) & (norms > 0)
+            )[0]
+            if hit.size == 0:
+                continue
+            out_q.extend([qid] * hit.size)
+            out_v.extend(ids[hit].tolist())
+            out_c.extend(cos_x[hit, qi].tolist())
+        return pa.table(
+            {
+                "query_vec": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "cos_x": pa.array(out_c, pa.int64()),
+            }
+        )
+
+
 def svd_partial_moments(batch: pa.Table, vec_col: str = "embedding") -> pa.Table:
     """Per-batch partial second moments for the distributed SVD fit:
     (n, flat XᵀX). One row per batch → the driver reduction handles a
