@@ -7553,6 +7553,483 @@ FROM chunks GROUP BY md5(chunk) HAVING count(*) > 1
 """
 
 
+# ---------------------------------------------------- round-3g operators
+
+# filtered vector search: corpus side restricted to an allowed metadata
+# label set (production vector stores call this pre-filtering)
+ANN_FILTER_LABELS = (0, 2, 4, 6, 8)
+
+
+def q_ann_filtered(sf_dir: str):
+    """Metadata-filtered ANN top-k: ann_topk restricted to corpus vectors
+    whose ``label`` is in ANN_FILTER_LABELS — the pre-filter semantics of
+    filtered vector search (the reference's FAISS path,
+    faiss_based_ANN_Implementation.py:114-149, has no filter; this is the
+    training-data extension every production store needs).
+
+    Scale plan: the predicate is ONE vectorized Arrow ``is_in`` kernel
+    BEFORE the matmul, so selectivity cuts compute and candidate rows
+    proportionally; everything downstream is the proven ann_topk shape
+    (broadcast query matrix via ray.put, per-batch partial top-(k+margin),
+    merge moves O(batches·k)). Query vectors come from the UNfiltered
+    table — a query's own label never gates its search."""
+    emb = _emb(sf_dir, columns=["vec_id", "embedding", "label"])
+    qid_arr = pa.array(list(ANN_QUERY_IDS), pa.int64())
+    qrows = {
+        r["vec_id"]: r["embedding"]
+        for r in emb.map_batches(
+            lambda t: t.filter(pc.is_in(t["vec_id"], value_set=qid_arr)),
+            batch_format="pyarrow",
+        ).take_all()
+    }
+    qids = sorted(qrows)
+    qmat = np.array([qrows[q] for q in qids], dtype=np.float64)
+    ref = ray.put((qids, qmat))
+    lab_arr = pa.array(list(ANN_FILTER_LABELS), pa.int64())
+    filtered = emb.map_batches(
+        lambda t: t.filter(
+            pc.is_in(pc.cast(t["label"], pa.int64()), value_set=lab_arr)
+        ),
+        batch_format="pyarrow",
+    )
+    partial = filtered.map_batches(
+        BruteForceTopK,
+        fn_constructor_kwargs={"queries_ref": ref, "k": 10},
+        batch_format="pyarrow",
+        concurrency=default_pool(),
+    )
+    return partial.groupby("query_vec").map_groups(final_topk, batch_format="pandas")
+
+
+# co-visitation: which event types count as a "visit", the deterministic
+# per-user item cap (smallest-item prefix — mirrored in SQL), and the
+# minimum-support filter on emitted pairs
+COVISIT_TYPES = ("click", "view")
+COVISIT_MAX_ITEMS = 32
+COVISIT_MIN_USERS = 2
+
+
+def _covisit_partition(group: pd.DataFrame) -> pd.DataFrame:
+    """user_id-hash partition of (user_id, item) rows → unordered item
+    pairs, one row per (user, pair). Distinct-per-user is exact here
+    because the hash cogroup colocates ALL of a user's rows; the item cap
+    keeps a degenerate user's fan-out at C(cap, 2)."""
+    empty = pd.DataFrame({"a": pd.Series(dtype="int64"),
+                          "b": pd.Series(dtype="int64")})
+    g = group[["user_id", "item"]].drop_duplicates()
+    if g.empty:
+        return empty
+    out_a, out_b = [], []
+    for _, sub in g.groupby("user_id", sort=False):
+        items = np.sort(sub["item"].to_numpy(np.int64))[:COVISIT_MAX_ITEMS]
+        k = len(items)
+        if k < 2:
+            continue
+        ai, bi = np.triu_indices(k, 1)
+        out_a.append(items[ai])
+        out_b.append(items[bi])
+    if not out_a:
+        return empty
+    return pd.DataFrame({"a": np.concatenate(out_a),
+                         "b": np.concatenate(out_b)})
+
+
+def q_covisit(sf_dir: str):
+    """Item-item co-visitation counts — the classic recommendation
+    co-occurrence matrix over a web event log: for every unordered item
+    pair, how many distinct users interacted with BOTH (click/view
+    events; item = the ``k`` field of the JSON props, the same extraction
+    as rel_json).
+
+    Scale plan: ONE user_id-hash exchange colocates each user's rows;
+    per-user distinct + the COVISIT_MAX_ITEMS smallest-item cap bound the
+    pair fan-out at C(cap, 2) per user (a crawler hitting every item
+    cannot quadratically blow up the exchange — the cap is deterministic
+    and mirrored in SQL); the final (a, b) count groupby moves pair rows
+    only. Same shape as related_docs, keyed by user instead of term."""
+    ev = _events(sf_dir, columns=["user_id", "event_type", "props"])
+    types = pa.array(list(COVISIT_TYPES))
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["event_type"], value_set=types))
+        item = pc.cast(
+            pc.struct_field(
+                pc.extract_regex(pc.cast(t["props"], pa.string()),
+                                 r"(?P<k>[0-9]+)"),
+                "k",
+            ),
+            pa.int64(),
+        )
+        return pa.table({"user_id": pc.cast(t["user_id"], pa.int64()),
+                         "item": item})
+
+    rows = ev.map_batches(prep, batch_format="pyarrow")
+    pairs = _arrow_blocks(
+        _parted(rows, ("user_id",)).map_groups(
+            _covisit_partition, batch_format="pandas"
+        )
+    )
+    agg = pairs.groupby(["a", "b"]).count()
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.rename_columns(["a", "b", "n_users"])
+        t = t.set_column(2, "n_users", pc.cast(t["n_users"], pa.int64()))
+        return t.filter(
+            pc.greater_equal(t["n_users"], pa.scalar(COVISIT_MIN_USERS))
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+_COVISIT_SQL = f"""
+WITH ev AS (
+  SELECT user_id, CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT) AS item
+  FROM events WHERE event_type IN {COVISIT_TYPES}
+),
+ui AS (SELECT DISTINCT user_id, item FROM ev),
+capped AS (
+  SELECT user_id, item FROM (
+    SELECT user_id, item,
+           row_number() OVER (PARTITION BY user_id ORDER BY item) AS rn
+    FROM ui
+  ) WHERE rn <= {COVISIT_MAX_ITEMS}
+),
+p AS (
+  SELECT x.item AS a, y.item AS b, count(*) AS n_users
+  FROM capped x JOIN capped y
+    ON y.user_id = x.user_id AND y.item > x.item
+  GROUP BY x.item, y.item
+)
+SELECT a, b, CAST(n_users AS BIGINT) AS n_users
+FROM p WHERE n_users >= {COVISIT_MIN_USERS}
+"""
+
+
+# extractive summary: top sentences per doc by summed fx4 term idf
+SUMMARY_TOPK = 2
+
+
+def _idf_join_partition(group: pd.DataFrame) -> pd.DataFrame:
+    """(lang, term)-hash partition of sentence-term rows (kind 0) ∪ idf
+    rows (kind 1) → (doc_id, sent_idx, idf_x) contributions. Inner-join
+    semantics: a term outside the corpus vocabulary contributes nothing
+    (impossible here — sentence terms come FROM corpus docs — but the
+    join shape is what scales)."""
+    empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                          "sent_idx": pd.Series(dtype="int64"),
+                          "idf_x": pd.Series(dtype="int64")})
+    s = group[group["kind"] == 0]
+    i = group[group["kind"] == 1]
+    if s.empty or i.empty:
+        return empty
+    m = s[["lang", "term", "doc_id", "sent_idx"]].merge(
+        i[["lang", "term", "idf_x"]], on=["lang", "term"]
+    )
+    if m.empty:
+        return empty
+    return m[["doc_id", "sent_idx", "idf_x"]].astype(
+        {"doc_id": "int64", "sent_idx": "int64", "idf_x": "int64"}
+    )
+
+
+def _summary_top_partition(group: pd.DataFrame) -> pd.DataFrame:
+    """doc_id-hash partition of per-sentence scores → per-doc top
+    SUMMARY_TOPK by (score_x desc, sent_idx asc), fully vectorized
+    (sort + cumcount, no per-doc loop)."""
+    g = group.sort_values(["doc_id", "score_x", "sent_idx"],
+                          ascending=[True, False, True])
+    r = g.groupby("doc_id", sort=False).cumcount().to_numpy() + 1
+    g = g.assign(rank=r)[r <= SUMMARY_TOPK]
+    return g[["doc_id", "rank", "sent_idx", "score_x"]].astype(
+        {"doc_id": "int64", "rank": "int64", "sent_idx": "int64",
+         "score_x": "int64"}
+    )
+
+
+def q_extract_summary(sf_dir: str):
+    """Extractive document summarization: the SUMMARY_TOPK sentences per
+    doc with the highest summed term idf over the sentence's UNIQUE
+    in-vocabulary terms — the classic TF-IDF extractive summarizer
+    (Luhn-style), run corpus-wide. Scores are integer sums of the fx4
+    per-term idf_x, so cross-engine parity is exact (no float summation
+    order anywhere).
+
+    Scale plan: sentence split + per-sentence term dedup are vectorized
+    per batch (a sentence lives in one row); the idf lookup is a
+    (lang, term)-hash cogroup join against the Heaps-law-sized idf table
+    (NOT a broadcast — vocab at 10^12 docs is 10^8-10^9 terms); the
+    score sum is one (doc, sent) groupby of contribution rows; the final
+    per-doc top-k reuses the doc-hash partition + vectorized cumcount
+    kernel. Three exchanges total, each data-minimal."""
+    docs = _docs(sf_dir)
+
+    def sent_terms(t: pa.Table) -> pa.Table:
+        sel, sidx, sents = _vector_split_sentences(t)
+        sel_arr = pa.array(sel)
+        doc_ids = pc.take(t["doc_id"], sel_arr).to_numpy(zero_copy_only=False)
+        langs = pc.take(t["lang"], sel_arr)
+        # SQL-mirrored simple tokenization of each sentence
+        low = pc.utf8_lower(sents)
+        spaced = pc.replace_substring_regex(low, "[^a-z0-9]+", " ")
+        trimmed = pc.utf8_trim_whitespace(spaced)
+        toks = pc.split_pattern(trimmed, " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offsets = offsets - offsets[0]
+        flat = toks.flatten()
+        n_per = np.diff(offsets)
+        parent = np.repeat(np.arange(len(sents), dtype=np.int64), n_per)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        parent = parent[keep]
+        terms = flat.filter(pa.array(keep))
+        pdf = pd.DataFrame(
+            {
+                "doc_id": doc_ids[parent].astype(np.int64),
+                "sent_idx": sidx[parent].astype(np.int64),
+                "lang": np.asarray(langs.to_pandas(), dtype=object)[parent],
+                "term": np.asarray(terms.to_pandas(), dtype=object),
+            }
+        ).drop_duplicates()           # unique terms per sentence (exact:
+        pdf["kind"] = np.int8(0)      # a sentence lives in ONE batch row)
+        pdf["idf_x"] = np.int64(0)
+        return pa.Table.from_pandas(pdf, preserve_index=False)
+
+    sent_rows = docs.map_batches(sent_terms, batch_format="pyarrow")
+
+    def idf_rows(t: pa.Table) -> pa.Table:
+        n = len(t)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.zeros(n, np.int64)),
+                "sent_idx": pa.array(np.zeros(n, np.int64)),
+                "lang": t["lang"],
+                "term": t["term"],
+                "kind": pa.array(np.ones(n, np.int8)),
+                "idf_x": pc.cast(t["idf_x"], pa.int64()),
+            }
+        )
+
+    idf = q_term_idf(sf_dir).map_batches(idf_rows, batch_format="pyarrow")
+    contrib = _arrow_blocks(
+        _parted(sent_rows.union(idf), ("lang", "term")).map_groups(
+            _idf_join_partition, batch_format="pandas"
+        )
+    )
+    scores = (
+        contrib.groupby(["doc_id", "sent_idx"])
+        .aggregate(ray.data.aggregate.Sum("idf_x", alias_name="score_x"))
+        .map_batches(
+            lambda t: t.set_column(
+                t.schema.get_field_index("score_x"),
+                "score_x",
+                pc.cast(t["score_x"], pa.int64()),
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    return _parted(scores, ("doc_id",)).map_groups(
+        _summary_top_partition, batch_format="pandas"
+    )
+
+
+_EXTRACT_SUMMARY_SQL = f"""
+WITH {_TOK_CTE}, {_DL_CTE}, {_STATS_CTE}, {_DF_CTE},
+idf AS (
+  SELECT df.lang, df.term,
+         {_fx('ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))')} AS idf_x
+  FROM df JOIN stats s ON s.lang = df.lang
+),
+sp AS (SELECT doc_id, lang, string_split(text, '.') AS parts FROM documents),
+us AS (SELECT doc_id, lang, unnest(parts) AS sent,
+              unnest(range(0, len(parts))) AS sent_idx FROM sp),
+sent AS (
+  SELECT doc_id, lang, CAST(sent_idx AS BIGINT) AS sent_idx,
+         trim(sent) AS sentence
+  FROM us WHERE trim(sent) <> ''
+),
+st AS (
+  SELECT DISTINCT doc_id, lang, sent_idx, term FROM (
+    SELECT doc_id, lang, sent_idx,
+           unnest({TOKLIST.format(col="sentence")}) AS term
+    FROM sent
+  )
+),
+sc AS (
+  SELECT st.doc_id AS doc_id, st.sent_idx AS sent_idx,
+         CAST(sum(i.idf_x) AS BIGINT) AS score_x
+  FROM st JOIN idf i ON i.lang = st.lang AND i.term = st.term
+  GROUP BY st.doc_id, st.sent_idx
+),
+r AS (
+  SELECT doc_id, sent_idx, score_x,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score_x DESC, sent_idx ASC) AS rank
+  FROM sc
+)
+SELECT doc_id, CAST(rank AS BIGINT) AS rank, sent_idx, score_x
+FROM r WHERE rank <= {SUMMARY_TOPK}
+"""
+
+
+# vocabulary drift between two corpus snapshots (doc_id parity split):
+# per-term G² log-likelihood ratio, top DRIFT_TOPK by (g2_x desc, term)
+DRIFT_TOPK = 50
+DRIFT_MIN_TOTAL = 5
+
+
+def q_vocab_drift(sf_dir: str):
+    """Term-distribution drift report between two corpus snapshots (half
+    A = even doc_id, half B = odd — the deterministic stand-in for
+    crawl-N vs crawl-N+1): per term the Dunning G² log-likelihood ratio
+    of its occurrence counts against the halves' totals, top DRIFT_TOPK
+    terms. The standard corpus-QA op that catches a scraper change or a
+    spam flood between snapshots.
+
+    Scale plan: per-batch partial (term, cnt_a, cnt_b) rows → ONE
+    vocab-keyed groupby (Heaps-law-sized, 4-5 orders below the token
+    stream); the two grand totals are a driver-side aggregate of that
+    vocab table (two integers); G² is then a vectorized map over the
+    vocab rows with the totals in the closure, and the top-k is
+    per-block partial top-DRIFT_TOPK → one result-sized merge. All
+    counts are exact integers; G² itself is a per-term scalar expression
+    with an identical op shape in SQL, so fx4 parity is exact."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+        override_num_blocks=_sized_blocks(f"{sf_dir}/documents.parquet", 5_000),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        low = pc.utf8_lower(pc.cast(t["text"], pa.string()))
+        spaced = pc.replace_substring_regex(low, "[^a-z0-9]+", " ")
+        trimmed = pc.utf8_trim_whitespace(spaced)
+        toks = pc.split_pattern(trimmed, " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offsets = offsets - offsets[0]
+        flat = toks.flatten()
+        n_per = np.diff(offsets)
+        parent = np.repeat(np.arange(len(t), dtype=np.int64), n_per)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        parent = parent[keep]
+        halves = (doc_ids[parent] % 2).astype(np.int64)
+        pdf = pd.DataFrame(
+            {
+                "term": np.asarray(flat.filter(pa.array(keep)).to_pandas(),
+                                   dtype=object),
+                "cnt_a": np.where(halves == 0, 1, 0).astype(np.int64),
+                "cnt_b": np.where(halves == 1, 1, 0).astype(np.int64),
+            }
+        )
+        g = pdf.groupby("term", sort=False)[["cnt_a", "cnt_b"]].sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    # vocab-sized (Heaps' law) — materializing it is the small-side
+    # exception, and it is consumed twice (totals + the G² map)
+    agg = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(
+            ray.data.aggregate.Sum("cnt_a", alias_name="cnt_a"),
+            ray.data.aggregate.Sum("cnt_b", alias_name="cnt_b"),
+        )
+        .materialize()
+    )
+    tot = agg.aggregate(
+        ray.data.aggregate.Sum("cnt_a", alias_name="na"),
+        ray.data.aggregate.Sum("cnt_b", alias_name="nb"),
+    )
+    na, nb = int(tot["na"]), int(tot["nb"])
+
+    def g2_batch(t: pa.Table) -> pa.Table:
+        a = pc.cast(t["cnt_a"], pa.int64()).to_numpy(zero_copy_only=False)
+        b = pc.cast(t["cnt_b"], pa.int64()).to_numpy(zero_copy_only=False)
+        keep = (a + b) >= DRIFT_MIN_TOTAL
+        a, b = a[keep], b[keep]
+        terms = t["term"].filter(pa.array(keep))
+        n = na + nb
+        # expected-ratio form: ra = a·(Na+Nb) / ((a+b)·Na) — the exact
+        # integer products go to float64 only at the division, the same
+        # op order as the SQL expression
+        ra = (a * n).astype(np.float64) / ((a + b) * na).astype(np.float64)
+        rb = (b * n).astype(np.float64) / ((a + b) * nb).astype(np.float64)
+        ta = np.where(a > 0, a * np.log(np.where(a > 0, ra, 1.0)), 0.0)
+        tb = np.where(b > 0, b * np.log(np.where(b > 0, rb, 1.0)), 0.0)
+        g2 = 2.0 * (ta + tb)
+        g2_x = np.floor(g2 * 10000.0 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "term": terms,
+                "cnt_a": pa.array(a, pa.int64()),
+                "cnt_b": pa.array(b, pa.int64()),
+                "g2_x": pa.array(g2_x, pa.int64()),
+            }
+        )
+
+    def partial_top(t: pa.Table) -> pa.Table:
+        pdf = t.to_pandas()
+        return pa.Table.from_pandas(
+            pdf.sort_values(["g2_x", "term"], ascending=[False, True])
+            .head(DRIFT_TOPK),
+            preserve_index=False,
+        )
+
+    scored = agg.map_batches(g2_batch, batch_format="pyarrow").map_batches(
+        partial_top, batch_format="pyarrow"
+    )
+    top = (
+        scored.to_pandas()
+        .sort_values(["g2_x", "term"], ascending=[False, True])
+        .head(DRIFT_TOPK)
+        .reset_index(drop=True)
+    )
+    top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
+    return top[["rank", "term", "cnt_a", "cnt_b", "g2_x"]].astype(
+        {"rank": "int64", "term": "object", "cnt_a": "int64",
+         "cnt_b": "int64", "g2_x": "int64"}
+    )
+
+
+_VOCAB_DRIFT_SQL = f"""
+WITH t AS (
+  SELECT doc_id, unnest({TOKLIST.format(col="text")}) AS term FROM documents
+),
+c AS (
+  SELECT term,
+         CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS cnt_a,
+         CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS cnt_b
+  FROM t GROUP BY term
+),
+tot AS (SELECT CAST(sum(cnt_a) AS BIGINT) AS na,
+               CAST(sum(cnt_b) AS BIGINT) AS nb FROM c),
+g AS (
+  SELECT c.term, c.cnt_a, c.cnt_b,
+         {_fx('''2.0 * (
+           (CASE WHEN c.cnt_a = 0 THEN 0.0
+                 ELSE c.cnt_a * ln(CAST(c.cnt_a*(tot.na+tot.nb) AS DOUBLE)
+                                   / CAST((c.cnt_a+c.cnt_b)*tot.na AS DOUBLE))
+            END)
+           + (CASE WHEN c.cnt_b = 0 THEN 0.0
+                   ELSE c.cnt_b * ln(CAST(c.cnt_b*(tot.na+tot.nb) AS DOUBLE)
+                                     / CAST((c.cnt_a+c.cnt_b)*tot.nb AS DOUBLE))
+              END))''')} AS g2_x
+  FROM c CROSS JOIN tot
+  WHERE c.cnt_a + c.cnt_b >= {DRIFT_MIN_TOTAL}
+),
+r AS (
+  SELECT term, cnt_a, cnt_b, g2_x,
+         row_number() OVER (ORDER BY g2_x DESC, term ASC) AS rank
+  FROM g
+)
+SELECT CAST(rank AS BIGINT) AS rank, term, cnt_a, cnt_b, g2_x
+FROM r WHERE rank <= {DRIFT_TOPK}
+"""
+
+
 # ------------------------------------------------------------ registries
 
 QUERIES = {
@@ -7682,6 +8159,10 @@ QUERIES = {
     "chunk_dedup": q_chunk_dedup,
     "ann_range": q_ann_range,
     "oov_rate": q_oov_rate,
+    "ann_filtered": q_ann_filtered,
+    "covisit": q_covisit,
+    "extract_summary": q_extract_summary,
+    "vocab_drift": q_vocab_drift,
 }
 
 
@@ -9278,6 +9759,34 @@ SELECT source, CAST(rank AS BIGINT) AS rank, term, c, lift_x
 FROM r WHERE rank <= {SOURCE_LIFT_TOPK}
 """,
 }
+
+ORACLE_SQL["ann_filtered"] = f"""
+WITH {_EMB_UNNEST},
+ok AS (SELECT vec_id FROM embeddings
+       WHERE label IN {ANN_FILTER_LABELS}),
+d AS (
+  SELECT uq.vec_id AS query_vec, ub.vec_id AS vec_id, sum(uq.v * ub.v) AS dot
+  FROM u uq JOIN u ub ON ub.i = uq.i AND ub.vec_id <> uq.vec_id
+  JOIN ok ON ok.vec_id = ub.vec_id
+  WHERE uq.vec_id IN {ANN_QUERY_IDS}
+  GROUP BY uq.vec_id, ub.vec_id
+),
+c AS (
+  SELECT d.query_vec, d.vec_id, d.dot / (nq.nrm * nb.nrm) AS cos
+  FROM d JOIN n nq ON nq.vec_id = d.query_vec JOIN n nb ON nb.vec_id = d.vec_id
+  WHERE nq.nrm > 0 AND nb.nrm > 0
+),
+ranked AS (
+  SELECT query_vec, vec_id, {_fx('cos')} AS cos_x,
+         row_number() OVER (PARTITION BY query_vec
+                            ORDER BY {_fx('cos')} DESC, vec_id ASC) AS rank
+  FROM c
+)
+SELECT query_vec, rank, vec_id, cos_x FROM ranked WHERE rank <= 10
+"""
+ORACLE_SQL["covisit"] = _COVISIT_SQL
+ORACLE_SQL["extract_summary"] = _EXTRACT_SUMMARY_SQL
+ORACLE_SQL["vocab_drift"] = _VOCAB_DRIFT_SQL
 
 # these compose other oracle entries, so they register after the dict
 ORACLE_SQL["related_docs"] = _related_docs_sql()

@@ -1,0 +1,156 @@
+"""Edge cases for the round-3g operators (ann_filtered, covisit,
+extract_summary, vocab_drift) on crafted tables: a best-overall
+neighbor excluded by the label filter, a query whose own label is
+disallowed, the per-user item cap and min-support filter, a summary
+score tie broken by sentence order, a term present in only one
+snapshot half, and the drift min-total filter. Each case runs the REAL
+query function against the REAL oracle SQL on the crafted parquet."""
+
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+from document_retrieval_ray.pipelines.testdata_queries import (
+    ANN_FILTER_LABELS,
+    COVISIT_MAX_ITEMS,
+    COVISIT_MIN_USERS,
+    DRIFT_MIN_TOTAL,
+    EMB_DIM,
+    ORACLE_SQL,
+    QUERIES,
+    SUMMARY_TOPK,
+)
+
+
+def _run(name, sf_dir, tables):
+    got = QUERIES[name](sf_dir)
+    if not isinstance(got, pd.DataFrame):
+        got = got.to_pandas()
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{os.path.join(sf_dir, t)}.parquet')"
+        )
+    exp = con.execute(ORACLE_SQL[name]).fetchdf()
+    cols = sorted(got.columns)
+    assert cols == sorted(exp.columns)
+    got = got[cols].sort_values(cols).reset_index(drop=True)
+    exp = exp[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp.astype(got.dtypes.to_dict()))
+    return got
+
+
+def test_ann_filtered_label_gate(ray_session, tmp_path):
+    """The globally best neighbor carries a disallowed label and must be
+    excluded; a query whose OWN label is disallowed still searches."""
+    bad = next(l for l in range(10) if l not in ANN_FILTER_LABELS)
+    ok = ANN_FILTER_LABELS[0]
+    e = np.zeros((8, EMB_DIM), dtype=np.float32)
+    labels = np.zeros(8, dtype=np.int32)
+    for q in range(5):                 # queries 0..4 on unit axes
+        e[q, q] = 1.0
+    labels[0] = bad                    # q0's own label is disallowed
+    e[5, 0] = 3.0                      # cos(q0)=1.0 — but label is bad
+    labels[5] = bad
+    e[6, 0] = 1.0                      # cos(q0)=~0.89, allowed
+    e[6, 5] = 0.5
+    labels[6] = ok
+    e[7, 1] = 1.0                      # exact dup of q1, allowed
+    labels[7] = ok
+    pd.DataFrame(
+        {
+            "vec_id": np.arange(8, dtype=np.int64),
+            "embedding": [row for row in e],
+            "label": labels,
+        }
+    ).to_parquet(tmp_path / "embeddings.parquet", index=False)
+
+    got = _run("ann_filtered", str(tmp_path), ["embeddings"])
+    q0 = got[got["query_vec"] == 0].sort_values("rank")
+    assert 5 not in set(q0["vec_id"]), "disallowed label leaked into top-k"
+    assert q0.iloc[0]["vec_id"] == 6   # best ALLOWED neighbor wins
+    q1 = got[got["query_vec"] == 1].sort_values("rank")
+    assert q1.iloc[0]["vec_id"] == 7 and q1.iloc[0]["cos_x"] == 10000
+
+
+def test_covisit_cap_and_support(ray_session, tmp_path):
+    """User A visits cap+4 items (only the cap smallest pair up); users
+    B and C share items (1, 2) so that pair reaches min support; B's
+    repeat view of item 1 counts once; a signup event is ignored."""
+    rows = []
+    # user 1: items 0 .. cap+3 (clicks) — cap keeps 0..cap-1
+    for it in range(COVISIT_MAX_ITEMS + 4):
+        rows.append((1, "click", '{"k": %d}' % it))
+    # users 2 and 3 both view items 1 and 2 → pair (1,2) support 3 (with
+    # user 1), items (1, cap+1) only via user 1 → below support after cap
+    for u in (2, 3):
+        rows.append((u, "view", '{"k": 1}'))
+        rows.append((u, "view", '{"k": 2}'))
+    rows.append((2, "view", '{"k": 1}'))          # duplicate — distinct
+    rows.append((2, "signup", '{"k": 9}'))        # ignored event type
+    pd.DataFrame(rows, columns=["user_id", "event_type", "props"]).astype(
+        {"user_id": "int64"}
+    ).to_parquet(tmp_path / "events.parquet", index=False)
+
+    got = _run("covisit", str(tmp_path), ["events"])
+    pair12 = got[(got["a"] == 1) & (got["b"] == 2)]
+    assert len(pair12) == 1 and int(pair12["n_users"].iloc[0]) == 3
+    # items beyond the cap never pair (user 1 kept only 0..cap-1)
+    assert int(got["b"].max()) <= COVISIT_MAX_ITEMS - 1
+    # every emitted pair meets min support
+    assert (got["n_users"] >= COVISIT_MIN_USERS).all()
+
+
+def test_extract_summary_tie_and_single(ray_session, tmp_path):
+    """Two sentences with identical unique-term idf sums tie → the lower
+    sent_idx ranks first; a one-sentence doc emits a single row; a
+    duplicated term within a sentence counts once."""
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.array([0, 1], dtype=np.int64),
+            # doc 0: s0 and s1 contain the same term set {alpha, beta}
+            # (s1 repeats alpha — dedup makes the score equal); s2 has
+            # only the corpus-wide common term.
+            "text": [
+                "alpha beta. beta alpha alpha. common",
+                "common",
+            ],
+            "lang": ["en", "en"],
+        }
+    )
+    docs.to_parquet(tmp_path / "documents.parquet", index=False)
+
+    got = _run("extract_summary", str(tmp_path), ["documents"])
+    d0 = got[got["doc_id"] == 0].sort_values("rank")
+    assert len(d0) == SUMMARY_TOPK
+    assert list(d0["sent_idx"]) == [0, 1]          # tie → sent order
+    assert d0["score_x"].iloc[0] == d0["score_x"].iloc[1]
+    d1 = got[got["doc_id"] == 1]
+    assert len(d1) == 1 and int(d1["sent_idx"].iloc[0]) == 0
+
+
+def test_vocab_drift_half_only_and_min_total(ray_session, tmp_path):
+    """A term occurring only in half A exercises the b=0 branch; a rare
+    term under DRIFT_MIN_TOTAL is dropped; equal-G² terms order by term
+    asc via rank."""
+    even_text = " ".join(["onlya"] * DRIFT_MIN_TOTAL + ["shared"] * 10)
+    odd_text = " ".join(["rare"] + ["shared"] * 10)
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.array([0, 1], dtype=np.int64),
+            "text": [even_text, odd_text],
+            "lang": ["en", "en"],
+        }
+    )
+    docs.to_parquet(tmp_path / "documents.parquet", index=False)
+
+    got = _run("vocab_drift", str(tmp_path), ["documents"])
+    terms = set(got["term"])
+    assert "onlya" in terms            # b = 0 branch survives and scores
+    assert "rare" not in terms         # under DRIFT_MIN_TOTAL
+    only = got[got["term"] == "onlya"].iloc[0]
+    assert int(only["cnt_b"]) == 0 and int(only["g2_x"]) > 0
+    assert list(got["rank"]) == sorted(got["rank"])
