@@ -8030,6 +8030,160 @@ FROM r WHERE rank <= {DRIFT_TOPK}
 """
 
 
+def _mutual_partition(group: pd.DataFrame) -> pd.DataFrame:
+    """(lo, hi)-hash partition of directed kNN edges → pairs present in
+    BOTH directions. Each unordered pair contributes at most two rows
+    (the kNN graph is rank-deduped), so the kernel is one groupby-size;
+    the reported cos_x is the lo→hi edge's (canonical direction)."""
+    empty = pd.DataFrame({"a": pd.Series(dtype="int64"),
+                          "b": pd.Series(dtype="int64"),
+                          "cos_x": pd.Series(dtype="int64")})
+    g = group.drop(columns=[c for c in ("kpart",) if c in group.columns])
+    if g.empty:
+        return empty
+    keep_cos = np.where(g["dir"].to_numpy() == 0,
+                        g["cos_x"].to_numpy(np.int64), np.int64(-(1 << 62)))
+    c = (
+        g.assign(keep_cos=keep_cos)
+        .groupby(["lo", "hi"], sort=False)
+        .agg(n=("dir", "size"), cos_x=("keep_cos", "max"))
+        .reset_index()
+    )
+    c = c[c["n"] == 2]
+    if c.empty:
+        return empty
+    return pd.DataFrame({"a": c["lo"].to_numpy(np.int64),
+                         "b": c["hi"].to_numpy(np.int64),
+                         "cos_x": c["cos_x"].to_numpy(np.int64)})
+
+
+def q_knn_mutual(sf_dir: str):
+    """Mutual k-NN pairs: unordered (a, b) where each vector is in the
+    OTHER's top-KNN_K — the reciprocal-neighbor filter that turns a kNN
+    graph into high-precision near-dup/cluster edges (one-directional
+    neighbors are dominated by hubs; mutuality removes them).
+
+    Scale plan: composes the oracled q_knn_graph (tile-partial top-k,
+    O(N·k) edges out); each directed edge re-keys to its unordered pair
+    and ONE pair-hash cogroup keeps pairs seen from both sides — the
+    exchange is edge-sized (N·k rows), never corpus-squared."""
+    knn = q_knn_graph(sf_dir)
+
+    def pair_key(t: pa.Table) -> pa.Table:
+        a = pc.cast(t["vec_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        b = pc.cast(t["nbr"], pa.int64()).to_numpy(zero_copy_only=False)
+        lo = np.minimum(a, b)
+        hi = np.maximum(a, b)
+        return pa.table(
+            {
+                "lo": pa.array(lo),
+                "hi": pa.array(hi),
+                # dir 0 = the lo→hi edge (canonical cos_x source)
+                "dir": pa.array((a != lo).astype(np.int8)),
+                "cos_x": pc.cast(t["cos_x"], pa.int64()),
+            }
+        )
+
+    edges = knn.map_batches(pair_key, batch_format="pyarrow")
+    return _parted(edges, ("lo", "hi")).map_groups(
+        _mutual_partition, batch_format="pandas"
+    )
+
+
+# deep pagination: page size of the cursor-search second page
+SEARCH_AFTER_PAGE = 10
+
+
+def q_search_after(sf_dir: str):
+    """Cursor-based deep pagination ("search after"): the SECOND page of
+    the reference-BM25 ranking, fetched by cursor rather than by rank
+    offset — the fulltext-serving feature that makes deep paging O(page)
+    instead of O(offset) per shard. The cursor is the (score_x, doc_id)
+    composite of each query's LAST page-1 hit; page 2 = the top
+    SEARCH_AFTER_PAGE hits STRICTLY after it in (score desc, id asc)
+    order.
+
+    Scale plan: both fetches are the proven sharded top-k (each shard
+    returns ≤ k rows; the cursor filter composes with per-shard
+    preselection so no shard ever materializes `offset` rows); the
+    cursor attach + after-filter here run on the RESULT-sized frame
+    (|queries| × k rows — driver-bounded by construction)."""
+    from .query import bm25_search
+
+    index_dir = _index_for(sf_dir)
+    cfg = BM25Config(k1=1.5, b=0.75, idf="lucene", compat="reference")
+    page1 = _results_to_docids(
+        bm25_search(_query_ds(), index_dir, cfg=cfg, round_dp=4).to_pandas()
+    )
+    # cursor = last returned hit per query; page 2 exists only when page
+    # 1 was full (a short page means the ranking is exhausted)
+    last = page1.sort_values(["query_id", "rank"]).groupby(
+        "query_id", sort=False
+    ).tail(1)
+    full = last[last["rank"] == SEARCH_AFTER_PAGE]
+    cursors = full.set_index("query_id")[["score_x", "doc_id"]]
+
+    deep = _results_to_docids(
+        bm25_search(
+            _query_ds(), index_dir,
+            cfg=BM25Config(k1=1.5, b=0.75, idf="lucene", compat="reference",
+                           k=2 * SEARCH_AFTER_PAGE),
+            round_dp=4,
+        ).to_pandas()
+    )
+    m = deep.merge(cursors, left_on="query_id", right_index=True,
+                   suffixes=("", "_cur"))
+    after = m[
+        (m["score_x"] < m["score_x_cur"])
+        | ((m["score_x"] == m["score_x_cur"]) & (m["doc_id"] > m["doc_id_cur"]))
+    ]
+    out = after.sort_values(["query_id", "rank"]).groupby(
+        "query_id", sort=False
+    ).head(SEARCH_AFTER_PAGE)
+    return out[["query_id", "rank", "doc_id", "score_x"]].reset_index(
+        drop=True
+    ).astype({"rank": "int64", "doc_id": "int64", "score_x": "int64"})
+
+
+def q_df_histogram(sf_dir: str):
+    """Index-statistics report: postings-list length distribution per
+    language in log2 buckets (bucket = floor(log2(df))) — the standard
+    index-QA histogram that surfaces stopword-ish heads and singleton
+    tails before they surprise the serving path.
+
+    Scale plan: runs entirely on the Heaps-law vocab table (the term_df
+    groupby output); the histogram partial is a per-batch integer
+    groupby and the final exchange moves ≤ langs × 64 rows. log2 is
+    exact at every bucket boundary (powers of two are exact doubles), so
+    the floor agrees with SQL bit-for-bit."""
+    df = q_term_df(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        dfs = pc.cast(t["df"], pa.int64()).to_numpy(zero_copy_only=False)
+        bucket = np.floor(np.log2(dfs.astype(np.float64))).astype(np.int64)
+        pdf = pd.DataFrame(
+            {"lang": np.asarray(t["lang"].to_pandas(), dtype=object),
+             "bucket": bucket}
+        )
+        g = pdf.groupby(["lang", "bucket"], sort=False).size().reset_index(
+            name="n_terms"
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        df.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "bucket"])
+        .aggregate(ray.data.aggregate.Sum("n_terms", alias_name="n_terms"))
+    )
+    return out.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("n_terms"), "n_terms",
+            pc.cast(t["n_terms"], pa.int64()),
+        ),
+        batch_format="pyarrow",
+    )
+
+
 # ------------------------------------------------------------ registries
 
 QUERIES = {
@@ -8163,6 +8317,9 @@ QUERIES = {
     "covisit": q_covisit,
     "extract_summary": q_extract_summary,
     "vocab_drift": q_vocab_drift,
+    "knn_mutual": q_knn_mutual,
+    "search_after": q_search_after,
+    "df_histogram": q_df_histogram,
 }
 
 
@@ -9785,10 +9942,28 @@ ranked AS (
 SELECT query_vec, rank, vec_id, cos_x FROM ranked WHERE rank <= 10
 """
 ORACLE_SQL["covisit"] = _COVISIT_SQL
+ORACLE_SQL["knn_mutual"] = f"""
+WITH knn AS ({_KNN_SQL})
+SELECT k1.vec_id AS a, k1.nbr AS b, k1.cos_x AS cos_x
+FROM knn k1 JOIN knn k2 ON k2.vec_id = k1.nbr AND k2.nbr = k1.vec_id
+WHERE k1.vec_id < k1.nbr
+"""
 ORACLE_SQL["extract_summary"] = _EXTRACT_SUMMARY_SQL
 ORACLE_SQL["vocab_drift"] = _VOCAB_DRIFT_SQL
 
 # these compose other oracle entries, so they register after the dict
+ORACLE_SQL["search_after"] = _bm25_sql(
+    1.5, 0.75, reference_quirk=True, dedup=True
+).replace(
+    "WHERE rank <= 10",
+    f"WHERE rank > {SEARCH_AFTER_PAGE} AND rank <= {2 * SEARCH_AFTER_PAGE}",
+)
+ORACLE_SQL["df_histogram"] = f"""
+WITH t AS ({ORACLE_SQL["term_df"]})
+SELECT lang, CAST(floor(log2(df)) AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_terms
+FROM t GROUP BY lang, bucket
+"""
 ORACLE_SQL["related_docs"] = _related_docs_sql()
 ORACLE_SQL["quality_sample"] = _quality_sample_sql()
 ORACLE_SQL["mmr_rerank"] = _mmr_sql()

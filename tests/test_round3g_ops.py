@@ -154,3 +154,93 @@ def test_vocab_drift_half_only_and_min_total(ray_session, tmp_path):
     only = got[got["term"] == "onlya"].iloc[0]
     assert int(only["cnt_b"]) == 0 and int(only["g2_x"]) > 0
     assert list(got["rank"]) == sorted(got["rank"])
+
+
+def test_knn_mutual_hub_removed(ray_session, tmp_path):
+    """A hub vector close to many others appears in THEIR top-k while its
+    own top-k holds only its closest few — one-directional edges must not
+    survive; a perfect mutual pair must."""
+    from document_retrieval_ray.pipelines.testdata_queries import EMB_DIM
+
+    rng = np.random.default_rng(7)
+    e = np.zeros((12, EMB_DIM), dtype=np.float32)
+    # 0 and 1: a tight mutual pair on an isolated axis
+    e[0, 10] = 1.0
+    e[1, 10] = 1.0
+    e[1, 11] = 0.05
+    # 2: hub — equal moderate similarity to 3..11 (spokes), whose own
+    # top-3 each contains the hub, while the hub's top-3 holds only the
+    # 3 closest spokes
+    e[2, 0] = 1.0
+    for i, v in enumerate(range(3, 12)):
+        e[v, 0] = 1.0
+        e[v, 1 + (i % 5)] = 0.4 + 0.05 * i   # distinct off-axis noise
+    pd.DataFrame(
+        {
+            "vec_id": np.arange(12, dtype=np.int64),
+            "embedding": [row for row in e],
+            "label": np.zeros(12, dtype=np.int32),
+        }
+    ).to_parquet(tmp_path / "embeddings.parquet", index=False)
+
+    got = _run("knn_mutual", str(tmp_path), ["embeddings"])
+    pairs = set(zip(got["a"], got["b"]))
+    assert (0, 1) in pairs                      # mutual pair survives
+    assert got[(got["a"] == 0) & (got["b"] == 1)]["cos_x"].iloc[0] > 9900
+    # every emitted pair is canonical (a < b) and unique
+    assert (got["a"] < got["b"]).all()
+    assert len(pairs) == len(got)
+
+
+def test_search_after_page_boundary(ray_session):
+    """Page 2 of the reference ranking: disjoint from page 1, strictly
+    after page 1's cursor in (score desc, id asc) order, and empty for
+    queries whose page 1 was short."""
+    from document_retrieval_ray.pipelines.testdata_queries import (
+        SEARCH_AFTER_PAGE,
+        q_bm25_reference,
+        q_search_after,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    p1 = q_bm25_reference(sf)
+    p2 = q_search_after(sf)
+    for qid, g2 in p2.groupby("query_id"):
+        g1 = p1[p1["query_id"] == qid].sort_values("rank")
+        assert len(g1) == SEARCH_AFTER_PAGE     # page 2 ⇒ page 1 full
+        cur = g1.iloc[-1]
+        overlap = set(g1["doc_id"]) & set(g2["doc_id"])
+        assert not overlap
+        for r in g2.itertuples():
+            assert (r.score_x, -r.doc_id) < (cur.score_x, -cur.doc_id)
+            assert r.rank > SEARCH_AFTER_PAGE
+    short = {q for q, g in p1.groupby("query_id") if len(g) < SEARCH_AFTER_PAGE}
+    assert short.isdisjoint(set(p2["query_id"]))
+
+
+def test_df_histogram_bucket_edges(ray_session, tmp_path):
+    """df values at exact powers of two land in their own bucket (log2 is
+    exact there); df=1 → bucket 0."""
+    # term 'one' in 1 doc, 'two' in 2, 'three' in 3, 'four' in 4
+    texts = []
+    for i in range(4):
+        parts = ["one"] if i == 0 else []
+        if i < 2:
+            parts.append("two")
+        if i < 3:
+            parts.append("three")
+        parts.append("four")
+        texts.append(" ".join(parts))
+    pd.DataFrame(
+        {
+            "doc_id": np.arange(4, dtype=np.int64),
+            "text": texts,
+            "lang": ["en"] * 4,
+        }
+    ).to_parquet(tmp_path / "documents.parquet", index=False)
+
+    got = _run("df_histogram", str(tmp_path), ["documents"])
+    hist = {int(r.bucket): int(r.n_terms) for r in got.itertuples()}
+    # df=1 → bucket 0 ('one'); df=2,3 → bucket 1 ('two','three');
+    # df=4 → bucket 2 ('four')
+    assert hist == {0: 1, 1: 2, 2: 1}
