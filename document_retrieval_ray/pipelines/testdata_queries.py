@@ -8184,6 +8184,167 @@ def q_df_histogram(sf_dir: str):
     )
 
 
+# time-decayed popularity: integer decay chain w0=10000, w_{a+1} = w_a*9//10
+# (an exact integer geometric decay — no float exp/pow anywhere, so the
+# engine and the SQL recursive CTE agree bit-for-bit)
+DECAY_W0 = 10000
+DECAY_NUM = 9
+DECAY_DEN = 10
+
+
+def _decay_weights(max_age: int) -> np.ndarray:
+    w = [DECAY_W0]
+    for _ in range(max_age):
+        w.append((w[-1] * DECAY_NUM) // DECAY_DEN)
+    return np.asarray(w, dtype=np.int64)
+
+
+def q_popularity_decay(sf_dir: str):
+    """Time-decayed item popularity (trending score): each click/view of
+    an item contributes w(age) where age = days before the newest event
+    and w follows the exact integer chain w0=10000, w*9//10 per day —
+    the standard recency-weighted popularity of a recommender/trending
+    feed, made reproducible (no float exp: the decay table is integer
+    floor-division, mirrored by a recursive CTE).
+
+    Scale plan: pass 1 is a thin (ts-only) max aggregate; the weight
+    table (≤ age-range rows) broadcasts via ray.put; pass 2 emits
+    per-batch (item, weighted-sum) integer partials so the only exchange
+    is an item-keyed groupby of partial rows."""
+    types = pa.array(list(COVISIT_TYPES))
+    ev = _events(sf_dir, columns=["event_type", "ts", "props"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["event_type"], value_set=types))
+        item = pc.cast(
+            pc.struct_field(
+                pc.extract_regex(pc.cast(t["props"], pa.string()),
+                                 r"(?P<k>[0-9]+)"),
+                "k",
+            ),
+            pa.int64(),
+        )
+        day = pc.divide(pc.cast(t["ts"], pa.int64()), pa.scalar(DAY_US))
+        return pa.table({"item": item, "day": day})
+
+    rows = ev.map_batches(prep, batch_format="pyarrow")
+    span = rows.aggregate(
+        ray.data.aggregate.Max("day", alias_name="md"),
+        ray.data.aggregate.Min("day", alias_name="mn"),
+    )
+    md, mn = int(span["md"]), int(span["mn"])
+    wref = ray.put(_decay_weights(md - mn))
+
+    class Weighted:
+        def __init__(self):
+            self.w = ray.get(wref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            item = t["item"].to_numpy(zero_copy_only=False)
+            age = md - t["day"].to_numpy(zero_copy_only=False)
+            pdf = pd.DataFrame({"item": item, "ws": self.w[age]})
+            g = pdf.groupby("item", sort=False)["ws"].sum().reset_index()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        rows.map_batches(Weighted, batch_format="pyarrow",
+                         concurrency=default_pool())
+        .groupby("item")
+        .aggregate(ray.data.aggregate.Sum("ws", alias_name="score_x"))
+    )
+    return out.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("score_x"), "score_x",
+            pc.cast(t["score_x"], pa.int64()),
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _streaks_partition(group: pd.DataFrame) -> pd.DataFrame:
+    """user_id-hash partition → per-user consecutive-active-day runs
+    (islands), fully vectorized: lexsort by (user, day), a run breaks
+    where the user changes or the day jumps by more than one."""
+    empty = pd.DataFrame({c: pd.Series(dtype="int64") for c in
+                          ("user_id", "streak_start", "streak_end",
+                           "n_days")})
+    g = group[["user_id", "day"]].drop_duplicates()
+    if g.empty:
+        return empty
+    g = g.sort_values(["user_id", "day"])
+    u = g["user_id"].to_numpy(np.int64)
+    d = g["day"].to_numpy(np.int64)
+    new_run = np.ones(len(g), dtype=bool)
+    new_run[1:] = (u[1:] != u[:-1]) | (d[1:] != d[:-1] + 1)
+    run_id = np.cumsum(new_run) - 1
+    out = (
+        pd.DataFrame({"run": run_id, "user_id": u, "day": d})
+        .groupby("run", sort=False)
+        .agg(user_id=("user_id", "first"), streak_start=("day", "min"),
+             streak_end=("day", "max"), n_days=("day", "size"))
+        .reset_index(drop=True)
+    )
+    return out.astype({c: "int64" for c in out.columns})
+
+
+def q_streaks(sf_dir: str):
+    """Per-user activity streaks (gaps-and-islands): maximal runs of
+    consecutive active days per user, with start/end/length — the
+    engagement-analytics sibling of retention, and the canonical islands
+    problem (day − row_number grouping in SQL).
+
+    Scale plan: ONE user_id-hash exchange of (user, day) rows (distinct
+    days dedup inside the partition kernel — a user's whole timeline is
+    colocated, the sessionize assumption); the kernel is a lexsort +
+    shift compare, no per-user Python loop."""
+    ev = _events(sf_dir, columns=["user_id", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "day": pc.divide(pc.cast(t["ts"], pa.int64()), pa.scalar(DAY_US)),
+        })
+
+    return _parted(ev.map_batches(prep, batch_format="pyarrow"),
+                   ("user_id",)).map_groups(
+        _streaks_partition, batch_format="pandas"
+    )
+
+
+_STREAKS_SQL = f"""
+WITH ud AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // {DAY_US} AS day FROM events
+),
+g AS (
+  SELECT user_id, day,
+         day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+  FROM ud
+)
+SELECT user_id, min(day) AS streak_start, max(day) AS streak_end,
+       CAST(count(*) AS BIGINT) AS n_days
+FROM g GROUP BY user_id, grp
+"""
+
+_POPULARITY_DECAY_SQL = f"""
+WITH RECURSIVE ev AS (
+  SELECT CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT) AS item,
+         epoch_us(ts) // {DAY_US} AS day
+  FROM events WHERE event_type IN {COVISIT_TYPES}
+),
+mx AS (SELECT max(day) AS md, min(day) AS mn FROM ev),
+w(age, wt) AS (
+  SELECT 0, CAST({DECAY_W0} AS BIGINT)
+  UNION ALL
+  SELECT age + 1, (wt * {DECAY_NUM}) // {DECAY_DEN}
+  FROM w WHERE age < (SELECT md - mn FROM mx)
+),
+c AS (SELECT item, day, count(*) AS n FROM ev GROUP BY item, day)
+SELECT c.item AS item, CAST(sum(c.n * w.wt) AS BIGINT) AS score_x
+FROM c CROSS JOIN mx JOIN w ON w.age = mx.md - c.day
+GROUP BY c.item
+"""
+
+
 # ------------------------------------------------------------ registries
 
 QUERIES = {
@@ -8320,6 +8481,8 @@ QUERIES = {
     "knn_mutual": q_knn_mutual,
     "search_after": q_search_after,
     "df_histogram": q_df_histogram,
+    "popularity_decay": q_popularity_decay,
+    "streaks": q_streaks,
 }
 
 
@@ -9942,6 +10105,8 @@ ranked AS (
 SELECT query_vec, rank, vec_id, cos_x FROM ranked WHERE rank <= 10
 """
 ORACLE_SQL["covisit"] = _COVISIT_SQL
+ORACLE_SQL["popularity_decay"] = _POPULARITY_DECAY_SQL
+ORACLE_SQL["streaks"] = _STREAKS_SQL
 ORACLE_SQL["knn_mutual"] = f"""
 WITH knn AS ({_KNN_SQL})
 SELECT k1.vec_id AS a, k1.nbr AS b, k1.cos_x AS cos_x

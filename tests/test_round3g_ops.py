@@ -244,3 +244,63 @@ def test_df_histogram_bucket_edges(ray_session, tmp_path):
     # df=1 → bucket 0 ('one'); df=2,3 → bucket 1 ('two','three');
     # df=4 → bucket 2 ('four')
     assert hist == {0: 1, 1: 2, 2: 1}
+
+
+def _ts(day: int) -> pd.Timestamp:
+    return pd.Timestamp("2025-01-01") + pd.Timedelta(days=day)
+
+
+def test_popularity_decay_chain(ray_session, tmp_path):
+    """Same-day events weigh w0; an event `age` days older weighs the
+    exact integer chain value; ignored event types don't score."""
+    from document_retrieval_ray.pipelines.testdata_queries import (
+        DECAY_W0,
+        _decay_weights,
+    )
+
+    rows = [
+        # item 1: two hits on the newest day, one hit 3 days older
+        (_ts(10), "click", '{"k": 1}'),
+        (_ts(10), "view", '{"k": 1}'),
+        (_ts(7), "click", '{"k": 1}'),
+        # item 2: one hit on the oldest day only
+        (_ts(5), "view", '{"k": 2}'),
+        # ignored type on the newest day
+        (_ts(10), "signup", '{"k": 3}'),
+    ]
+    df = pd.DataFrame(rows, columns=["ts", "event_type", "props"]).assign(
+        user_id=np.arange(len(rows), dtype=np.int64)
+    )
+    df["ts"] = df["ts"].astype("datetime64[us]")   # the events table's unit
+    df.to_parquet(tmp_path / "events.parquet", index=False)
+
+    got = _run("popularity_decay", str(tmp_path), ["events"])
+    w = _decay_weights(5)          # ages 0..5 (day 10 − day 5)
+    s = {int(r.item): int(r.score_x) for r in got.itertuples()}
+    assert s[1] == 2 * DECAY_W0 + w[3]
+    assert s[2] == w[5]
+    assert 3 not in s
+
+
+def test_streaks_islands(ray_session, tmp_path):
+    """Consecutive days merge into one streak; a 1-day gap splits; two
+    hits on the same day dedup; users are independent."""
+    rows = [
+        (1, _ts(0)), (1, _ts(1)), (1, _ts(1)), (1, _ts(2)),   # 0-2 streak
+        (1, _ts(4)),                                          # singleton
+        (2, _ts(3)), (2, _ts(4)),                             # 3-4 streak
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "ts"]).astype(
+        {"user_id": "int64"}
+    )
+    df["ts"] = df["ts"].astype("datetime64[us]")   # the events table's unit
+    df.to_parquet(tmp_path / "events.parquet", index=False)
+
+    got = _run("streaks", str(tmp_path), ["events"])
+    base = int(got["streak_start"].min())
+    rel = {
+        (int(r.user_id), int(r.streak_start) - base,
+         int(r.streak_end) - base, int(r.n_days))
+        for r in got.itertuples()
+    }
+    assert rel == {(1, 0, 2, 3), (1, 4, 4, 1), (2, 3, 4, 2)}
