@@ -71,3 +71,147 @@ def test_topk_with_ties_properties(scores, k):
     order = sorted(range(len(pos)), key=lambda j: (-key[j], urls[pos[j]]))
     expect = [pos[j] for j in order[:k]]
     assert list(sel) == expect
+
+
+# ---------------------------------------------------------------- round-3g
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=6),      # user_id
+            st.integers(min_value=0, max_value=30),     # day
+        ),
+        min_size=1,
+        max_size=200,
+    )
+)
+@settings(max_examples=150, deadline=None)
+def test_streaks_partition_matches_bruteforce(rows):
+    """_streaks_partition ≡ per-user brute-force islands over the
+    distinct-day sets, for any (user, day) multiset."""
+    import pandas as pd
+
+    from document_retrieval_ray.pipelines.testdata_queries import (
+        _streaks_partition,
+    )
+
+    g = pd.DataFrame(rows, columns=["user_id", "day"]).astype("int64")
+    got = {
+        (int(r.user_id), int(r.streak_start), int(r.streak_end),
+         int(r.n_days))
+        for r in _streaks_partition(g).itertuples()
+    }
+    exp = set()
+    for u in sorted({u for u, _ in rows}):
+        days = sorted({d for uu, d in rows if uu == u})
+        start = prev = days[0]
+        for d in days[1:] + [None]:
+            if d is None or d != prev + 1:
+                exp.add((u, start, prev, prev - start + 1))
+                start = d
+            prev = d
+    assert got == exp
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),      # user_id
+            st.integers(min_value=0, max_value=50),     # item
+        ),
+        min_size=0,
+        max_size=150,
+    )
+)
+@settings(max_examples=150, deadline=None)
+def test_covisit_partition_matches_bruteforce(rows):
+    """_covisit_partition pairs ≡ brute force over each user's capped
+    sorted-distinct item prefix."""
+    from itertools import combinations
+
+    import pandas as pd
+
+    from document_retrieval_ray.pipelines.testdata_queries import (
+        COVISIT_MAX_ITEMS,
+        _covisit_partition,
+    )
+
+    g = pd.DataFrame(rows, columns=["user_id", "item"]).astype("int64")
+    got = sorted(
+        (int(r.a), int(r.b)) for r in _covisit_partition(g).itertuples()
+    )
+    exp = []
+    for u in {u for u, _ in rows}:
+        items = sorted({i for uu, i in rows if uu == u})[:COVISIT_MAX_ITEMS]
+        exp.extend(combinations(items, 2))
+    assert got == sorted(exp)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),      # src
+            st.integers(min_value=0, max_value=9),      # dst
+            st.integers(min_value=-5000, max_value=10000),  # cos_x
+        ),
+        min_size=0,
+        max_size=100,
+    )
+)
+@settings(max_examples=150, deadline=None)
+def test_mutual_partition_matches_bruteforce(edges):
+    """_mutual_partition keeps exactly the unordered pairs present in
+    both directions, reporting the lo→hi edge's cos_x."""
+    import pandas as pd
+
+    from document_retrieval_ray.pipelines.testdata_queries import (
+        _mutual_partition,
+    )
+
+    # kNN edge lists never contain self-loops or duplicate (src, dst)
+    seen, clean = set(), []
+    for s, d, c in edges:
+        if s != d and (s, d) not in seen:
+            seen.add((s, d))
+            clean.append((s, d, c))
+    lo = [min(s, d) for s, d, _ in clean]
+    hi = [max(s, d) for s, d, _ in clean]
+    g = pd.DataFrame(
+        {
+            "lo": lo,
+            "hi": hi,
+            "dir": [0 if s < d else 1 for s, d, _ in clean],
+            "cos_x": [c for _, _, c in clean],
+        }
+    ).astype("int64")
+    got = sorted(
+        (int(r.a), int(r.b), int(r.cos_x))
+        for r in _mutual_partition(g).itertuples()
+    )
+    directed = {(s, d): c for s, d, c in clean}
+    exp = sorted(
+        (s, d, c)
+        for (s, d), c in directed.items()
+        if s < d and (d, s) in directed
+    )
+    assert got == exp
+
+
+@given(st.integers(min_value=0, max_value=500))
+@settings(max_examples=50, deadline=None)
+def test_decay_weights_chain(max_age):
+    """Weights are the exact floor-division chain: nonincreasing,
+    w0=10000, each step = prev*9//10."""
+    from document_retrieval_ray.pipelines.testdata_queries import (
+        DECAY_DEN,
+        DECAY_NUM,
+        DECAY_W0,
+        _decay_weights,
+    )
+
+    w = _decay_weights(max_age)
+    assert len(w) == max_age + 1 and w[0] == DECAY_W0
+    for i in range(max_age):
+        assert w[i + 1] == (int(w[i]) * DECAY_NUM) // DECAY_DEN
+        assert w[i + 1] <= w[i]
