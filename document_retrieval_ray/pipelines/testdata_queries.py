@@ -8111,18 +8111,9 @@ def q_search_after(sf_dir: str):
     from .query import bm25_search
 
     index_dir = _index_for(sf_dir)
-    cfg = BM25Config(k1=1.5, b=0.75, idf="lucene", compat="reference")
-    page1 = _results_to_docids(
-        bm25_search(_query_ds(), index_dir, cfg=cfg, round_dp=4).to_pandas()
-    )
-    # cursor = last returned hit per query; page 2 exists only when page
-    # 1 was full (a short page means the ranking is exhausted)
-    last = page1.sort_values(["query_id", "rank"]).groupby(
-        "query_id", sort=False
-    ).tail(1)
-    full = last[last["rank"] == SEARCH_AFTER_PAGE]
-    cursors = full.set_index("query_id")[["score_x", "doc_id"]]
-
+    # ONE 2-page-deep fetch serves both sides: its rank ≤ page prefix IS
+    # page 1 (identical ordering), so the cursor derives locally instead
+    # of paying a second scoring pass
     deep = _results_to_docids(
         bm25_search(
             _query_ds(), index_dir,
@@ -8131,6 +8122,14 @@ def q_search_after(sf_dir: str):
             round_dp=4,
         ).to_pandas()
     )
+    page1 = deep[deep["rank"] <= SEARCH_AFTER_PAGE]
+    # cursor = last returned hit per query; page 2 exists only when page
+    # 1 was full (a short page means the ranking is exhausted)
+    last = page1.sort_values(["query_id", "rank"]).groupby(
+        "query_id", sort=False
+    ).tail(1)
+    full = last[last["rank"] == SEARCH_AFTER_PAGE]
+    cursors = full.set_index("query_id")[["score_x", "doc_id"]]
     m = deep.merge(cursors, left_on="query_id", right_index=True,
                    suffixes=("", "_cur"))
     after = m[
