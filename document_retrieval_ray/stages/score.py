@@ -146,12 +146,44 @@ class BM25ScorerStage:
         qids = batch["query_id"].to_pylist()
         queries = batch["query"].to_pylist()
         langs = batch["lang"].to_pylist()
-        for qid, q, lang in zip(qids, queries, langs):
+        # optional per-query search-after cursor (deep pagination): a
+        # non-null (after_score_x, after_url) pair restricts results to
+        # docs STRICTLY after the cursor in (score_x desc, url asc)
+        # order — the O(page) seek. Cursor queries score via exact TAAT
+        # (WAND/MaxScore prune against an unconstrained top-k bound).
+        names = batch.column_names
+        a_keys = (
+            batch["after_score_x"].to_pylist()
+            if "after_score_x" in names else [None] * len(qids)
+        )
+        a_urls = (
+            batch["after_url"].to_pylist()
+            if "after_url" in names else [None] * len(qids)
+        )
+        for qid, q, lang, a_key, a_url in zip(
+            qids, queries, langs, a_keys, a_urls
+        ):
             idx = self.cache.get(lang)
             if idx is None:
                 continue
             tokens = tokenize_cfg(q, lang, self.tok)
             if not tokens:
+                continue
+            if a_key is not None:
+                scores = score_bm25_taat(idx, tokens, self.cfg)
+                dele = self._deleted_ids(lang)
+                if dele is not None and dele.size:
+                    scores[dele] = 0.0
+                ranks, sel, keys = topk_with_ties(
+                    scores, idx.urls, self.cfg.k, self.round_dp,
+                    after=(int(a_key), a_url),
+                )
+                if len(ranks) == 0:
+                    continue
+                parts.append(
+                    _rows(qid, ranks, sel, keys, scores, idx.urls,
+                          self.round_dp)
+                )
                 continue
             dele = self._deleted_ids(lang)
             if dele is not None and dele.size:

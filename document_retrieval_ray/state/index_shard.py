@@ -630,13 +630,59 @@ def topk_all(scores: np.ndarray, urls, k: int, round_dp=4):
     )
 
 
-def topk_with_ties(scores: np.ndarray, urls, k: int, round_dp=4):
+def topk_with_ties(scores: np.ndarray, urls, k: int, round_dp=4, after=None):
     """Top-k of positive-score docs; rank on (rounded score desc, url asc).
 
     Returns (ranks 1..k', doc_indices, score_keys). ``round_dp=None`` ranks
     on raw float64 scores (oracle rank-identity tests).
-    """
+
+    ``after``: optional (after_key, after_url) cursor — keep only docs
+    STRICTLY after it in (key desc, url asc) order, i.e. key < after_key,
+    or key == after_key and url > after_url. This is the search-after
+    seek: the cursor filter applies BEFORE top-k selection, so deep
+    paging costs O(page) per shard, never O(offset). The url tie-compare
+    touches only the (usually tiny) key == after_key sliver, keeping
+    lazy-url decoding cheap. Cursor queries take the exact path (the
+    sampled-threshold shortcut assumes an unconstrained top)."""
     scale = 10.0 ** round_dp if round_dp is not None else None
+    if after is not None:
+        after_key, after_url = after
+        pos = np.nonzero(scores > 0)[0]
+        if pos.size == 0:
+            return (
+                np.empty(0, np.int64),
+                np.empty(0, np.int64),
+                np.empty(0, np.float64),
+            )
+        s = scores[pos]
+        key = np.floor(s * scale + 0.5) if scale is not None else s
+        below = key < after_key
+        ties = np.nonzero(key == after_key)[0]
+        if ties.size:
+            tie_urls = np.asarray(urls[pos[ties]])
+            below[ties[tie_urls > after_url]] = True
+        keep = np.nonzero(below)[0]
+        pos = pos[keep]
+        key = key[keep]
+        if pos.size == 0:
+            return (
+                np.empty(0, np.int64),
+                np.empty(0, np.int64),
+                np.empty(0, np.float64),
+            )
+        if key.size > max(4 * k, 64):
+            kth = np.partition(key, key.size - k)[key.size - k]
+            sl = np.nonzero(key >= kth)[0]
+            pos = pos[sl]
+            key = key[sl]
+        order = np.lexsort((urls[pos], -key))
+        take = order[: min(k, order.size)]
+        sel = pos[take]
+        return (
+            np.arange(1, take.size + 1, dtype=np.int64),
+            sel,
+            key[take],
+        )
     # Sampled-threshold preselect for big dense arrays: nonzero-compacting
     # ~N positive docs and np.partition-ing their keys are the two
     # dominant passes of a Zipf-head query (measured 4.6 + 9.7 ms at

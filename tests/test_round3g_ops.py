@@ -304,3 +304,51 @@ def test_streaks_islands(ray_session, tmp_path):
         for r in got.itertuples()
     }
     assert rel == {(1, 0, 2, 3), (1, 4, 4, 1), (2, 3, 4, 2)}
+
+
+def test_search_after_native_seek(ray_session):
+    """The scorer's native cursor (after_score_x, after_url query
+    columns → topk_with_ties(after=...) seek) returns EXACTLY ranks
+    11..20 of a 2-page-deep fetch — page-2-by-cursor is rank-identical
+    to deep paging, per query, including score_x values."""
+    import ray as ray_
+
+    from document_retrieval_ray.config import BM25Config
+    from document_retrieval_ray.pipelines import testdata_queries as tq
+    from document_retrieval_ray.pipelines.query import bm25_search
+
+    sf = "/root/testdata/sf0.001"
+    index_dir = tq._index_for(sf)
+    base = dict(k1=1.5, b=0.75, idf="lucene", compat="reference")
+    deep = bm25_search(
+        tq._query_ds(), index_dir, cfg=BM25Config(**base, k=20), round_dp=4
+    ).to_pandas()
+
+    page1 = deep[deep["rank"] <= 10]
+    cur = page1[page1["rank"] == 10].set_index("query_id")
+    assert len(cur), "fixture needs at least one full page-1 query"
+    qrows = [
+        {
+            "query_id": q,
+            "query": t,
+            "lang": l,
+            "after_score_x": int(cur.loc[q, "score_x"]),
+            "after_url": str(cur.loc[q, "url"]),
+        }
+        for q, t, l in tq.QUERYSET
+        if q in cur.index
+    ]
+    got = bm25_search(
+        ray_.data.from_items(qrows), index_dir,
+        cfg=BM25Config(**base, k=10), round_dp=4,
+    ).to_pandas()
+
+    exp = deep[(deep["rank"] > 10) & (deep["query_id"].isin(cur.index))]
+    assert len(got) == len(exp)
+    for qid in cur.index:
+        g = got[got["query_id"] == qid].sort_values("rank")
+        x = exp[exp["query_id"] == qid].sort_values("rank")
+        assert list(g["url"]) == list(x["url"]), qid
+        assert list(g["score_x"]) == list(x["score_x"]), qid
+        # page-local rank numbering: 1..page vs the deep fetch's 11..20
+        assert list(g["rank"]) == [r - 10 for r in x["rank"]], qid
