@@ -10116,9 +10116,11 @@ ORACLE_SQL["extract_summary"] = _EXTRACT_SUMMARY_SQL
 ORACLE_SQL["vocab_drift"] = _VOCAB_DRIFT_SQL
 
 # these compose other oracle entries, so they register after the dict
-ORACLE_SQL["search_after"] = _bm25_sql(
-    1.5, 0.75, reference_quirk=True, dedup=True
-).replace(
+_sa_base = _bm25_sql(1.5, 0.75, reference_quirk=True, dedup=True)
+# loud guard: if _bm25_sql's final predicate ever changes shape, fail at
+# import instead of silently oracling page 1
+assert _sa_base.count("WHERE rank <= 10") == 1, "search_after oracle anchor"
+ORACLE_SQL["search_after"] = _sa_base.replace(
     "WHERE rank <= 10",
     f"WHERE rank > {SEARCH_AFTER_PAGE} AND rank <= {2 * SEARCH_AFTER_PAGE}",
 )
