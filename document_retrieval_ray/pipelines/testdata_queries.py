@@ -5398,20 +5398,17 @@ def q_related_docs(sf_dir: str):
     kw = q_tfidf_keywords(sf_dir).select_columns(["doc_id", "term"])
 
     def pair_kern(g: pd.DataFrame) -> pd.DataFrame:
-        out_a, out_b = [], []
-        for _, sub in g.groupby("term", sort=False):
-            ids = np.sort(sub["doc_id"].to_numpy())
-            k = len(ids)
-            if k < 2 or k > RELATED_MAX_TERM_DOCS:
-                continue
-            ai, bi = np.triu_indices(k, 1)
-            out_a.append(ids[ai])
-            out_b.append(ids[bi])
-        if not out_a:
-            return pd.DataFrame({"a": pd.Series(dtype="int64"),
-                                 "b": pd.Series(dtype="int64")})
-        return pd.DataFrame({"a": np.concatenate(out_a),
-                             "b": np.concatenate(out_b)})
+        # grouped_pairs wants integer group keys — factorize the terms
+        # (order-irrelevant: pairs are per-group); oversize="skip" is the
+        # non-discriminative-keyword rule (HAVING count(*) <= cap)
+        from ..stages.dedup import grouped_pairs
+
+        codes, _ = pd.factorize(g["term"], sort=False)
+        a, b = grouped_pairs(
+            codes, g["doc_id"].to_numpy(np.int64),
+            RELATED_MAX_TERM_DOCS, oversize="skip",
+        )
+        return pd.DataFrame({"a": a, "b": b})
 
     pairs = _arrow_blocks(_parted(kw, ("term",)).map_groups(
         pair_kern, batch_format="pandas"))
@@ -7613,25 +7610,18 @@ def _covisit_partition(group: pd.DataFrame) -> pd.DataFrame:
     """user_id-hash partition of (user_id, item) rows → unordered item
     pairs, one row per (user, pair). Distinct-per-user is exact here
     because the hash cogroup colocates ALL of a user's rows; the item cap
-    keeps a degenerate user's fan-out at C(cap, 2)."""
-    empty = pd.DataFrame({"a": pd.Series(dtype="int64"),
-                          "b": pd.Series(dtype="int64")})
-    g = group[["user_id", "item"]].drop_duplicates()
-    if g.empty:
-        return empty
-    out_a, out_b = [], []
-    for _, sub in g.groupby("user_id", sort=False):
-        items = np.sort(sub["item"].to_numpy(np.int64))[:COVISIT_MAX_ITEMS]
-        k = len(items)
-        if k < 2:
-            continue
-        ai, bi = np.triu_indices(k, 1)
-        out_a.append(items[ai])
-        out_b.append(items[bi])
-    if not out_a:
-        return empty
-    return pd.DataFrame({"a": np.concatenate(out_a),
-                         "b": np.concatenate(out_b)})
+    keeps a degenerate user's fan-out at C(cap, 2). Pair generation is
+    the vectorized `grouped_pairs` kernel — one triu gather per distinct
+    group size, no per-user Python loop."""
+    from ..stages.dedup import grouped_pairs
+
+    a, b = grouped_pairs(
+        group["user_id"].to_numpy(np.int64),
+        group["item"].to_numpy(np.int64),
+        COVISIT_MAX_ITEMS,
+        oversize="truncate",
+    )
+    return pd.DataFrame({"a": a, "b": b})
 
 
 def q_covisit(sf_dir: str):

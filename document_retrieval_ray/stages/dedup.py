@@ -789,3 +789,61 @@ def containment_partition(group: pd.DataFrame, threshold: float) -> pd.DataFrame
             "containment_x": pd.Series(oc, dtype="int64"),
         }
     )
+
+
+def grouped_pairs(keys: np.ndarray, values: np.ndarray, cap: int,
+                  oversize: str = "truncate"):
+    """All unordered (a, b) value pairs within each key group, with NO
+    per-group Python loop: rows lexsort by (key, value), (key, value)
+    duplicates drop, then pairs emit via one ``triu_indices`` gather per
+    DISTINCT group size — at most ``cap`` vectorized iterations however
+    many groups the partition holds.
+
+    ``oversize``: what a group larger than ``cap`` does —
+    - ``"truncate"``: keep its ``cap`` SMALLEST values (covisit's
+      deterministic per-user item cap, mirrored in SQL by
+      ``row_number() OVER (ORDER BY value) <= cap``);
+    - ``"skip"``: drop the whole group (related_docs' non-discriminative
+      -keyword rule, mirrored by ``HAVING count(*) <= cap``).
+
+    Returns (a, b) int64 arrays with a < b within each pair."""
+    empty = (np.empty(0, np.int64), np.empty(0, np.int64))
+    if len(keys) == 0:
+        return empty
+    keys = np.asarray(keys)
+    values = np.asarray(values, dtype=np.int64)
+    order = np.lexsort((values, keys))
+    k = keys[order]
+    v = values[order]
+    first = np.ones(len(k), dtype=bool)
+    first[1:] = (k[1:] != k[:-1]) | (v[1:] != v[:-1])
+    k = k[first]
+    v = v[first]
+    newg = np.ones(len(k), dtype=bool)
+    newg[1:] = k[1:] != k[:-1]
+    starts = np.nonzero(newg)[0]
+    ends = np.concatenate([starts[1:], [len(k)]])
+    raw = ends - starts
+    if oversize == "skip":
+        keep = raw <= cap
+        starts, raw = starts[keep], raw[keep]
+        sizes = raw
+    else:
+        sizes = np.minimum(raw, cap)
+    out_a, out_b = [], []
+    for s in np.unique(sizes):
+        s = int(s)
+        if s < 2:
+            continue
+        gs = starts[sizes == s]
+        idx = gs[:, None] + np.arange(s)[None, :]
+        vals = v[idx]                       # (groups, s) — the s smallest
+        ai, bi = np.triu_indices(s, 1)
+        out_a.append(vals[:, ai].ravel())
+        out_b.append(vals[:, bi].ravel())
+    if not out_a:
+        return empty
+    return (
+        np.concatenate(out_a).astype(np.int64),
+        np.concatenate(out_b).astype(np.int64),
+    )

@@ -215,3 +215,38 @@ def test_decay_weights_chain(max_age):
     for i in range(max_age):
         assert w[i + 1] == (int(w[i]) * DECAY_NUM) // DECAY_DEN
         assert w[i + 1] <= w[i]
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),       # group key
+            st.integers(min_value=0, max_value=40),      # value
+        ),
+        min_size=0,
+        max_size=150,
+    ),
+    st.integers(min_value=1, max_value=12),              # cap
+    st.sampled_from(["truncate", "skip"]),
+)
+@settings(max_examples=200, deadline=None)
+def test_grouped_pairs_matches_bruteforce(rows, cap, oversize):
+    """grouped_pairs ≡ per-group brute force for both oversize modes."""
+    from itertools import combinations
+
+    import numpy as np
+
+    from document_retrieval_ray.stages.dedup import grouped_pairs
+
+    keys = np.array([k for k, _ in rows], dtype=np.int64)
+    vals = np.array([v for _, v in rows], dtype=np.int64)
+    a, b = grouped_pairs(keys, vals, cap, oversize=oversize)
+    got = sorted(zip(a.tolist(), b.tolist()))
+    exp = []
+    for g in sorted({k for k, _ in rows}):
+        items = sorted({v for k, v in rows if k == g})
+        if oversize == "skip" and len(items) > cap:
+            continue
+        exp.extend(combinations(items[:cap], 2))
+    assert got == sorted(exp)
+    assert all(x < y for x, y in got)
