@@ -354,6 +354,10 @@ def main() -> None:
                   lambda: tq.q_knn_graph(SF_DIR).count())
         timed_min("testdata_nb_classify",
                   lambda: tq.q_nb_classify(SF_DIR).count())
+        timed_min("testdata_covisit",
+                  lambda: tq.q_covisit(SF_DIR).count())
+        timed_min("testdata_extract_summary",
+                  lambda: tq.q_extract_summary(SF_DIR).count())
 
     headline = timings["index_build"] + timings["bm25_queries"]
     out = {
