@@ -8221,6 +8221,9 @@ def q_popularity_decay(sf_dir: str):
         ray.data.aggregate.Max("day", alias_name="md"),
         ray.data.aggregate.Min("day", alias_name="mn"),
     )
+    if not span or span.get("md") is None:      # no qualifying events
+        return pd.DataFrame({"item": pd.Series(dtype="int64"),
+                             "score_x": pd.Series(dtype="int64")})
     md, mn = int(span["md"]), int(span["mn"])
     wref = ray.put(_decay_weights(md - mn))
 

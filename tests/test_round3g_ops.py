@@ -352,3 +352,19 @@ def test_search_after_native_seek(ray_session):
         assert list(g["score_x"]) == list(x["score_x"]), qid
         # page-local rank numbering: 1..page vs the deep fetch's 11..20
         assert list(g["rank"]) == [r - 10 for r in x["rank"]], qid
+
+
+def test_popularity_decay_no_qualifying_events(ray_session, tmp_path):
+    """An events table with no click/view rows yields an empty frame
+    (the span aggregate guard), matching the oracle's empty result."""
+    df = pd.DataFrame(
+        {
+            "user_id": np.array([1], dtype=np.int64),
+            "event_type": ["signup"],
+            "props": ['{"k": 1}'],
+        }
+    )
+    df["ts"] = pd.Series([pd.Timestamp("2025-01-01")]).astype("datetime64[us]")
+    df.to_parquet(tmp_path / "events.parquet", index=False)
+    got = _run("popularity_decay", str(tmp_path), ["events"])
+    assert len(got) == 0
