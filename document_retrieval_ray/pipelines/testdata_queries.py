@@ -8337,6 +8337,265 @@ GROUP BY c.item
 """
 
 
+def q_group_distinct(sf_dir: str):
+    """Exact grouped count-distinct (distinct users per event type) —
+    the exact companion to the HLL estimate (`hll_distinct`): the
+    standard two-level plan where the dedup exchange moves (group, key)
+    pairs once and the final count is group-sized. At 10^12 rows the
+    (group, key) exchange is the cost ceiling — that is precisely when
+    you switch to the HLL sibling; shipping both documents the cutover."""
+    ev = _events(sf_dir, columns=["event_type", "user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        pdf = pd.DataFrame(
+            {"event_type": np.asarray(t["event_type"].to_pandas(),
+                                      dtype=object),
+             "user_id": t["user_id"].to_numpy(zero_copy_only=False)}
+        ).drop_duplicates()           # in-batch dedup shrinks the exchange
+        return pa.Table.from_pandas(pdf, preserve_index=False)
+
+    pairs = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "user_id"])
+        .count()
+    )
+    out = (
+        pairs.map_batches(
+            lambda t: t.select(["event_type"]), batch_format="pyarrow"
+        )
+        .groupby("event_type")
+        .count()
+    )
+    return out.map_batches(
+        lambda t: pa.table({
+            "event_type": t["event_type"],
+            "n_users": pc.cast(t["count()"], pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+_GROUP_DISTINCT_SQL = """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
+ALSO_VIEWED_K = 3
+
+
+def q_also_viewed(sf_dir: str):
+    """"People also viewed": for every item, the ALSO_VIEWED_K strongest
+    co-visited items by (shared users desc, item asc) — the item-item
+    recommendation serving table built from the covisit projection.
+
+    Scale plan: composes the oracled q_covisit (pair-bounded by the
+    per-user cap); each unordered pair expands to both directions and
+    ONE src-hash partition ranks per item with the vectorized
+    sort+cumcount kernel (no per-item loop). Exchange = 2×pairs."""
+    pairs = q_covisit(sf_dir)
+
+    def expand(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        n = t["n_users"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "item": pa.array(np.concatenate([a, b]), pa.int64()),
+            "rec": pa.array(np.concatenate([b, a]), pa.int64()),
+            "n_users": pa.array(np.concatenate([n, n]), pa.int64()),
+        })
+
+    def top_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["item", "n_users", "rec"],
+                          ascending=[True, False, True])
+        r = g.groupby("item", sort=False).cumcount().to_numpy() + 1
+        g = g.assign(rank=r)[r <= ALSO_VIEWED_K]
+        return g[["item", "rank", "rec", "n_users"]].astype(
+            {"item": "int64", "rank": "int64", "rec": "int64",
+             "n_users": "int64"}
+        )
+
+    both = pairs.map_batches(expand, batch_format="pyarrow")
+    return _parted(both, ("item",)).map_groups(
+        top_partition, batch_format="pandas"
+    )
+
+
+def _also_viewed_sql() -> str:
+    return f"""
+WITH p AS ({_COVISIT_SQL}),
+e AS (
+  SELECT a AS item, b AS rec, n_users FROM p
+  UNION ALL SELECT b, a, n_users FROM p
+),
+r AS (
+  SELECT item, rec, n_users,
+         row_number() OVER (PARTITION BY item
+                            ORDER BY n_users DESC, rec ASC) AS rank
+  FROM e
+)
+SELECT item, CAST(rank AS BIGINT) AS rank, rec, n_users
+FROM r WHERE rank <= {ALSO_VIEWED_K}
+"""
+
+
+def q_dl_percent_rank(sf_dir: str):
+    """Percent-rank of each doc's token length within its language —
+    the windowed analytics op (SQL ``percent_rank()``) behind
+    length-percentile quality cuts, computed WITHOUT a global sort:
+    pr = (rank − 1)/(n − 1) where rank−1 = docs with strictly smaller
+    dl, derived from a (lang, dl)-histogram exchange (bounded by the
+    number of DISTINCT lengths, not by N) whose per-lang cumsum
+    broadcasts back as a lookup. Fixed-point via integer floor division
+    — exact parity with the SQL window by construction."""
+    ds = _docs(sf_dir).map_batches(_dl_batch, batch_format="pyarrow")
+    hist = (
+        ds.map_batches(
+            lambda t: t.select(["lang", "dl"]), batch_format="pyarrow"
+        )
+        .groupby(["lang", "dl"])
+        .count()
+        .to_pandas()   # bounded: distinct (lang, dl) values, not docs
+    )
+    hist.columns = ["lang", "dl", "n"]
+    lut: dict = {}
+    totals: dict = {}
+    for lang, g in hist.groupby("lang"):
+        g = g.sort_values("dl")
+        below = np.concatenate([[0], np.cumsum(g["n"].to_numpy())[:-1]])
+        for dl, cb in zip(g["dl"].to_numpy(), below):
+            lut[(lang, int(dl))] = int(cb)
+        totals[lang] = int(g["n"].sum())
+    lut_ref = ray.put((lut, totals))
+
+    class AddPr:
+        def __init__(self):
+            lut, totals = ray.get(lut_ref)
+            self.lut_df = pd.DataFrame(
+                [(l, dl, cb) for (l, dl), cb in lut.items()],
+                columns=["lang", "dl", "below"],
+            )
+            self.tot_df = pd.DataFrame(
+                list(totals.items()), columns=["lang", "n"]
+            )
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            pdf = pd.DataFrame({
+                "doc_id": t["doc_id"].to_numpy(zero_copy_only=False),
+                "lang": np.asarray(t["lang"].to_pandas(), dtype=object),
+                "dl": t["dl"].to_numpy(zero_copy_only=False),
+            })
+            m = pdf.merge(self.lut_df, on=["lang", "dl"]).merge(
+                self.tot_df, on="lang"
+            )
+            n = m["n"].to_numpy(np.int64)
+            below = m["below"].to_numpy(np.int64)
+            pr = np.where(n == 1, 0, (10000 * below) // np.maximum(n - 1, 1))
+            return pa.table({
+                "doc_id": pa.array(m["doc_id"].to_numpy(np.int64)),
+                "lang": pa.array(m["lang"], pa.string()),
+                "dl": pa.array(m["dl"].to_numpy(np.int64)),
+                "pr_x": pa.array(pr.astype(np.int64)),
+            })
+
+    return ds.map_batches(AddPr, batch_format="pyarrow",
+                          concurrency=default_pool())
+
+
+_DL_PERCENT_RANK_SQL = f"""
+WITH {_DL_CTE},
+w AS (
+  SELECT doc_id, lang, dl,
+         rank() OVER (PARTITION BY lang ORDER BY dl) AS rnk,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM dl
+)
+SELECT doc_id, lang, CAST(dl AS BIGINT) AS dl,
+       CAST(CASE WHEN n = 1 THEN 0
+                 ELSE (10000 * (rnk - 1)) // (n - 1) END AS BIGINT) AS pr_x
+FROM w
+"""
+
+
+# table checksum: 48-bit value per row from md5(doc_id ':' text), summed
+# per lang — order-independent, so replicas compare without a sort
+CHECKSUM_NIBBLES = 12
+
+
+def q_table_checksum(sf_dir: str):
+    """Order-independent table checksum (anti-entropy): per language,
+    the integer sum of each row's 48-bit md5-prefix of
+    ``doc_id || ':' || text`` plus the row count — the cheap
+    replica-comparison digest a 100 TB replicated table needs (any
+    single-row corruption shifts the sum; addition commutes, so no
+    ordering or single-reducer is required).
+
+    Scale plan: zero shuffles — per-batch integer partial sums, one
+    lang-keyed reduce of langs×batches tiny rows. 48-bit row values keep
+    the int64 sum overflow-free below ~2^15 rows per lang at test scale;
+    at 10^12 rows the sum wraps mod 2^63 identically on every replica
+    (documented — comparisons stay valid)."""
+    from ..functions.hashing import md5_hex
+
+    docs = _docs(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        texts = t["text"].to_pylist()
+        langs = np.asarray(t["lang"].to_pandas(), dtype=object)
+        vals = np.fromiter(
+            (int(md5_hex(f"{i}:{s}")[:CHECKSUM_NIBBLES], 16)
+             for i, s in zip(ids, texts)),
+            dtype=np.int64, count=len(ids),
+        )
+        pdf = (
+            pd.DataFrame({"lang": langs, "checksum": vals})
+            .groupby("lang", sort=False)
+            .agg(checksum=("checksum", "sum"), n_docs=("checksum", "size"))
+            .reset_index()
+        )
+        return pa.Table.from_pandas(pdf, preserve_index=False)
+
+    out = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            ray.data.aggregate.Sum("checksum", alias_name="checksum"),
+            ray.data.aggregate.Sum("n_docs", alias_name="n_docs"),
+        )
+    )
+    return out.map_batches(
+        lambda t: pa.table({
+            "lang": t["lang"],
+            "checksum": pc.cast(t["checksum"], pa.int64()),
+            "n_docs": pc.cast(t["n_docs"], pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+# 12-nibble hex → BIGINT via the simhash oracle's strpos nibble decode
+_CHECKSUM_SQL = f"""
+WITH r AS (SELECT i FROM range(0, {CHECKSUM_NIBBLES}) t(i)),
+h AS (
+  SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR) || ':' || text) AS hx
+  FROM documents
+),
+v AS (
+  SELECT h.lang AS lang,
+         sum(CAST(strpos('0123456789abcdef',
+                         substring(h.hx, CAST(r.i + 1 AS INT), 1)) - 1
+                  AS BIGINT)
+             * CAST(power(16, {CHECKSUM_NIBBLES - 1} - r.i) AS BIGINT))
+           AS v
+  FROM h CROSS JOIN r GROUP BY h.doc_id, h.lang
+)
+SELECT lang, CAST(sum(v) AS BIGINT) AS checksum,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM v GROUP BY lang
+"""
+
+
 # ------------------------------------------------------------ registries
 
 QUERIES = {
@@ -8475,6 +8734,10 @@ QUERIES = {
     "df_histogram": q_df_histogram,
     "popularity_decay": q_popularity_decay,
     "streaks": q_streaks,
+    "group_distinct": q_group_distinct,
+    "also_viewed": q_also_viewed,
+    "dl_percent_rank": q_dl_percent_rank,
+    "table_checksum": q_table_checksum,
 }
 
 
@@ -10099,6 +10362,10 @@ SELECT query_vec, rank, vec_id, cos_x FROM ranked WHERE rank <= 10
 ORACLE_SQL["covisit"] = _COVISIT_SQL
 ORACLE_SQL["popularity_decay"] = _POPULARITY_DECAY_SQL
 ORACLE_SQL["streaks"] = _STREAKS_SQL
+ORACLE_SQL["group_distinct"] = _GROUP_DISTINCT_SQL
+ORACLE_SQL["also_viewed"] = _also_viewed_sql()
+ORACLE_SQL["dl_percent_rank"] = _DL_PERCENT_RANK_SQL
+ORACLE_SQL["table_checksum"] = _CHECKSUM_SQL
 ORACLE_SQL["knn_mutual"] = f"""
 WITH knn AS ({_KNN_SQL})
 SELECT k1.vec_id AS a, k1.nbr AS b, k1.cos_x AS cos_x

@@ -368,3 +368,98 @@ def test_popularity_decay_no_qualifying_events(ray_session, tmp_path):
     df.to_parquet(tmp_path / "events.parquet", index=False)
     got = _run("popularity_decay", str(tmp_path), ["events"])
     assert len(got) == 0
+
+
+def test_group_distinct_dedups(ray_session, tmp_path):
+    """Repeated (event_type, user) rows count once."""
+    df = pd.DataFrame(
+        {
+            "user_id": np.array([1, 1, 1, 2, 3], dtype=np.int64),
+            "event_type": ["click", "click", "view", "click", "view"],
+            "props": ['{"k": 1}'] * 5,
+        }
+    )
+    df["ts"] = pd.Series([pd.Timestamp("2025-01-01")] * 5).astype(
+        "datetime64[us]"
+    )
+    df.to_parquet(tmp_path / "events.parquet", index=False)
+    got = _run("group_distinct", str(tmp_path), ["events"])
+    assert {r.event_type: int(r.n_users) for r in got.itertuples()} == {
+        "click": 2, "view": 2,
+    }
+
+
+def test_also_viewed_tie_and_cap(ray_session, tmp_path):
+    """Equal-support recs order by item id; at most ALSO_VIEWED_K rows
+    per item; both directions of a pair appear."""
+    from document_retrieval_ray.pipelines.testdata_queries import (
+        ALSO_VIEWED_K,
+    )
+
+    rows = []
+    # items 1..6 all co-visited with item 0 by 2 users each → 6 recs for
+    # item 0, all tied at n_users=2 → rank by rec asc, capped at K
+    for u in range(2):
+        for it in range(7):
+            rows.append((u, "view", '{"k": %d}' % it))
+    df = pd.DataFrame(rows, columns=["user_id", "event_type", "props"]).astype(
+        {"user_id": "int64"}
+    )
+    df["ts"] = pd.Series([pd.Timestamp("2025-01-01")] * len(df)).astype(
+        "datetime64[us]"
+    )
+    df.to_parquet(tmp_path / "events.parquet", index=False)
+    got = _run("also_viewed", str(tmp_path), ["events"])
+    i0 = got[got["item"] == 0].sort_values("rank")
+    assert len(i0) == ALSO_VIEWED_K
+    assert list(i0["rec"]) == [1, 2, 3][:ALSO_VIEWED_K]   # tie → id asc
+    # symmetric: item 6 recommends 0 too
+    i6 = got[got["item"] == 6]
+    assert 0 in set(i6["rec"])
+
+
+def test_dl_percent_rank_ties_and_singleton(ray_session, tmp_path):
+    """Equal lengths share a percent rank (rank = count strictly below);
+    a single-doc language gets 0."""
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(5, dtype=np.int64),
+            "text": ["a b", "c d", "e f g", "h", "solo"],
+            "lang": ["en", "en", "en", "en", "fr"],
+        }
+    )
+    docs.to_parquet(tmp_path / "documents.parquet", index=False)
+    got = _run("dl_percent_rank", str(tmp_path), ["documents"])
+    en = got[got["lang"] == "en"].set_index("doc_id")["pr_x"]
+    # en dls: 2, 2, 3, 1 → below-counts 1, 1, 3, 0 over n-1=3
+    assert int(en[3]) == 0
+    assert int(en[0]) == int(en[1]) == (10000 * 1) // 3
+    assert int(en[2]) == 10000
+    fr = got[got["lang"] == "fr"]
+    assert int(fr["pr_x"].iloc[0]) == 0
+
+
+def test_table_checksum_detects_corruption(ray_session, tmp_path):
+    """Permuting rows keeps the checksum; flipping one character in one
+    row changes it."""
+    base = pd.DataFrame(
+        {
+            "doc_id": np.arange(4, dtype=np.int64),
+            "text": ["alpha", "beta", "gamma", "delta"],
+            "lang": ["en"] * 4,
+        }
+    )
+    base.to_parquet(tmp_path / "documents.parquet", index=False)
+    a = _run("table_checksum", str(tmp_path), ["documents"])
+
+    perm = base.iloc[[2, 0, 3, 1]].reset_index(drop=True)
+    perm.to_parquet(tmp_path / "documents.parquet", index=False)
+    b = _run("table_checksum", str(tmp_path), ["documents"])
+    assert int(a["checksum"].iloc[0]) == int(b["checksum"].iloc[0])
+
+    bad = base.copy()
+    bad.loc[1, "text"] = "betb"
+    bad.to_parquet(tmp_path / "documents.parquet", index=False)
+    c = _run("table_checksum", str(tmp_path), ["documents"])
+    assert int(c["checksum"].iloc[0]) != int(a["checksum"].iloc[0])
+    assert int(c["n_docs"].iloc[0]) == int(a["n_docs"].iloc[0])
