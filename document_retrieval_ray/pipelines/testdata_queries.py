@@ -8596,6 +8596,171 @@ FROM v GROUP BY lang
 """
 
 
+# nDCG@10 rank weights: fx4 of 1/log2(r+1), computed ONCE here and
+# embedded literally in the SQL oracle — both engines share the exact
+# integers, so the metric is integer arithmetic end-to-end
+NDCG_K = 10
+NDCG_W = [int(np.floor(10000.0 / np.log2(r + 1) + 0.5))
+          for r in range(1, NDCG_K + 1)]
+
+
+def q_eval_ndcg(sf_dir: str):
+    """nDCG@10 of the reference-BM25 ranking under the same derived
+    binary relevance as `eval_metrics` (docs of the query's language
+    containing EVERY distinct query term) — the graded-position metric
+    next to recall/MRR. DCG = Σ W[rank] over relevant top-10 hits with
+    the shared integer weight table; IDCG = the best-possible prefix
+    sum; ndcg_x = (10000·DCG) // IDCG. Same distributed relevance
+    labeling plan as eval_metrics (filtered postings map + one
+    (query, doc) groupby; the driver touches per-query aggregates
+    only)."""
+    results = q_bm25_reference(sf_dir)
+
+    qterms: dict = {}
+    n_terms: dict = {}
+    for qid, qtext, lang in QUERYSET:
+        terms = sorted(set(tokenize_simple(qtext)))
+        n_terms[qid] = len(terms)
+        for t in terms:
+            qterms.setdefault((lang, t), []).append(qid)
+    keyset = pa.array([f"{l}\x00{t}" for (l, t) in qterms], pa.string())
+
+    def match(t: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            pc.cast(t["lang"], pa.string()), pc.cast(t["term"], pa.string()),
+            "\x00",
+        )
+        t2 = t.filter(pc.is_in(key, value_set=keyset))
+        docs = url_to_docid(t2["url"]).to_pylist()
+        out_q, out_d = [], []
+        for l, tm, d in zip(t2["lang"].to_pylist(), t2["term"].to_pylist(),
+                            docs):
+            for qid in qterms[(l, tm)]:
+                out_q.append(qid)
+                out_d.append(d)
+        return pa.table({
+            "query_id": pa.array(out_q, pa.string()),
+            "doc_id": pa.array(out_d, pa.int64()),
+        })
+
+    relc = (
+        _postings_ds(sf_dir)
+        .map_batches(match, batch_format="pyarrow")
+        .groupby(["query_id", "doc_id"])
+        .count()
+    )
+
+    res_rank = {
+        (r.query_id, r.doc_id): int(r.rank) for r in results.itertuples()
+    }
+
+    def rel_w(t: pa.Table) -> pa.Table:
+        qs = t["query_id"].to_pylist()
+        ds = t["doc_id"].to_numpy(zero_copy_only=False)
+        cnt = t["count()"].to_numpy(zero_copy_only=False)
+        need = np.array([n_terms[q] for q in qs], dtype=np.int64)
+        keep = np.nonzero(cnt == need)[0]
+        w = np.zeros(len(keep), dtype=np.int64)
+        for j, i in enumerate(keep):
+            rank = res_rank.get((qs[i], int(ds[i])))
+            if rank is not None and rank <= NDCG_K:
+                w[j] = NDCG_W[rank - 1]
+        return pa.table({
+            "query_id": pa.array([qs[i] for i in keep], pa.string()),
+            "w": pa.array(w),
+        })
+
+    agg = (
+        relc.map_batches(rel_w, batch_format="pyarrow")
+        .groupby("query_id")
+        .aggregate(
+            ray.data.aggregate.Count(alias_name="n_relevant"),
+            ray.data.aggregate.Sum("w", alias_name="dcg_w"),
+        )
+        .to_pandas()
+    )
+    by_q = {r.query_id: r for r in agg.itertuples()}
+    rows = []
+    for qid, _qtext, _lang in QUERYSET:
+        r = by_q.get(qid)
+        n_rel = int(r.n_relevant) if r is not None else 0
+        dcg = int(r.dcg_w) if r is not None else 0
+        idcg = sum(NDCG_W[: min(n_rel, NDCG_K)])
+        rows.append({
+            "query_id": qid,
+            "n_relevant": n_rel,
+            "dcg_w": dcg,
+            "ndcg_x": (10000 * dcg) // idcg if idcg else 0,
+        })
+    return pd.DataFrame(
+        rows, columns=["query_id", "n_relevant", "dcg_w", "ndcg_x"]
+    )
+
+
+def _eval_ndcg_sql() -> str:
+    wvals = ", ".join(f"({r + 1}, {w})" for r, w in enumerate(NDCG_W))
+    return f"""
+WITH {_TOK_CTE}, {_DL_CTE}, {_STATS_CTE}, {_DF_CTE},
+q(query_id, lang, term, w) AS (VALUES {_query_values(dedup=True)}),
+qn AS (SELECT query_id, count(*) AS n_terms FROM q GROUP BY query_id),
+relc AS (
+  SELECT q.query_id AS query_id, tok.doc_id AS doc_id, count(*) AS c
+  FROM q JOIN tok ON tok.lang = q.lang AND tok.term = q.term
+  GROUP BY q.query_id, tok.doc_id
+),
+rel AS (
+  SELECT relc.query_id, relc.doc_id
+  FROM relc JOIN qn ON qn.query_id = relc.query_id
+  WHERE relc.c = qn.n_terms
+),
+scores AS (
+  SELECT q.query_id AS query_id, tok.doc_id AS doc_id,
+         sum( q.w * ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * (tok.tf * (1.5 + 1)) / (tok.tf + 1.5*(1 - 0.75 + d.dl / s.avgdl)) ) AS score
+  FROM q
+  JOIN tok ON tok.lang = q.lang AND tok.term = q.term
+  JOIN df ON df.lang = q.lang AND df.term = q.term
+  JOIN dl d ON d.doc_id = tok.doc_id
+  JOIN stats s ON s.lang = q.lang
+  GROUP BY q.query_id, tok.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY {_fx('score')} DESC, doc_id ASC) AS rank
+  FROM scores WHERE score > 0
+),
+wt(r, wt) AS (VALUES {wvals}),
+hits AS (
+  SELECT r.query_id AS query_id,
+         sum(CASE WHEN rel.doc_id IS NOT NULL THEN wt.wt ELSE 0 END) AS dcg_w
+  FROM ranked r
+  JOIN wt ON wt.r = r.rank
+  LEFT JOIN rel ON rel.query_id = r.query_id AND rel.doc_id = r.doc_id
+  WHERE r.rank <= {NDCG_K}
+  GROUP BY r.query_id
+),
+nrel AS (SELECT query_id, count(*) AS n_relevant FROM rel GROUP BY query_id),
+idcg AS (
+  SELECT n.query_id,
+         (SELECT sum(wt) FROM wt WHERE wt.r <= least(n.n_relevant, {NDCG_K}))
+           AS v
+  FROM nrel n
+),
+allq AS (SELECT DISTINCT query_id FROM q)
+SELECT a.query_id AS query_id,
+       CAST(coalesce(n.n_relevant, 0) AS BIGINT) AS n_relevant,
+       CAST(coalesce(h.dcg_w, 0) AS BIGINT) AS dcg_w,
+       CAST(CASE WHEN i.v IS NULL OR i.v = 0 THEN 0
+                 ELSE (10000 * coalesce(h.dcg_w, 0)) // i.v END AS BIGINT)
+         AS ndcg_x
+FROM allq a
+LEFT JOIN nrel n ON n.query_id = a.query_id
+LEFT JOIN hits h ON h.query_id = a.query_id
+LEFT JOIN idcg i ON i.query_id = a.query_id
+"""
+
+
 # ------------------------------------------------------------ registries
 
 QUERIES = {
@@ -8738,6 +8903,7 @@ QUERIES = {
     "also_viewed": q_also_viewed,
     "dl_percent_rank": q_dl_percent_rank,
     "table_checksum": q_table_checksum,
+    "eval_ndcg": q_eval_ndcg,
 }
 
 
@@ -10366,6 +10532,7 @@ ORACLE_SQL["group_distinct"] = _GROUP_DISTINCT_SQL
 ORACLE_SQL["also_viewed"] = _also_viewed_sql()
 ORACLE_SQL["dl_percent_rank"] = _DL_PERCENT_RANK_SQL
 ORACLE_SQL["table_checksum"] = _CHECKSUM_SQL
+ORACLE_SQL["eval_ndcg"] = _eval_ndcg_sql()
 ORACLE_SQL["knn_mutual"] = f"""
 WITH knn AS ({_KNN_SQL})
 SELECT k1.vec_id AS a, k1.nbr AS b, k1.cos_x AS cos_x

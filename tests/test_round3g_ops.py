@@ -463,3 +463,29 @@ def test_table_checksum_detects_corruption(ray_session, tmp_path):
     c = _run("table_checksum", str(tmp_path), ["documents"])
     assert int(c["checksum"].iloc[0]) != int(a["checksum"].iloc[0])
     assert int(c["n_docs"].iloc[0]) == int(a["n_docs"].iloc[0])
+
+
+def test_eval_ndcg_perfect_and_zero(ray_session, tmp_path):
+    """A query whose single relevant doc ranks #1 scores ndcg_x=10000;
+    a query with no relevant docs scores 0; parity holds on the crafted
+    corpus."""
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(3, dtype=np.int64),
+            # doc 0 contains ALL of q01's terms ("spark join window") →
+            # the only relevant doc, and the top hit; others match some
+            "text": [
+                "spark join window",
+                "spark spark filler",
+                "join filler text",
+            ],
+            "lang": ["en"] * 3,
+        }
+    )
+    docs.to_parquet(tmp_path / "documents.parquet", index=False)
+    got = _run("eval_ndcg", str(tmp_path), ["documents"])
+    q01 = got[got["query_id"] == "q01"].iloc[0]
+    assert int(q01["n_relevant"]) == 1 and int(q01["ndcg_x"]) == 10000
+    # q04 "vector stream" (es) has no matching docs at all
+    q04 = got[got["query_id"] == "q04"].iloc[0]
+    assert int(q04["n_relevant"]) == 0 and int(q04["ndcg_x"]) == 0
