@@ -8761,6 +8761,75 @@ LEFT JOIN idcg i ON i.query_id = a.query_id
 """
 
 
+def _lag_partition(group: pd.DataFrame) -> pd.DataFrame:
+    """user_id-hash partition of per-(user, type) first-event times →
+    (user_id, gap_us) for users whose first purchase is at-or-after
+    their first signup. Vectorized pivot: at most two rows per user
+    reach this kernel."""
+    empty = pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                          "gap_us": pd.Series(dtype="int64")})
+    s = group[group["event_type"] == "signup"]
+    p = group[group["event_type"] == "purchase"]
+    if s.empty or p.empty:
+        return empty
+    m = s[["user_id", "t"]].merge(
+        p[["user_id", "t"]], on="user_id", suffixes=("0", "1")
+    )
+    m = m[m["t1"] >= m["t0"]]
+    if m.empty:
+        return empty
+    return pd.DataFrame({
+        "user_id": m["user_id"].to_numpy(np.int64),
+        "gap_us": (m["t1"] - m["t0"]).to_numpy(np.int64),
+    })
+
+
+def q_conversion_lag(sf_dir: str):
+    """Conversion latency: per user, the exact microsecond gap from the
+    FIRST signup to the FIRST purchase at-or-after it — the
+    time-to-convert distribution behind activation dashboards (funnel
+    counts WHO converts; this measures HOW FAST).
+
+    Scale plan: per-batch partial (user, type, min ts) rows combine
+    before the shuffle, so the (user, type) min-groupby moves at most
+    2 rows per user per batch; the pivot kernel then sees ≤ 2 rows per
+    user on one user-hash partition. Exact integer microseconds
+    end-to-end."""
+    types = pa.array(["signup", "purchase"])
+    ev = _events(sf_dir, columns=["user_id", "event_type", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["event_type"], value_set=types))
+        pdf = pd.DataFrame({
+            "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+            "event_type": np.asarray(t["event_type"].to_pandas(),
+                                     dtype=object),
+            "t": pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False),
+        })
+        g = pdf.groupby(["user_id", "event_type"], sort=False)["t"].min()
+        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
+
+    firsts = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby(["user_id", "event_type"])
+        .aggregate(ray.data.aggregate.Min("t", alias_name="t"))
+    )
+    return _parted(firsts, ("user_id",)).map_groups(
+        _lag_partition, batch_format="pandas"
+    )
+
+
+_CONVERSION_LAG_SQL = """
+WITH s AS (SELECT user_id, min(epoch_us(ts)) AS t0 FROM events
+           WHERE event_type = 'signup' GROUP BY user_id),
+p AS (SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+      WHERE event_type = 'purchase' GROUP BY user_id)
+SELECT s.user_id AS user_id, CAST(p.t1 - s.t0 AS BIGINT) AS gap_us
+FROM s JOIN p ON p.user_id = s.user_id
+WHERE p.t1 >= s.t0
+"""
+
+
 # ------------------------------------------------------------ registries
 
 QUERIES = {
@@ -8904,6 +8973,7 @@ QUERIES = {
     "dl_percent_rank": q_dl_percent_rank,
     "table_checksum": q_table_checksum,
     "eval_ndcg": q_eval_ndcg,
+    "conversion_lag": q_conversion_lag,
 }
 
 
@@ -10533,6 +10603,7 @@ ORACLE_SQL["also_viewed"] = _also_viewed_sql()
 ORACLE_SQL["dl_percent_rank"] = _DL_PERCENT_RANK_SQL
 ORACLE_SQL["table_checksum"] = _CHECKSUM_SQL
 ORACLE_SQL["eval_ndcg"] = _eval_ndcg_sql()
+ORACLE_SQL["conversion_lag"] = _CONVERSION_LAG_SQL
 ORACLE_SQL["knn_mutual"] = f"""
 WITH knn AS ({_KNN_SQL})
 SELECT k1.vec_id AS a, k1.nbr AS b, k1.cos_x AS cos_x

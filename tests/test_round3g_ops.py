@@ -489,3 +489,28 @@ def test_eval_ndcg_perfect_and_zero(ray_session, tmp_path):
     # q04 "vector stream" (es) has no matching docs at all
     q04 = got[got["query_id"] == "q04"].iloc[0]
     assert int(q04["n_relevant"]) == 0 and int(q04["ndcg_x"]) == 0
+
+
+def test_conversion_lag_edges(ray_session, tmp_path):
+    """First-signup→first-purchase gap: a purchase BEFORE the signup
+    disqualifies (negative gap), same-instant converts with gap 0,
+    users missing either event emit nothing."""
+    rows = [
+        (1, "signup", 0), (1, "purchase", 5), (1, "purchase", 2),  # gap 2
+        (2, "purchase", 1), (2, "signup", 3),                      # negative
+        (3, "signup", 7), (3, "purchase", 7),                      # gap 0
+        (4, "signup", 9),                                          # no buy
+        (5, "purchase", 9),                                        # no signup
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "event_type", "off"]).astype(
+        {"user_id": "int64"}
+    )
+    df["ts"] = (
+        pd.Timestamp("2025-01-01")
+        + pd.to_timedelta(df.pop("off"), unit="s")
+    ).astype("datetime64[us]")
+    df["props"] = '{"k": 1}'
+    df.to_parquet(tmp_path / "events.parquet", index=False)
+    got = _run("conversion_lag", str(tmp_path), ["events"])
+    lag = {int(r.user_id): int(r.gap_us) for r in got.itertuples()}
+    assert lag == {1: 2_000_000, 3: 0}
