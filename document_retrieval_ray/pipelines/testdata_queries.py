@@ -7628,8 +7628,9 @@ def q_covisit(sf_dir: str):
     """Item-item co-visitation counts — the classic recommendation
     co-occurrence matrix over a web event log: for every unordered item
     pair, how many distinct users interacted with BOTH (click/view
-    events; item = the ``k`` field of the JSON props, the same extraction
-    as rel_json).
+    events; item = the FIRST digit run anywhere in the props string — a
+    deliberately cheap extraction, mirrored in SQL; rows whose props
+    contain no digits are dropped).
 
     Scale plan: ONE user_id-hash exchange colocates each user's rows;
     per-user distinct + the COVISIT_MAX_ITEMS smallest-item cap bound the
@@ -7650,8 +7651,11 @@ def q_covisit(sf_dir: str):
             ),
             pa.int64(),
         )
-        return pa.table({"user_id": pc.cast(t["user_id"], pa.int64()),
-                         "item": item})
+        out = pa.table({"user_id": pc.cast(t["user_id"], pa.int64()),
+                        "item": item})
+        # props without any digit run extract to null — drop them
+        # (mirrored by WHERE item IS NOT NULL in the oracle)
+        return out.filter(pc.is_valid(out["item"]))
 
     rows = ev.map_batches(prep, batch_format="pyarrow")
     pairs = _arrow_blocks(
@@ -7675,8 +7679,9 @@ _COVISIT_SQL = f"""
 WITH ev AS (
   SELECT user_id, CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT) AS item
   FROM events WHERE event_type IN {COVISIT_TYPES}
+    AND regexp_matches(props, '[0-9]')
 ),
-ui AS (SELECT DISTINCT user_id, item FROM ev),
+ui AS (SELECT DISTINCT user_id, item FROM ev WHERE item IS NOT NULL),
 capped AS (
   SELECT user_id, item FROM (
     SELECT user_id, item,
@@ -8214,7 +8219,10 @@ def q_popularity_decay(sf_dir: str):
             pa.int64(),
         )
         day = pc.divide(pc.cast(t["ts"], pa.int64()), pa.scalar(DAY_US))
-        return pa.table({"item": item, "day": day})
+        out = pa.table({"item": item, "day": day})
+        # item = first digit run anywhere in props; digitless props
+        # extract to null — drop (mirrored in the oracle SQL)
+        return out.filter(pc.is_valid(out["item"]))
 
     rows = ev.map_batches(prep, batch_format="pyarrow")
     span = rows.aggregate(
@@ -8322,6 +8330,7 @@ WITH RECURSIVE ev AS (
   SELECT CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT) AS item,
          epoch_us(ts) // {DAY_US} AS day
   FROM events WHERE event_type IN {COVISIT_TYPES}
+    AND regexp_matches(props, '[0-9]')
 ),
 mx AS (SELECT max(day) AS md, min(day) AS mn FROM ev),
 w(age, wt) AS (
@@ -8786,9 +8795,12 @@ def _lag_partition(group: pd.DataFrame) -> pd.DataFrame:
 
 def q_conversion_lag(sf_dir: str):
     """Conversion latency: per user, the exact microsecond gap from the
-    FIRST signup to the FIRST purchase at-or-after it — the
-    time-to-convert distribution behind activation dashboards (funnel
-    counts WHO converts; this measures HOW FAST).
+    FIRST signup to the user's FIRST purchase overall, keeping the user
+    only when that earliest purchase is not before the signup (a user
+    who also purchased pre-signup is excluded, not re-measured to their
+    first post-signup purchase) — the time-to-convert distribution
+    behind activation dashboards (funnel counts WHO converts; this
+    measures HOW FAST).
 
     Scale plan: per-batch partial (user, type, min ts) rows combine
     before the shuffle, so the (user, type) min-groupby moves at most

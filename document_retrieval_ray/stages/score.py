@@ -170,13 +170,27 @@ class BM25ScorerStage:
             if not tokens:
                 continue
             if a_key is not None:
+                if a_url is None:
+                    raise ValueError(
+                        "search-after cursor for query_id="
+                        f"{qid!r} has after_score_x={a_key!r} but a "
+                        "missing/null after_url; both cursor fields "
+                        "must be present"
+                    )
                 scores = score_bm25_taat(idx, tokens, self.cfg)
                 dele = self._deleted_ids(lang)
                 if dele is not None and dele.size:
                     scores[dele] = 0.0
+                # cursor key lives in the rank-key domain: rounded keys
+                # are integers (score * 10^dp), raw keys (round_dp=None,
+                # the oracle rank-identity mode) are float scores —
+                # int() there would silently truncate the cursor.
+                cursor_key = (
+                    int(a_key) if self.round_dp is not None else float(a_key)
+                )
                 ranks, sel, keys = topk_with_ties(
                     scores, idx.urls, self.cfg.k, self.round_dp,
-                    after=(int(a_key), a_url),
+                    after=(cursor_key, a_url),
                 )
                 if len(ranks) == 0:
                     continue

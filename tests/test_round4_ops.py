@@ -1,0 +1,149 @@
+"""Round-4 regression tests for the ADVICE items: the search-after
+cursor under raw-float keys (round_dp=None), the half-specified-cursor
+fail-loud path, and digitless-props rows in covisit/popularity_decay
+(the first-digit-run extraction yields null — both engine and oracle
+must drop the row, not crash)."""
+
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from document_retrieval_ray.pipelines.testdata_queries import (
+    ORACLE_SQL,
+    QUERIES,
+)
+
+
+def _run(name, sf_dir, tables):
+    got = QUERIES[name](sf_dir)
+    if not isinstance(got, pd.DataFrame):
+        got = got.to_pandas()
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{os.path.join(sf_dir, t)}.parquet')"
+        )
+    exp = con.execute(ORACLE_SQL[name]).fetchdf()
+    cols = sorted(got.columns)
+    assert cols == sorted(exp.columns)
+    got = got[cols].sort_values(cols).reset_index(drop=True)
+    exp = exp[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp.astype(got.dtypes.to_dict()))
+    return got
+
+
+def _events_frame(rows):
+    df = pd.DataFrame(rows, columns=["user_id", "event_type", "props", "ts"])
+    df["user_id"] = df["user_id"].astype("int64")
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    return df
+
+
+def test_covisit_digitless_props(ray_session, tmp_path):
+    """Props with no digit run extract to a null item: the row is
+    dropped on both sides instead of crashing the pair kernel."""
+    t0 = pd.Timestamp("2025-01-01")
+    rows = [
+        (1, "click", '{"k": 7}', t0),
+        (1, "click", '{"k": 9}', t0),
+        (1, "view", "no digits here", t0),      # dropped
+        (2, "click", '{"k": 7}', t0),
+        (2, "view", '{"k": 9}', t0),
+        (2, "click", "", t0),                   # dropped
+        (3, "view", "none", t0),                # user with ONLY null items
+    ]
+    _events_frame(rows).to_parquet(tmp_path / "events.parquet", index=False)
+    got = _run("covisit", str(tmp_path), ["events"])
+    assert {(int(r.a), int(r.b), int(r.n_users)) for r in got.itertuples()} \
+        == {(7, 9, 2)}
+
+
+def test_popularity_decay_digitless_props(ray_session, tmp_path):
+    """Digitless props drop BEFORE the day-span aggregate, so a stray
+    unparseable row cannot stretch the decay table either."""
+    t0 = pd.Timestamp("2025-01-10")
+    rows = [
+        (1, "click", '{"k": 5}', t0),
+        (2, "view", '{"k": 5}', t0 - pd.Timedelta(days=1)),
+        # digitless click far in the past: must NOT extend the age span
+        (3, "click", "ancient digitless", t0 - pd.Timedelta(days=300)),
+    ]
+    _events_frame(rows).to_parquet(tmp_path / "events.parquet", index=False)
+    got = _run("popularity_decay", str(tmp_path), ["events"])
+    s = {int(r.item): int(r.score_x) for r in got.itertuples()}
+    # w0 + w1 = 10000 + 9000 over a 1-day span
+    assert s == {5: 19000}
+
+
+def _cursor_fixtures():
+    from document_retrieval_ray.pipelines import testdata_queries as tq
+
+    sf = "/root/testdata/sf0.001"
+    return sf, tq, tq._index_for(sf)
+
+
+def test_cursor_raw_float_seek(ray_session):
+    """round_dp=None (raw float rank keys): the cursor key must stay a
+    float — int() truncation would let same-int-different-float docs
+    leak back into page 2."""
+    import ray as ray_
+
+    from document_retrieval_ray.config import BM25Config
+    from document_retrieval_ray.pipelines.query import bm25_search
+
+    sf, tq, index_dir = _cursor_fixtures()
+    base = dict(k1=1.5, b=0.75, idf="lucene", compat="reference")
+    deep = bm25_search(
+        tq._query_ds(), index_dir, cfg=BM25Config(**base, k=20),
+        round_dp=None,
+    ).to_pandas()
+    page1 = deep[deep["rank"] <= 10]
+    cur = page1[page1["rank"] == 10].set_index("query_id")
+    assert len(cur), "fixture needs at least one full page-1 query"
+    qrows = [
+        {
+            "query_id": q,
+            "query": t,
+            "lang": l,
+            "after_score_x": float(cur.loc[q, "score"]),
+            "after_url": str(cur.loc[q, "url"]),
+        }
+        for q, t, l in tq.QUERYSET
+        if q in cur.index
+    ]
+    got = bm25_search(
+        ray_.data.from_items(qrows), index_dir,
+        cfg=BM25Config(**base, k=10), round_dp=None,
+    ).to_pandas()
+    exp = deep[(deep["rank"] > 10) & (deep["query_id"].isin(cur.index))]
+    assert len(got) == len(exp)
+    for qid in cur.index:
+        g = got[got["query_id"] == qid].sort_values("rank")
+        x = exp[exp["query_id"] == qid].sort_values("rank")
+        assert list(g["url"]) == list(x["url"]), qid
+        np.testing.assert_allclose(g["score"].to_numpy(),
+                                   x["score"].to_numpy())
+
+
+def test_cursor_half_specified_raises(ray_session):
+    """A cursor row with after_score_x set but after_url null fails
+    loudly with a descriptive error, not a numpy TypeError."""
+    import ray as ray_
+
+    from document_retrieval_ray.config import BM25Config
+    from document_retrieval_ray.pipelines.query import bm25_search
+
+    sf, tq, index_dir = _cursor_fixtures()
+    q, t, l = tq.QUERYSET[0]
+    qrows = [{"query_id": q, "query": t, "lang": l,
+              "after_score_x": 123.0, "after_url": None}]
+    with pytest.raises(Exception, match="after_url"):
+        bm25_search(
+            ray_.data.from_items(qrows), index_dir,
+            cfg=BM25Config(k1=1.5, b=0.75, idf="lucene",
+                           compat="reference", k=10),
+        ).to_pandas()
