@@ -65,6 +65,11 @@ def _scaling() -> None:
             GRAFT_BENCH_READ_BLOCKS=os.environ.get(
                 "GRAFT_BENCH_READ_BLOCKS", str(2 * hi)
             ),
+            # query partitioning pinned the same way: both legs split the
+            # query set into 4 blocks/CPU at the HI leg's width
+            GRAFT_BENCH_QUERY_BLOCKS=os.environ.get(
+                "GRAFT_BENCH_QUERY_BLOCKS", str(4 * hi)
+            ),
             PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH", ""),
         )
         out = subprocess.run(
@@ -276,14 +281,24 @@ def main() -> None:
         }
         ray.wait(list(shared_refs.values()), num_returns=len(shared_refs))
 
-    # from_items yields ONE block → one actor would get every query;
-    # repartition so the scorer pool actually fans out
-    qds = ray.data.from_items(qrows).repartition(NUM_CPUS * 4)
+    # from_items yields ONE block → one worker would get every query;
+    # repartition so the scorer stage actually fans out. The block count
+    # is pinned by the scaling harness (same job at both cluster sizes).
+    query_blocks = int(
+        os.environ.get("GRAFT_BENCH_QUERY_BLOCKS", str(NUM_CPUS * 4))
+    )
+    # pool="task": serving from zero-copy shared payloads runs as plain
+    # map_batches tasks on Ray's pre-started warm workers — no actor
+    # spawn/import ramp (the fixed floor that capped query-stage N→4N
+    # scaling at ~0.7), and the whole CPU budget scores queries
+    pool_mode = os.environ.get("GRAFT_BENCH_POOL", "task")
+    qds = ray.data.from_items(qrows).repartition(query_blocks)
     with timed("bm25_queries"):
         res = bm25_search(
             qds, index_dir, cfg=serving_cfg,
             tokenizer=TokenizerConfig(mode=BENCH_TOKENIZER),
             batch_size=64, shared_refs=shared_refs, method="maxscore",
+            pool=pool_mode,
         )
         n_res = res.count()
     timings["bm25_qps"] = round(BENCH_QUERIES / timings["bm25_queries"], 1)

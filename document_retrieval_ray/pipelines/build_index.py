@@ -61,7 +61,7 @@ import ray
 import ray.data
 
 from ..config import IndexConfig
-from ..util import arrow_blocks
+from ..util import arrow_blocks, from_pandas_clean, read_parquet_clean
 from ..stages.extract import ExtractText
 from ..stages.index_build import (
     AssignDocIds,
@@ -247,7 +247,7 @@ def _df_hot_stats(d: dict, todo, cfg):
         out_dir = os.path.join(d["df"], f"lang={lang}")
         os.makedirs(out_dir, exist_ok=True)
         _pq.write_table(
-            pa.Table.from_pandas(
+            from_pandas_clean(
                 g[["term", "df"]].sort_values("term"), preserve_index=False
             ),
             os.path.join(out_dir, "part-00000.parquet"),
@@ -360,7 +360,7 @@ def build_index(
                 return input_ds_factory(columns)
             return input_ds_factory()
         cols = columns or (["url", "lang"] + (["html"] if extract_html else ["text"]))
-        return ray.data.read_parquet(
+        return read_parquet_clean(
             input_path,
             columns=cols,
             override_num_blocks=read_num_blocks or _auto_num_blocks(),
@@ -386,9 +386,7 @@ def build_index(
             .size()
             .reset_index(name="n")
         )
-        import pyarrow as _pa
-
-        return _pa.Table.from_pandas(g, preserve_index=False)
+        return from_pandas_clean(g)
 
     from collections import Counter as _Counter
 
@@ -752,7 +750,7 @@ def _build_cosine_norms(triples_mat, d: dict, stats: dict,
                 out = (
                     pdf.groupby(["lang", "doc_id"], sort=False)["w2"].sum().reset_index()
                 )
-                return pa.Table.from_pandas(out, preserve_index=False)
+                return from_pandas_clean(out, preserve_index=False)
 
         partials = triples_mat.select_columns(["lang", "doc_id", "term", "tf"]).map_batches(
             PartialNorm, batch_format="pyarrow", concurrency=default_pool()

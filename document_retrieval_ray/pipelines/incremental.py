@@ -57,7 +57,7 @@ from ..config import BM25Config, IndexConfig, TokenizerConfig
 from ..functions.varbyte import decode_segments_many
 from ..state.manifest import read_manifest
 from ..stages.index_build import _ENCODED_SCHEMA, add_kpart, encode_segments_many
-from ..util import default_pool
+from ..util import default_pool, from_pandas_clean
 from .build_index import build_index
 from .sharded import bm25_search_sharded, build_global_df
 
@@ -360,7 +360,7 @@ def compact_postings_partition(group: pd.DataFrame, offsets_by_lang: dict,
     if len(passthrough_idx):
         pt = g.loc[passthrough_idx, ["lang"] + _POSTING_COLS]
         parts.append(
-            pa.Table.from_pandas(pt, preserve_index=False, schema=merged.schema)
+            from_pandas_clean(pt, preserve_index=False, schema=merged.schema)
         )
     return pa.concat_tables(parts)
 

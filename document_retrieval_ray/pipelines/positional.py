@@ -40,6 +40,7 @@ import ray.data
 
 from ..functions.hashing import stable_hash64
 from ..stages.index_build import add_kpart
+from ..util import read_parquet_clean
 
 # positions are packed into the low bits of an int64 alongside doc_id;
 # 21 bits ≈ 2M tokens per document (asserted at build time)
@@ -168,7 +169,7 @@ def build_positional_index(
     if input_ds_factory is not None:
         ds = input_ds_factory(columns=["doc_id", "text"])
     else:
-        ds = ray.data.read_parquet(docs_path, columns=["doc_id", "text"])
+        ds = read_parquet_clean(docs_path, columns=["doc_id", "text"])
     out = ds.map_batches(
         emit_positions, fn_kwargs={"num_parts": num_parts}, batch_format="pyarrow"
     )

@@ -27,6 +27,7 @@ def bm25_search(
     batch_size: int = 256,
     shared_refs=None,
     tombstones_dir=None,
+    pool: str = "actor",
 ) -> ray.data.Dataset:
     """queries(query_id, query, lang) → (query_id, rank, url, score, score_x).
 
@@ -38,23 +39,51 @@ def bm25_search(
     ``tombstones_dir``: ``pipelines.deletes`` tombstone log — tombstoned
     docs are excluded from results with Lucene live-docs semantics (stale
     global stats until ``compact_index``). Default ``None`` auto-detects
-    ``<index_dir>/tombstones``; pass ``False`` to serve the raw index."""
+    ``<index_dir>/tombstones``; pass ``False`` to serve the raw index.
+
+    ``pool``: ``"actor"`` (default) runs the scorer as an actor pool —
+    the right tool when shards load from disk, since the pool bounds how
+    many processes pay the load. ``"task"`` (requires ``shared_refs``)
+    runs it as plain ``map_batches`` tasks with a per-worker-process
+    stage cache (``stages.score.scorer_task``): tasks land on Ray's
+    pre-started warm workers, so a fresh execution pays no actor
+    spawn/import ramp — the fixed floor that caps batch-serving N→4N
+    scaling — and the per-worker setup is just a zero-copy plasma map."""
+    import functools
     import os
+    import uuid
 
     from .deletes import deleted_ref
+    from ..stages.score import scorer_task
 
+    if pool not in ("actor", "task"):
+        raise ValueError(f"unknown pool mode: {pool!r}")
     if tombstones_dir is None:
         cand = os.path.join(index_dir, "tombstones")
         tombstones_dir = cand if os.path.isdir(cand) else False
+    kwargs = dict(
+        index_dir=index_dir, cfg=cfg, tokenizer=tokenizer,
+        round_dp=round_dp, method=method, shared_refs=shared_refs,
+        deleted_ref=deleted_ref(tombstones_dir or None),
+    )
+    if pool == "task":
+        if not shared_refs:
+            raise ValueError(
+                "pool='task' requires shared_refs (zero-copy shard "
+                "payloads); disk-loaded shards should use the actor pool"
+            )
+        fn = functools.partial(
+            scorer_task, key=uuid.uuid4().hex, cls=BM25ScorerStage,
+            kwargs=kwargs,
+        )
+        return queries.map_batches(
+            fn, batch_format="pyarrow", batch_size=batch_size
+        )
     if concurrency is None:
         concurrency = default_pool(0.5)
     return queries.map_batches(
         BM25ScorerStage,
-        fn_constructor_kwargs=dict(
-            index_dir=index_dir, cfg=cfg, tokenizer=tokenizer,
-            round_dp=round_dp, method=method, shared_refs=shared_refs,
-            deleted_ref=deleted_ref(tombstones_dir or None),
-        ),
+        fn_constructor_kwargs=kwargs,
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

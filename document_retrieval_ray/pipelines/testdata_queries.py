@@ -30,6 +30,7 @@ from ..functions.textstats import LANG_MARKERS
 from ..functions.tokenizer import tokenize_simple
 from ..sources.corpus import docid_to_url, read_testdata_documents, url_to_docid
 from ..stages.analysis import doc_stats_batch, fingerprint_batch, langid_batch
+from ..util import from_pandas_clean, read_parquet_clean
 from ..stages.dedup import (
     add_simhash,
     add_text_hash,
@@ -345,7 +346,7 @@ def _sized_blocks(path: str, rows_per_block: int, lo: int = 8,
 
 def _docs(sf_dir: str) -> ray.data.Dataset:
     path = f"{sf_dir}/documents.parquet"
-    return ray.data.read_parquet(
+    return read_parquet_clean(
         path, columns=["doc_id", "text", "lang"],
         override_num_blocks=_sized_blocks(path, 5_000),
     )
@@ -355,7 +356,7 @@ def _emb(sf_dir: str, columns=None) -> ray.data.Dataset:
     """Shared embeddings reader, data-sized blocks (vectors are wide rows,
     and the ANN kernels want a matmul-worthy batch per task)."""
     path = f"{sf_dir}/embeddings.parquet"
-    return ray.data.read_parquet(
+    return read_parquet_clean(
         path, columns=columns,
         override_num_blocks=_sized_blocks(path, 2_000, lo=4),
     )
@@ -365,7 +366,7 @@ def _tbl(sf_dir: str, name: str, columns=None,
          rows_per_block: int = 50_000) -> ray.data.Dataset:
     """Shared relational-table reader with a data-sized block count."""
     path = os.path.join(sf_dir, f"{name}.parquet")
-    return ray.data.read_parquet(
+    return read_parquet_clean(
         path, columns=columns,
         override_num_blocks=_sized_blocks(path, rows_per_block),
     )
@@ -375,7 +376,7 @@ def _events(sf_dir: str, columns=None) -> ray.data.Dataset:
     """Shared events reader with a data-sized block count (narrow integer
     rows pack denser than documents, hence the larger rows_per_block)."""
     path = f"{sf_dir}/events.parquet"
-    return ray.data.read_parquet(
+    return read_parquet_clean(
         path, columns=columns,
         override_num_blocks=_sized_blocks(path, 20_000),
     )
@@ -554,7 +555,7 @@ def q_term_idf(sf_dir: str):
     # the corpus scan for a count)
     stats = {
         r["lang"]: r["count()"]
-        for r in ray.data.read_parquet(
+        for r in read_parquet_clean(
             f"{sf_dir}/documents.parquet", columns=["lang"]
         )
         .groupby("lang")
@@ -613,7 +614,7 @@ def q_top_terms(sf_dir: str):
             }
         )
         g = pdf.groupby(["lang", "term"], sort=False)["tf"].sum().reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return from_pandas_clean(g, preserve_index=False)
 
     sums = (
         _postings_ds(sf_dir)
@@ -1030,7 +1031,7 @@ def q_pagerank(sf_dir: str):
         df = t.to_pandas().sort_values(
             ["pr", "doc_id"], ascending=[False, True]
         ).head(PAGERANK_TOPN)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return from_pandas_clean(df, preserve_index=False)
 
     cand = pr.map_batches(_partial_top, batch_format="pyarrow").to_pandas()
     cand = cand.sort_values(
@@ -1175,7 +1176,7 @@ def q_value_outliers(sf_dir: str):
     def partial(t: pa.Table) -> pa.Table:
         pdf = (t.to_pandas().groupby(["event_type", "vc"], sort=False)
                .size().reset_index(name="n"))
-        return pa.Table.from_pandas(pdf, preserve_index=False)
+        return from_pandas_clean(pdf, preserve_index=False)
 
     hist = (
         ev.map_batches(to_cents, batch_format="pyarrow")
@@ -1197,7 +1198,7 @@ def q_value_outliers(sf_dir: str):
         pdf = to_cents(t).to_pandas()
         lim = pdf["event_type"].map(med).to_numpy(np.int64)
         out = pdf[pdf["vc"].to_numpy(np.int64) > 3 * lim]
-        return pa.Table.from_pandas(
+        return from_pandas_clean(
             out.rename(columns={"vc": "value_cents"}), preserve_index=False)
 
     res = ev.map_batches(flag, batch_format="pyarrow").to_pandas()
@@ -1658,7 +1659,7 @@ def q_oov_rate(sf_dir: str):
         df = df.sort_values(
             ["total_tf", "term"], ascending=[False, True]
         ).head(OOV_VOCAB_K)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return from_pandas_clean(df, preserve_index=False)
 
     cand = pd.DataFrame(
         sums.map_batches(local_top, batch_format="pyarrow").take_all()
@@ -1763,7 +1764,7 @@ def q_rel_agg(sf_dir: str):
                  price_c=("price_c", "sum"), disc_price_c=("disc_price_c", "sum"))
             .reset_index()
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return from_pandas_clean(g, preserve_index=False)
 
     out = (
         ds.map_batches(partial, batch_format="pyarrow")
@@ -1790,13 +1791,13 @@ def q_rel_join_top(sf_dir: str):
             .agg(revenue_c=("revenue_c", "sum"), n_orders=("revenue_c", "size"))
             .reset_index()
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return from_pandas_clean(g, preserve_index=False)
 
     def partial_top(t: pa.Table) -> pa.Table:
         # per-block partial top-10 (final_topk pattern): the driver only
         # ever sees O(blocks × 10) rows, never the customer cardinality
         pdf = t.to_pandas()
-        return pa.Table.from_pandas(
+        return from_pandas_clean(
             pdf.sort_values(
                 ["revenue_c", "o_custkey"], ascending=[False, True]
             ).head(10),
@@ -1904,7 +1905,7 @@ def q_rel_window(sf_dir: str):
             .agg(n_events=("value_c", "size"), value_c=("value_c", "sum"))
             .reset_index()
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return from_pandas_clean(g, preserve_index=False)
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")
@@ -2386,7 +2387,7 @@ def q_phrase_search(sf_dir: str):
             }
         )
 
-    return ray.data.read_parquet(
+    return read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     ).map_batches(scan, batch_format="pyarrow")
 
@@ -2452,7 +2453,7 @@ def q_bool_search(sf_dir: str):
             }
         )
 
-    return ray.data.read_parquet(
+    return read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     ).map_batches(scan, batch_format="pyarrow")
 
@@ -2540,7 +2541,7 @@ def q_phrase_snippets(sf_dir: str):
             }
         )
 
-    return ray.data.read_parquet(
+    return read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     ).map_batches(scan, batch_format="pyarrow")
 
@@ -2596,7 +2597,7 @@ def q_tfidf_keywords(sf_dir: str):
     (|langs| entries, from a thin 1-column scan) rides the closure."""
     stats = {
         r["lang"]: r["count()"]
-        for r in ray.data.read_parquet(
+        for r in read_parquet_clean(
             f"{sf_dir}/documents.parquet", columns=["lang"]
         )
         .groupby("lang")
@@ -2706,11 +2707,11 @@ def q_top_bigrams(sf_dir: str):
             .rename("n")
             .reset_index()
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return from_pandas_clean(g, preserve_index=False)
 
     def partial_top(t: pa.Table) -> pa.Table:
         pdf = t.to_pandas()
-        return pa.Table.from_pandas(
+        return from_pandas_clean(
             pdf.sort_values(
                 ["lang", "n", "bigram"], ascending=[True, False, True]
             ).groupby("lang", sort=False).head(10),
@@ -2816,7 +2817,7 @@ def q_prefix_search(sf_dir: str):
 
     def partial_top(t: pa.Table) -> pa.Table:
         pdf = t.to_pandas()
-        return pa.Table.from_pandas(
+        return from_pandas_clean(
             pdf.sort_values(
                 ["prefix_id", "total_tf", "doc_id"],
                 ascending=[True, False, True],
@@ -2825,7 +2826,7 @@ def q_prefix_search(sf_dir: str):
         )
 
     rows = (
-        ray.data.read_parquet(
+        read_parquet_clean(
             f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
         )
         .map_batches(scan, batch_format="pyarrow")
@@ -3100,7 +3101,7 @@ def q_window_tumble(sf_dir: str):
             .agg(n=("value_c", "size"), value_c=("value_c", "sum"))
             .reset_index()
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return from_pandas_clean(g, preserve_index=False)
 
     def finalize(g: pd.DataFrame) -> pd.DataFrame:
         return (
@@ -3147,7 +3148,7 @@ def q_window_hop(sf_dir: str):
             .agg(n=("n", "sum"), value_c=("value_c", "sum"))
             .reset_index()
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return from_pandas_clean(g, preserve_index=False)
 
     def finalize(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop(columns=[c for c in ("kpart",) if c in g.columns])
@@ -3196,7 +3197,7 @@ def q_pmi_pairs(sf_dir: str):
     # term asc)
     n_by_lang = {
         r["lang"]: int(r["count()"])
-        for r in ray.data.read_parquet(
+        for r in read_parquet_clean(
             f"{sf_dir}/documents.parquet", columns=["lang"]
         )
         .groupby("lang")
@@ -3206,7 +3207,7 @@ def q_pmi_pairs(sf_dir: str):
 
     def ptop(t: pa.Table) -> pa.Table:
         pdf = t.to_pandas()
-        return pa.Table.from_pandas(
+        return from_pandas_clean(
             pdf.sort_values(["lang", "df", "term"],
                             ascending=[True, False, True])
             .groupby("lang", sort=False)
@@ -3266,7 +3267,7 @@ def q_pmi_pairs(sf_dir: str):
                 .reset_index()
             )
             g["n_xy"] = g["n_xy"].astype("int64")
-            return pa.Table.from_pandas(g, preserve_index=False)
+            return from_pandas_clean(g, preserve_index=False)
 
     sums = (
         _docs(sf_dir)
@@ -3313,7 +3314,7 @@ def q_pmi_pairs(sf_dir: str):
             pmi = np.log((nxy * N) / (dfx * dfy))
             pdf["pmi_x"] = np.floor(pmi * 10000.0 + 0.5).astype(np.int64)
             pdf["n_xy"] = pdf["n_xy"].astype("int64")
-            return pa.Table.from_pandas(
+            return from_pandas_clean(
                 pdf[["lang", "term_x", "term_y", "n_xy", "pmi_x"]],
                 preserve_index=False,
             )
@@ -3506,7 +3507,7 @@ def q_source_cap(sf_dir: str):
     source-hash exchange of (doc_id, source) only — the rank is computed
     inside the partition (a source's rows are colocated), no global
     sort."""
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
     )
 
@@ -3639,7 +3640,7 @@ def q_dup_spans(sf_dir: str):
         g = pdf.groupby("span_hash", sort=False).agg(
             nd=("doc_id", "size"), no=("c", "sum")
         ).reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return from_pandas_clean(g, preserve_index=False)
 
     agg = (
         _docs(sf_dir)
@@ -3745,7 +3746,7 @@ def q_lm_score(sf_dir: str):
             .rename("c")
             .reset_index()
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return from_pandas_clean(g, preserve_index=False)
 
     rows = _docs(sf_dir).map_batches(bigram_rows, batch_format="pyarrow")
 
@@ -3834,7 +3835,7 @@ def q_dl_percentiles(sf_dir: str):
             .size()
             .reset_index(name="n")
         )
-        return pa.Table.from_pandas(pdf, preserve_index=False)
+        return from_pandas_clean(pdf, preserve_index=False)
 
     hist = (
         ds.map_batches(partial, batch_format="pyarrow")
@@ -3894,7 +3895,7 @@ def _hll_partial(t: pa.Table) -> pa.Table:
         rhos[j] = (HLL_RHO_BITS - v.bit_length()) + 1 if v else HLL_RHO_BITS + 1
     pdf = pd.DataFrame({"lang": langs[idx], "reg": regs, "rho": rhos})
     g = pdf.groupby(["lang", "reg"], sort=False)["rho"].max().reset_index()
-    return pa.Table.from_pandas(g, preserve_index=False)
+    return from_pandas_clean(g, preserve_index=False)
 
 
 def hll_estimate(reg_max: np.ndarray) -> int:
@@ -3967,7 +3968,7 @@ def _cms_partial(t: pa.Table) -> pa.Table:
         "cnt": np.repeat(counts.astype(np.int64), CMS_D),
     })
     g = pdf.groupby(["lang", "d", "cell"], sort=False)["cnt"].sum().reset_index()
-    return pa.Table.from_pandas(g, preserve_index=False)
+    return from_pandas_clean(g, preserve_index=False)
 
 
 def cms_estimate(sketch: pd.DataFrame, lang: str, term: str) -> int:
@@ -4056,7 +4057,7 @@ def q_top_per_group(sf_dir: str):
         pdf = t.to_pandas().sort_values(
             ["lang", "dl", "doc_id"], ascending=[True, False, True]
         )
-        return pa.Table.from_pandas(
+        return from_pandas_clean(
             pdf.groupby("lang", sort=False).head(TOPGROUP_K),
             preserve_index=False,
         )
@@ -4158,7 +4159,7 @@ def q_decontaminate(sf_dir: str):
         hits = pd.DataFrame({"doc_id": ids[wp[hit]]})
         g = hits.groupby("doc_id", sort=False).size().rename("n_eval_hits")
         g = g.reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return from_pandas_clean(g, preserve_index=False)
 
     return _docs(sf_dir).map_batches(partial, batch_format="pyarrow")
 
@@ -4254,7 +4255,7 @@ def q_spell_correct(sf_dir: str):
         t = t.filter(pc.greater_equal(pc.utf8_length(t["term"]), SPELL_MIN_LEN))
         pdf = t.to_pandas()
         pdf = pdf.sort_values(["df", "term"], ascending=[False, True])
-        return pa.Table.from_pandas(pdf.head(SPELL_NQ), preserve_index=False)
+        return from_pandas_clean(pdf.head(SPELL_NQ), preserve_index=False)
 
     tops = vocab.map_batches(partial_top, batch_format="pyarrow").to_pandas()
     tops = tops.sort_values(["df", "term"], ascending=[False, True]).head(SPELL_NQ)
@@ -4324,7 +4325,7 @@ def q_facet_counts(sf_dir: str):
         return t.filter(pc.is_in(t["doc_id"], value_set=ids))
 
     src = (
-        ray.data.read_parquet(
+        read_parquet_clean(
             f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
         )
         .map_batches(pick, batch_format="pyarrow")
@@ -4368,7 +4369,7 @@ def q_dense_rerank(sf_dir: str):
         return t.filter(pc.is_in(t["doc_id"], value_set=ids))
 
     emb = (
-        ray.data.read_parquet(
+        read_parquet_clean(
             f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
         )
         .map_batches(pick, batch_format="pyarrow")
@@ -4603,7 +4604,7 @@ def _nb_token_rows(t: pa.Table) -> pa.Table:
         .groupby(["doc_id", "lang", "term"], sort=False)
         .size().rename("tf").reset_index()
     )
-    return pa.Table.from_pandas(pdf, preserve_index=False)
+    return from_pandas_clean(pdf, preserve_index=False)
 
 
 def _nb_term_partition(group: pd.DataFrame) -> pd.DataFrame:
@@ -4755,7 +4756,7 @@ def q_nb_confusion(sf_dir: str):
         }),
         batch_format="pyarrow",
     )
-    truth_rows = ray.data.read_parquet(
+    truth_rows = read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
     ).map_batches(
         lambda t: pa.table({
@@ -5254,7 +5255,7 @@ def q_source_lift(sf_dir: str):
     inside each partition → tiny per-source top-k. int64 note: c·N·10000
     needs < 2^63, i.e. ≲1e14 total tokens per run — beyond that switch
     the lift to object ints / HUGEINT."""
-    docs = ray.data.read_parquet(
+    docs = read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
     )
 
@@ -5843,7 +5844,7 @@ def q_group_percentiles(sf_dir: str):
                              "vc": vc})
                .groupby(["event_type", "vc"], sort=False)
                .size().reset_index(name="n"))
-        return pa.Table.from_pandas(pdf, preserve_index=False)
+        return from_pandas_clean(pdf, preserve_index=False)
 
     hist = (
         ev.map_batches(partial, batch_format="pyarrow")
@@ -6234,7 +6235,7 @@ def q_cross_dedup(sf_dir: str):
             "jaccard_x": pa.array(np.zeros(n, np.int64)),
         })
 
-    srcs = ray.data.read_parquet(
+    srcs = read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
     ).map_batches(src_rows, batch_format="pyarrow")
 
@@ -6309,7 +6310,7 @@ def q_value_norm(sf_dir: str):
     def mm_partial(t: pa.Table) -> pa.Table:
         pdf = (t.to_pandas().groupby("event_type", sort=False)["vc"]
                .agg(["min", "max"]).reset_index())
-        return pa.Table.from_pandas(pdf, preserve_index=False)
+        return from_pandas_clean(pdf, preserve_index=False)
 
     cents = ev.map_batches(to_cents, batch_format="pyarrow")
     mm = (cents.map_batches(mm_partial, batch_format="pyarrow")
@@ -6372,7 +6373,7 @@ def q_export_roundtrip(sf_dir: str):
     )
     # fresh run each call: the query must re-exercise the full write path
     shutil.rmtree(out, ignore_errors=True)
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         os.path.join(sf_dir, "documents.parquet"),
         columns=["doc_id", "lang", "text"],
     )
@@ -6422,7 +6423,7 @@ def q_seq_pack(sf_dir: str):
     import pyarrow.parquet as _pq
 
     n_docs = _pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
-    docs = ray.data.read_parquet(
+    docs = read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"],
         # data-sized fan-out: the counted stream feeds a cogroup sort
         # whose cost is per-block (SCALE.md block-compaction rule)
@@ -6452,7 +6453,7 @@ def q_seq_pack(sf_dir: str):
             .sum()
             .reset_index(name="s")
         )
-        return pa.Table.from_pandas(pdf, preserve_index=False)
+        return from_pandas_clean(pdf, preserve_index=False)
 
     sums = (
         toks.map_batches(range_partial, batch_format="pyarrow")
@@ -6520,7 +6521,7 @@ def q_redact_terms(sf_dir: str):
     semantics agree); single column-pruned scan, zero shuffles, no
     Python loop. Reference analog: the preprocessing regex strips
     (final_implementation.py:30-47), generalized to redaction."""
-    docs = ray.data.read_parquet(
+    docs = read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def scrub(t: pa.Table) -> pa.Table:
@@ -6580,7 +6581,7 @@ def q_approx_percentiles(sf_dir: str):
             .size()
             .reset_index(name="n")
         )
-        return pa.Table.from_pandas(pdf, preserve_index=False)
+        return from_pandas_clean(pdf, preserve_index=False)
 
     hist = (
         ev.map_batches(partial, batch_format="pyarrow")
@@ -6758,7 +6759,7 @@ def q_upsert_apply(sf_dir: str):
     changelog side is the (small) incremental batch and the plan is
     unchanged. Related: `latest_event` (keep-latest without ops),
     `bm25_deleted` (tombstone serving)."""
-    docs = ray.data.read_parquet(
+    docs = read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"])
 
     def emit(t: pa.Table) -> pa.Table:
@@ -6916,7 +6917,7 @@ def q_value_zscore(sf_dir: str):
         g = (pdf.groupby("event_type", sort=False)
              .agg(n=("vc", "size"), s=("vc", "sum"), s2=("vc2", "sum"))
              .reset_index())
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return from_pandas_clean(g, preserve_index=False)
 
     mom = (cents.map_batches(moment_partial, batch_format="pyarrow")
            .to_pandas()  # bounded: |types| rows per batch
@@ -6993,7 +6994,7 @@ def q_value_ntile(sf_dir: str):
         pdf = (t.select(["event_type", "vc"]).to_pandas()
                .groupby(["event_type", "vc"], sort=False)
                .size().reset_index(name="n"))
-        return pa.Table.from_pandas(pdf, preserve_index=False)
+        return from_pandas_clean(pdf, preserve_index=False)
 
     hist = (cents.map_batches(hist_partial, batch_format="pyarrow")
             .groupby(["event_type", "vc"])
@@ -7079,7 +7080,7 @@ def q_winsorized_mean(sf_dir: str):
     def hist_partial(t: pa.Table) -> pa.Table:
         pdf = (t.to_pandas().groupby(["event_type", "vc"], sort=False)
                .size().reset_index(name="n"))
-        return pa.Table.from_pandas(pdf, preserve_index=False)
+        return from_pandas_clean(pdf, preserve_index=False)
 
     hist = (cents.map_batches(hist_partial, batch_format="pyarrow")
             .groupby(["event_type", "vc"])
@@ -7107,7 +7108,7 @@ def q_winsorized_mean(sf_dir: str):
         g = (pd.DataFrame({"event_type": pdf["event_type"], "w": w})
              .groupby("event_type", sort=False)["w"]
              .agg(n="size", wins_sum_c="sum").reset_index())
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return from_pandas_clean(g, preserve_index=False)
 
     agg = (cents.map_batches(clip_partial, batch_format="pyarrow")
            .groupby("event_type")
@@ -7341,7 +7342,7 @@ def q_rel_broadcast_join(sf_dir: str):
                  .agg(n="size", value_c="sum").reset_index())
             g["n"] = g["n"].astype(np.int64)
             g["value_c"] = g["value_c"].astype(np.int64)
-            return pa.Table.from_pandas(g, preserve_index=False)
+            return from_pandas_clean(g, preserve_index=False)
 
     agg = (ev.map_batches(JoinFold, batch_format="pyarrow",
                           concurrency=default_pool())
@@ -7788,7 +7789,7 @@ def q_extract_summary(sf_dir: str):
         ).drop_duplicates()           # unique terms per sentence (exact:
         pdf["kind"] = np.int8(0)      # a sentence lives in ONE batch row)
         pdf["idf_x"] = np.int64(0)
-        return pa.Table.from_pandas(pdf, preserve_index=False)
+        return from_pandas_clean(pdf, preserve_index=False)
 
     sent_rows = docs.map_batches(sent_terms, batch_format="pyarrow")
 
@@ -7889,7 +7890,7 @@ def q_vocab_drift(sf_dir: str):
     per-block partial top-DRIFT_TOPK → one result-sized merge. All
     counts are exact integers; G² itself is a per-term scalar expression
     with an identical op shape in SQL, so fx4 parity is exact."""
-    docs = ray.data.read_parquet(
+    docs = read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
         override_num_blocks=_sized_blocks(f"{sf_dir}/documents.parquet", 5_000),
     )
@@ -7919,7 +7920,7 @@ def q_vocab_drift(sf_dir: str):
             }
         )
         g = pdf.groupby("term", sort=False)[["cnt_a", "cnt_b"]].sum().reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return from_pandas_clean(g, preserve_index=False)
 
     # vocab-sized (Heaps' law) — materializing it is the small-side
     # exception, and it is consumed twice (totals + the G² map)
@@ -7965,7 +7966,7 @@ def q_vocab_drift(sf_dir: str):
 
     def partial_top(t: pa.Table) -> pa.Table:
         pdf = t.to_pandas()
-        return pa.Table.from_pandas(
+        return from_pandas_clean(
             pdf.sort_values(["g2_x", "term"], ascending=[False, True])
             .head(DRIFT_TOPK),
             preserve_index=False,
@@ -8162,7 +8163,7 @@ def q_df_histogram(sf_dir: str):
         g = pdf.groupby(["lang", "bucket"], sort=False).size().reset_index(
             name="n_terms"
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return from_pandas_clean(g, preserve_index=False)
 
     out = (
         df.map_batches(partial, batch_format="pyarrow")
@@ -8244,7 +8245,7 @@ def q_popularity_decay(sf_dir: str):
             age = md - t["day"].to_numpy(zero_copy_only=False)
             pdf = pd.DataFrame({"item": item, "ws": self.w[age]})
             g = pdf.groupby("item", sort=False)["ws"].sum().reset_index()
-            return pa.Table.from_pandas(g, preserve_index=False)
+            return from_pandas_clean(g, preserve_index=False)
 
     out = (
         rows.map_batches(Weighted, batch_format="pyarrow",
@@ -8361,7 +8362,7 @@ def q_group_distinct(sf_dir: str):
                                       dtype=object),
              "user_id": t["user_id"].to_numpy(zero_copy_only=False)}
         ).drop_duplicates()           # in-batch dedup shrinks the exchange
-        return pa.Table.from_pandas(pdf, preserve_index=False)
+        return from_pandas_clean(pdf, preserve_index=False)
 
     pairs = (
         ev.map_batches(partial, batch_format="pyarrow")
@@ -8563,7 +8564,7 @@ def q_table_checksum(sf_dir: str):
             .agg(checksum=("checksum", "sum"), n_docs=("checksum", "size"))
             .reset_index()
         )
-        return pa.Table.from_pandas(pdf, preserve_index=False)
+        return from_pandas_clean(pdf, preserve_index=False)
 
     out = (
         docs.map_batches(partial, batch_format="pyarrow")
@@ -8819,7 +8820,7 @@ def q_conversion_lag(sf_dir: str):
             "t": pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False),
         })
         g = pdf.groupby(["user_id", "event_type"], sort=False)["t"].min()
-        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
+        return from_pandas_clean(g.reset_index(), preserve_index=False)
 
     firsts = (
         ev.map_batches(partial, batch_format="pyarrow")

@@ -23,6 +23,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
+from ..util import read_parquet_clean
+
 # zero-padding width for int doc ids → url strings (lexicographic == numeric)
 DOCID_PAD = 12
 
@@ -41,7 +43,7 @@ def read_webpages(path, columns=None, with_html: bool = False) -> ray.data.Datas
     """Read an input_hint-shaped Parquet corpus, pruning columns."""
     if columns is None:
         columns = ["url", "text", "lang"] + (["html"] if with_html else [])
-    return ray.data.read_parquet(path, columns=columns)
+    return read_parquet_clean(path, columns=columns)
 
 
 def read_testdata_documents(sf_dir: str, columns=("doc_id", "text", "lang")) -> ray.data.Dataset:
@@ -62,7 +64,7 @@ def read_testdata_documents(sf_dir: str, columns=("doc_id", "text", "lang")) -> 
         )
     else:
         n = _pq.read_metadata(path).num_rows
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         path, columns=list(columns),
         override_num_blocks=max(8, min(256, n // 5_000 + 1)),
     )
@@ -122,4 +124,4 @@ def read_queries(path, columns=("query_id", "query", "lang")) -> ray.data.Datase
             return out
 
         return ds.map_batches(adapt, batch_format="pyarrow")
-    return ray.data.read_parquet(path, columns=list(columns))
+    return read_parquet_clean(path, columns=list(columns))

@@ -537,7 +537,11 @@ def add_kpart(batch: pa.Table, num_parts: int, cols) -> pa.Table:
         else:
             hc = pd.util.hash_array(vals.to_numpy())
         h = (h * mix) ^ hc
-    return batch.append_column(
+    # metadata-free schema: when the upstream block was pandas, Ray's
+    # pandas→Arrow conversion attaches a b'pandas' schema blob that makes
+    # the schema unhashable and defeats block-schema dedup in the shuffle
+    # this map feeds (see util.from_pandas_clean)
+    return batch.replace_schema_metadata(None).append_column(
         "kpart", pa.array(np.abs(h.astype(np.int64)) % num_parts, pa.int64())
     )
 

@@ -293,6 +293,34 @@ class BM25ScorerStage:
         return _concat(parts)
 
 
+# --------------------------------------------------------------- task pool
+# Per-WORKER-PROCESS stage cache backing the task-pool serving mode
+# (``pipelines.query`` ``pool="task"``): plain-function ``map_batches``
+# tasks land on Ray's pre-started worker processes, so serving pays NO
+# actor spawn/import ramp — the first task on each worker builds the
+# stage once (a zero-copy map of the shared plasma payload) and every
+# later task on that worker reuses it. Only sound when ``shared_refs``
+# carries the shard payloads: without them each worker would re-read
+# the shard from disk, and the ACTOR pool (which bounds the number of
+# loads) is the right tool. Capped LRU: stages hold zero-copy views
+# plus a vocab-sized term dict, so unbounded growth across many
+# distinct serving configs would pin real memory per worker.
+_PROC_STAGES: "dict" = {}
+_PROC_STAGES_CAP = 4
+
+
+def scorer_task(batch, *, key, cls, kwargs):
+    """Task-pool adapter: build-or-reuse the scorer stage keyed by the
+    driver-chosen ``key`` (stable across one serving call), then score
+    the batch. See ``_PROC_STAGES`` for the cache contract."""
+    stage = _PROC_STAGES.get(key)
+    if stage is None:
+        if len(_PROC_STAGES) >= _PROC_STAGES_CAP:
+            _PROC_STAGES.pop(next(iter(_PROC_STAGES)))
+        stage = _PROC_STAGES[key] = cls(**kwargs)
+    return stage(batch)
+
+
 class LMScorerStage:
     """Dirichlet-smoothed query-likelihood top-k (the reference's dead
     A10 semantic, served live): (query_id, query, lang) → result rows.

@@ -129,6 +129,59 @@ def test_cursor_raw_float_seek(ray_session):
                                    x["score"].to_numpy())
 
 
+def test_task_pool_rank_identity(ray_session, tmp_path):
+    """pool='task' (warm-worker task pool over shared payloads) must be
+    rank-identical to the actor pool — same (query_id, rank, url,
+    score_x) rows — and must refuse to run without shared_refs."""
+    import ray as ray_
+
+    from document_retrieval_ray.config import (
+        BM25Config, IndexConfig, TokenizerConfig,
+    )
+    from document_retrieval_ray.pipelines.build_index import build_index
+    from document_retrieval_ray.pipelines.query import bm25_search
+    from document_retrieval_ray.sources.synth import write_corpus
+    from document_retrieval_ray.state.index_shard import build_shared_payload
+
+    corpus = tmp_path / "corpus"
+    index_dir = str(tmp_path / "index")
+    write_corpus(str(corpus), num_docs=400, seed=11)
+    manifests = build_index(
+        str(corpus / "documents.parquet"), index_dir,
+        cfg=IndexConfig(tokenizer=TokenizerConfig(mode="simple")),
+        with_cosine_norms=False,
+    )
+    cfg = BM25Config(k1=1.2, b=0.75, compat="standard")
+    refs = {l: ray_.put(build_shared_payload(index_dir, l, contrib_cfg=cfg))
+            for l in manifests}
+    qrows = [
+        {"query_id": f"q{i}", "query": f"entok{i % 7} entok{(i * 3) % 11}",
+         "lang": "en"}
+        for i in range(40)
+    ] + [{"query_id": "qfr", "query": "frtok1 frtok2", "lang": "fr"}]
+    qds = ray_.data.from_items(qrows).repartition(8)
+
+    def run(pool, method):
+        df = bm25_search(
+            qds, index_dir, cfg=cfg, method=method,
+            tokenizer=TokenizerConfig(mode="simple"),
+            shared_refs=refs, pool=pool, batch_size=8,
+        ).to_pandas()
+        return df.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+    for method in ("taat", "maxscore"):
+        a = run("actor", method)
+        t = run("task", method)
+        assert len(a) and a[["query_id", "rank", "url", "score_x"]].equals(
+            t[["query_id", "rank", "url", "score_x"]]
+        ), method
+
+    with pytest.raises(ValueError, match="shared_refs"):
+        bm25_search(qds, index_dir, cfg=cfg, pool="task")
+    with pytest.raises(ValueError, match="pool"):
+        bm25_search(qds, index_dir, cfg=cfg, pool="bogus")
+
+
 def test_cursor_half_specified_raises(ray_session):
     """A cursor row with after_score_x set but after_url null fails
     loudly with a descriptive error, not a numpy TypeError."""
