@@ -30,12 +30,15 @@ json pointing at the previous consistent view; re-running the append
 resumes the generation build (committed langs skip by fingerprint) and
 then commits.
 
-Known cut (documented): appending to an index built
-``with_cosine_norms=True`` raises — per-doc TF-IDF norms bake in global
-idf, so every append would invalidate every older document's norm; the
-cosine path requires a full rebuild (or compaction-time norm rebuild,
-not implemented). BM25 and query-time tf-idf scoring have no per-doc
-global state and append exactly.
+Cosine norms under append: per-doc TF-IDF norms bake in GLOBAL idf, so
+an append makes every older document's stored norm stale for the merged
+corpus. Appends are therefore allowed over a norms-built base, but the
+base's ``norms/`` artifact must not be served against the merged corpus
+— ``compact_index`` REBUILDS the norms from the compacted postings +
+merged df (decoded triples through the same ``_build_cosine_norms``
+kernels the fresh build uses), producing an index whose cosine results
+equal a full rebuild (tested). BM25 and query-time tf-idf scoring have
+no per-doc global state and append exactly.
 """
 
 from __future__ import annotations
@@ -131,17 +134,17 @@ def _base_config(index_dir: str) -> IndexConfig:
     )
 
 
-def _check_no_norms(dirs) -> None:
+def _has_norms(dirs) -> bool:
+    """True when any shard's manifest says it was built with cosine
+    norms — the compaction-time signal to rebuild the norms artifact
+    over the merged corpus (stored norms bake in global idf, which
+    appends and deletes both change)."""
     for d in dirs:
         for lang in _langs_of(d):
             m = read_manifest(os.path.join(d, "manifests", lang))
             if m is not None and m.get("with_cosine_norms"):
-                raise NotImplementedError(
-                    "incremental append/compact over a cosine-norms index: "
-                    "per-doc norms bake in global idf and would go stale on "
-                    "every append — rebuild with with_cosine_norms=False or "
-                    "do a full rebuild for the cosine path"
-                )
+                return True
+    return False
 
 
 def append_index(
@@ -159,7 +162,6 @@ def append_index(
     responsible for delta hygiene (a url present in both base and delta
     becomes two documents — run the dedup operators upstream)."""
     dirs = shard_dirs(index_dir)
-    _check_no_norms(dirs[:1])
     if cfg is None:
         cfg = _base_config(index_dir)
     g = read_generations(index_dir)
@@ -379,6 +381,7 @@ def compact_index(
     num_parts: int = 64,
     concurrency=None,
     tombstones_dir=None,
+    with_cosine_norms=None,
 ) -> dict:
     """Physically merge base + generations into a single fresh index at
     ``out_dir`` (servable by the plain ``bm25_search``). Doc ids rebase
@@ -390,10 +393,18 @@ def compact_index(
     (pipelines.deletes); pass ``False`` to compact without applying
     deletes. With deletes applied the output is a fresh index over the
     SURVIVING corpus — postings filtered and re-encoded, df recounted,
-    N/avgdl/total_tokens recomputed from the surviving docmap — and any
-    cosine-norms artifact of the source is dropped (norms bake in global
-    idf, which deletion changes; rebuild with norms for the cosine
-    path). The output carries no tombstones."""
+    N/avgdl/total_tokens recomputed from the surviving docmap. The
+    output carries no tombstones.
+
+    ``with_cosine_norms=None`` (auto) REBUILDS the per-doc TF-IDF norms
+    artifact when any source shard was built with norms: stored norms
+    bake in global idf, which appends and deletes both change, so the
+    source norms/ cannot be carried over — instead the compacted
+    postings are decoded back to (lang, doc, term, tf) triples and run
+    through the same ``_build_cosine_norms`` kernels the fresh build
+    uses, against the merged df and the compacted corpus stats. Cosine
+    results over the output then equal a full rebuild (tested). Pass
+    ``True``/``False`` to force either way."""
     from .deletes import load_deleted, rebased_deleted_by_lang
 
     dirs = shard_dirs(index_dir)
@@ -406,8 +417,8 @@ def compact_index(
             f"{index_dir} has no generations to compact and no tombstones"
             " to apply"
         )
-    if not deleted:
-        _check_no_norms(dirs)
+    if with_cosine_norms is None:
+        with_cosine_norms = _has_norms(dirs)
     offsets = _lang_offsets(dirs)
     langs = sorted(offsets)
     base_m = read_manifest(os.path.join(dirs[0], "manifests", _langs_of(dirs[0])[0]))
@@ -519,12 +530,14 @@ def compact_index(
         # one vocabulary-sized merge of the source df tables
         build_global_df(dirs, os.path.join(out_dir, "df"))
 
-    # --- manifests: exact integer sums over source manifests ---
+    # --- per-lang stats: exact integer sums over source manifests ---
     from .build_index import _manifest_payload  # same payload shape
     from ..state.manifest import write_manifest
 
     cfg = _base_config(index_dir)
-    out_manifests = {}
+    stats_by_lang: dict = {}
+    terms_by_lang: dict = {}
+    fps_by_lang: dict = {}
     for lang in langs:
         n_docs = total_tokens = n_postings = 0
         fps = []
@@ -553,15 +566,79 @@ def compact_index(
             dft = pq.read_table(dfp, columns=["df"])
             n_terms = dft.num_rows
             n_postings = int(pc.sum(dft["df"]).as_py() or 0)
-        s = {
+        stats_by_lang[lang] = {
             "n_docs": n_docs,
             "total_tokens": total_tokens,
             "avgdl": (total_tokens / n_docs) if n_docs else 0.0,
         }
-        t = {"n_terms": n_terms, "n_postings": n_postings}
+        terms_by_lang[lang] = {"n_terms": n_terms, "n_postings": n_postings}
+        fps_by_lang[lang] = fps
+
+    # --- cosine norms: rebuilt over the COMPACTED corpus (never copied;
+    # stored norms bake in the pre-append/pre-delete global idf) ---
+    if with_cosine_norms:
+        _rebuild_norms(out_dir, stats_by_lang, block_size)
+
+    # --- manifests commit last: the shard is servable once these exist ---
+    out_manifests = {}
+    for lang in langs:
         payload = _manifest_payload(
-            lang, "compact::" + ";".join(fps), s, t, cfg, [], False, "compact"
+            lang, "compact::" + ";".join(fps_by_lang[lang]),
+            stats_by_lang[lang], terms_by_lang[lang], cfg, [],
+            bool(with_cosine_norms), "compact",
         )
         write_manifest(os.path.join(out_dir, "manifests", str(lang)), payload)
         out_manifests[lang] = payload
     return out_manifests
+
+
+def _rebuild_norms(out_dir: str, stats_by_lang: dict, block_size: int) -> None:
+    """Per-doc TF-IDF norms over a compacted index: decode the compacted
+    postings back into (lang, doc_id, term, tf) triples — a streaming
+    map over posting rows, no extra corpus pass — and feed them through
+    the fresh build's ``_build_cosine_norms`` (broadcast or (lang,term)
+    cogroup, auto by vocabulary size) against the merged df/ artifact."""
+    from .build_index import _build_cosine_norms
+
+    def _decode(t: pa.Table) -> pa.Table:
+        dfs = t["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bufs = t["postings"].to_numpy(zero_copy_only=False)
+        doc, tf, _ = decode_segments_many(bufs, dfs, block_size)
+        lang = np.repeat(
+            np.asarray(t["lang"].to_pylist(), dtype=object), dfs
+        )
+        term = np.repeat(
+            np.asarray(t["term"].to_pylist(), dtype=object), dfs
+        )
+        return pa.table({
+            "lang": pa.array(lang, pa.string()),
+            "doc_id": pa.array(doc, pa.int64()),
+            "term": pa.array(term, pa.string()),
+            "tf": pa.array(tf, pa.int64()),
+        })
+
+    post_parts = []
+    for lang in sorted(stats_by_lang):
+        p = os.path.join(out_dir, "postings", f"lang={lang}")
+        if not os.path.isdir(p):
+            continue
+
+        def _tag(t: pa.Table, lang=lang) -> pa.Table:
+            return t.append_column(
+                "lang", pa.array([lang] * t.num_rows, pa.string())
+            )
+
+        post_parts.append(
+            ray.data.read_parquet(
+                p, columns=["term", "df", "postings"]
+            ).map_batches(_tag, batch_format="pyarrow")
+        )
+    if not post_parts:
+        return
+    posts = post_parts[0]
+    for extra in post_parts[1:]:
+        posts = posts.union(extra)
+    triples = posts.map_batches(_decode, batch_format="pyarrow")
+    d_out = {"df": os.path.join(out_dir, "df"),
+             "norms": os.path.join(out_dir, "norms")}
+    _build_cosine_norms(triples, d_out, stats_by_lang)

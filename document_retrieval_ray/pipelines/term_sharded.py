@@ -1,0 +1,390 @@
+"""Term-range-sharded BM25 serving — the (lang, term-range) axis of the
+SCALE.md shard grid.
+
+Doc-range sharding (pipelines/sharded.py) bounds the DOCUMENT side of a
+shard server; this module bounds the VOCABULARY side: when one
+language's posting lists exceed a node (the reference's per-language
+in-RAM model, final_implementation.py:290-322, simply assumes they fit),
+the postings are split into term-RANGE buckets with boundaries chosen by
+cumulative posting volume, so every bucket server loads an
+~equal-bytes slice of the posting lists. At 10^12 docs the full grid is
+(doc-range × term-range); the two modules compose because each is
+rank-identical to the unsharded index on its own axis.
+
+Serving differs structurally from doc-range sharding: term buckets
+partition each document's SCORE (a doc's BM25 total is the sum of
+per-term contributions living in different buckets), so per-bucket
+top-k is unsound — instead each bucket emits its full partial-score
+candidate rows and a query-hash merge SUMS partials per (query, doc)
+before one global top-k:
+
+1. **Route** — queries are tokenized once in a fan-out map and
+   replicated only to the buckets owning >= 1 query term (binary search
+   of the token against the broadcast cut list — no index access).
+2. **Score** — a (bucket, qpart) group stage scores its bucket's terms
+   with plain ``score_bm25_taat`` over a stock :class:`LangIndex` view
+   of the bucket shard: the bucket carries every owned term's FULL
+   posting list and df, plus the base manifest's global (N, avgdl), so
+   idf and length normalization are exact with zero new scoring code.
+3. **Merge** — partial rows (query, lang, doc_id, score) hash-merge on
+   query_id; totals feed the canonical ``topk_with_ties`` with urls
+   resolved from the shared docmap (loaded once per merge actor).
+
+Exactness: rank-identical to the single index at the serving contract
+(fixed-point ``score_x`` + (score_x desc, url asc) ties — tested).  Raw
+float scores may differ by ulps: a distributed sum regroups the
+per-term additions, like any cross-node reduction.
+
+Bucket layout (built once by :func:`build_term_buckets`)::
+
+    out_dir/term_buckets.json            {"cuts": {lang: [...]}, ...}
+    out_dir/postings_split/lang=L/tbucket=B/*.parquet
+    out_dir/bucket-000B/
+        manifests/<lang>/manifest.json   (copy — global N/avgdl/block_size)
+        postings/lang=L  -> ../../postings_split/lang=L/tbucket=B
+        docmap/lang=L    -> <base>/docmap/lang=L      (shared, not copied)
+
+Each ``bucket-*`` dir is a complete, stock-loadable shard: ``LangIndex``
+(and ``build_shared_payload``) read it unchanged; the docmap symlink is
+the "bounded slice" contract — doc-side arrays are shared, postings are
+the per-bucket slice.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data
+
+from ..config import BM25Config, TokenizerConfig
+from ..functions.tokenizer import tokenize_cfg
+from ..state.index_shard import LangIndex, topk_with_ties
+from ..state.manifest import read_manifest, write_manifest
+from ..stages.index_build import add_kpart
+from ..util import default_pool
+
+BUCKETS_JSON = "term_buckets.json"
+
+
+def _langs_of(d: str) -> list:
+    mdir = os.path.join(d, "manifests")
+    return sorted(os.listdir(mdir)) if os.path.isdir(mdir) else []
+
+
+def build_term_buckets(index_dir: str, out_dir: str,
+                       num_buckets: int = 4) -> dict:
+    """Split each language's postings into ``num_buckets`` term-RANGE
+    buckets balanced by cumulative posting volume (sum of df), and lay
+    out one stock-loadable shard dir per bucket (module docstring).
+
+    Boundary choice: terms sorted lexicographically, cut where the
+    cumulative df crosses each 1/B quantile of the lang's total postings
+    — Zipf-head terms land alone in a bucket rather than skewing one
+    server (the term-side analog of the build's hot-term salting).
+    Returns the routing table ``{"num_buckets": B, "cuts": {lang:
+    [first term of bucket 1..B-1]}}`` (also written to
+    ``out_dir/term_buckets.json``)."""
+    langs = _langs_of(index_dir)
+    if not langs:
+        raise FileNotFoundError(f"no committed manifests under {index_dir}")
+    cuts: dict = {}
+    for lang in langs:
+        dft = pq.read_table(
+            os.path.join(index_dir, "df", f"lang={lang}"),
+            columns=["term", "df"],
+        )
+        terms = np.asarray(dft["term"].to_pylist(), dtype=object)
+        dfs = dft["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(terms)
+        terms, dfs = terms[order], dfs[order]
+        cum = np.cumsum(dfs)
+        total = int(cum[-1]) if len(cum) else 0
+        targets = [total * k // num_buckets for k in range(1, num_buckets)]
+        cut_pos = np.searchsorted(cum, targets, side="left") + 1
+        cut_pos = np.minimum(cut_pos, len(terms))
+        cuts[lang] = [str(terms[p]) for p in cut_pos if p < len(terms)]
+
+        # slice the postings by bucket (one streaming pass, hive output)
+        lang_cuts = np.asarray(cuts[lang], dtype=object)
+
+        def assign(t: pa.Table, lang_cuts=lang_cuts) -> pa.Table:
+            tb = np.searchsorted(
+                lang_cuts, np.asarray(t["term"].to_pylist(), dtype=object),
+                side="right",
+            )
+            return t.append_column("tbucket", pa.array(tb, pa.int64()))
+
+        ray.data.read_parquet(
+            os.path.join(index_dir, "postings", f"lang={lang}")
+        ).map_batches(assign, batch_format="pyarrow").write_parquet(
+            os.path.join(out_dir, "postings_split", f"lang={lang}"),
+            partition_cols=["tbucket"],
+        )
+
+    # per-bucket stock shard dirs: manifest copies + symlinked slices
+    for b in range(num_buckets):
+        bdir = os.path.join(out_dir, f"bucket-{b:04d}")
+        for lang in langs:
+            m = read_manifest(os.path.join(index_dir, "manifests", lang))
+            write_manifest(os.path.join(bdir, "manifests", lang), {
+                **{k: v for k, v in m.items()
+                   if k not in ("committed", "schema_version")},
+                "term_bucket": b,
+                "term_buckets_total": num_buckets,
+            })
+            split = os.path.join(out_dir, "postings_split", f"lang={lang}",
+                                 f"tbucket={b}")
+            os.makedirs(split, exist_ok=True)
+            if not any(f.endswith(".parquet") for f in os.listdir(split)):
+                # a lang whose vocab all landed elsewhere: an EMPTY
+                # parquet with the base postings schema keeps the bucket
+                # stock-loadable (0 terms, full doc space)
+                base_post = os.path.join(index_dir, "postings",
+                                         f"lang={lang}")
+                sch = pq.read_schema(
+                    os.path.join(base_post, sorted(
+                        f for f in os.listdir(base_post)
+                        if f.endswith(".parquet")
+                    )[0])
+                )
+                pq.write_table(sch.empty_table(),
+                               os.path.join(split, "empty.parquet"))
+            pdir = os.path.join(bdir, "postings")
+            os.makedirs(pdir, exist_ok=True)
+            link = os.path.join(pdir, f"lang={lang}")
+            if not os.path.islink(link):
+                os.symlink(os.path.relpath(split, pdir), link)
+            ddir = os.path.join(bdir, "docmap")
+            os.makedirs(ddir, exist_ok=True)
+            dlink = os.path.join(ddir, f"lang={lang}")
+            if not os.path.islink(dlink):
+                os.symlink(
+                    os.path.abspath(
+                        os.path.join(index_dir, "docmap", f"lang={lang}")
+                    ),
+                    dlink,
+                )
+    table = {"num_buckets": num_buckets, "cuts": cuts}
+    with open(os.path.join(out_dir, BUCKETS_JSON), "w") as f:
+        json.dump(table, f, indent=2, sort_keys=True)
+    return table
+
+
+def read_term_buckets(out_dir: str) -> dict:
+    with open(os.path.join(out_dir, BUCKETS_JSON)) as f:
+        return json.load(f)
+
+
+class TermBucketScorer:
+    """(bucket, qpart) group stage → per-bucket PARTIAL score rows
+    (query_id, lang, doc_id, score). Bucket shards load through the
+    stock ``LangIndex`` (tiny LRU, as in the doc-range scorer); a doc's
+    rows from different buckets are summed by the merge stage."""
+
+    MAX_CACHED_VIEWS = 2
+
+    def __init__(self, buckets_dir: str, num_buckets: int, cfg: BM25Config,
+                 tokenizer: TokenizerConfig):
+        from collections import OrderedDict
+
+        self.buckets_dir = buckets_dir
+        self.num_buckets = num_buckets
+        self.cfg = cfg
+        self.tok = tokenizer
+        self._cache: "OrderedDict" = OrderedDict()
+
+    def _idx(self, bucket: int, lang: str):
+        key = (bucket, lang)
+        if key in self._cache:
+            self._cache.move_to_end(key)
+            return self._cache[key]
+        try:
+            idx = LangIndex(
+                os.path.join(self.buckets_dir, f"bucket-{bucket:04d}"), lang
+            )
+        except FileNotFoundError:
+            idx = None
+        self._cache[key] = idx
+        if len(self._cache) > self.MAX_CACHED_VIEWS:
+            self._cache.popitem(last=False)
+        return idx
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..state.index_shard import score_bm25_taat
+
+        qids = batch["query_id"].to_pylist()
+        qs = batch["query"].to_pylist()
+        langs = batch["lang"].to_pylist()
+        buckets = batch["tbucket"].to_pylist()
+        order = np.lexsort(
+            (np.asarray(langs, dtype=object),
+             np.asarray(buckets, dtype=np.int64))
+        )
+        out_qid, out_lang, out_doc, out_score = [], [], [], []
+        for i in order:
+            qid, q, lang, b = qids[i], qs[i], langs[i], int(buckets[i])
+            idx = self._idx(b, lang)
+            if idx is None:
+                continue
+            tokens = tokenize_cfg(q, lang, self.tok)
+            if not tokens:
+                continue
+            scores = score_bm25_taat(idx, tokens, self.cfg)
+            nz = np.flatnonzero(scores)
+            if nz.size == 0:
+                continue
+            out_qid.append(np.full(nz.size, qid, dtype=object))
+            out_lang.append(np.full(nz.size, lang, dtype=object))
+            out_doc.append(nz.astype(np.int64))
+            out_score.append(scores[nz])
+        if not out_qid:
+            return pa.table({
+                "query_id": pa.array([], pa.string()),
+                "lang": pa.array([], pa.string()),
+                "doc_id": pa.array([], pa.int64()),
+                "score": pa.array([], pa.float64()),
+            })
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_qid), pa.string()),
+            "lang": pa.array(np.concatenate(out_lang), pa.string()),
+            "doc_id": pa.array(np.concatenate(out_doc), pa.int64()),
+            "score": pa.array(np.concatenate(out_score), pa.float64()),
+        })
+
+
+def _load_urls(index_dir: str, lang: str) -> np.ndarray:
+    """urls in dense doc-id order from the shared docmap (the merge
+    stage's only doc-side artifact — the docmap-server role)."""
+    dm = pq.read_table(
+        os.path.join(index_dir, "docmap", f"lang={lang}"),
+        columns=["doc_id", "url"],
+    )
+    order = np.argsort(dm["doc_id"].to_numpy(zero_copy_only=False))
+    return np.asarray(dm["url"].to_pylist(), dtype=object)[order]
+
+
+# per-WORKER-PROCESS url-array cache for the task-based merge: merge
+# groups run as plain tasks (a second ACTOR pool here would deadlock
+# small CPU budgets — scorer pool + merge pool + shuffle tasks), and
+# the docmap read amortizes across the groups each worker processes.
+_URL_CACHE: dict = {}
+_URL_CACHE_CAP = 4
+
+
+def _cached_urls(index_dir: str, lang: str) -> np.ndarray:
+    key = (index_dir, lang)
+    hit = _URL_CACHE.get(key)
+    if hit is None:
+        if len(_URL_CACHE) >= _URL_CACHE_CAP:
+            _URL_CACHE.pop(next(iter(_URL_CACHE)))
+        hit = _URL_CACHE[key] = _load_urls(index_dir, lang)
+    return hit
+
+
+def merge_term_partials(g: pd.DataFrame, index_dir: str, k: int,
+                        round_dp=4) -> pd.DataFrame:
+    """qpart merge: sum partial scores per (query, doc), then the
+    canonical top-k on (score_x desc, url asc). Urls come from the
+    shared docmap via the per-worker cache."""
+    from ..stages.score import _concat, _rows
+
+    g = g.drop(columns=[c for c in ("kpart",) if c in g.columns])
+    parts = []
+    for (qid, lang), rows in g.groupby(["query_id", "lang"], sort=True):
+        sums = rows.groupby("doc_id", sort=True)["score"].sum()
+        cand = sums.index.to_numpy(dtype=np.int64)
+        totals = sums.to_numpy(dtype=np.float64)
+        pos = totals > 0
+        cand, totals = cand[pos], totals[pos]
+        if cand.size == 0:
+            continue
+        urls_sub = _cached_urls(index_dir, lang)[cand]
+        ranks, sel, keys = topk_with_ties(totals, urls_sub, k, round_dp)
+        if len(ranks) == 0:
+            continue
+        parts.append(
+            _rows(qid, ranks, sel, keys, totals, urls_sub, round_dp)
+        )
+    return _concat(parts).to_pandas()
+
+
+def bm25_search_term_sharded(
+    queries: ray.data.Dataset,
+    index_dir: str,
+    buckets_dir: str,
+    cfg: BM25Config = BM25Config(),
+    tokenizer: TokenizerConfig = TokenizerConfig(),
+    round_dp=4,
+    concurrency=None,
+    num_merge_parts: int = 32,
+) -> ray.data.Dataset:
+    """Rank-identical BM25 over the term-range bucket group built by
+    :func:`build_term_buckets` (``index_dir`` = the base index, for the
+    shared docmap; ``buckets_dir`` = the bucket layout)."""
+    table = read_term_buckets(buckets_dir)
+    cuts = {l: np.asarray(v, dtype=object) for l, v in table["cuts"].items()}
+    num_buckets = int(table["num_buckets"])
+    if concurrency is None:
+        concurrency = default_pool(0.5)
+
+    def fan_out(t: pa.Table) -> pa.Table:
+        qids = t["query_id"].to_pylist()
+        qs = t["query"].to_pylist()
+        langs = t["lang"].to_pylist()
+        o_q, o_t, o_l, o_b = [], [], [], []
+        for qid, q, lang in zip(qids, qs, langs):
+            lc = cuts.get(lang)
+            if lc is None:
+                continue
+            tokens = tokenize_cfg(q, lang, tokenizer)
+            if not tokens:
+                continue
+            tb = np.unique(np.searchsorted(
+                lc, np.asarray(tokens, dtype=object), side="right"
+            ))
+            for b in tb:
+                o_q.append(qid)
+                o_t.append(q)
+                o_l.append(lang)
+                o_b.append(int(b))
+        return pa.table({
+            "query_id": pa.array(o_q, pa.string()),
+            "query": pa.array(o_t, pa.string()),
+            "lang": pa.array(o_l, pa.string()),
+            "tbucket": pa.array(o_b, pa.int64()),
+        })
+
+    fanned = queries.map_batches(fan_out, batch_format="pyarrow")
+
+    def add_qpart(t: pa.Table) -> pa.Table:
+        t2 = add_kpart(t, num_parts=num_merge_parts, cols=("query_id",))
+        return t2.rename_columns(
+            ["qpart" if c == "kpart" else c for c in t2.column_names]
+        )
+
+    routed = fanned.map_batches(add_qpart, batch_format="pyarrow")
+    partials = routed.groupby(["tbucket", "qpart"]).map_groups(
+        TermBucketScorer,
+        fn_constructor_kwargs=dict(
+            buckets_dir=buckets_dir, num_buckets=num_buckets,
+            cfg=cfg, tokenizer=tokenizer,
+        ),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+    merged = partials.map_batches(
+        add_kpart,
+        fn_kwargs={"num_parts": num_merge_parts, "cols": ("query_id",)},
+        batch_format="pyarrow",
+    ).groupby("kpart").map_groups(
+        lambda g: merge_term_partials(g, index_dir, cfg.k, round_dp),
+        batch_format="pandas",
+    )
+    return merged

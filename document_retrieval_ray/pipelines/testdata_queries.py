@@ -657,6 +657,28 @@ def q_bm25_standard(sf_dir: str):
     return _results_to_docids(res.to_pandas())
 
 
+def q_bm25_term_sharded(sf_dir: str):
+    """BM25 over a (lang, term-range) bucket group (pipelines/
+    term_sharded.py): the cached index's postings split into 3
+    volume-balanced term buckets, queries routed only to owning buckets,
+    partial scores hash-merged per query — hash-checked against the SAME
+    full-corpus oracle as bm25_standard (term sharding is rank-identical
+    at the serving contract)."""
+    from .term_sharded import bm25_search_term_sharded, build_term_buckets
+
+    index_dir = _index_for(sf_dir)
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    bdir = f"/tmp/drr_cache/{key}/term_buckets"
+    if not os.path.exists(os.path.join(bdir, "term_buckets.json")):
+        build_term_buckets(index_dir, bdir, num_buckets=3)
+    res = bm25_search_term_sharded(
+        _query_ds(), index_dir, bdir,
+        cfg=BM25Config(k1=1.2, b=0.75, idf="lucene", compat="standard"),
+        tokenizer=TokenizerConfig(mode="simple"), round_dp=4,
+    )
+    return _results_to_docids(res.to_pandas())
+
+
 def q_bm25_wand(sf_dir: str):
     from .query import bm25_search
 
@@ -752,6 +774,26 @@ def q_bm25_compacted(sf_dir: str):
         cfg=BM25Config(k1=1.2, b=0.75, idf="lucene", compat="standard"),
         round_dp=4,
     )
+    return _results_to_docids(res.to_pandas())
+
+
+def q_cosine_compacted(sf_dir: str):
+    """Cosine/C5 over an appended-then-compacted index with the per-doc
+    TF-IDF norms REBUILT at compaction (incremental._rebuild_norms): the
+    daily-crawl cosine workflow — base + two crawl deltas, physically
+    merged, norms recomputed from the compacted postings + merged df —
+    hash-checked against the SAME full-corpus oracle as `cosine`
+    (compact + norms rebuild ≡ full rebuild with norms)."""
+    from .incremental import compact_index
+    from .query import cosine_search
+
+    index_dir = _incr_index_for(sf_dir)
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    out = f"/tmp/drr_cache/{key}/compacted_norms_index"
+    if not os.path.isdir(os.path.join(out, "manifests")):
+        compact_index(index_dir, out, tombstones_dir=False,
+                      with_cosine_norms=True)
+    res = cosine_search(_query_ds(), out, k=10, round_dp=4)
     return _results_to_docids(res.to_pandas())
 
 
@@ -8855,12 +8897,14 @@ QUERIES = {
     "top_terms": q_top_terms,
     "bm25_reference": q_bm25_reference,
     "bm25_standard": q_bm25_standard,
+    "bm25_term_sharded": q_bm25_term_sharded,
     "bm25_incremental": q_bm25_incremental,
     "bm25_deleted": q_bm25_deleted,
     "bm25_compacted": q_bm25_compacted,
     "bm25_wand": q_bm25_wand,
     "lm_dirichlet": q_lm_dirichlet,
     "cosine": q_cosine,
+    "cosine_compacted": q_cosine_compacted,
     "cosine_rerank": q_cosine_rerank,
     "submission": q_submission,
     "dedup_exact": q_dedup_exact,
@@ -10113,6 +10157,7 @@ SELECT lang, term, total_tf, rank FROM ranked WHERE rank <= 10
 """,
     "bm25_reference": _bm25_sql(1.5, 0.75, reference_quirk=True, dedup=True),
     "bm25_standard": _bm25_sql(1.2, 0.75, reference_quirk=False, dedup=False),
+    "bm25_term_sharded": _bm25_sql(1.2, 0.75, reference_quirk=False, dedup=False),
     # the incremental (append) path must equal a full-corpus build
     "bm25_incremental": _bm25_sql(1.2, 0.75, reference_quirk=False, dedup=False),
     # live tombstones: FULL-corpus stats, scored docs filtered (Lucene)
@@ -10128,6 +10173,7 @@ SELECT lang, term, total_tf, rank FROM ranked WHERE rank <= 10
     "bm25_wand": _bm25_sql(1.2, 0.75, reference_quirk=False, dedup=False),
     "lm_dirichlet": _lm_sql(LM_MU),
     "cosine": _cosine_sql(),
+    "cosine_compacted": _cosine_sql(),
     "cosine_rerank": _cosine_rerank_sql(),
     "submission": (
         "SELECT query_id, string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY rank) "

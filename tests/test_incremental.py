@@ -182,17 +182,72 @@ def test_compacted_docmap_is_a_permutation_of_full(incremental_setup):
         )
 
 
-def test_append_refuses_cosine_norms_index(ray_session, tiny_corpus,
-                                           tmp_path_factory):
+def test_append_then_compact_rebuilds_cosine_norms(ray_session, tiny_corpus,
+                                                   tmp_path_factory):
+    """The daily-crawl cosine workflow: a norms-built base accepts
+    appends (generation builds carry no norms), and compaction REBUILDS
+    the norms artifact over the merged corpus — cosine results and the
+    per-url norm2 values must equal a fresh full build with norms."""
+    import numpy as np
+    import ray.data
+
     from document_retrieval_ray.pipelines.build_index import build_index
-    from document_retrieval_ray.pipelines.incremental import append_index
+    from document_retrieval_ray.pipelines.incremental import (
+        append_index,
+        compact_index,
+    )
+    from document_retrieval_ray.pipelines.query import cosine_search
+    from document_retrieval_ray.state.manifest import read_manifest
 
     tmp_path = tmp_path_factory.mktemp("incr_norms")
     deltas = _split_corpus(tiny_corpus["documents"], tmp_path, [0.7, 0.3])
     base = str(tmp_path / "base_norms")
     build_index(deltas[0], base, cfg=CFG, with_cosine_norms=True)
-    with pytest.raises(NotImplementedError):
-        append_index(deltas[1], base)
+    append_index(deltas[1], base)          # no longer refuses
+
+    out_dir = str(tmp_path / "compacted_norms")
+    manifests = compact_index(base, out_dir)   # auto: base had norms
+    assert all(m["with_cosine_norms"] for m in manifests.values())
+
+    full_dir = str(tmp_path / "full_norms")
+    build_index(tiny_corpus["documents"], full_dir, cfg=CFG,
+                with_cosine_norms=True)
+
+    # per-url norm2 parity (doc ids differ between the two layouts)
+    for lang_dir in sorted(os.listdir(os.path.join(out_dir, "norms"))):
+        def url_norms(d):
+            n = pq.read_table(os.path.join(d, "norms", lang_dir)).to_pandas()
+            dm = pq.read_table(os.path.join(d, "docmap", lang_dir),
+                               columns=["doc_id", "url"]).to_pandas()
+            m = n.merge(dm, on="doc_id")
+            return m.sort_values("url")["norm2"].to_numpy()
+
+        a, b = url_norms(out_dir), url_norms(full_dir)
+        assert len(a) == len(b) > 0
+        np.testing.assert_allclose(a, b, rtol=1e-12)
+
+    qds = ray.data.read_parquet(tiny_corpus["queries"])
+
+    def run(d):
+        return (
+            cosine_search(qds, d, tokenizer=TokenizerConfig(mode="simple"),
+                          round_dp=4)
+            .to_pandas()
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+
+    got, want = run(out_dir), run(full_dir)
+    assert len(want) > 0
+    pd.testing.assert_frame_equal(
+        got[["query_id", "rank", "url", "score_x"]],
+        want[["query_id", "rank", "url", "score_x"]],
+    )
+    # the compaction manifest parity: read_manifest sees norms flag
+    for lang in os.listdir(os.path.join(out_dir, "manifests")):
+        assert read_manifest(
+            os.path.join(out_dir, "manifests", lang)
+        )["with_cosine_norms"]
 
 
 def test_search_incremental_requires_generations(ray_session, tiny_corpus,

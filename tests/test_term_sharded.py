@@ -1,0 +1,134 @@
+"""Term-range-sharded serving (pipelines/term_sharded.py): the bucket
+group must be RANK-IDENTICAL (rank, url, score_x — raw scores to fp
+tolerance) to the single index, including when queries span buckets."""
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from document_retrieval_ray.config import BM25Config, IndexConfig, TokenizerConfig
+
+CFG = IndexConfig(
+    tokenizer=TokenizerConfig(mode="simple"),
+    num_hash_parts=4,
+    hot_term_threshold=80,
+    salt_shift=5,
+    block_size=16,
+)
+BM25 = BM25Config(k1=1.2, b=0.75, idf="lucene", compat="standard")
+
+
+@pytest.fixture(scope="module")
+def term_shard_setup(ray_session, tiny_corpus, tmp_path_factory):
+    from document_retrieval_ray.pipelines.build_index import build_index
+    from document_retrieval_ray.pipelines.term_sharded import (
+        build_term_buckets,
+    )
+
+    tmp_path = tmp_path_factory.mktemp("term_sharded")
+    single_dir = str(tmp_path / "single")
+    build_index(tiny_corpus["documents"], single_dir, cfg=CFG,
+                with_cosine_norms=False)
+    buckets_dir = str(tmp_path / "buckets")
+    table = build_term_buckets(single_dir, buckets_dir, num_buckets=3)
+    return {"single": single_dir, "buckets": buckets_dir, "table": table,
+            "queries": tiny_corpus["queries"]}
+
+
+def test_bucket_layout_partitions_vocabulary(term_shard_setup):
+    """Every (lang, term) lives in exactly ONE bucket; per-bucket df
+    slices reassemble to the base df table; cuts are sorted."""
+    from document_retrieval_ray.pipelines.term_sharded import _langs_of
+
+    single = term_shard_setup["single"]
+    bdir = term_shard_setup["buckets"]
+    table = term_shard_setup["table"]
+    assert table["num_buckets"] == 3
+    for lang in _langs_of(single):
+        cuts = table["cuts"][lang]
+        assert cuts == sorted(cuts)
+        base = (
+            pq.read_table(os.path.join(single, "postings", f"lang={lang}"),
+                          columns=["term", "df"])
+            .to_pandas().sort_values("term").reset_index(drop=True)
+        )
+        parts = []
+        for b in range(3):
+            p = os.path.join(bdir, f"bucket-{b:04d}", "postings",
+                             f"lang={lang}")
+            t = pq.read_table(p, columns=["term", "df"]).to_pandas()
+            if len(t):
+                lo, hi = t["term"].min(), t["term"].max()
+                # range property: bucket b's terms sit between its cuts
+                if b > 0:
+                    assert lo >= cuts[b - 1]
+                if b < len(cuts):
+                    assert hi < cuts[b]
+            parts.append(t)
+        merged = (
+            pd.concat(parts).sort_values("term").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(merged, base)
+
+
+def test_term_sharded_equals_single_index(term_shard_setup):
+    import ray.data
+
+    from document_retrieval_ray.pipelines.query import bm25_search
+    from document_retrieval_ray.pipelines.term_sharded import (
+        bm25_search_term_sharded,
+    )
+
+    qds = ray.data.read_parquet(term_shard_setup["queries"])
+    want = (
+        bm25_search(qds, term_shard_setup["single"], cfg=BM25,
+                    tokenizer=TokenizerConfig(mode="simple"), round_dp=4)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    got = (
+        bm25_search_term_sharded(
+            qds, term_shard_setup["single"], term_shard_setup["buckets"],
+            cfg=BM25, tokenizer=TokenizerConfig(mode="simple"), round_dp=4,
+        )
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert len(want) > 0
+    pd.testing.assert_frame_equal(
+        got[["query_id", "rank", "url", "score_x"]],
+        want[["query_id", "rank", "url", "score_x"]],
+    )
+    # raw float: a distributed sum regroups additions — ulp tolerance
+    assert (got["score"] - want["score"]).abs().max() < 1e-9
+
+
+def test_queries_route_to_owning_buckets_only(term_shard_setup):
+    """The fan-out sends a query only to buckets owning >= 1 of its
+    terms (verified against the cut table), never to all buckets."""
+    import pyarrow as pa
+    import ray.data
+
+    from document_retrieval_ray.functions.tokenizer import tokenize_cfg
+    from document_retrieval_ray.pipelines.term_sharded import (
+        read_term_buckets,
+    )
+
+    table = read_term_buckets(term_shard_setup["buckets"])
+    qt = pq.read_table(term_shard_setup["queries"]).to_pandas()
+    row = qt.iloc[0]
+    lang = row["lang"]
+    cuts = np.asarray(table["cuts"][lang], dtype=object)
+    tokens = tokenize_cfg(row["query"], lang, TokenizerConfig(mode="simple"))
+    want_buckets = set(
+        int(b) for b in np.searchsorted(
+            cuts, np.asarray(tokens, dtype=object), side="right"
+        )
+    )
+    assert want_buckets and len(want_buckets) <= len(tokens)
