@@ -48,6 +48,7 @@ POS_BITS = 22
 POS_LIMIT = 1 << (POS_BITS - 1)
 
 __all__ = [
+    "append_positional_index",
     "build_positional_index",
     "phrase_query",
     "proximity_query",
@@ -184,6 +185,52 @@ def build_positional_index(
     return manifest
 
 
+def append_positional_index(
+    docs_path: str,
+    index_dir: str,
+    input_ds_factory=None,
+) -> dict:
+    """Append a crawl delta to an existing positional index WITHOUT
+    rebuilding it: the delta gets its own one-pass artifact under
+    ``generations/gen-N`` (same ``num_parts`` as the base, so term→
+    partition routing is identical across generations), and the base
+    manifest's ``generations`` list is atomically extended. Queries
+    transparently union candidate rows across base + generations — exact
+    because positions are per-document and the doc-id spaces of crawl
+    deltas are disjoint (same caller contract as ``append_index``:
+    dedup upstream). A crash mid-append leaves the previous manifest;
+    re-running resumes the generation build (its own committed manifest)
+    and then commits."""
+    m = read_pos_manifest(index_dir)
+    if m is None:
+        raise FileNotFoundError(
+            f"no committed positional index at {index_dir} — build the "
+            "base with build_positional_index first"
+        )
+    gens = m.get("generations", [])
+    name = f"gen-{len(gens) + 1:05d}"
+    gen_dir = os.path.join(index_dir, "generations", name)
+    build_positional_index(
+        docs_path, gen_dir, num_parts=int(m["num_parts"]),
+        input_ds_factory=input_ds_factory,
+    )
+    m["generations"] = gens + [name]
+    tmp = _manifest_path(index_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(m, f)
+    os.replace(tmp, _manifest_path(index_dir))
+    return m
+
+
+def _pos_dirs(index_dir: str) -> list:
+    """Base + committed positional generations, in append order."""
+    m = read_pos_manifest(index_dir)
+    gens = (m or {}).get("generations", [])
+    return [index_dir] + [
+        os.path.join(index_dir, "generations", g) for g in gens
+    ]
+
+
 def _phrase_match_partition(group: pd.DataFrame, phrases) -> pd.DataFrame:
     """doc_id-hash partition of candidate (term, doc_id, positions) rows
     → final (phrase_id, doc_id, n_matches). A phrase slot j contributes
@@ -289,17 +336,20 @@ def _near_match_partition(group: pd.DataFrame, pairs, window: int) -> pd.DataFra
 
 
 def _candidate_rows(index_dir: str, terms, num_parts_hint=None):
-    """Shared read path: prune to the terms' thash partition dirs, filter
-    to the exact terms. Returns (Dataset | None) — None when no partition
-    holds any of the terms."""
+    """Shared read path: prune to the terms' thash partition dirs —
+    across the base AND every committed positional generation — and
+    filter to the exact terms. Returns (Dataset | None) — None when no
+    partition holds any of the terms."""
     m = read_pos_manifest(index_dir)
     num_parts = (m or {}).get("num_parts", num_parts_hint)
     if num_parts is None:
         raise ValueError(f"no pos_manifest.json under {index_dir}")
-    pos_dir = os.path.join(index_dir, "positions")
-    dirs = sorted(
-        {os.path.join(pos_dir, f"thash={stable_hash64(w) % num_parts}") for w in terms}
-    )
+    hashes = sorted({stable_hash64(w) % num_parts for w in terms})
+    dirs = [
+        os.path.join(root, "positions", f"thash={h}")
+        for root in _pos_dirs(index_dir)
+        for h in hashes
+    ]
     files: list[str] = []
     for d in dirs:
         if os.path.isdir(d):

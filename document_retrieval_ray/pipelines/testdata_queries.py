@@ -4455,6 +4455,71 @@ def q_dense_rerank(sf_dir: str):
     ].reset_index(drop=True)
 
 
+def q_dense_rerank_mlp(sf_dir: str):
+    """C7 with the RICHER deterministic encoder (stages.embed.
+    TinyMLPEncoder): per-token hash embeddings → mean pooling → ReLU MLP
+    (team_run1.py:224-261 mean-pool + layer semantics, not just a text
+    projection) — same BM25-candidates → EmbedStage → DenseRerankStage
+    pipeline as dense_rerank; the DuckDB oracle replays tokenization,
+    pooling, both layers (seeded weight matrices inlined as VALUES) and
+    the exact-float64 cosine."""
+    from ..stages.embed import (
+        DenseRerankStage,
+        EmbedStage,
+        TinyMLPEncoder,
+    )
+
+    top = q_bm25_standard(sf_dir)
+    ids = pa.array(sorted(set(top["doc_id"].astype(np.int64))), pa.int64())
+
+    def pick(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["doc_id"], value_set=ids))
+
+    emb = (
+        read_parquet_clean(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        .map_batches(pick, batch_format="pyarrow")
+        .map_batches(
+            EmbedStage,
+            fn_constructor_kwargs=dict(
+                model_factory=lambda: TinyMLPEncoder(DENSE_DIM)
+            ),
+            batch_size=32, batch_format="pyarrow",
+            concurrency=default_pool(),
+        )
+        .to_pandas()  # bounded: the |queries| × 10 candidate set
+    )
+    qmap = {q: t for q, t, _ in QUERYSET}
+    cand = top[["query_id", "doc_id"]].copy()
+    cand["query"] = cand["query_id"].map(qmap)
+    cand = cand.merge(emb, on="doc_id").rename(
+        columns={"embedding": "cand_embedding"}
+    )
+    scored = (
+        ray.data.from_pandas(cand)
+        .map_batches(
+            DenseRerankStage,
+            fn_constructor_kwargs=dict(
+                model_factory=lambda: TinyMLPEncoder(DENSE_DIM)
+            ),
+            batch_size=32, batch_format="pyarrow",
+            concurrency=default_pool(),
+        )
+        .to_pandas()
+    )
+    scored = scored.sort_values(
+        ["query_id", "dense_score_x", "doc_id"],
+        ascending=[True, False, True],
+    )
+    scored["dense_rank"] = (
+        scored.groupby("query_id", sort=False).cumcount() + 1
+    ).astype(np.int64)
+    return scored[
+        ["query_id", "dense_rank", "doc_id", "dense_score_x"]
+    ].reset_index(drop=True)
+
+
 def _hash4_sql(md5_expr: str) -> str:
     """First 4 hex chars of an md5 → integer − 32768 (the
     HashProjectionModel dimension value), nibble-parsed in SQL."""
@@ -4482,6 +4547,96 @@ dvec AS (
   JOIN (SELECT DISTINCT doc_id FROM cand) c ON c.doc_id = d.doc_id, dims i
 ),
 qvec AS (SELECT q.query_id AS query_id, i.i AS i, {hq} AS v FROM qt q, dims i),
+dt AS (
+  SELECT c.query_id AS query_id, c.doc_id AS doc_id,
+         CAST(sum(qv.v * dv.v) AS DOUBLE) AS dot
+  FROM cand c
+  JOIN qvec qv ON qv.query_id = c.query_id
+  JOIN dvec dv ON dv.doc_id = c.doc_id AND dv.i = qv.i
+  GROUP BY c.query_id, c.doc_id
+),
+nd AS (SELECT doc_id, sqrt(CAST(sum(v*v) AS DOUBLE)) AS n
+       FROM dvec GROUP BY doc_id),
+nq AS (SELECT query_id, sqrt(CAST(sum(v*v) AS DOUBLE)) AS n
+       FROM qvec GROUP BY query_id),
+cosr AS (
+  SELECT dt.query_id AS query_id, dt.doc_id AS doc_id,
+         {_fx('dt.dot / (nq.n * nd.n)')} AS dense_score_x
+  FROM dt
+  JOIN nq ON nq.query_id = dt.query_id
+  JOIN nd ON nd.doc_id = dt.doc_id
+),
+r AS (
+  SELECT query_id, doc_id, dense_score_x,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dense_score_x DESC, doc_id ASC)
+         AS dense_rank
+  FROM cosr
+)
+SELECT query_id, CAST(dense_rank AS BIGINT) AS dense_rank, doc_id,
+       dense_score_x
+FROM r
+"""
+
+
+def _dense_rerank_mlp_sql() -> str:
+    """SQL replay of TinyMLPEncoder end-to-end: TOKLIST tokenization,
+    per-token hash4 embeddings, occurrence-mean pooling (fixed point),
+    W1 @ · + ReLU, W2 @ · with the /64 output scale (weights inlined as
+    VALUES — model constants), then the exact-float64 cosine rerank."""
+    from ..stages.embed import TinyMLPEncoder
+
+    enc = TinyMLPEncoder(DENSE_DIM)
+    w1 = ", ".join(
+        f"({i}, {j}, {int(enc.W1[i, j])})"
+        for i in range(DENSE_DIM) for j in range(DENSE_DIM)
+    )
+    w2 = ", ".join(
+        f"({i}, {j}, {int(enc.W2[i, j])})"
+        for i in range(DENSE_DIM) for j in range(DENSE_DIM)
+    )
+    bm25 = _bm25_sql(1.2, 0.75, reference_quirk=False, dedup=False)
+    qvals = ", ".join(f"('{q}', '{t}')" for q, t, _ in QUERYSET)
+    hv = _hash4_sql("md5(CAST(i.i AS VARCHAR) || ':' || t.tok)")
+    toklist = TOKLIST.format(col="e.text")
+    return f"""
+WITH
+cand AS (SELECT query_id, doc_id FROM ({bm25}) b),
+qt(query_id, qtext) AS (VALUES {qvals}),
+w1(i, j, w) AS (VALUES {w1}),
+w2(i, j, w) AS (VALUES {w2}),
+dims AS (SELECT unnest(range(0, {DENSE_DIM})) AS i),
+ent AS (
+  SELECT 'd' || CAST(d.doc_id AS VARCHAR) AS key, d.text AS text
+  FROM documents d
+  JOIN (SELECT DISTINCT doc_id FROM cand) c ON c.doc_id = d.doc_id
+  UNION ALL
+  SELECT 'q' || q.query_id AS key, q.qtext AS text FROM qt q
+),
+tok AS (SELECT e.key AS key, unnest({toklist}) AS tok FROM ent e),
+ntok AS (SELECT key, count(*) AS n FROM tok GROUP BY key),
+tokv AS (
+  SELECT t.key AS key, i.i AS i, {hv} AS v FROM tok t, dims i
+),
+pooled AS (
+  SELECT tv.key AS key, tv.i AS i,
+         CAST(floor(CAST(sum(tv.v) AS DOUBLE) / nt.n + 0.5) AS BIGINT) AS p
+  FROM tokv tv JOIN ntok nt ON nt.key = tv.key
+  GROUP BY tv.key, tv.i, nt.n
+),
+h AS (
+  SELECT p.key AS key, w.i AS i, greatest(sum(w.w * p.p), 0) AS a
+  FROM pooled p JOIN w1 w ON w.j = p.i GROUP BY p.key, w.i
+),
+vec AS (
+  SELECT a.key AS key, w.i AS i,
+         CAST(floor(CAST(sum(w.w * a.a) AS DOUBLE) / 64.0) AS BIGINT) AS v
+  FROM h a JOIN w2 w ON w.j = a.i GROUP BY a.key, w.i
+),
+dvec AS (SELECT CAST(substring(key, 2) AS BIGINT) AS doc_id, i, v
+         FROM vec WHERE key LIKE 'd%'),
+qvec AS (SELECT substring(key, 2) AS query_id, i, v
+         FROM vec WHERE key LIKE 'q%'),
 dt AS (
   SELECT c.query_id AS query_id, c.doc_id AS doc_id,
          CAST(sum(qv.v * dv.v) AS DOUBLE) AS dot
@@ -8991,6 +9146,7 @@ QUERIES = {
     "spell_correct": q_spell_correct,
     "facet_counts": q_facet_counts,
     "dense_rerank": q_dense_rerank,
+    "dense_rerank_mlp": q_dense_rerank_mlp,
     "bm25f": q_bm25f,
     "nb_classify": q_nb_classify,
     "mlt": q_mlt,
@@ -10090,6 +10246,7 @@ def _over_survivors(sql: str) -> str:
 ORACLE_SQL = {
     "spell_correct": _SPELL_SQL,
     "dense_rerank": _dense_rerank_sql(),
+    "dense_rerank_mlp": _dense_rerank_mlp_sql(),
     "bm25f": _bm25f_sql(),
     "nb_classify": _nb_sql(),
     "nb_confusion": _nb_confusion_sql().format(nb=_nb_sql()),

@@ -68,6 +68,66 @@ class HashProjectionModel:
         return out
 
 
+class TinyMLPEncoder:
+    """Mean-pool + 2-layer integer MLP encoder — the richer deterministic
+    stand-in for the transformer slot (team_run1.py:224-261 semantics:
+    per-token embeddings, mean pooling, dense layer math), built so a
+    DuckDB oracle reproduces every output EXACTLY:
+
+    - token embedding, dim i: ``int(md5(f"{i}:{token}")[:4], 16) - 32768``
+      (the HashProjectionModel hash, applied per TOKEN not per text);
+    - mean pooling over token OCCURRENCES → fixed point:
+      ``floor(sum/n + 0.5)`` (int64; sum exact, float64 division exact);
+    - layer 1: ``h = W1 @ pooled``; ReLU ``a = max(h, 0)``;
+    - layer 2: ``out = floor((W2 @ a) / 64)`` — the 2^6 output scale
+      bounds |out| ≤ 2^23 so every later cosine dot stays below 2^53
+      and the float64 cosine is EXACT cross-engine (and the float32
+      list column roundtrips losslessly: 24-bit mantissa).
+
+    ``W1``/``W2`` are seeded integers in [-8, 8] — model constants,
+    inlined into the SQL oracle as literal VALUES. Empty texts embed as
+    the zero vector. Tokenization = ``tokenize_simple`` (the TOKLIST
+    SQL macro)."""
+
+    def __init__(self, dim: int = 16, seed: int = 0):
+        rng = np.random.default_rng(seed)
+        self.dim = dim
+        self.W1 = rng.integers(-8, 9, size=(dim, dim)).astype(np.int64)
+        self.W2 = rng.integers(-8, 9, size=(dim, dim)).astype(np.int64)
+
+    def _token_vec(self, cache: dict, tok: str) -> np.ndarray:
+        v = cache.get(tok)
+        if v is None:
+            v = cache[tok] = np.array(
+                [
+                    int(hashlib.md5(
+                        f"{i}:{tok}".encode("utf-8")
+                    ).hexdigest()[:4], 16) - 32768
+                    for i in range(self.dim)
+                ],
+                dtype=np.int64,
+            )
+        return v
+
+    def encode(self, texts):
+        from ..functions.tokenizer import tokenize_simple
+
+        out = np.zeros((len(texts), self.dim), dtype=np.int64)
+        cache: dict = {}
+        for r, t in enumerate(texts):
+            toks = tokenize_simple(t or "")
+            if not toks:
+                continue
+            sums = np.zeros(self.dim, dtype=np.int64)
+            for tok in toks:
+                sums += self._token_vec(cache, tok)
+            pooled = np.floor(sums / len(toks) + 0.5).astype(np.int64)
+            h = self.W1 @ pooled
+            a = np.maximum(h, 0)
+            out[r] = np.floor_divide(self.W2 @ a, 64)
+        return out
+
+
 class EmbedStage:
     """(id, text) → (id, embedding: list<float32>).
 

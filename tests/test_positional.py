@@ -222,3 +222,79 @@ def test_prefix_search_partial_top_semantics(ray_session, tmp_path):
     assert sc.iloc[0].doc_id == 3 and sc.iloc[0].total_tf == 4
     assert list(sc["rank"]) == list(range(1, 11))
     assert (sc.total_tf.values[:-1] >= sc.total_tf.values[1:]).all()
+
+
+def test_append_positional_generation_equals_full_build(ray_session,
+                                                        tmp_path):
+    """Generational positional index: base over the first docs + an
+    appended delta must answer phrase and NEAR queries identically to
+    one index built over the full corpus — appends never force a
+    positional rebuild."""
+    from document_retrieval_ray.pipelines.positional import (
+        append_positional_index,
+        proximity_query,
+    )
+
+    full = DOCS + ["table scan appended here", "appended table scan"]
+    base_dir, delta_dir, idx_a, idx_f = (
+        str(tmp_path / n) for n in ("base", "delta", "idx_a", "idx_f")
+    )
+    os.makedirs(base_dir), os.makedirs(delta_dir)
+    # delta doc ids continue after the base (disjoint id contract)
+    t_base = pa.table({
+        "doc_id": pa.array(range(len(DOCS)), pa.int64()),
+        "text": pa.array(DOCS, pa.string()),
+    })
+    t_delta = pa.table({
+        "doc_id": pa.array(range(len(DOCS), len(full)), pa.int64()),
+        "text": pa.array(full[len(DOCS):], pa.string()),
+    })
+    pq.write_table(t_base, os.path.join(base_dir, "documents.parquet"))
+    pq.write_table(t_delta, os.path.join(delta_dir, "documents.parquet"))
+    full_path = str(tmp_path / "full.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(full)), pa.int64()),
+        "text": pa.array(full, pa.string()),
+    }), full_path)
+
+    build_positional_index(
+        os.path.join(base_dir, "documents.parquet"), idx_a, num_parts=8
+    )
+    m = append_positional_index(
+        os.path.join(delta_dir, "documents.parquet"), idx_a
+    )
+    assert m["generations"] == ["gen-00001"]
+    assert read_pos_manifest(idx_a)["generations"] == ["gen-00001"]
+    build_positional_index(full_path, idx_f, num_parts=8)
+
+    phrases = [("p1", "table scan"), ("p2", "batch batch")]
+
+    def run_phrase(d):
+        out = phrase_query(d, phrases).to_pandas()
+        return out.sort_values(["phrase_id", "doc_id"]).reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(run_phrase(idx_a), run_phrase(idx_f))
+    got = run_phrase(idx_a)
+    # delta docs DO answer: both appended docs contain "table scan"
+    assert {len(DOCS), len(DOCS) + 1} <= set(
+        got[got.phrase_id == "p1"]["doc_id"]
+    )
+
+    def run_near(d):
+        out = proximity_query(
+            d, [("q", "table", "appended")], window=2
+        ).to_pandas()
+        return out.sort_values(["pair_id", "doc_id"]).reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(run_near(idx_a), run_near(idx_f))
+    assert len(run_near(idx_a)) == 2
+
+
+def test_append_positional_requires_base(ray_session, tmp_path):
+    from document_retrieval_ray.pipelines.positional import (
+        append_positional_index,
+    )
+
+    p = _write_docs(str(tmp_path), ["a b"])
+    with pytest.raises(FileNotFoundError):
+        append_positional_index(p, str(tmp_path / "nothing"))
