@@ -738,13 +738,18 @@ def _build_cosine_norms(triples_mat, d: dict, stats: dict,
                 self.idf_maps = ray.get(idf_ref)
 
             def __call__(self, batch: pa.Table) -> pa.Table:
+                import pandas as pd
+
                 pdf = batch.to_pandas()
-                idf = np.array(
-                    [
-                        self.idf_maps.get(l, {}).get(t, 0.0)
-                        for l, t in zip(pdf["lang"], pdf["term"])
-                    ]
-                )
+                # idf lookup vectorized per lang (Series.map is C-path;
+                # a per-ROW python dict get dominated this kernel)
+                idf = np.zeros(len(pdf), dtype=np.float64)
+                for lang, g in pdf.groupby("lang", sort=False):
+                    m = self.idf_maps.get(lang)
+                    if m:
+                        idf[g.index.to_numpy()] = (
+                            g["term"].map(m).fillna(0.0).to_numpy()
+                        )
                 w = pdf["tf"].to_numpy() * idf
                 pdf["w2"] = w * w
                 out = (

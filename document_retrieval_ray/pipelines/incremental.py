@@ -229,6 +229,27 @@ def bm25_search_incremental(
 # ------------------------------------------------------------- compaction
 
 
+def _read_sized(path, columns, rows_per_block: int = 50_000,
+                lo: int = 1, hi: int = 256):
+    """read_parquet with a DATA-sized block count (footer row counts):
+    Ray's default fan-out is CPU-sized, which turns a toy artifact into
+    hundreds of near-empty scheduling tasks (measured: 5.5 s to count
+    155 rows through a 7-dataset union). Returns (Dataset, total_rows).
+    At scale the clamp is inert — blocks grow with the data."""
+    total = 0
+    for root, _, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += pq.read_metadata(os.path.join(root, f)).num_rows
+    blocks = max(lo, min(hi, total // rows_per_block + 1))
+    return (
+        ray.data.read_parquet(
+            path, columns=columns, override_num_blocks=blocks
+        ),
+        total,
+    )
+
+
 def _lang_offsets(dirs) -> dict:
     """{lang: [doc-id offset of dir i]} — cumulative n_docs in generation
     order; a dir without the lang contributes 0 docs."""
@@ -452,48 +473,65 @@ def compact_index(
         )
         return t.append_column("lang", pa.array([lang] * t.num_rows, pa.string()))
 
+    # ONE hive read per source dir (lang is a partition column of the
+    # docmap artifact) instead of a union of per-(dir, lang) datasets —
+    # the per-dataset scheduling overhead dominated small compactions
+    def _rebase_hive(t: pa.Table, si: int) -> pa.Table:
+        parts = []
+        langs_col = t["lang"].to_pylist()
+        for lang in sorted(set(langs_col)):
+            sub = t.filter(pc.equal(t["lang"], pa.scalar(lang)))
+            sub = sub.drop_columns(["lang"])
+            parts.append(_rebase(
+                sub, off=offsets[str(lang)][si], lang=str(lang),
+                dele=deleted.get((si, str(lang))),
+                dele_global=rebased.get(str(lang)),
+            ))
+        return (
+            pa.concat_tables(parts) if parts
+            else _rebase(t.drop_columns(["lang"]), off=0, lang="")
+        )
+
     dm_parts = []
     for si, d in enumerate(dirs):
-        for lang in _langs_of(d):
-            p = os.path.join(d, "docmap", f"lang={lang}")
-            if not os.path.isdir(p):
-                continue
-            off = offsets[lang][si]
-            dm_parts.append(
-                ray.data.read_parquet(p, columns=["doc_id", "url", "dl"]).map_batches(
-                    _rebase,
-                    fn_kwargs={
-                        "off": off, "lang": lang,
-                        "dele": deleted.get((si, lang)),
-                        "dele_global": rebased.get(lang),
-                    },
-                    batch_format="pyarrow",
-                )
+        p = os.path.join(d, "docmap")
+        if not os.path.isdir(p):
+            continue
+        ds, _ = _read_sized(p, ["doc_id", "url", "dl", "lang"])
+        dm_parts.append(
+            ds.map_batches(
+                _rebase_hive, fn_kwargs={"si": si}, batch_format="pyarrow"
             )
+        )
     dm = dm_parts[0]
     for extra in dm_parts[1:]:
         dm = dm.union(extra)
     dm.write_parquet(os.path.join(out_dir, "docmap"), partition_cols=["lang"])
 
     # --- postings: (lang, term)-hash partitions over all generations ---
+    # one hive read per source dir (lang from the partition column); the
+    # exchange width is sized to the data — 64 hash parts over a toy
+    # vocabulary would pay 64 groups of scheduling for rows that fit in
+    # a handful
+    def _tag_hive(t: pa.Table, si: int) -> pa.Table:
+        return t.append_column(
+            "src", pa.array(np.full(t.num_rows, si, np.int64), pa.int64())
+        )
+
     post_parts = []
+    total_rows = 0
     for si, d in enumerate(dirs):
-        for lang in _langs_of(d):
-            p = os.path.join(d, "postings", f"lang={lang}")
-            if not os.path.isdir(p):
-                continue
-
-            def _tag(t: pa.Table, lang=lang, si=si) -> pa.Table:
-                t = t.append_column("lang", pa.array([lang] * t.num_rows, pa.string()))
-                return t.append_column(
-                    "src", pa.array(np.full(t.num_rows, si, np.int64), pa.int64())
-                )
-
-            post_parts.append(
-                ray.data.read_parquet(p, columns=_POSTING_COLS).map_batches(
-                    _tag, batch_format="pyarrow"
-                )
+        p = os.path.join(d, "postings")
+        if not os.path.isdir(p):
+            continue
+        ds, n = _read_sized(p, _POSTING_COLS + ["lang"], rows_per_block=4_000)
+        total_rows += n
+        post_parts.append(
+            ds.map_batches(
+                _tag_hive, fn_kwargs={"si": si}, batch_format="pyarrow"
             )
+        )
+    num_parts = min(num_parts, max(8, total_rows // 4_000 + 1))
     posts = post_parts[0]
     for extra in post_parts[1:]:
         posts = posts.union(extra)
@@ -535,6 +573,24 @@ def compact_index(
     from ..state.manifest import write_manifest
 
     cfg = _base_config(index_dir)
+    surv_stats: dict = {}
+    if deleted:
+        # stats must reflect SURVIVORS: exact integer sums over the
+        # compacted docmap — ONE distributed pass grouped by lang
+        # (nothing corpus-sized on the driver), not a count+sum job pair
+        # per language
+        for r in (
+            _read_sized(os.path.join(out_dir, "docmap"), ["dl", "lang"])[0]
+            .groupby("lang")
+            .aggregate(
+                ray.data.aggregate.Count(alias_name="n_docs"),
+                ray.data.aggregate.Sum("dl", alias_name="sum_dl"),
+            )
+            .take_all()  # bounded: one row per language
+        ):
+            surv_stats[str(r["lang"])] = (
+                int(r["n_docs"]), int(r["sum_dl"] or 0)
+            )
     stats_by_lang: dict = {}
     terms_by_lang: dict = {}
     fps_by_lang: dict = {}
@@ -549,16 +605,7 @@ def compact_index(
             total_tokens += int(m["total_tokens"])
             fps.append(m["input_fingerprint"])
         if deleted:
-            # stats must reflect SURVIVORS: exact integer sums over the
-            # compacted docmap (distributed — nothing corpus-sized on the
-            # driver)
-            dmp = os.path.join(out_dir, "docmap", f"lang={lang}")
-            if os.path.isdir(dmp):
-                dm_ds = ray.data.read_parquet(dmp, columns=["dl"])
-                n_docs = dm_ds.count()
-                total_tokens = int(dm_ds.sum("dl") or 0)
-            else:
-                n_docs = total_tokens = 0
+            n_docs, total_tokens = surv_stats.get(lang, (0, 0))
             fps.append(f"deleted:{sum(v.size for v in deleted.values())}")
         dfp = os.path.join(out_dir, "df", f"lang={lang}")
         n_terms = 0
@@ -617,27 +664,13 @@ def _rebuild_norms(out_dir: str, stats_by_lang: dict, block_size: int) -> None:
             "tf": pa.array(tf, pa.int64()),
         })
 
-    post_parts = []
-    for lang in sorted(stats_by_lang):
-        p = os.path.join(out_dir, "postings", f"lang={lang}")
-        if not os.path.isdir(p):
-            continue
-
-        def _tag(t: pa.Table, lang=lang) -> pa.Table:
-            return t.append_column(
-                "lang", pa.array([lang] * t.num_rows, pa.string())
-            )
-
-        post_parts.append(
-            ray.data.read_parquet(
-                p, columns=["term", "df", "postings"]
-            ).map_batches(_tag, batch_format="pyarrow")
-        )
-    if not post_parts:
+    pdir = os.path.join(out_dir, "postings")
+    if not os.path.isdir(pdir):
         return
-    posts = post_parts[0]
-    for extra in post_parts[1:]:
-        posts = posts.union(extra)
+    posts, n = _read_sized(pdir, ["term", "df", "postings", "lang"],
+                           rows_per_block=4_000)
+    if n == 0:
+        return
     triples = posts.map_batches(_decode, batch_format="pyarrow")
     d_out = {"df": os.path.join(out_dir, "df"),
              "norms": os.path.join(out_dir, "norms")}

@@ -768,7 +768,10 @@ def q_bm25_compacted(sf_dir: str):
     key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
     out = f"/tmp/drr_cache/{key}/compacted_del_index"
     if not os.path.isdir(os.path.join(out, "manifests")):
-        compact_index(index_dir, out, tombstones_dir=tomb)
+        # BM25-only artifact: skip the cosine-norms rebuild (the cosine
+        # path has its own compacted entry, cosine_compacted)
+        compact_index(index_dir, out, tombstones_dir=tomb,
+                      with_cosine_norms=False)
     res = bm25_search(
         _query_ds(), out,
         cfg=BM25Config(k1=1.2, b=0.75, idf="lucene", compat="standard"),
