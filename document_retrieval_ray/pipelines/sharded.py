@@ -31,6 +31,7 @@ import os
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray
 import ray.data
@@ -233,17 +234,41 @@ class ShardedBM25Scorer:
         return _concat(parts)
 
 
-def merge_partition(g: pd.DataFrame, k: int) -> pd.DataFrame:
+def merge_partition(t: pa.Table, k: int) -> pa.Table:
     """Partition of per-shard candidates (all rows of a query share the
-    partition) → global top-k per query on (score_x desc, url asc)."""
-    g = g.drop(columns=["kpart"]) if "kpart" in g.columns else g
-    g = g.sort_values(["query_id", "score_x", "url"],
-                      ascending=[True, False, True], kind="mergesort")
-    g = g.groupby("query_id", sort=False).head(k).copy()
-    g["rank"] = g.groupby("query_id", sort=False).cumcount() + 1
-    return g[["query_id", "rank", "url", "score", "score_x"]].astype(
-        {"rank": "int64"}
-    )
+    partition) → global top-k per query on (score_x desc, url asc).
+    Arrow in/out: native multi-key sort + run-length ranks, no pandas
+    conversion in the merge exchange."""
+    if "kpart" in t.column_names:
+        t = t.drop_columns(["kpart"])
+    if t.num_rows == 0:
+        return pa.table({
+            "query_id": pa.array([], pa.string()),
+            "rank": pa.array([], pa.int64()),
+            "url": pa.array([], pa.string()),
+            "score": pa.array([], pa.float64()),
+            "score_x": pa.array([], pa.int64()),
+        })
+    idx = pc.sort_indices(t, sort_keys=[
+        ("query_id", "ascending"), ("score_x", "descending"),
+        ("url", "ascending"),
+    ])
+    t = t.take(idx)
+    qid = t["query_id"].to_numpy(zero_copy_only=False)
+    n = t.num_rows
+    new = np.ones(n, dtype=bool)
+    new[1:] = qid[1:] != qid[:-1]
+    starts = np.flatnonzero(new)
+    rank = np.arange(n, dtype=np.int64) - starts[np.cumsum(new) - 1] + 1
+    keep = rank <= k
+    t = t.filter(pa.array(keep))
+    return pa.table({
+        "query_id": t["query_id"],
+        "rank": pa.array(rank[keep], pa.int64()),
+        "url": t["url"],
+        "score": t["score"],
+        "score_x": t["score_x"],
+    })
 
 
 def bm25_search_sharded(
@@ -316,5 +341,6 @@ def bm25_search_sharded(
             batch_format="pyarrow",
         )
         .groupby("kpart")
-        .map_groups(lambda g: merge_partition(g, cfg.k), batch_format="pandas")
+        .map_groups(lambda g: merge_partition(g, cfg.k),
+                    batch_format="pyarrow")
     )

@@ -460,19 +460,32 @@ def edges_both_ways(batch: pa.Table) -> pa.Table:
     )
 
 
-def spread_labels_partition(group: pd.DataFrame) -> pd.DataFrame:
+def spread_labels_partition(t: pa.Table) -> pa.Table:
     """Partition of the src-keyed cogroup (label rows have dst = -1):
-    emit (node=dst, lbl) along every edge plus (node=src, lbl) itself."""
-    g = _drop_kpart(group)
-    is_lbl = g["dst"].to_numpy() < 0
-    lbl = g[is_lbl][["src", "lbl"]]
-    edg = g[~is_lbl][["src", "dst"]]
-    out = [lbl.rename(columns={"src": "node"})[["node", "lbl"]]]
-    if len(edg) and len(lbl):
-        m = edg.merge(lbl, on="src", how="inner")
-        out.append(m.rename(columns={"dst": "node"})[["node", "lbl"]])
-    res = pd.concat(out, ignore_index=True)
-    return res.astype({"node": "int64", "lbl": "int64"})
+    emit (node=dst, lbl) along every edge plus (node=src, lbl) itself.
+    Arrow in/out (this kernel runs every label-prop round — the pandas
+    group conversion was pure overhead); the label side is unique per
+    src, so the edge join is one sorted searchsorted."""
+    if "kpart" in t.column_names:
+        t = t.drop_columns(["kpart"])
+    src = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+    dst = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+    lbl = t["lbl"].to_numpy(zero_copy_only=False).astype(np.int64)
+    is_lbl = dst < 0
+    lsrc, llbl = src[is_lbl], lbl[is_lbl]
+    esrc, edst = src[~is_lbl], dst[~is_lbl]
+    nodes, labels = [lsrc], [llbl]
+    if esrc.size and lsrc.size:
+        order = np.argsort(lsrc, kind="stable")
+        ls, lv = lsrc[order], llbl[order]
+        pos = np.minimum(np.searchsorted(ls, esrc), ls.size - 1)
+        ok = ls[pos] == esrc
+        nodes.append(edst[ok])
+        labels.append(lv[pos[ok]])
+    return pa.table({
+        "node": pa.array(np.concatenate(nodes), pa.int64()),
+        "lbl": pa.array(np.concatenate(labels), pa.int64()),
+    })
 
 
 def label_prop_components(pairs_ds, max_rounds: int = 64,
@@ -550,10 +563,10 @@ def label_prop_components(pairs_ds, max_rounds: int = 64,
             add_kpart, fn_kwargs={"num_parts": num_parts, "cols": ("src",)},
             batch_format="pyarrow",
         )
-        msgs = arrow_blocks(
+        msgs = (
             e_rows.union(lab_rows)
             .groupby("kpart")
-            .map_groups(spread_labels_partition, batch_format="pandas")
+            .map_groups(spread_labels_partition, batch_format="pyarrow")
         )
         labels = (
             msgs.groupby("node")

@@ -43,24 +43,38 @@ PAGERANK_DAMP_NUM = 85    # d = 0.85 as an integer fraction
 PAGERANK_DAMP_DEN = 100
 
 
-def pagerank_contrib_partition(group: pd.DataFrame) -> pd.DataFrame:
+def pagerank_contrib_partition(t: pa.Table) -> pa.Table:
     """src-keyed partition of edge rows (s = -1) ∪ score rows (dst = -1):
     emit (node = dst, c = s_src // deg_src) per edge. deg is computed
-    in-partition — the src hash colocates all of a node's out-edges."""
-    g = group.drop(columns=[c for c in ("kpart",) if c in group.columns])
-    is_score = g["dst"].to_numpy() < 0
-    sc = g[is_score][["src", "s"]]
-    ed = g[~is_score][["src", "dst"]]
-    if not len(ed) or not len(sc):
-        return pd.DataFrame({"node": pd.Series(dtype="int64"),
-                             "c": pd.Series(dtype="int64")})
-    deg = ed.groupby("src", sort=False).size().rename("deg").reset_index()
-    m = ed.merge(sc, on="src", how="inner").merge(deg, on="src", how="inner")
-    c = m["s"].to_numpy(np.int64) // m["deg"].to_numpy(np.int64)
-    return pd.DataFrame({
-        "node": pd.Series(m["dst"].to_numpy(np.int64), dtype="int64"),
-        "c": pd.Series(c, dtype="int64"),
-    })
+    in-partition — the src hash colocates all of a node's out-edges.
+    Arrow in/out (runs every power iteration): degree = run lengths of
+    the src-sorted edges, score join = one searchsorted (scores are
+    unique per src)."""
+    if "kpart" in t.column_names:
+        t = t.drop_columns(["kpart"])
+    src = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+    dst = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+    sv_all = t["s"].to_numpy(zero_copy_only=False).astype(np.int64)
+    is_score = dst < 0
+    ssrc, sval = src[is_score], sv_all[is_score]
+    esrc, edst = src[~is_score], dst[~is_score]
+    empty = pa.table({"node": pa.array([], pa.int64()),
+                      "c": pa.array([], pa.int64())})
+    if not esrc.size or not ssrc.size:
+        return empty
+    order = np.argsort(esrc, kind="stable")
+    esrc, edst = esrc[order], edst[order]
+    uniq, counts = np.unique(esrc, return_counts=True)
+    deg = np.repeat(counts, counts)
+    so = np.argsort(ssrc, kind="stable")
+    ss, sv = ssrc[so], sval[so]
+    pos = np.minimum(np.searchsorted(ss, esrc), ss.size - 1)
+    ok = ss[pos] == esrc
+    if not ok.any():
+        return empty
+    c = sv[pos[ok]] // deg[ok]
+    return pa.table({"node": pa.array(edst[ok], pa.int64()),
+                     "c": pa.array(c, pa.int64())})
 
 
 def pagerank_integer(pairs_ds, iters: int = 5, num_parts: int = 64,
@@ -123,11 +137,9 @@ def pagerank_integer(pairs_ds, iters: int = 5, num_parts: int = 64,
             batch_format="pyarrow",
         )
         incoming = (
-            arrow_blocks(
-                e_rows.union(s_rows)
-                .groupby("kpart")
-                .map_groups(pagerank_contrib_partition,
-                            batch_format="pandas"))
+            e_rows.union(s_rows)
+            .groupby("kpart")
+            .map_groups(pagerank_contrib_partition, batch_format="pyarrow")
             .groupby("node")
             .sum("c")
         )
@@ -150,22 +162,24 @@ def pagerank_integer(pairs_ds, iters: int = 5, num_parts: int = 64,
     )
 
 
-def wedge_rows_partition(group: pd.DataFrame) -> pd.DataFrame:
+def wedge_rows_partition(t: pa.Table) -> pa.Table:
     """center-keyed partition of both-ways edges: for each center u emit
     the wedges (v, w) over u's neighbor pairs with u < v < w — the
     smallest-vertex orientation, so each triangle is generated by
     exactly ONE center and never needs a /3 correction. Wedge volume is
     Σ C(deg⁺(u), 2) over the u-smallest orientation — the standard
     Cohen-MR bound, quadratic only in the ORIENTED degree (hubs shed
-    their wedges to smaller-id neighbors)."""
-    g = group.drop(columns=[c for c in ("kpart",) if c in group.columns])
-    src = g["src"].to_numpy(np.int64)
-    dst = g["dst"].to_numpy(np.int64)
+    their wedges to smaller-id neighbors). Arrow in/out."""
+    if "kpart" in t.column_names:
+        t = t.drop_columns(["kpart"])
+    src = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+    dst = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
     keep = dst > src  # oriented: only neighbors above the center
     src, dst = src[keep], dst[keep]
+    empty = pa.table({"v": pa.array([], pa.int64()),
+                      "w": pa.array([], pa.int64())})
     if not len(src):
-        return pd.DataFrame({"v": pd.Series(dtype="int64"),
-                             "w": pd.Series(dtype="int64")})
+        return empty
     order = np.lexsort((dst, src))
     src, dst = src[order], dst[order]
     # per-center neighbor pair enumeration, vectorized per center run
@@ -173,37 +187,50 @@ def wedge_rows_partition(group: pd.DataFrame) -> pd.DataFrame:
     starts = np.concatenate([[0], change])
     ends = np.concatenate([change, [len(src)]])
     vs, ws = [], []
-    for s, e in zip(starts, ends):
-        nb = dst[s:e]  # sorted ascending, all > center
+    for s_, e_ in zip(starts, ends):
+        nb = dst[s_:e_]  # sorted ascending, all > center
         if nb.size < 2:
             continue
         iu = np.triu_indices(nb.size, k=1)
         vs.append(nb[iu[0]])
         ws.append(nb[iu[1]])
     if not vs:
-        return pd.DataFrame({"v": pd.Series(dtype="int64"),
-                             "w": pd.Series(dtype="int64")})
-    return pd.DataFrame({
-        "v": pd.Series(np.concatenate(vs), dtype="int64"),
-        "w": pd.Series(np.concatenate(ws), dtype="int64"),
+        return empty
+    return pa.table({
+        "v": pa.array(np.concatenate(vs), pa.int64()),
+        "w": pa.array(np.concatenate(ws), pa.int64()),
     })
 
 
-def triangle_close_partition(group: pd.DataFrame) -> pd.DataFrame:
+def _pack_pairs(v: np.ndarray, w: np.ndarray) -> np.ndarray:
+    """(v, w) int64 pairs → void16 keys: byte-wise equality is pair
+    equality, which is all membership needs (np.isin sorts by an
+    arbitrary-but-total byte order)."""
+    a = np.empty(len(v), dtype=[("v", "<i8"), ("w", "<i8")])
+    a["v"], a["w"] = v, w
+    return a.view("V16").ravel()
+
+
+def triangle_close_partition(t: pa.Table) -> pa.Table:
     """(v, w)-hash partition of wedge rows ∪ edge-marker rows
     (is_edge = 1): triangles closed in-partition = wedges whose (v, w)
-    is an edge. Emits one partial-count row."""
-    g = group.drop(columns=[c for c in ("kpart",) if c in group.columns])
-    is_e = g["is_edge"].to_numpy(np.int64) == 1
-    edges = set(zip(g[is_e]["v"].to_numpy(np.int64),
-                    g[is_e]["w"].to_numpy(np.int64)))
-    if not edges:
-        return pd.DataFrame({"n_triangles": pd.Series(dtype="int64")})
-    wedges = g[~is_e]
-    vv = wedges["v"].to_numpy(np.int64)
-    ww = wedges["w"].to_numpy(np.int64)
-    n = sum(1 for p in zip(vv, ww) if p in edges)
-    return pd.DataFrame({"n_triangles": pd.Series([n], dtype="int64")})
+    is an edge. Emits one partial-count row. Arrow in/out; membership is
+    one vectorized np.isin over packed pair keys (the per-row Python
+    set-lookup loop dominated this kernel)."""
+    if "kpart" in t.column_names:
+        t = t.drop_columns(["kpart"])
+    is_e = t["is_edge"].to_numpy(zero_copy_only=False).astype(np.int64) == 1
+    v = t["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+    w = t["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ev, ew = v[is_e], w[is_e]
+    if not ev.size:
+        return pa.table({"n_triangles": pa.array([], pa.int64())})
+    wv, ww = v[~is_e], w[~is_e]
+    n = (
+        int(np.isin(_pack_pairs(wv, ww), _pack_pairs(ev, ew)).sum())
+        if wv.size else 0
+    )
+    return pa.table({"n_triangles": pa.array([n], pa.int64())})
 
 
 def count_triangles(pairs_ds, num_parts: int = 64):
@@ -229,7 +256,7 @@ def count_triangles(pairs_ds, num_parts: int = 64):
             batch_format="pyarrow",
         )
         .groupby("kpart")
-        .map_groups(wedge_rows_partition, batch_format="pandas")
+        .map_groups(wedge_rows_partition, batch_format="pyarrow")
         .map_batches(
             lambda t: t.append_column(
                 "is_edge",
@@ -249,13 +276,13 @@ def count_triangles(pairs_ds, num_parts: int = 64):
         lambda t: t.filter(pc.less(t["v"], t["w"])),
         batch_format="pyarrow",
     )
-    partials = arrow_blocks(
+    partials = (
         wedges.union(edge_rows)
         .map_batches(
             add_kpart, fn_kwargs={"num_parts": num_parts, "cols": ("v", "w")},
             batch_format="pyarrow",
         )
         .groupby("kpart")
-        .map_groups(triangle_close_partition, batch_format="pandas")
+        .map_groups(triangle_close_partition, batch_format="pyarrow")
     )
     return int(partials.sum("n_triangles") or 0)
