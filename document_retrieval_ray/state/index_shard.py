@@ -775,12 +775,37 @@ def score_bm25_maxscore(idx: LangIndex, tokens, cfg: BM25Config, k: int = 10,
     if not rare:
         return score_bm25_taat(idx, tokens, cfg), None
 
-    scores = np.zeros(idx.n_docs, dtype=np.float64)
+    # Phase 1 over RARE terms, two strategies by size:
+    # - DENSE scatter (zero an n_docs array, scatter, scan) — cheapest
+    #   when the doc space is small or the rare postings cover much of
+    #   it (the scan amortizes);
+    # - SPARSE unique+bincount over the concatenated rare postings —
+    #   at a 2M-doc shard the dense path's 16 MB zero+scan PER QUERY
+    #   made serving memory-bandwidth-bound, while Σ df(rare) is ~10^5.
+    # The crossover is the O(R log R) sort vs the O(n_docs) dense scan.
+    ids_parts, contrib_parts = [], []
+    R = 0
     for term, w in rare:
         doc_ids = idx.postings(term)[0]
         idf = idx.idf(term, cfg.idf)
-        scores[doc_ids] += (w * idf) * idx.term_contrib(term, cfg)
-    cand = np.nonzero(scores > 0)[0]
+        ids_parts.append(doc_ids.astype(np.int64, copy=False))
+        contrib_parts.append((w * idf) * idx.term_contrib(term, cfg))
+        R += len(doc_ids)
+    if idx.n_docs <= (1 << 19) or R >= idx.n_docs // 8:
+        scores = np.zeros(idx.n_docs, dtype=np.float64)
+        for doc_ids, con in zip(ids_parts, contrib_parts):
+            scores[doc_ids] += con
+        cand = np.nonzero(scores > 0)[0]
+        cscores = scores[cand]
+    else:
+        all_ids = np.concatenate(ids_parts)
+        cand, inv = np.unique(all_ids, return_inverse=True)
+        cscores = np.bincount(
+            inv, weights=np.concatenate(contrib_parts), minlength=cand.size
+        )
+        pos_mask = cscores > 0
+        cand = cand[pos_mask]
+        cscores = cscores[pos_mask]
 
     hot_ub = 0.0
     for term, w in hot:
@@ -801,15 +826,16 @@ def score_bm25_maxscore(idx: LangIndex, tokens, cfg: BM25Config, k: int = 10,
         pos = np.searchsorted(doc_ids, cand.astype(doc_ids.dtype, copy=False))
         pos = np.clip(pos, 0, len(doc_ids) - 1)
         match = doc_ids[pos] == cand
-        ci = cand[match]
         # gather from the (shared) per-posting contribution array —
         # elementwise, so gathering equals computing on gathered operands
-        scores[ci] += (w * idf) * idx.term_contrib(term, cfg)[pos[match]]
+        cscores[match] += (w * idf) * idx.term_contrib(term, cfg)[pos[match]]
 
     if hot:
-        cs = scores[cand]
-        k_eff = min(k, cs.size)
-        kth = np.partition(cs, cs.size - k_eff)[cs.size - k_eff] if cs.size else 0.0
+        k_eff = min(k, cscores.size)
+        kth = (
+            np.partition(cscores, cscores.size - k_eff)[cscores.size - k_eff]
+            if cscores.size else 0.0
+        )
         scale = 10.0 ** round_dp if round_dp is not None else None
         if scale is not None:
             safe = np.floor(hot_ub * scale + 0.5) < np.floor(kth * scale + 0.5)
@@ -817,9 +843,9 @@ def score_bm25_maxscore(idx: LangIndex, tokens, cfg: BM25Config, k: int = 10,
             safe = hot_ub < kth
         # candidates must fill the whole top-k, else outside docs would
         # occupy the remaining ranks
-        if not (cs.size >= k and safe):
+        if not (cscores.size >= k and safe):
             return score_bm25_taat(idx, tokens, cfg), None  # exact fallback
-    return scores[cand], cand
+    return cscores, cand
 
 
 class _RevStr:
