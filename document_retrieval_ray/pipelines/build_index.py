@@ -163,7 +163,7 @@ def _read_stats(d: dict, todo) -> dict:
     return stats
 
 
-def _df_hot_stats(d: dict, todo, cfg):
+def _df_hot_stats(d: dict, todo, cfg, want_acc: bool = True):
     """A2 (document frequency) WITHOUT consuming the posting stream: fold
     the per-(lang, part) df partials AssignDocIds side-wrote — each file is
     one partition's vocabulary (Heaps-law-sized, orders of magnitude
@@ -173,30 +173,55 @@ def _df_hot_stats(d: dict, todo, cfg):
     Returns ``(df_acc | None, hot, term_stats)``; ``df_acc`` is None when
     the merged vocabulary exceeds the driver guard and the fold fell back
     to a DISTRIBUTED groupby — still over the partial files, never the
-    stream. Guard override: env ``DRR_DF_MAX_TERMS`` (tests)."""
-    import pandas as pd
+    stream. Guard override: env ``DRR_DF_MAX_TERMS`` (tests).
+
+    ``want_acc=False`` (the segments flow, which never dictionary-encodes
+    the shuffle) skips building the python ``df_acc`` dict — at a
+    bigram-heavy multi-million-term vocabulary the dict build alone is
+    seconds of serial driver time.
+
+    The fold itself is a pyarrow concat + group-sum (C speed): the
+    previous per-row Counter fold cost ~29 s of SERIAL driver time on a
+    2M-doc reference-tokenizer build — a fixed cost that depressed the
+    N-vs-4N scaling ratio at every cluster size."""
     import pyarrow.parquet as _pq
-    from collections import Counter as _C
 
     max_terms = int(os.environ.get("DRR_DF_MAX_TERMS", DRIVER_DF_MAX_TERMS))
     overflow = False
-    df_counter: _C = _C()
+    tables = []
+    total_rows = 0
     for lang in todo:
         pdir = os.path.join(d["df_partials"], f"lang={lang}")
         for p in sorted(glob.glob(os.path.join(pdir, "*.parquet"))):
             t = _pq.read_table(p)
-            terms = t["term"].to_pylist()
-            ns = t["n"].to_pylist()
-            # per-file terms are unique → dict build is lossless; Counter
-            # update sums across parts/langs
-            df_counter.update(dict(zip(((lang, s) for s in terms), ns)))
-            if len(df_counter) > max_terms:
+            tables.append(t.append_column(
+                "lang", pa.array([lang] * t.num_rows, pa.string())
+            ))
+            total_rows += t.num_rows
+            # conservative early exit: partial rows bound the merged key
+            # count from above, so 8× the guard certainly overflows
+            if total_rows > 8 * max_terms:
                 overflow = True
                 break
         if overflow:
             break
+    merged_tbl = None
+    if not overflow:
+        if tables:
+            merged_tbl = (
+                pa.concat_tables(tables)
+                .group_by(["lang", "term"])
+                .aggregate([("n", "sum")])
+            )
+            overflow = merged_tbl.num_rows > max_terms
+        else:
+            merged_tbl = pa.table({
+                "lang": pa.array([], pa.string()),
+                "term": pa.array([], pa.string()),
+                "n_sum": pa.array([], pa.int64()),
+            })
     if overflow:
-        del df_counter
+        del tables, merged_tbl
         per_lang = []
         for lang in todo:
             pdir = os.path.join(d["df_partials"], f"lang={lang}")
@@ -235,31 +260,33 @@ def _df_hot_stats(d: dict, todo, cfg):
         }
         return None, hot, term_stats
 
-    df_acc = {k: int(v) for k, v in df_counter.items()}
-    df_tbl = pd.DataFrame(
-        {
-            "lang": [k[0] for k in df_acc],
-            "term": [k[1] for k in df_acc],
-            "df": list(df_acc.values()),
-        }
+    merged_tbl = merged_tbl.rename_columns(["lang", "term", "df"])
+    merged_tbl = merged_tbl.set_column(
+        2, "df", pc.cast(merged_tbl["df"], pa.int64())
     )
-    for lang, g in df_tbl.groupby("lang"):
+    langs_present = pc.unique(merged_tbl["lang"]).to_pylist()
+    term_stats = {}
+    for lang in langs_present:
+        g = merged_tbl.filter(pc.equal(merged_tbl["lang"], pa.scalar(lang)))
+        g = g.select(["term", "df"])
+        g = g.take(pc.sort_indices(g, sort_keys=[("term", "ascending")]))
         out_dir = os.path.join(d["df"], f"lang={lang}")
         os.makedirs(out_dir, exist_ok=True)
-        _pq.write_table(
-            from_pandas_clean(
-                g[["term", "df"]].sort_values("term"), preserve_index=False
-            ),
-            os.path.join(out_dir, "part-00000.parquet"),
-        )
-    hot = [(l, t) for (l, t), n in df_acc.items() if n > cfg.hot_term_threshold]
-    term_stats = {
-        lang: {
-            "n_terms": int(len(g)),
-            "n_postings": int(g["df"].sum()),
+        _pq.write_table(g, os.path.join(out_dir, "part-00000.parquet"))
+        term_stats[lang] = {
+            "n_terms": g.num_rows,
+            "n_postings": int(pc.sum(g["df"]).as_py() or 0),
         }
-        for lang, g in df_tbl.groupby("lang")
-    }
+    hot_tbl = merged_tbl.filter(
+        pc.greater(merged_tbl["df"], pa.scalar(cfg.hot_term_threshold))
+    )
+    hot = list(zip(hot_tbl["lang"].to_pylist(), hot_tbl["term"].to_pylist()))
+    if not want_acc:
+        return {}, hot, term_stats
+    df_acc = dict(zip(
+        zip(merged_tbl["lang"].to_pylist(), merged_tbl["term"].to_pylist()),
+        merged_tbl["df"].to_pylist(),
+    ))
     return df_acc, hot, term_stats
 
 
@@ -579,7 +606,10 @@ def build_index(
         # side-written artifacts exist only now (the single execution just
         # finished): fold sidecars + df partials → stats, df/, manifests
         stats = _read_stats(d, todo)
-        df_acc, hot, term_stats = _df_hot_stats(d, todo, cfg)
+        # want_acc=False: the segments flow never dictionary-encodes the
+        # shuffle, so the (lang, term)->df python dict is never read
+        df_acc, hot, term_stats = _df_hot_stats(d, todo, cfg,
+                                                want_acc=False)
         _mark("df_hot_stats")
         for lang in todo:
             s = stats.get(lang, {})
