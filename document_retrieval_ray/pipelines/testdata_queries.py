@@ -1058,6 +1058,141 @@ def q_neardup_components(sf_dir: str):
     return label_prop_components(q_minhash_pairs(sf_dir))
 
 
+def _canon_attach_partition(t: pa.Table) -> pa.Table:
+    """doc_id-hash cogroup of component rows (kind 0: doc_id, rep) ∪ doc
+    rows (kind 1: doc_id, n_chars) → (doc_id, rep, n_chars) with
+    rep = -1 for docs in NO near-dup cluster (they become their own
+    canonical downstream). The doc side is unique per id, so the join is
+    one sorted searchsorted."""
+    if "kpart" in t.column_names:
+        t = t.drop_columns(["kpart"])
+    kind = t["kind"].to_numpy(zero_copy_only=False)
+    ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    rep = t["rep"].to_numpy(zero_copy_only=False).astype(np.int64)
+    nch = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+    is_doc = kind == 1
+    d_ids, d_nch = ids[is_doc], nch[is_doc]
+    c_ids, c_rep = ids[~is_doc], rep[~is_doc]
+    order = np.argsort(d_ids, kind="stable")
+    ds_, dn_ = d_ids[order], d_nch[order]
+    out_ids, out_rep, out_nch = [ds_], [np.full(ds_.size, -1, np.int64)], [dn_]
+    if c_ids.size:
+        pos = np.minimum(np.searchsorted(ds_, c_ids), max(ds_.size - 1, 0))
+        ok = ds_[pos] == c_ids if ds_.size else np.zeros(c_ids.size, bool)
+        out_ids.append(c_ids[ok])
+        out_rep.append(c_rep[ok])
+        out_nch.append(dn_[pos[ok]])
+        # a doc that IS a cluster member must not also emit a self row
+        member = np.zeros(ds_.size, dtype=bool)
+        member[pos[ok]] = True
+        out_ids[0], out_rep[0], out_nch[0] = (
+            ds_[~member], np.full(int((~member).sum()), -1, np.int64),
+            dn_[~member],
+        )
+    return pa.table({
+        "doc_id": pa.array(np.concatenate(out_ids), pa.int64()),
+        "rep": pa.array(np.concatenate(out_rep), pa.int64()),
+        "n_chars": pa.array(np.concatenate(out_nch), pa.int64()),
+    })
+
+
+def _canon_pick_partition(t: pa.Table) -> pa.Table:
+    """ckey-hash partition (ckey = rep for members, own doc_id for
+    singletons — reps are always member ids, so the key spaces never
+    collide): per cluster pick the canonical on (n_chars desc, doc_id
+    asc) and emit every member's (doc_id, canonical_id, kept)."""
+    if "kpart" in t.column_names:
+        t = t.drop_columns(["kpart"])
+    ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    rep = t["rep"].to_numpy(zero_copy_only=False).astype(np.int64)
+    nch = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+    is_self = rep < 0
+    out_ids = [ids[is_self]]
+    out_canon = [ids[is_self]]
+    m_ids, m_rep, m_nch = ids[~is_self], rep[~is_self], nch[~is_self]
+    if m_ids.size:
+        order = np.lexsort((m_ids, -m_nch, m_rep))
+        m_ids, m_rep = m_ids[order], m_rep[order]
+        first = np.ones(m_ids.size, dtype=bool)
+        first[1:] = m_rep[1:] != m_rep[:-1]
+        starts = np.flatnonzero(first)
+        canon = m_ids[starts][np.cumsum(first) - 1]
+        out_ids.append(m_ids)
+        out_canon.append(canon)
+    all_ids = np.concatenate(out_ids)
+    all_canon = np.concatenate(out_canon)
+    return pa.table({
+        "doc_id": pa.array(all_ids, pa.int64()),
+        "canonical_id": pa.array(all_canon, pa.int64()),
+        "kept": pa.array((all_ids == all_canon).astype(np.int64), pa.int64()),
+    })
+
+
+def q_dedup_canonical(sf_dir: str):
+    """Canonical-copy selection over the near-dup clusters — what a
+    production crawl dedup actually SHIPS: every document maps to its
+    cluster's best member (n_chars desc, doc_id asc tie-break; 'keep
+    the longest capture'), docs in no cluster keep themselves. Composes
+    the minhash pair graph + min-label components with two data-minimal
+    exchanges: a doc_id cogroup attaches n_chars to the (cluster-sized)
+    component rows and marks non-members, then ONE cluster-key exchange
+    picks winners and emits every member's verdict (singletons key by
+    their own id — reps are member ids, so the spaces never collide and
+    no hot key forms).
+
+    Scale plan: exchange 1 moves (doc_id, n_chars) pairs + the pair-graph
+    membership rows; exchange 2 moves 3-int rows keyed by cluster (or
+    self) — nothing corpus-wide is broadcast, collected, or sorted."""
+    comp = q_neardup_components(sf_dir)
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "n_chars"])
+
+    def comp_rows(t: pa.Table) -> pa.Table:
+        z = np.zeros(t.num_rows, np.int64)
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "rep": pc.cast(t["rep"], pa.int64()),
+            "n_chars": pa.array(z, pa.int64()),
+            "kind": pa.array(z, pa.int64()),
+        })
+
+    def doc_rows(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "rep": pa.array(np.full(t.num_rows, -1, np.int64), pa.int64()),
+            "n_chars": pc.cast(t["n_chars"], pa.int64()),
+            "kind": pa.array(np.ones(t.num_rows, np.int64), pa.int64()),
+        })
+
+    unioned = comp.map_batches(comp_rows, batch_format="pyarrow").union(
+        docs.map_batches(doc_rows, batch_format="pyarrow")
+    )
+    attached = (
+        unioned.map_batches(
+            add_kpart, fn_kwargs={"num_parts": 32, "cols": ("doc_id",)},
+            batch_format="pyarrow",
+        )
+        .groupby("kpart")
+        .map_groups(_canon_attach_partition, batch_format="pyarrow")
+    )
+
+    def add_ckey(t: pa.Table) -> pa.Table:
+        rep = t["rep"].to_numpy(zero_copy_only=False)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        ck = np.where(rep < 0, ids, rep)
+        return t.append_column("ckey", pa.array(ck, pa.int64()))
+
+    return (
+        attached.map_batches(add_ckey, batch_format="pyarrow")
+        .map_batches(
+            add_kpart, fn_kwargs={"num_parts": 32, "cols": ("ckey",)},
+            batch_format="pyarrow",
+        )
+        .groupby("kpart")
+        .map_groups(_canon_pick_partition, batch_format="pyarrow")
+    )
+
+
 PAGERANK_ITERS = 5
 PAGERANK_TOPN = 20
 
@@ -9074,6 +9209,7 @@ QUERIES = {
     "ngram_jaccard": q_ngram_jaccard,
     "containment": q_containment,
     "neardup_components": q_neardup_components,
+    "dedup_canonical": q_dedup_canonical,
     "pagerank": q_pagerank,
     "degree_dist": q_degree_dist,
     "triangles": q_triangles,
@@ -10373,6 +10509,33 @@ walk(n, lbl) AS (
   SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.n
 )
 SELECT n AS doc_id, min(lbl) AS rep FROM walk GROUP BY n
+""",
+    "dedup_canonical": f"""
+WITH RECURSIVE
+pairs AS (SELECT a, b FROM ({_MINHASH_SQL}) mh),
+edges AS (SELECT a AS src, b AS dst FROM pairs
+          UNION ALL SELECT b, a FROM pairs),
+nodes AS (SELECT DISTINCT src AS n FROM edges),
+walk(n, lbl) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.n
+),
+comp AS (SELECT n AS doc_id, min(lbl) AS rep FROM walk GROUP BY n),
+members AS (SELECT c.doc_id AS doc_id, c.rep AS rep, d.n_chars AS n_chars
+            FROM comp c JOIN documents d ON d.doc_id = c.doc_id),
+winners AS (SELECT rep, doc_id AS canonical_id FROM (
+  SELECT rep, doc_id,
+         row_number() OVER (PARTITION BY rep
+                            ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM members
+) WHERE rn = 1)
+SELECT m.doc_id AS doc_id, w.canonical_id AS canonical_id,
+       CAST(m.doc_id = w.canonical_id AS BIGINT) AS kept
+FROM members m JOIN winners w ON w.rep = m.rep
+UNION ALL
+SELECT d.doc_id, d.doc_id, CAST(1 AS BIGINT) AS kept
+FROM documents d WHERE d.doc_id NOT IN (SELECT doc_id FROM comp)
 """,
     "pagerank": _pagerank_sql(),
     "degree_dist": f"""

@@ -200,3 +200,33 @@ def test_cursor_half_specified_raises(ray_session):
             cfg=BM25Config(k1=1.5, b=0.75, idf="lucene",
                            compat="reference", k=10),
         ).to_pandas()
+
+
+def test_dedup_canonical_picks_longest(ray_session, tmp_path):
+    """A near-dup cluster's canonical is the LONGEST member (n_chars
+    desc, doc_id asc) — not the min id — and docs outside any cluster
+    keep themselves."""
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 30
+    rows = [
+        # cluster: docs 0,1,2 near-identical; doc 2 is the longest
+        (0, base, "en", "srcA", len(base)),
+        (1, base + "tail", "en", "srcA", len(base) + 4),
+        (2, base + "tail two", "en", "srcA", len(base) + 8),
+        # singleton
+        (3, "completely different text about other things entirely "
+            "with no overlap at all in any shingle window here", "en",
+         "srcB", 104),
+    ]
+    df = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).astype({"doc_id": "int64", "n_chars": "int64"})
+    df.to_parquet(tmp_path / "documents.parquet", index=False)
+    got = _run("dedup_canonical", str(tmp_path), ["documents"])
+    m = {int(r.doc_id): (int(r.canonical_id), int(r.kept))
+         for r in got.itertuples()}
+    assert m[3] == (3, 1)                       # singleton keeps itself
+    cluster_ids = {d for d in (0, 1, 2) if d in m}
+    assert len(cluster_ids) == 3
+    canon = {m[d][0] for d in cluster_ids}
+    assert canon == {2}, m                      # longest member wins
+    assert m[2] == (2, 1) and m[0][1] == 0 and m[1][1] == 0
