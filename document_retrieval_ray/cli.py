@@ -92,6 +92,21 @@ def main(argv=None) -> int:
     q.add_argument("--b", type=float, default=0.75)
     q.add_argument("--submission", action="store_true",
                    help="also write (query_id, docids) submission CSV shape")
+    q.add_argument("--pool", default="actor", choices=["actor", "task"],
+                   help="scorer execution: actor pool (disk-loaded shards)"
+                        " or warm-worker task pool (loads shards once into"
+                        " the object store and serves zero-copy — no actor"
+                        " ramp)")
+    q.add_argument("--term-buckets", default=None,
+                   help="serve through a (lang, term-range) bucket group"
+                        " built by the term-buckets command")
+
+    tb = sub.add_parser("term-buckets", parents=[common],
+                        help="split an index's postings into volume-"
+                             "balanced term-range bucket shards")
+    tb.add_argument("--index", required=True)
+    tb.add_argument("--out", required=True, help="bucket layout directory")
+    tb.add_argument("--num-buckets", type=int, default=4)
 
     a = sub.add_parser("append", parents=[common],
                        help="append a crawl delta as a new index generation")
@@ -232,6 +247,18 @@ def main(argv=None) -> int:
                           for l, m in manifests.items()}, sort_keys=True))
         return 0
 
+    if args.cmd == "term-buckets":
+        from .pipelines.term_sharded import build_term_buckets
+
+        table = build_term_buckets(args.index, args.out,
+                                   num_buckets=args.num_buckets)
+        print(json.dumps({
+            "buckets": table["num_buckets"],
+            "cuts": {l: len(v) for l, v in table["cuts"].items()},
+            "out": args.out,
+        }, sort_keys=True))
+        return 0
+
     queries = ray.data.read_parquet(args.queries)
     if args.cmd == "query":
         from .pipelines.incremental import bm25_search_incremental, read_generations
@@ -241,14 +268,38 @@ def main(argv=None) -> int:
         cfg = BM25Config(k1=k1, b=args.b, compat=args.compat, k=args.k)
         # tokenize queries the way the index was BUILT (recorded in its
         # manifests) — a mismatch silently misses the vocabulary
-        if read_generations(args.index)["generations"]:
+        if args.term_buckets:
+            from .pipelines.term_sharded import bm25_search_term_sharded
+
+            res = bm25_search_term_sharded(
+                queries, args.index, args.term_buckets, cfg=cfg,
+                tokenizer=_index_tokenizer(args.index),
+            )
+        elif read_generations(args.index)["generations"]:
             # a generational index serves through the sharded scorer
             # (method selection is per-shard TAAT there)
             res = bm25_search_incremental(queries, args.index, cfg=cfg,
                                           tokenizer=_index_tokenizer(args.index))
         else:
+            shared_refs = None
+            if args.pool == "task":
+                # the serving-deployment shape: shards load ONCE into the
+                # object store; every warm worker maps them zero-copy
+                import os as _os
+
+                import ray as _ray
+
+                from .state.index_shard import build_shared_payload
+
+                _load = _ray.remote(num_cpus=1)(build_shared_payload)
+                mdir = _os.path.join(args.index, "manifests")
+                shared_refs = {
+                    lang: _load.remote(args.index, lang, contrib_cfg=cfg)
+                    for lang in sorted(_os.listdir(mdir))
+                }
             res = bm25_search(queries, args.index, cfg=cfg, method=args.method,
-                              tokenizer=_index_tokenizer(args.index))
+                              tokenizer=_index_tokenizer(args.index),
+                              shared_refs=shared_refs, pool=args.pool)
         res.write_parquet(args.out)
         if args.submission:
             to_submission(

@@ -155,3 +155,42 @@ def test_cli_delete_then_query_and_stats(tiny_corpus, tmp_path, capsys):
         v["n_docs"] for v in st2["partitions"].values() if "n_docs" in v
     )
     assert n_after == n_before - 4
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cli_term_buckets_and_task_pool(tiny_corpus, tmp_path, capsys):
+    """term-buckets builds a bucket layout; query --term-buckets and
+    query --pool task both return the same rows as the plain path."""
+    import pyarrow.parquet as pq
+
+    from document_retrieval_ray.cli import main
+
+    index_dir = str(tmp_path / "tb_index")
+    assert main(["build", "--input", tiny_corpus["documents"],
+                 "--index", index_dir, "--no-cosine-norms"]) == 0
+    capsys.readouterr()
+
+    def run_query(extra, out):
+        assert main(["query", "--index", index_dir, "--queries",
+                     tiny_corpus["queries"], "--out", out] + extra) == 0
+        capsys.readouterr()
+        return (
+            pq.read_table(out).to_pandas()
+            .sort_values(["query_id", "rank"]).reset_index(drop=True)
+        )
+
+    plain = run_query([], str(tmp_path / "r_plain"))
+
+    bdir = str(tmp_path / "tb_buckets")
+    assert main(["term-buckets", "--index", index_dir, "--out", bdir,
+                 "--num-buckets", "3"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["buckets"] == 3
+
+    sharded = run_query(["--term-buckets", bdir], str(tmp_path / "r_tb"))
+    task = run_query(["--pool", "task"], str(tmp_path / "r_task"))
+    for got in (sharded, task):
+        pd.testing.assert_frame_equal(
+            got[["query_id", "rank", "url", "score_x"]],
+            plain[["query_id", "rank", "url", "score_x"]],
+        )
