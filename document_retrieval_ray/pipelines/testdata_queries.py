@@ -2253,6 +2253,80 @@ def q_sentences(sf_dir: str):
     return _docs(sf_dir).map_batches(split, batch_format="pyarrow")
 
 
+def q_readability(sf_dir: str):
+    """Integer readability grade per doc — the Flesch-Kincaid-shaped
+    corpus-quality signal (reading-grade filters are a standard
+    training-data gate), made exactly reproducible: words = the simple-
+    tokenizer token count, sentences = non-empty '.'-split parts (the
+    M6 splitter), syllables ≈ vowel runs ``[aeiou]+`` in the normalized
+    text (the classic approximation), and the grade is the all-integer
+    fixed point ``rd_x = (39000·words)//sents + (118000·syll)//words −
+    155900`` (FK's 0.39/11.8/15.59 ×10^4, floor divisions — no float
+    anywhere, so the SQL mirror is bit-exact). Docs with zero words or
+    sentences are dropped. Zero shuffle: one vectorized Arrow pass
+    (regex match counts + the shared sentence-split kernel)."""
+    docs = _docs(sf_dir)
+
+    def score(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(pc.cast(t["text"], pa.string()), "")
+        norm = pc.replace_substring_regex(
+            pc.utf8_lower(txt), "[^a-z0-9]+", " "
+        )
+        w = pc.count_substring_regex(norm, "[a-z0-9]+").to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        sy = pc.count_substring_regex(norm, "[aeiou]+").to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        sel, _sidx, _sents = _vector_split_sentences(t)
+        ns = np.bincount(
+            np.asarray(sel, dtype=np.int64), minlength=t.num_rows
+        ).astype(np.int64)
+        keep = (w > 0) & (ns > 0)
+        rd = (
+            (39000 * w[keep]) // ns[keep]
+            + (118000 * sy[keep]) // w[keep]
+            - 155900
+        )
+        ids = pc.cast(t["doc_id"], pa.int64()).take(
+            pa.array(np.flatnonzero(keep))
+        )
+        return pa.table({
+            "doc_id": ids,
+            "n_words": pa.array(w[keep], pa.int64()),
+            "n_sents": pa.array(ns[keep], pa.int64()),
+            "n_syll": pa.array(sy[keep], pa.int64()),
+            "rd_x": pa.array(rd, pa.int64()),
+        })
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
+_READABILITY_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(coalesce(text, '')), '[^a-z0-9]+', ' ',
+                             'g')) AS norm,
+         len(list_filter(string_split(coalesce(text, ''), '.'),
+                         x -> trim(x) <> '')) AS n_sents
+  FROM documents
+),
+cnt AS (
+  SELECT doc_id,
+         len(regexp_extract_all(norm, '[a-z0-9]+')) AS n_words,
+         len(regexp_extract_all(norm, '[aeiou]+')) AS n_syll,
+         n_sents
+  FROM base
+)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_sents AS BIGINT) AS n_sents,
+       CAST(n_syll AS BIGINT) AS n_syll,
+       CAST((39000 * n_words) // n_sents
+            + (118000 * n_syll) // n_words - 155900 AS BIGINT) AS rd_x
+FROM cnt WHERE n_words > 0 AND n_sents > 0
+"""
+
+
 # sentence key = doc_id * SENT_FACTOR + sent_idx: zero-padded as url it
 # sorts numerically, so sentence tie-breaks = (doc_id, sent_idx) order
 SENT_FACTOR = 100_000
@@ -9249,6 +9323,7 @@ QUERIES = {
     "submission_wide": q_submission_wide,
     "web_normalize": q_web_normalize,
     "sentences": q_sentences,
+    "readability": q_readability,
     "sentence_bm25": q_sentence_bm25,
     "train_test_split": q_train_test_split,
     "eval_metrics": q_eval_metrics,
@@ -10658,6 +10733,7 @@ FROM events GROUP BY event_type
         + " FROM (" + _bm25_sql(1.5, 0.75, True, True) + ") GROUP BY query_id"
     ),
     "web_normalize": _webnorm_sql(),
+    "readability": _READABILITY_SQL,
     "sentences": """
 WITH s AS (SELECT doc_id, string_split(text, '.') AS parts FROM documents),
 u AS (SELECT doc_id, unnest(parts) AS sent,
