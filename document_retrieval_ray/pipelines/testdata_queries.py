@@ -3755,6 +3755,68 @@ def q_sample_stratified(sf_dir: str):
     return _docs(sf_dir).map_batches(pick, batch_format="pyarrow")
 
 
+def q_source_stats(sf_dir: str):
+    """Per-source corpus composition report — the dashboard a crawl
+    curation loop watches (docs, bytes, mean length, corpus share per
+    domain/source): n_docs, total_chars, mean chars fx4
+    (floor(10^4·total/n)), and the corpus share in basis points fx4
+    (floor(10^8·n_source/n_total)) — all exact integers.
+
+    Scale plan: per-batch (source, n, chars) partials combine before ONE
+    source-keyed groupby; the total-doc scalar comes from summing the
+    same tiny aggregate (driver-side, |sources| rows) — no second corpus
+    pass, nothing broadcast."""
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                              columns=["source", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        pdf = pd.DataFrame({
+            "source": np.asarray(t["source"].to_pandas(), dtype=object),
+            "n_chars": t["n_chars"].to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+        })
+        g = (
+            pdf.groupby("source", sort=False)["n_chars"]
+            .agg(["size", "sum"]).reset_index()
+            .rename(columns={"size": "n_docs", "sum": "total_chars"})
+        )
+        return from_pandas_clean(g)
+
+    agg = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            ray.data.aggregate.Sum("n_docs", alias_name="n_docs"),
+            ray.data.aggregate.Sum("total_chars", alias_name="total_chars"),
+        )
+        .to_pandas()  # |sources| rows — bounded by the domain universe
+    )
+    n_total = int(agg["n_docs"].sum())
+    n = agg["n_docs"].to_numpy(np.int64)
+    tc = agg["total_chars"].to_numpy(np.int64)
+    return pd.DataFrame({
+        "source": agg["source"],
+        "n_docs": n,
+        "total_chars": tc,
+        "mean_chars_x": (10_000 * tc) // n,
+        "share_x": (100_000_000 * n) // n_total,
+    })
+
+
+_SOURCE_STATS_SQL = """
+WITH s AS (
+  SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars
+  FROM documents GROUP BY source
+),
+t AS (SELECT sum(n_docs) AS n_total FROM s)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(total_chars AS BIGINT) AS total_chars,
+       CAST((10000 * total_chars) // n_docs AS BIGINT) AS mean_chars_x,
+       CAST((100000000 * n_docs) // t.n_total AS BIGINT) AS share_x
+FROM s, t
+"""
+
+
 def q_source_cap(sf_dir: str):
     """Per-source quota enforcement (the per-domain cap of a web corpus):
     keep the SOURCE_CAP_K lowest-doc_id docs of every source. One
@@ -9347,6 +9409,7 @@ QUERIES = {
     "sample_stratified": q_sample_stratified,
     "quality_sample": q_quality_sample,
     "source_cap": q_source_cap,
+    "source_stats": q_source_stats,
     "rep_quality": q_rep_quality,
     "dup_spans": q_dup_spans,
     "dup_span_docs": q_dup_span_docs,
@@ -10492,6 +10555,7 @@ SELECT doc_id, lang FROM documents
 WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
       CASE lang {_STRAT_CASE} ELSE '00' END
 """,
+    "source_stats": _SOURCE_STATS_SQL,
     "source_cap": f"""
 SELECT doc_id, source, src_rank FROM (
   SELECT doc_id, source,
