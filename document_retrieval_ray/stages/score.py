@@ -313,12 +313,31 @@ def scorer_task(batch, *, key, cls, kwargs):
     """Task-pool adapter: build-or-reuse the scorer stage keyed by the
     driver-chosen ``key`` (stable across one serving call), then score
     the batch. See ``_PROC_STAGES`` for the cache contract."""
+    import os as _os
+    import time as _time
+
+    trace = _os.environ.get("GRAFT_SCORE_TRACE") == "1"
+    t0 = _time.perf_counter() if trace else 0.0
     stage = _PROC_STAGES.get(key)
+    built = stage is None
     if stage is None:
         if len(_PROC_STAGES) >= _PROC_STAGES_CAP:
             _PROC_STAGES.pop(next(iter(_PROC_STAGES)))
         stage = _PROC_STAGES[key] = cls(**kwargs)
-    return stage(batch)
+    if not trace:
+        return stage(batch)
+    t1 = _time.perf_counter()
+    out = stage(batch)
+    t2 = _time.perf_counter()
+    import sys as _sys
+
+    print(
+        f"SCORETRACE pid={_os.getpid()} built={int(built)} "
+        f"build_ms={(t1 - t0) * 1e3:.1f} score_ms={(t2 - t1) * 1e3:.1f} "
+        f"rows={batch.num_rows} t_end={t2:.3f}",
+        file=_sys.stderr, flush=True,
+    )
+    return out
 
 
 class LMScorerStage:

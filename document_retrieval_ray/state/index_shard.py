@@ -58,7 +58,8 @@ IDF_LAWS = {
 
 def build_shared_payload(index_dir: str, lang: str, block_size: int = None,
                          hot_decode_df: int = 50_000,
-                         contrib_cfg: "BM25Config" = None) -> dict:
+                         contrib_cfg: "BM25Config" = None,
+                         dense_df_frac: int = 8) -> dict:
     """Load one language shard into FLAT numpy buffers suitable for
     zero-copy sharing via ``ray.put``: every scorer actor then maps the
     same plasma memory instead of re-reading and re-materializing the
@@ -80,6 +81,20 @@ def build_shared_payload(index_dir: str, lang: str, block_size: int = None,
     re-deriving the formula (≈5× the traffic) per query per actor. The
     key (k1, b, compat) is stored; scorers fall back to on-the-fly
     computation for any other cfg.
+
+    ``dense_df_frac``: ultra-hot terms — df >= max(hot_decode_df,
+    n_docs // dense_df_frac) — additionally get a DENSE float32
+    contribution array over the whole doc space (contrib at the doc's
+    slot, 0 elsewhere). Scoring such a term is then one sequential
+    SIMD multiply-add over 4 bytes/doc instead of a gather+scatter over
+    16 bytes/posting (int64 doc_id + float64 contrib): at web-scale
+    shards the Zipf head's posting lists have df ≈ n_docs and the
+    sparse representation costs ~4× the memory traffic of the dense one
+    while defeating the streaming prefetcher. These arrays back
+    :func:`score_bm25_dense_est` (estimate + exact float64 rescore —
+    results stay bit-identical to TAAT). 0 disables. Memory: one
+    float32 × n_docs per dense term, bounded by the df threshold to
+    ~dense_df_frac arrays' worth of postings.
 
     Layout: per-term variable-length data (postings bytes, block metadata
     lists) concatenated into one buffer + an int64 offsets array."""
@@ -168,6 +183,12 @@ def build_shared_payload(index_dir: str, lang: str, block_size: int = None,
     hot_off = np.zeros(len(hot_rows) + 1, dtype=np.int64)
     dl_f64 = dm["dl"].to_numpy(zero_copy_only=False)[order].astype(np.float64)
     avgdl = m["avgdl"]
+    n_docs_m = int(m["n_docs"])
+    dense_thr = (
+        max(hot_decode_df or 1, n_docs_m // dense_df_frac)
+        if contrib_cfg is not None and dense_df_frac and n_docs_m
+        else None
+    )
 
     def _decode_one(i: int):
         dpc, tpc = decode_blocked_postings(
@@ -186,7 +207,11 @@ def build_shared_payload(index_dir: str, lang: str, block_size: int = None,
             if contrib_cfg is not None and avgdl > 0
             else None
         )
-        return dpc, tpc, con
+        dense = None
+        if dense_thr is not None and con is not None and int(df_arr[i]) >= dense_thr:
+            dense = np.zeros(n_docs_m, np.float32)
+            dense[dpc] = con  # round-to-nearest f64→f32 (error ≤ ulp·|c|)
+        return dpc, tpc, con, dense
 
     if len(hot_rows):
         # numpy decode releases the GIL enough for thread parallelism
@@ -194,12 +219,32 @@ def build_shared_payload(index_dir: str, lang: str, block_size: int = None,
 
         with ThreadPoolExecutor(max_workers=8) as ex:
             decoded = list(ex.map(_decode_one, hot_rows))
-        hot_docs_parts = [d for d, _, _ in decoded]
-        hot_tfs_parts = [t for _, t, _ in decoded]
-        hot_con_parts = [c for _, _, c in decoded]
+        hot_docs_parts = [d for d, _, _, _ in decoded]
+        hot_tfs_parts = [t for _, t, _, _ in decoded]
+        hot_con_parts = [c for _, _, c, _ in decoded]
         np.cumsum([len(d) for d in hot_docs_parts], out=hot_off[1:])
+        dense_rows = np.array(
+            [int(r) for r, (_, _, _, dn) in zip(hot_rows, decoded) if dn is not None],
+            dtype=np.int64,
+        )
+        dense_buf = (
+            np.stack([dn for _, _, _, dn in decoded if dn is not None])
+            if len(dense_rows)
+            else np.empty((0, n_docs_m), np.float32)
+        )
+        dense_cmax = np.array(
+            [
+                float(c.max()) if c.size else 0.0
+                for _, _, c, dn in decoded
+                if dn is not None
+            ],
+            dtype=np.float64,
+        )
     else:
         hot_docs_parts, hot_tfs_parts, hot_con_parts = [], [], []
+        dense_rows = np.empty(0, np.int64)
+        dense_buf = np.empty((0, n_docs_m), np.float32)
+        dense_cmax = np.empty(0, np.float64)
     hot_docs = (
         np.concatenate(hot_docs_parts) if hot_docs_parts else np.empty(0, np.int64)
     )
@@ -228,6 +273,8 @@ def build_shared_payload(index_dir: str, lang: str, block_size: int = None,
         "hot_rows": np.asarray(hot_rows, np.int64),
         "hot_docs": hot_docs, "hot_tfs": hot_tfs, "hot_off": hot_off,
         "hot_contrib": hot_contrib,
+        "dense_rows": dense_rows, "dense_buf": dense_buf,
+        "dense_cmax": dense_cmax,
         "contrib_key": (
             (contrib_cfg.k1, contrib_cfg.b, contrib_cfg.compat)
             if contrib_cfg is not None and hot_contrib is not None
@@ -285,6 +332,17 @@ class LangIndex:
                 self._hot[int(i)] = (hd[ho[j]:ho[j + 1]], ht[ho[j]:ho[j + 1]])
                 if hc is not None:
                     self._hot_contrib[int(i)] = hc[ho[j]:ho[j + 1]]
+        # dense float32 contribution arrays for the ultra-hot head
+        # (zero-copy rows of the shared 2-D plasma buffer)
+        self._dense: dict = {}
+        self._dense_cmax: dict = {}
+        dr = p.get("dense_rows")
+        if dr is not None and len(dr):
+            db, dc = p["dense_buf"], p["dense_cmax"]
+            for j, i in enumerate(dr):
+                self._dense[int(i)] = db[j]
+                self._dense_cmax[int(i)] = float(dc[j])
+        self._cmax_cache: dict = {}
         from collections import OrderedDict
 
         self._decoded: "OrderedDict" = OrderedDict()
@@ -414,6 +472,18 @@ class LangIndex:
             _, old = self._contrib_cache.popitem(last=False)
             self._contrib_elems -= old.size
         return con
+
+    def term_cmax(self, term: str, cfg: BM25Config) -> float:
+        """max per-posting BM25 contribution of ``term`` under ``cfg``
+        (memoized) — the error-bound input of the dense-estimate path."""
+        i = self._terms.get(term)
+        key = (i, cfg.k1, cfg.b, cfg.compat)
+        hit = self._cmax_cache.get(key)
+        if hit is None:
+            con = self.term_contrib(term, cfg)
+            hit = float(con.max()) if con is not None and con.size else 0.0
+            self._cmax_cache[key] = hit
+        return hit
 
     def term_blocks(self, term: str):
         """Block-level access for WAND: (row_index, n_blocks) or None."""
@@ -739,6 +809,121 @@ def topk_with_ties(scores: np.ndarray, urls, k: int, round_dp=4, after=None):
     )
 
 
+def score_bm25_dense_est(idx: LangIndex, tokens, cfg: BM25Config, k: int = 10,
+                         round_dp=4):
+    """Exact top-k via a float32 dense ESTIMATE + float64 candidate
+    rescore — the cheap replacement for full dense TAAT on all-hot-term
+    (stopword-class) queries, whose exact top-k is inherently a
+    corpus-wide pass.
+
+    1. est (float32) accumulates w·idf·contrib for every query term:
+       ultra-hot terms read their payload-precomputed DENSE float32
+       arrays in L2-sized chunks (sequential SIMD, 4 bytes/doc — no
+       doc_id reads, no scatter); remaining terms scatter their sparse
+       exact contributions. ~4× less memory traffic than the float64
+       sparse TAAT it replaces, which is what the scorer pool contends
+       on (DRAM bandwidth, not CPU).
+    2. A stride-sampled kth estimate picks a candidate threshold τ;
+       candidates are rescored in FLOAT64 with the same per-element
+       multiply and term accumulation order as ``score_bm25_taat`` —
+       candidate scores are bit-identical to TAAT's.
+    3. Exactness guard: every excluded doc's true score ≤ τ + ε, where
+       ε bounds the total f32 storage+accumulation error
+       ((T+4)·2⁻²²·Σ|w·idf|·max-contrib ≥ the standard (2T+2)·u·S bound).
+       If that bound's rank key could reach the candidate kth key, or
+       fewer than k positive candidates survive, return None — the
+       caller falls back to exact TAAT. With the 1.5·10^-dp margin
+       folded into τ the guard virtually always holds.
+
+    Returns (cand_scores float64, cand doc ids) — the
+    ``score_bm25_maxscore`` candidate contract — or None (no dense
+    arrays / cfg mismatch / guard failed)."""
+    if idx.avgdl <= 0 or not idx._dense:
+        return None
+    if (cfg.k1, cfg.b, cfg.compat) != idx._contrib_key:
+        return None
+    plan = []  # (term, coeff, dense_or_None) in TAAT accumulation order
+    n_dense = 0
+    for term, w in _term_weights(tokens, cfg.compat):
+        i = idx._terms.get(term)
+        if i is None:
+            continue
+        coeff = w * idx.idf(term, cfg.idf)
+        dense = idx._dense.get(i)
+        plan.append((term, i, coeff, dense))
+        if dense is not None:
+            n_dense += 1
+    if not plan or n_dense == 0:
+        return None
+    n = idx.n_docs
+
+    # --- phase 1: float32 estimate ---
+    est = np.zeros(n, dtype=np.float32)
+    S_abs = 0.0
+    dense_items = []
+    for term, i, coeff, dense in plan:
+        if dense is not None:
+            dense_items.append((np.float32(coeff), dense))
+            S_abs += abs(coeff) * idx._dense_cmax[i]
+    CH = 1 << 19  # f32 chunk ≈ 2 MB: est chunk stays cache-resident
+    tmp = np.empty(min(CH, n), np.float32)
+    for c0 in range(0, n, CH):
+        c1 = min(c0 + CH, n)
+        e = est[c0:c1]
+        t_ = tmp[: c1 - c0]
+        for cf32, dense in dense_items:
+            np.multiply(dense[c0:c1], cf32, out=t_)
+            e += t_
+    for term, i, coeff, dense in plan:
+        if dense is not None:
+            continue
+        p = idx.postings(term)
+        con = idx.term_contrib(term, cfg)
+        est[p[0]] += (coeff * con).astype(np.float32)
+        S_abs += abs(coeff) * idx.term_cmax(term, cfg)
+    eps = (len(plan) + 4) * S_abs * (2.0 ** -22)
+
+    # --- candidate selection: stride-sampled kth − error − key margin ---
+    scale = 10.0 ** round_dp if round_dp is not None else None
+    margin = (1.5 / scale) if scale is not None else 0.0
+    samp = est[:: max(1, n // 4096)]
+    t_hat = (
+        float(np.partition(samp, samp.size - k)[samp.size - k])
+        if samp.size > k
+        else float(eps)
+    )
+    tau32 = np.float32(max(t_hat - 2.0 * eps - margin, eps))
+    cand = np.nonzero(est > tau32)[0]
+    if cand.size < k or cand.size > max(200_000, n // 4):
+        return None  # no useful pruning — exact TAAT is the right tool
+
+    # --- phase 2: exact float64 rescore, TAAT-identical op order ---
+    cs = np.zeros(cand.size, dtype=np.float64)
+    for term, i, coeff, dense in plan:
+        doc_ids = idx.postings(term)[0]
+        con = idx.term_contrib(term, cfg)
+        pos = np.searchsorted(doc_ids, cand)
+        np.clip(pos, 0, len(doc_ids) - 1, out=pos)
+        match = doc_ids[pos] == cand
+        cs[match] += coeff * con[pos[match]]
+
+    # --- exactness guard ---
+    B = float(tau32) + eps  # upper bound on any excluded doc's score
+    pos_scores = cs[cs > 0]
+    if pos_scores.size < k:
+        return None
+    if scale is not None:
+        keys = np.floor(pos_scores * scale + 0.5)
+        kth_key = np.partition(keys, keys.size - k)[keys.size - k]
+        if not (np.floor(B * scale + 0.5) < kth_key):
+            return None
+    else:
+        kth = np.partition(pos_scores, pos_scores.size - k)[pos_scores.size - k]
+        if not (B < kth):
+            return None
+    return cs, cand
+
+
 def score_bm25_maxscore(idx: LangIndex, tokens, cfg: BM25Config, k: int = 10,
                         hot_df: int = 50_000, round_dp=4):
     """Exact MaxScore-style accelerated top-k:
@@ -773,6 +958,11 @@ def score_bm25_maxscore(idx: LangIndex, tokens, cfg: BM25Config, k: int = 10,
     if not rare and not hot:
         return np.zeros(0, np.float64), np.empty(0, np.int64)
     if not rare:
+        # all-hot (stopword-class) query: try the float32 dense-estimate
+        # + exact-rescore path before paying the full float64 TAAT scan
+        alt = score_bm25_dense_est(idx, tokens, cfg, k, round_dp)
+        if alt is not None:
+            return alt
         return score_bm25_taat(idx, tokens, cfg), None
 
     # Phase 1 over RARE terms, two strategies by size:
@@ -844,6 +1034,9 @@ def score_bm25_maxscore(idx: LangIndex, tokens, cfg: BM25Config, k: int = 10,
         # candidates must fill the whole top-k, else outside docs would
         # occupy the remaining ranks
         if not (cscores.size >= k and safe):
+            alt = score_bm25_dense_est(idx, tokens, cfg, k, round_dp)
+            if alt is not None:
+                return alt
             return score_bm25_taat(idx, tokens, cfg), None  # exact fallback
     return cscores, cand
 
