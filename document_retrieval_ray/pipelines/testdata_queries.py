@@ -3817,6 +3817,165 @@ FROM s, t
 """
 
 
+def q_token_fertility(sf_dir: str):
+    """Per-language tokenizer fertility audit — the tokens-per-doc and
+    chars-per-token profile an LLM-data pipeline checks before committing
+    to a tokenizer/vocab (high-fertility languages cost more sequence
+    budget per character): exact integer sums (n_docs, n_tokens,
+    token_chars) and fx4 floor ratios.
+
+    Scale plan: per-batch (lang, n_docs, n_tokens, token_chars) partials
+    combine before ONE lang-keyed groupby of |langs| rows — no second
+    corpus pass, nothing broadcast, the driver sees |langs| rows."""
+    docs = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["text", "lang"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        langs = np.asarray(t["lang"].to_pandas(), dtype=object)
+        vals, parent = _flat_tok(t)
+        chars = pd.Series(vals).str.len().to_numpy(np.int64) if len(vals) else np.zeros(0, np.int64)
+        tok = (
+            pd.DataFrame({"lang": langs[parent], "chars": chars})
+            .groupby("lang", sort=False)["chars"]
+            .agg(["size", "sum"])
+            .rename(columns={"size": "n_tokens", "sum": "token_chars"})
+        )
+        nd = pd.Series(langs).value_counts().rename("n_docs")
+        out = pd.concat([nd, tok], axis=1).fillna(0).reset_index(
+            names="lang"
+        )
+        for c in ("n_docs", "n_tokens", "token_chars"):
+            out[c] = out[c].astype(np.int64)
+        return from_pandas_clean(out)
+
+    agg = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            ray.data.aggregate.Sum("n_docs", alias_name="n_docs"),
+            ray.data.aggregate.Sum("n_tokens", alias_name="n_tokens"),
+            ray.data.aggregate.Sum("token_chars", alias_name="token_chars"),
+        )
+        .to_pandas()  # |langs| rows
+    )
+    nd = agg["n_docs"].to_numpy(np.int64)
+    nt = agg["n_tokens"].to_numpy(np.int64)
+    tc = agg["token_chars"].to_numpy(np.int64)
+    return pd.DataFrame({
+        "lang": agg["lang"],
+        "n_docs": nd,
+        "n_tokens": nt,
+        "token_chars": tc,
+        "toks_per_doc_x": (10_000 * nt) // nd,
+        "chars_per_tok_x": np.where(nt > 0, (10_000 * tc) // np.maximum(nt, 1), 0),
+    })
+
+
+_TOKEN_FERTILITY_SQL = f"""
+WITH tokc AS (
+  SELECT lang, count(*) AS n_tokens, sum(len(term)) AS token_chars
+  FROM (SELECT lang, unnest({TOKLIST.format(col='text')}) AS term
+        FROM documents)
+  GROUP BY lang
+),
+d AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang)
+SELECT d.lang AS lang,
+       CAST(d.n_docs AS BIGINT) AS n_docs,
+       CAST(coalesce(tokc.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(tokc.token_chars, 0) AS BIGINT) AS token_chars,
+       CAST((10000 * coalesce(tokc.n_tokens, 0)) // d.n_docs AS BIGINT)
+         AS toks_per_doc_x,
+       CAST(CASE WHEN coalesce(tokc.n_tokens, 0) = 0 THEN 0
+                 ELSE (10000 * tokc.token_chars) // tokc.n_tokens END
+            AS BIGINT) AS chars_per_tok_x
+FROM d LEFT JOIN tokc ON tokc.lang = d.lang
+"""
+
+
+def q_dup_rate_by_source(sf_dir: str):
+    """Per-source exact-duplicate pollution report — the crawl-curation
+    signal that decides which domains get demoted: a doc is a duplicate-
+    cluster member when ≥ 2 docs share its exact text. Per source:
+    n_docs, n_dup (cluster members), and the dup rate fx4.
+
+    Scale plan: batches pre-collapse to (text_hash, source, cnt) partial
+    counts, so the ONE content-hash exchange ships 128-bit hashes +
+    counts (never text); cluster sizes resolve inside the hash
+    partition; a final |sources|-row groupby sums the per-partition
+    (source, n, dup) partials. No join, no broadcast, no driver set."""
+    docs = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["text", "source"]
+    )
+    hashed = docs.map_batches(
+        lambda t: add_text_hash(t, normalize=False), batch_format="pyarrow"
+    ).select_columns(["text_hash", "source"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (
+            pd.DataFrame({
+                "text_hash": np.asarray(t["text_hash"].to_pandas(), dtype=object),
+                "source": np.asarray(t["source"].to_pandas(), dtype=object),
+            })
+            .groupby(["text_hash", "source"], sort=False)
+            .size()
+            .reset_index(name="cnt")
+        )
+        g["cnt"] = g["cnt"].astype(np.int64)
+        return from_pandas_clean(g)
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame({
+                "source": pd.Series(dtype=object),
+                "n_docs": pd.Series(dtype="int64"),
+                "n_dup": pd.Series(dtype="int64"),
+            })
+        cluster = g.groupby("text_hash", sort=False)["cnt"].transform("sum")
+        g = g.assign(dup=np.where(cluster.to_numpy() >= 2,
+                                  g["cnt"].to_numpy(), 0))
+        out = (
+            g.groupby("source", sort=False)
+            .agg(n_docs=("cnt", "sum"), n_dup=("dup", "sum"))
+            .reset_index()
+        )
+        return out.astype({"n_docs": "int64", "n_dup": "int64"})
+
+    parts = _parted(
+        hashed.map_batches(partial, batch_format="pyarrow"), ("text_hash",)
+    ).map_groups(per_partition, batch_format="pandas")
+    agg = (
+        _arrow_blocks(parts)
+        .groupby("source")
+        .aggregate(
+            ray.data.aggregate.Sum("n_docs", alias_name="n_docs"),
+            ray.data.aggregate.Sum("n_dup", alias_name="n_dup"),
+        )
+        .to_pandas()  # |sources| rows
+    )
+    nd = agg["n_docs"].to_numpy(np.int64)
+    du = agg["n_dup"].to_numpy(np.int64)
+    return pd.DataFrame({
+        "source": agg["source"],
+        "n_docs": nd,
+        "n_dup": du,
+        "dup_rate_x": (10_000 * du) // nd,
+    })
+
+
+_DUP_RATE_BY_SOURCE_SQL = """
+WITH g AS (SELECT text, count(*) AS c FROM documents GROUP BY text),
+d AS (SELECT documents.source AS source, g.c AS c
+      FROM documents JOIN g USING (text))
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       CAST((10000 * sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END)) // count(*)
+            AS BIGINT) AS dup_rate_x
+FROM d GROUP BY source
+"""
+
+
 def q_source_cap(sf_dir: str):
     """Per-source quota enforcement (the per-domain cap of a web corpus):
     keep the SOURCE_CAP_K lowest-doc_id docs of every source. One
@@ -9410,6 +9569,8 @@ QUERIES = {
     "quality_sample": q_quality_sample,
     "source_cap": q_source_cap,
     "source_stats": q_source_stats,
+    "token_fertility": q_token_fertility,
+    "dup_rate_by_source": q_dup_rate_by_source,
     "rep_quality": q_rep_quality,
     "dup_spans": q_dup_spans,
     "dup_span_docs": q_dup_span_docs,
@@ -10556,6 +10717,8 @@ WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
       CASE lang {_STRAT_CASE} ELSE '00' END
 """,
     "source_stats": _SOURCE_STATS_SQL,
+    "token_fertility": _TOKEN_FERTILITY_SQL,
+    "dup_rate_by_source": _DUP_RATE_BY_SOURCE_SQL,
     "source_cap": f"""
 SELECT doc_id, source, src_rank FROM (
   SELECT doc_id, source,
