@@ -3963,6 +3963,54 @@ def q_dup_rate_by_source(sf_dir: str):
     })
 
 
+# the testdata entry reports buckets larger than this; a production dedup
+# run passes k=DedupConfig.max_bucket so the report lists exactly the
+# buckets band_group_pairs truncates (512 ≫ any testdata bucket, which
+# would make the oracle vacuous here — K=2 exercises the real path)
+AUDIT_BUCKET_K = 2
+
+
+def q_dedup_bucket_audit(sf_dir: str, k: int = AUDIT_BUCKET_K):
+    """LSH bucket-size audit — the "no silent caps" counter as a
+    first-class result: every (band_idx, band_key) bucket holding more
+    than ``k`` docs, with the doc count a ``max_bucket=k`` run's
+    deterministic sorted-prefix truncation (``band_group_pairs``,
+    stages/dedup.py) would drop. With ``k=DedupConfig.max_bucket`` the
+    report is non-empty iff ``q_minhash_pairs`` under-generated
+    candidate pairs, so a dedup run ships it alongside the pair list
+    instead of relying on worker-log RuntimeWarnings. ONE (band)-keyed
+    exchange of hash rows (the same shuffle shape as the pair
+    pipeline); the report itself is degenerate-bucket-sized."""
+    bands = _docs(sf_dir).map_batches(emit_band_rows, batch_format="pyarrow")
+    agg = bands.groupby(["band_idx", "band_key"]).aggregate(
+        ray.data.aggregate.Count(alias_name="bucket_size")
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        size = t["bucket_size"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = size > k
+        return pa.table(
+            {
+                "band_idx": pc.cast(t["band_idx"], pa.int64()).filter(
+                    pa.array(keep)
+                ),
+                "band_key": t["band_key"].filter(pa.array(keep)),
+                "bucket_size": pa.array(size[keep], pa.int64()),
+                "dropped": pa.array(size[keep] - k, pa.int64()),
+            }
+        )
+
+    df = agg.map_batches(fin, batch_format="pyarrow").to_pandas()
+    if df.empty:  # all-empty blocks lose their schema through to_pandas
+        return pd.DataFrame({
+            "band_idx": pd.Series(dtype="int64"),
+            "band_key": pd.Series(dtype=object),
+            "bucket_size": pd.Series(dtype="int64"),
+            "dropped": pd.Series(dtype="int64"),
+        })
+    return df
+
+
 _DUP_RATE_BY_SOURCE_SQL = """
 WITH g AS (SELECT text, count(*) AS c FROM documents GROUP BY text),
 d AS (SELECT documents.source AS source, g.c AS c
@@ -9571,6 +9619,7 @@ QUERIES = {
     "source_stats": q_source_stats,
     "token_fertility": q_token_fertility,
     "dup_rate_by_source": q_dup_rate_by_source,
+    "dedup_bucket_audit": q_dedup_bucket_audit,
     "rep_quality": q_rep_quality,
     "dup_spans": q_dup_spans,
     "dup_span_docs": q_dup_span_docs,
@@ -9684,6 +9733,35 @@ JOIN sizes za ON za.doc_id = i.a
 JOIN sizes zb ON zb.doc_id = i.b
 WHERE CAST(ni AS DOUBLE) / (za.n + zb.n - ni) >= {MINHASH_JACCARD_THRESHOLD}
 """
+
+_DEDUP_BUCKET_AUDIT_SQL = f"""
+WITH {_TOKS_CTE},
+shl AS (
+  SELECT doc_id,
+         CASE WHEN len(l) < {SHINGLE_N} THEN [array_to_string(l, ' ')]
+              ELSE list_transform(range(1, len(l) - {SHINGLE_N - 2}),
+                                  i -> array_to_string(list_slice(l, i, i + {SHINGLE_N - 1}), ' '))
+         END AS sh_list
+  FROM toks WHERE len(l) >= 1
+),
+sh AS (SELECT DISTINCT doc_id, unnest(sh_list) AS shingle FROM shl),
+mh AS (
+  SELECT doc_id, s.seed AS seed,
+         min(md5(CAST(s.seed AS VARCHAR) || ':' || shingle)) AS mh
+  FROM sh, (SELECT i AS seed FROM range(0, {DEFAULT_DEDUP.num_hashes}) t(i)) s
+  GROUP BY doc_id, s.seed
+),
+bands AS (
+  SELECT doc_id, (seed // {DEFAULT_DEDUP.band_size}) AS band_idx,
+         md5(string_agg(mh, '|' ORDER BY seed)) AS band_key
+  FROM mh GROUP BY doc_id, (seed // {DEFAULT_DEDUP.band_size})
+)
+SELECT CAST(band_idx AS BIGINT) AS band_idx, band_key,
+       CAST(count(*) AS BIGINT) AS bucket_size,
+       CAST(count(*) - {AUDIT_BUCKET_K} AS BIGINT) AS dropped
+FROM bands GROUP BY band_idx, band_key HAVING count(*) > {AUDIT_BUCKET_K}
+"""
+
 
 # Exact n-gram Jaccard join: the oracle is the CLEAN SEMANTIC definition
 # (all pairs sharing >= 1 shingle, exact Jaccard >= t) — the engine's
@@ -10719,6 +10797,7 @@ WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
     "source_stats": _SOURCE_STATS_SQL,
     "token_fertility": _TOKEN_FERTILITY_SQL,
     "dup_rate_by_source": _DUP_RATE_BY_SOURCE_SQL,
+    "dedup_bucket_audit": _DEDUP_BUCKET_AUDIT_SQL,
     "source_cap": f"""
 SELECT doc_id, source, src_rank FROM (
   SELECT doc_id, source,
