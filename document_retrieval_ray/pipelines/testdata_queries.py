@@ -691,6 +691,86 @@ def q_bm25_wand(sf_dir: str):
     return _results_to_docids(res.to_pandas())
 
 
+def _bm25_collapsed_sql() -> str:
+    """Oracle for q_bm25_collapsed: the bm25_standard scoring CTEs with
+    the final top-10 cut replaced by the collapse window — top-CAND
+    candidates, ≤ PER_SOURCE rows per (query, source) in rank order,
+    re-ranked, cut to 10. Shares _bm25_sql so scoring semantics can
+    never drift between the plain and collapsed oracles."""
+    base = _bm25_sql(1.2, 0.75, reference_quirk=False, dedup=False)
+    tail = "SELECT query_id, rank, doc_id, score_x FROM ranked WHERE rank <= 10"
+    assert tail in base, "bm25 oracle tail changed; update _bm25_collapsed_sql"
+    return base.replace(tail, f"""
+, cand AS (
+  SELECT query_id, rank, doc_id, score_x
+  FROM ranked WHERE rank <= {SITE_COLLAPSE_CAND}
+),
+src AS (
+  SELECT c.query_id, c.rank, c.doc_id, c.score_x, d.source AS source,
+         row_number() OVER (PARTITION BY c.query_id, d.source
+                            ORDER BY c.rank) AS src_rank
+  FROM cand c JOIN documents d ON d.doc_id = c.doc_id
+),
+kept AS (
+  SELECT query_id, doc_id, score_x, source,
+         row_number() OVER (PARTITION BY query_id ORDER BY rank) AS new_rank
+  FROM src WHERE src_rank <= {SITE_COLLAPSE_PER_SOURCE}
+)
+SELECT query_id, new_rank AS rank, doc_id, score_x, source
+FROM kept WHERE new_rank <= 10
+""")
+
+
+# site-collapse (SERP diversity) knobs: collapse applies within the
+# top-CAND retrieved window — the same definition real engines use (the
+# collapse never re-scores the full corpus) — and is mirrored verbatim
+# in the SQL oracle, so both sides share one candidate-pool semantics
+SITE_COLLAPSE_CAND = 50
+# strict one-hit-per-domain at test scale (20 uniform sources × 8
+# queries make a 2-per-source cap a no-op — a vacuous oracle; 1 forces
+# the collapse to actually reorder every page)
+SITE_COLLAPSE_PER_SOURCE = 1
+
+
+def q_bm25_collapsed(sf_dir: str):
+    """Site-collapsed BM25 (host collapsing — the SERP diversity rule):
+    retrieve the top-SITE_COLLAPSE_CAND candidates per query, keep at
+    most SITE_COLLAPSE_PER_SOURCE results per source in rank order,
+    re-rank, cut to 10 — one domain can't monopolize a result page.
+
+    Scale plan: the (doc → source) attachment joins a RESULT-sized
+    frame (|queries|·cand rows); at web scale source is a docmap column
+    the scorer emits with each hit (zero extra exchange), here a
+    column-pruned read of the docs table serves the same lookup."""
+    from .query import bm25_search
+
+    index_dir = _index_for(sf_dir)
+    res = bm25_search(
+        _query_ds(), index_dir,
+        cfg=BM25Config(k1=1.2, b=0.75, idf="lucene", compat="standard",
+                       k=SITE_COLLAPSE_CAND),
+        round_dp=4,
+    )
+    pdf = res.to_pandas()
+    pdf["doc_id"] = pdf["url"].astype(np.int64)
+    import pyarrow.parquet as _pq
+
+    src = _pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    ).to_pandas()
+    pdf = pdf.merge(src, on="doc_id", how="inner")
+    pdf = pdf.sort_values(["query_id", "rank"], kind="mergesort")
+    pdf["src_rank"] = (
+        pdf.groupby(["query_id", "source"], sort=False).cumcount() + 1
+    )
+    kept = pdf[pdf["src_rank"] <= SITE_COLLAPSE_PER_SOURCE].copy()
+    kept["rank"] = kept.groupby("query_id", sort=False).cumcount() + 1
+    kept = kept[kept["rank"] <= 10]
+    return kept[["query_id", "rank", "doc_id", "score_x", "source"]].reset_index(
+        drop=True
+    )
+
+
 def q_bm25_incremental(sf_dir: str):
     """Incremental-index end-to-end proof: 60% of the corpus built as the
     base, two 20% crawl deltas APPENDED as generations, served through
@@ -9538,6 +9618,7 @@ QUERIES = {
     "bm25_deleted": q_bm25_deleted,
     "bm25_compacted": q_bm25_compacted,
     "bm25_wand": q_bm25_wand,
+    "bm25_collapsed": q_bm25_collapsed,
     "lm_dirichlet": q_lm_dirichlet,
     "cosine": q_cosine,
     "cosine_compacted": q_cosine_compacted,
@@ -10848,6 +10929,7 @@ SELECT lang, term, total_tf, rank FROM ranked WHERE rank <= 10
         _bm25_sql(1.2, 0.75, reference_quirk=False, dedup=False)
     ),
     "bm25_wand": _bm25_sql(1.2, 0.75, reference_quirk=False, dedup=False),
+    "bm25_collapsed": _bm25_collapsed_sql(),
     "lm_dirichlet": _lm_sql(LM_MU),
     "cosine": _cosine_sql(),
     "cosine_compacted": _cosine_sql(),
