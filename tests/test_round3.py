@@ -887,12 +887,26 @@ def test_term_contrib_shared_vs_computed(tmp_path, ray_session):
     s1 = score_bm25_taat(idx_shared, toks, cfg)
     s2 = score_bm25_taat(idx_plain, toks, cfg)
     assert np.array_equal(s1, s2)
-    m1 = score_bm25_maxscore(idx_shared, toks, cfg, 10, hot_df=5, round_dp=4)
-    m2 = score_bm25_maxscore(idx_plain, toks, cfg, 10, hot_df=5, round_dp=4)
-    assert np.array_equal(m1[0], m2[0])
-    assert (m1[1] is None) == (m2[1] is None)
-    if m1[1] is not None:
-        assert np.array_equal(m1[1], m2[1])
+    # the two holders may legitimately take DIFFERENT exact paths now
+    # (the payload holder has dense float32 arrays -> dense-estimate
+    # candidates; the plain holder falls back to dense TAAT), so compare
+    # the RANKED RESULT, which must not depend on the serving path
+    from document_retrieval_ray.state.index_shard import topk_with_ties
+
+    def _ranked(idx):
+        ss, cand = score_bm25_maxscore(idx, toks, cfg, 10, hot_df=5,
+                                       round_dp=4)
+        if cand is None:
+            r = topk_with_ties(ss, idx.urls, 10, 4)
+            return [(int(a), idx.urls[int(i)], float(k))
+                    for a, i, k in zip(*r)]
+        if cand.size == 0:
+            return []
+        su = idx.urls.select(cand)
+        r = topk_with_ties(ss, su, 10, 4)
+        return [(int(a), su[int(i)], float(k)) for a, i, k in zip(*r)]
+
+    assert _ranked(idx_shared) == _ranked(idx_plain)
 
 
 def test_reference_format_sources_roundtrip(tmp_path, ray_session):
