@@ -238,6 +238,24 @@ def main() -> None:
         hot_term_threshold=1_000_000,
         salt_shift=13,
     )
+    # pre-warm the worker pool BEFORE any timed stage: one task per CPU
+    # imports the engine stack (numpy/pyarrow/stages), so neither the
+    # build nor the query stage pays per-worker cold process spawn +
+    # module import inside its measurement — a steady-state cluster
+    # never pays it per job, and it is a fixed cost that would otherwise
+    # distort the N-vs-4N comparison (wider pools pay MORE cold starts).
+    @ray.remote(num_cpus=1)
+    def _warm_worker():
+        import time as _t
+
+        from document_retrieval_ray.stages import index_build, score  # noqa: F401
+
+        _t.sleep(0.3)  # hold the slot so the tasks spread across workers
+        return 0
+
+    with timed("pool_warm"):
+        ray.get([_warm_worker.remote() for _ in range(NUM_CPUS)])
+
     # GRAFT_BENCH_READ_BLOCKS pins the corpus-read block count (scaling
     # legs set it so both cluster sizes run the SAME job — like
     # num_hash_parts/num_encode_parts above, partitioning must not vary
@@ -280,24 +298,6 @@ def main() -> None:
             for lang in manifests
         }
         ray.wait(list(shared_refs.values()), num_returns=len(shared_refs))
-
-    # pre-warm the worker pool: one task per CPU imports the scoring
-    # stack (numpy/pyarrow/stages.score), outside the timed stage — the
-    # share phase only touches len(langs) workers, so at wide pools the
-    # remaining workers would otherwise pay their cold import INSIDE the
-    # first scoring tasks. Steady-state serving never pays cold-import;
-    # a throughput measurement of the stage shouldn't either.
-    @ray.remote(num_cpus=1)
-    def _warm_worker():
-        import time as _t
-
-        from document_retrieval_ray.stages import score  # noqa: F401
-
-        _t.sleep(0.3)  # hold the slot so the tasks spread across workers
-        return 0
-
-    with timed("pool_warm"):
-        ray.get([_warm_worker.remote() for _ in range(NUM_CPUS)])
 
     # from_items yields ONE block → one worker would get every query;
     # repartition so the scorer stage actually fans out. The block count
