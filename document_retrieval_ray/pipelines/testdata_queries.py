@@ -691,6 +691,56 @@ def q_bm25_wand(sf_dir: str):
     return _results_to_docids(res.to_pandas())
 
 
+def q_index_integrity(sf_dir: str):
+    """Index-integrity audit — the engine side reads ONLY its own
+    committed index artifacts (the per-lang manifests' n_docs / avgdl /
+    n_terms / n_postings); the oracle recomputes the same numbers from
+    the raw documents table. Parity proves the build's exact-integer
+    stat path (A3 sidecar sums, df assembly, posting counts) END TO END
+    against ground truth — the check a production build runs before
+    swapping an index generation live.
+
+    Scale plan: manifests are |langs| json files; nothing else is read."""
+    from ..state.manifest import read_manifest
+
+    index_dir = _index_for(sf_dir)
+    rows = []
+    for lang in sorted(os.listdir(os.path.join(index_dir, "manifests"))):
+        m = read_manifest(os.path.join(index_dir, "manifests", lang))
+        if m is None:
+            continue
+        rows.append({
+            "lang": lang,
+            "n_docs": int(m["n_docs"]),
+            "avgdl_x": int(np.floor(m["avgdl"] * 10000.0 + 0.5)),
+            "n_terms": int(m["n_terms"]),
+            "n_postings": int(m["n_postings"]),
+        })
+    return pd.DataFrame(
+        rows, columns=["lang", "n_docs", "avgdl_x", "n_terms", "n_postings"]
+    )
+
+
+_INDEX_INTEGRITY_SQL = f"""
+WITH dl AS (SELECT doc_id, lang, len({TOKLIST.format(col='text')}) AS dl
+            FROM documents),
+tok AS (SELECT DISTINCT doc_id, lang, term
+        FROM (SELECT doc_id, lang, unnest({TOKLIST.format(col='text')}) AS term
+              FROM documents)),
+dfx AS (SELECT lang, term, count(*) AS df FROM tok GROUP BY lang, term),
+v AS (SELECT lang, count(*) AS n_terms, sum(df) AS n_postings
+      FROM dfx GROUP BY lang),
+s AS (SELECT lang, count(*) AS n_docs, sum(dl) AS total_dl
+      FROM dl GROUP BY lang)
+SELECT s.lang AS lang, CAST(s.n_docs AS BIGINT) AS n_docs,
+       CAST(floor((CAST(s.total_dl AS DOUBLE) / s.n_docs) * 10000.0 + 0.5)
+            AS BIGINT) AS avgdl_x,
+       CAST(coalesce(v.n_terms, 0) AS BIGINT) AS n_terms,
+       CAST(coalesce(v.n_postings, 0) AS BIGINT) AS n_postings
+FROM s LEFT JOIN v ON v.lang = s.lang
+"""
+
+
 def _bm25_collapsed_sql() -> str:
     """Oracle for q_bm25_collapsed: the bm25_standard scoring CTEs with
     the final top-10 cut replaced by the collapse window — top-CAND
@@ -9619,6 +9669,7 @@ QUERIES = {
     "bm25_compacted": q_bm25_compacted,
     "bm25_wand": q_bm25_wand,
     "bm25_collapsed": q_bm25_collapsed,
+    "index_integrity": q_index_integrity,
     "lm_dirichlet": q_lm_dirichlet,
     "cosine": q_cosine,
     "cosine_compacted": q_cosine_compacted,
@@ -10930,6 +10981,7 @@ SELECT lang, term, total_tf, rank FROM ranked WHERE rank <= 10
     ),
     "bm25_wand": _bm25_sql(1.2, 0.75, reference_quirk=False, dedup=False),
     "bm25_collapsed": _bm25_collapsed_sql(),
+    "index_integrity": _INDEX_INTEGRITY_SQL,
     "lm_dirichlet": _lm_sql(LM_MU),
     "cosine": _cosine_sql(),
     "cosine_compacted": _cosine_sql(),
