@@ -721,6 +721,97 @@ def q_index_integrity(sf_dir: str):
     )
 
 
+# autocomplete probe prefixes: fixed, short, and hitting both dense and
+# sparse regions of the testdata vocabulary
+SUGGEST_PREFIXES = ("ta", "jo", "s", "que")
+SUGGEST_K = 5
+
+
+def q_suggest(sf_dir: str):
+    """Query autocomplete — top-SUGGEST_K completions per (lang, prefix)
+    ranked by document frequency (df desc, term asc): the suggest box a
+    search deployment serves straight from the index's df artifact.
+
+    The engine reads ONLY the index's vocabulary table (df parquet —
+    Heaps-law-sized, the artifact built for exactly this class of
+    lookup); the oracle recomputes df from the raw corpus. Scale plan:
+    the df read is column-pruned and prefix-filtered per batch; ranking
+    moves ≤ |prefixes|·K rows per (lang, prefix) group out of each
+    block, merged at the |langs|·|prefixes|·K-row driver frame."""
+    index_dir = _index_for(sf_dir)
+    dfv = read_parquet_clean(
+        os.path.join(index_dir, "df"), columns=["lang", "term", "df"]
+    )
+
+    def local_top(t: pa.Table) -> pa.Table:
+        pdf = pd.DataFrame({
+            "lang": np.asarray(t["lang"].to_pandas(), dtype=object),
+            "term": np.asarray(t["term"].to_pandas(), dtype=object),
+            "df": t["df"].to_numpy(zero_copy_only=False).astype(np.int64),
+        })
+        outs = []
+        for pref in SUGGEST_PREFIXES:
+            m = pdf[pdf["term"].str.startswith(pref)]
+            if m.empty:
+                continue
+            m = m.sort_values(["df", "term"], ascending=[False, True])
+            m = (
+                m.groupby("lang", sort=False)
+                .head(SUGGEST_K)
+                .assign(prefix=pref)
+            )
+            outs.append(m)
+        if not outs:
+            return pa.table({
+                "lang": pa.array([], pa.string()),
+                "prefix": pa.array([], pa.string()),
+                "term": pa.array([], pa.string()),
+                "df": pa.array([], pa.int64()),
+            })
+        out = pd.concat(outs)[["lang", "prefix", "term", "df"]]
+        return from_pandas_clean(out)
+
+    cand = pd.DataFrame(
+        dfv.map_batches(local_top, batch_format="pyarrow").take_all()
+    )
+    if cand.empty:
+        return pd.DataFrame({
+            "lang": pd.Series(dtype=object),
+            "prefix": pd.Series(dtype=object),
+            "term": pd.Series(dtype=object),
+            "df": pd.Series(dtype="int64"),
+            "rank": pd.Series(dtype="int64"),
+        })
+    cand = cand.sort_values(
+        ["lang", "prefix", "df", "term"], ascending=[True, True, False, True],
+        kind="mergesort",
+    )
+    cand["rank"] = cand.groupby(["lang", "prefix"], sort=False).cumcount() + 1
+    cand = cand[cand["rank"] <= SUGGEST_K]
+    cand["df"] = cand["df"].astype(np.int64)
+    return cand[["lang", "prefix", "term", "df", "rank"]].reset_index(drop=True)
+
+
+def _suggest_sql() -> str:
+    prefs = ", ".join(f"('{p}')" for p in SUGGEST_PREFIXES)
+    return f"""
+WITH tok AS (SELECT DISTINCT doc_id, lang, term
+             FROM (SELECT doc_id, lang, unnest({TOKLIST.format(col='text')}) AS term
+                   FROM documents)),
+dfx AS (SELECT lang, term, count(*) AS df FROM tok GROUP BY lang, term),
+p(prefix) AS (VALUES {prefs}),
+cand AS (
+  SELECT dfx.lang AS lang, p.prefix AS prefix, dfx.term AS term,
+         CAST(dfx.df AS BIGINT) AS df,
+         row_number() OVER (PARTITION BY dfx.lang, p.prefix
+                            ORDER BY dfx.df DESC, dfx.term ASC) AS rank
+  FROM dfx JOIN p ON starts_with(dfx.term, p.prefix)
+)
+SELECT lang, prefix, term, df, CAST(rank AS BIGINT) AS rank
+FROM cand WHERE rank <= {SUGGEST_K}
+"""
+
+
 _INDEX_INTEGRITY_SQL = f"""
 WITH dl AS (SELECT doc_id, lang, len({TOKLIST.format(col='text')}) AS dl
             FROM documents),
@@ -9670,6 +9761,7 @@ QUERIES = {
     "bm25_wand": q_bm25_wand,
     "bm25_collapsed": q_bm25_collapsed,
     "index_integrity": q_index_integrity,
+    "suggest": q_suggest,
     "lm_dirichlet": q_lm_dirichlet,
     "cosine": q_cosine,
     "cosine_compacted": q_cosine_compacted,
@@ -10982,6 +11074,7 @@ SELECT lang, term, total_tf, rank FROM ranked WHERE rank <= 10
     "bm25_wand": _bm25_sql(1.2, 0.75, reference_quirk=False, dedup=False),
     "bm25_collapsed": _bm25_collapsed_sql(),
     "index_integrity": _INDEX_INTEGRITY_SQL,
+    "suggest": _suggest_sql(),
     "lm_dirichlet": _lm_sql(LM_MU),
     "cosine": _cosine_sql(),
     "cosine_compacted": _cosine_sql(),
