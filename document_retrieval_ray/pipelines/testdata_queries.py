@@ -721,6 +721,70 @@ def q_index_integrity(sf_dir: str):
     )
 
 
+def q_percolate(sf_dir: str):
+    """Reverse search (percolation — the alerting/saved-search primitive:
+    Elasticsearch percolator semantics): for every incoming document,
+    which stored queries match it CONJUNCTIVELY (every distinct query
+    term present in the doc, same language).
+
+    Scale plan: the stored-query table is alert-sized — broadcast once
+    (here a closure constant); per batch, ONE factorize + unique pass
+    builds the distinct (doc, term) pairs and each query resolves to a
+    bincount over them. Zero shuffles; the output is match-sized."""
+    # stored queries: the shared QUERYSET, conjunctive on distinct terms
+    stored = []
+    for qid, text, lang in QUERYSET:
+        terms = sorted(set(tokenize_simple(text)))
+        if terms:
+            stored.append((qid, lang, terms))
+
+    def match(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        langs = np.asarray(t["lang"].to_pandas(), dtype=object)
+        vals, parent = _flat_tok(t)
+        out_doc, out_qid = [], []
+        if len(vals):
+            codes, uniques = pd.factorize(pd.Series(vals))
+            # distinct (doc-row, token-code) pairs, one pass for ALL queries
+            pair = parent * np.int64(len(uniques)) + codes
+            upair = np.unique(pair)
+            urow = upair // len(uniques)
+            ucode = upair % len(uniques)
+            uindex = pd.Index(uniques)
+            for qid, lang, terms in stored:
+                tcodes = uindex.get_indexer(terms)
+                tcodes = tcodes[tcodes >= 0]
+                if len(tcodes) != len(terms):
+                    continue  # a term absent from this batch → no match here
+                hit = np.isin(ucode, tcodes)
+                cnt = np.bincount(urow[hit], minlength=len(ids))
+                ok = np.nonzero((cnt == len(terms)) & (langs == lang))[0]
+                out_doc.extend(ids[ok].tolist())
+                out_qid.extend([qid] * len(ok))
+        return pa.table({
+            "doc_id": pa.array(out_doc, pa.int64()),
+            "query_id": pa.array(out_qid, pa.string()),
+        })
+
+    return _docs(sf_dir).map_batches(match, batch_format="pyarrow")
+
+
+def _percolate_sql() -> str:
+    return f"""
+WITH tok AS (SELECT DISTINCT doc_id, lang, term
+             FROM (SELECT doc_id, lang, unnest({TOKLIST.format(col='text')}) AS term
+                   FROM documents)),
+q(query_id, lang, term, w) AS (VALUES {_query_values(True)}),
+qn AS (SELECT query_id, lang, count(*) AS n FROM q GROUP BY query_id, lang),
+m AS (SELECT t.doc_id AS doc_id, q.query_id AS query_id, count(*) AS c
+      FROM tok t JOIN q ON q.lang = t.lang AND q.term = t.term
+      GROUP BY t.doc_id, q.query_id)
+SELECT m.doc_id, m.query_id
+FROM m JOIN qn ON qn.query_id = m.query_id
+WHERE m.c = qn.n
+"""
+
+
 # autocomplete probe prefixes: fixed, short, and hitting both dense and
 # sparse regions of the testdata vocabulary
 SUGGEST_PREFIXES = ("ta", "jo", "s", "que")
@@ -9762,6 +9826,7 @@ QUERIES = {
     "bm25_collapsed": q_bm25_collapsed,
     "index_integrity": q_index_integrity,
     "suggest": q_suggest,
+    "percolate": q_percolate,
     "lm_dirichlet": q_lm_dirichlet,
     "cosine": q_cosine,
     "cosine_compacted": q_cosine_compacted,
@@ -11075,6 +11140,7 @@ SELECT lang, term, total_tf, rank FROM ranked WHERE rank <= 10
     "bm25_collapsed": _bm25_collapsed_sql(),
     "index_integrity": _INDEX_INTEGRITY_SQL,
     "suggest": _suggest_sql(),
+    "percolate": _percolate_sql(),
     "lm_dirichlet": _lm_sql(LM_MU),
     "cosine": _cosine_sql(),
     "cosine_compacted": _cosine_sql(),
