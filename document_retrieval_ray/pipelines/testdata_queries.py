@@ -8588,6 +8588,85 @@ def _covisit_partition(group: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"a": a, "b": b})
 
 
+def q_item_ctr(sf_dir: str):
+    """Per-item click-through report — the serving-quality dashboard of a
+    search/recsys deployment: views, clicks, and the CTR fx4 per item
+    (item = the FIRST digit run in props, the covisit convention;
+    digitless rows dropped, mirrored in SQL). Items with zero views are
+    excluded (no denominator).
+
+    Scale plan: batches pre-collapse to (item, views, clicks) partial
+    counts, so the single item-keyed groupby moves |items|-bounded rows
+    per block; the fx ratio is an exact integer floor division."""
+    ev = _events(sf_dir, columns=["event_type", "props"])
+    types = pa.array(["view", "click"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["event_type"], value_set=types))
+        item = pc.cast(
+            pc.struct_field(
+                pc.extract_regex(pc.cast(t["props"], pa.string()),
+                                 r"(?P<k>[0-9]+)"),
+                "k",
+            ),
+            pa.int64(),
+        )
+        out = pa.table({
+            "item": item,
+            "event_type": pc.cast(t["event_type"], pa.string()),
+        }).filter(pc.is_valid(item))
+        pdf = out.to_pandas()
+        g = (
+            pdf.assign(
+                views=(pdf["event_type"] == "view").astype(np.int64),
+                clicks=(pdf["event_type"] == "click").astype(np.int64),
+            )
+            .groupby("item", sort=False)[["views", "clicks"]]
+            .sum()
+            .reset_index()
+        )
+        return from_pandas_clean(g)
+
+    agg = ev.map_batches(prep, batch_format="pyarrow").groupby("item").aggregate(
+        ray.data.aggregate.Sum("views", alias_name="n_view"),
+        ray.data.aggregate.Sum("clicks", alias_name="n_click"),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        nv = t["n_view"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nc = t["n_click"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = nv > 0
+        return pa.table({
+            "item": pc.cast(t["item"], pa.int64()).filter(pa.array(keep)),
+            "n_view": pa.array(nv[keep], pa.int64()),
+            "n_click": pa.array(nc[keep], pa.int64()),
+            "ctr_x": pa.array((10_000 * nc[keep]) // nv[keep], pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+_ITEM_CTR_SQL = """
+WITH e AS (
+  SELECT CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT) AS item,
+         event_type
+  FROM events
+  WHERE event_type IN ('view', 'click')
+    AND regexp_extract(props, '([0-9]+)', 1) <> ''
+),
+a AS (
+  SELECT item,
+         sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
+         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click
+  FROM e GROUP BY item
+)
+SELECT item, CAST(n_view AS BIGINT) AS n_view,
+       CAST(n_click AS BIGINT) AS n_click,
+       CAST((10000 * n_click) // n_view AS BIGINT) AS ctr_x
+FROM a WHERE n_view > 0
+"""
+
+
 def q_covisit(sf_dir: str):
     """Item-item co-visitation counts — the classic recommendation
     co-occurrence matrix over a web event log: for every unordered item
@@ -9827,6 +9906,7 @@ QUERIES = {
     "index_integrity": q_index_integrity,
     "suggest": q_suggest,
     "percolate": q_percolate,
+    "item_ctr": q_item_ctr,
     "lm_dirichlet": q_lm_dirichlet,
     "cosine": q_cosine,
     "cosine_compacted": q_cosine_compacted,
@@ -11141,6 +11221,7 @@ SELECT lang, term, total_tf, rank FROM ranked WHERE rank <= 10
     "index_integrity": _INDEX_INTEGRITY_SQL,
     "suggest": _suggest_sql(),
     "percolate": _percolate_sql(),
+    "item_ctr": _ITEM_CTR_SQL,
     "lm_dirichlet": _lm_sql(LM_MU),
     "cosine": _cosine_sql(),
     "cosine_compacted": _cosine_sql(),
