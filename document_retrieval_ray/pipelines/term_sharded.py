@@ -78,6 +78,155 @@ def _langs_of(d: str) -> list:
     return sorted(os.listdir(mdir)) if os.path.isdir(mdir) else []
 
 
+def cuts_from_sorted_vocab(terms: np.ndarray, dfs: np.ndarray,
+                           num_buckets: int) -> list:
+    """Exact cut selection over an already-sorted (term, df) vocabulary:
+    cut where cumulative df crosses each 1/B quantile of the lang's
+    total postings. The distributed path (:func:`compute_term_cuts`)
+    must reproduce this byte-for-byte (tests/test_term_sharded.py)."""
+    cum = np.cumsum(dfs)
+    total = int(cum[-1]) if len(cum) else 0
+    targets = [total * k // num_buckets for k in range(1, num_buckets)]
+    cut_pos = np.searchsorted(cum, targets, side="left") + 1
+    cut_pos = np.minimum(cut_pos, len(terms))
+    return [str(terms[p]) for p in cut_pos if p < len(terms)]
+
+
+def compute_term_cuts(index_dir: str, num_buckets: int,
+                      prefix_len: int = 2,
+                      max_fetch_terms: int = 2_000_000) -> dict:
+    """Distributed cut selection — byte-identical to sorting each
+    language's full vocabulary (:func:`cuts_from_sorted_vocab`, tested)
+    WITHOUT materializing a vocab-sized column on the driver (at the
+    10^8–10^9-term vocabularies SCALE.md projects, ``to_pylist`` of the
+    df table is GBs of Python strings).
+
+    Two bounded passes over the df table (vocab-sized, tiny next to the
+    postings):
+
+    1. **Histogram** — per-batch (lang, term-prefix) → (Σdf, #terms)
+       partials folded on the driver (the guarded-fold pattern of the
+       build's df fold): a few thousand rows regardless of vocab size.
+       Because a k-codepoint prefix is an order-preserving projection of
+       the term sort, each cumulative-df target's crossing term lands in
+       exactly one prefix range.
+    2. **Fetch** — only the crossing prefix ranges (plus each successor,
+       for the ``+1`` boundary step) are read back; the driver sorts
+       those narrow ranges exactly and picks the boundary term with the
+       same searchsorted arithmetic as the in-memory path.
+
+    If the needed ranges would exceed ``max_fetch_terms``, the prefix is
+    lengthened and the histogram re-run (each retry is one more cheap
+    df-table pass; at web scale 4–6 codepoints isolate any range)."""
+    df_root = os.path.join(index_dir, "df")
+
+    prev_est = None
+    for attempt in range(4):
+        plen = prefix_len + 2 * attempt
+
+        def hist_batch(t: pa.Table, plen=plen) -> pa.Table:
+            pref = pc.utf8_slice_codeunits(
+                pc.cast(t["term"], pa.string()), 0, plen)
+            tt = pa.table({"lang": t["lang"], "prefix": pref, "df": t["df"]})
+            g = tt.group_by(["lang", "prefix"]).aggregate(
+                [("df", "sum"), ("df", "count")])
+            return g.rename_columns(["lang", "prefix", "df_sum", "n_terms"])
+
+        parts = ray.data.read_parquet(
+            df_root, columns=["term", "df", "lang"]
+        ).map_batches(hist_batch, batch_format="pyarrow").take_all()
+        hist = pd.DataFrame(parts)
+        if hist.empty:
+            return {}
+        hist = hist.groupby(["lang", "prefix"], sort=True).sum().reset_index()
+
+        # locate each target's crossing prefix + successor, per lang
+        need: dict = {}      # lang -> set of prefixes to fetch
+        plan: dict = {}      # lang -> list of (target, prefix_idx)
+        meta: dict = {}      # lang -> (prefixes, df_before, nterms_before,
+        #                               total_df, total_terms)
+        for lang, h in hist.groupby("lang", sort=True):
+            h = h.sort_values("prefix", kind="stable")
+            prefixes = h["prefix"].to_numpy(dtype=object)
+            df_sum = h["df_sum"].to_numpy(dtype=np.int64)
+            n_terms = h["n_terms"].to_numpy(dtype=np.int64)
+            cum_df = np.cumsum(df_sum)
+            total = int(cum_df[-1])
+            total_terms = int(n_terms.sum())
+            df_before = cum_df - df_sum
+            nterms_before = np.cumsum(n_terms) - n_terms
+            meta[lang] = (prefixes, df_before, nterms_before,
+                          total, total_terms)
+            need[lang] = set()
+            plan[lang] = []
+            for k in range(1, num_buckets):
+                target = total * k // num_buckets
+                pi = int(np.searchsorted(cum_df, target, side="left"))
+                pi = min(pi, len(prefixes) - 1)
+                plan[lang].append((target, pi))
+                need[lang].add(str(prefixes[pi]))
+                if pi + 1 < len(prefixes):
+                    need[lang].add(str(prefixes[pi + 1]))
+
+        est = sum(
+            int(hist[(hist["lang"] == lang)
+                     & (hist["prefix"].isin(ps))]["n_terms"].sum())
+            for lang, ps in need.items()
+        )
+        # stop when within budget OR when longer prefixes no longer
+        # shrink the ranges (the floor is ~2 boundary terms per target
+        # per lang — full-length prefixes can't isolate below that)
+        if est <= max_fetch_terms or est == prev_est:
+            break
+        prev_est = est
+
+    need_keys = {f"{lang}\x00{p}" for lang, ps in need.items() for p in ps}
+
+    def fetch_batch(t: pa.Table, plen=plen) -> pa.Table:
+        pref = pc.utf8_slice_codeunits(
+            pc.cast(t["term"], pa.string()), 0, plen)
+        keys = pc.binary_join_element_wise(
+            pc.cast(t["lang"], pa.string()), pref, "\x00")
+        return t.filter(pc.is_in(keys, value_set=pa.array(sorted(need_keys))))
+
+    fetched = pd.DataFrame(
+        ray.data.read_parquet(df_root, columns=["term", "df", "lang"])
+        .map_batches(fetch_batch, batch_format="pyarrow").take_all()
+    )
+
+    cuts: dict = {}
+    for lang, (prefixes, df_before, nterms_before,
+               total, total_terms) in meta.items():
+        rows = fetched[fetched["lang"] == lang] if len(fetched) else fetched
+        by_prefix: dict = {}
+        if len(rows):
+            terms_all = rows["term"].to_numpy(dtype=object)
+            dfs_all = rows["df"].to_numpy(dtype=np.int64)
+            pref_all = np.asarray([t[:plen] for t in terms_all], dtype=object)
+            for p in np.unique(pref_all):
+                m = pref_all == p
+                ts, ds_ = terms_all[m], dfs_all[m]
+                order = np.argsort(ts)
+                by_prefix[str(p)] = (ts[order], ds_[order])
+        out = []
+        for target, pi in plan[lang]:
+            p = str(prefixes[pi])
+            ts, ds_ = by_prefix.get(p, (np.array([], dtype=object),
+                                        np.array([], dtype=np.int64)))
+            local_cum = int(df_before[pi]) + np.cumsum(ds_)
+            pos_local = int(np.searchsorted(local_cum, target, side="left"))
+            cut_pos = int(nterms_before[pi]) + pos_local + 1
+            if cut_pos >= total_terms:
+                continue
+            if pos_local + 1 < len(ts):
+                out.append(str(ts[pos_local + 1]))
+            else:
+                nxt = by_prefix[str(prefixes[pi + 1])][0]
+                out.append(str(nxt[0]))
+        cuts[str(lang)] = out
+    return cuts
+
+
 def build_term_buckets(index_dir: str, out_dir: str,
                        num_buckets: int = 4) -> dict:
     """Split each language's postings into ``num_buckets`` term-RANGE
@@ -87,46 +236,41 @@ def build_term_buckets(index_dir: str, out_dir: str,
     Boundary choice: terms sorted lexicographically, cut where the
     cumulative df crosses each 1/B quantile of the lang's total postings
     — Zipf-head terms land alone in a bucket rather than skewing one
-    server (the term-side analog of the build's hot-term salting).
-    Returns the routing table ``{"num_buckets": B, "cuts": {lang:
-    [first term of bucket 1..B-1]}}`` (also written to
+    server (the term-side analog of the build's hot-term salting). Cuts
+    come from :func:`compute_term_cuts` (distributed — no vocab-sized
+    driver materialization); the postings split is ONE streaming pass
+    over all langs. Returns the routing table ``{"num_buckets": B,
+    "cuts": {lang: [first term of bucket 1..B-1]}}`` (also written to
     ``out_dir/term_buckets.json``)."""
     langs = _langs_of(index_dir)
     if not langs:
         raise FileNotFoundError(f"no committed manifests under {index_dir}")
-    cuts: dict = {}
-    for lang in langs:
-        dft = pq.read_table(
-            os.path.join(index_dir, "df", f"lang={lang}"),
-            columns=["term", "df"],
-        )
-        terms = np.asarray(dft["term"].to_pylist(), dtype=object)
-        dfs = dft["df"].to_numpy(zero_copy_only=False).astype(np.int64)
-        order = np.argsort(terms)
-        terms, dfs = terms[order], dfs[order]
-        cum = np.cumsum(dfs)
-        total = int(cum[-1]) if len(cum) else 0
-        targets = [total * k // num_buckets for k in range(1, num_buckets)]
-        cut_pos = np.searchsorted(cum, targets, side="left") + 1
-        cut_pos = np.minimum(cut_pos, len(terms))
-        cuts[lang] = [str(terms[p]) for p in cut_pos if p < len(terms)]
+    cuts = compute_term_cuts(index_dir, num_buckets)
+    for lang in langs:  # a committed lang with an empty vocab still routes
+        cuts.setdefault(lang, [])
 
-        # slice the postings by bucket (one streaming pass, hive output)
-        lang_cuts = np.asarray(cuts[lang], dtype=object)
+    # slice the postings by (lang, bucket): one streaming pass over the
+    # whole postings tree (hive `lang` column), hive output — a single
+    # Ray job instead of one executor ramp per lang
+    cuts_np = {l: np.asarray(v, dtype=object) for l, v in cuts.items()}
 
-        def assign(t: pa.Table, lang_cuts=lang_cuts) -> pa.Table:
-            tb = np.searchsorted(
-                lang_cuts, np.asarray(t["term"].to_pylist(), dtype=object),
-                side="right",
-            )
-            return t.append_column("tbucket", pa.array(tb, pa.int64()))
+    def assign(t: pa.Table) -> pa.Table:
+        lang_arr = np.asarray(t["lang"].to_pylist(), dtype=object)
+        terms = np.asarray(t["term"].to_pylist(), dtype=object)
+        tb = np.zeros(len(terms), dtype=np.int64)
+        for lang in np.unique(lang_arr):
+            lc = cuts_np.get(str(lang))
+            if lc is not None and len(lc):
+                m = lang_arr == lang
+                tb[m] = np.searchsorted(lc, terms[m], side="right")
+        return t.append_column("tbucket", pa.array(tb, pa.int64()))
 
-        ray.data.read_parquet(
-            os.path.join(index_dir, "postings", f"lang={lang}")
-        ).map_batches(assign, batch_format="pyarrow").write_parquet(
-            os.path.join(out_dir, "postings_split", f"lang={lang}"),
-            partition_cols=["tbucket"],
-        )
+    ray.data.read_parquet(
+        os.path.join(index_dir, "postings")
+    ).map_batches(assign, batch_format="pyarrow").write_parquet(
+        os.path.join(out_dir, "postings_split"),
+        partition_cols=["lang", "tbucket"],
+    )
 
     # per-bucket stock shard dirs: manifest copies + symlinked slices
     for b in range(num_buckets):

@@ -132,3 +132,36 @@ def test_queries_route_to_owning_buckets_only(term_shard_setup):
         )
     )
     assert want_buckets and len(want_buckets) <= len(tokens)
+
+
+def test_distributed_cuts_byte_identical(term_shard_setup):
+    """compute_term_cuts (histogram + narrow-range fetch — no vocab-sized
+    driver materialization) reproduces the in-memory sorted-vocab cut
+    selection byte-for-byte, at several bucket counts and prefix lengths
+    (prefix_len=1 forces multi-term prefix ranges; the tiny
+    max_fetch_terms forces the refinement retry loop)."""
+    from document_retrieval_ray.pipelines.term_sharded import (
+        _langs_of, compute_term_cuts, cuts_from_sorted_vocab,
+    )
+
+    single = term_shard_setup["single"]
+
+    def expected(num_buckets):
+        out = {}
+        for lang in _langs_of(single):
+            t = pq.read_table(os.path.join(single, "df", f"lang={lang}"),
+                              columns=["term", "df"])
+            terms = np.asarray(t["term"].to_pylist(), dtype=object)
+            dfs = t["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+            order = np.argsort(terms)
+            out[lang] = cuts_from_sorted_vocab(
+                terms[order], dfs[order], num_buckets)
+        return out
+
+    for nb in (2, 3, 5):
+        assert compute_term_cuts(single, nb) == expected(nb), nb
+    assert compute_term_cuts(single, 3, prefix_len=1) == expected(3)
+    # refinement loop: a 1-codepoint histogram over a fetch budget this
+    # small must lengthen the prefix and still land on identical cuts
+    assert compute_term_cuts(single, 3, prefix_len=1,
+                             max_fetch_terms=4) == expected(3)
