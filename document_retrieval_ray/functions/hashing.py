@@ -28,7 +28,9 @@ import numpy as np
 
 __all__ = [
     "md5_hex",
+    "md5_hex_many",
     "stable_hash64",
+    "stable_hash64_many",
     "shingles",
     "minhash_signature",
     "band_keys",
@@ -44,6 +46,55 @@ def md5_hex(s: str) -> str:
 def stable_hash64(s: str) -> int:
     """First 8 bytes of md5 as an unsigned 64-bit int (deterministic)."""
     return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "big")
+
+
+# ------------------------------------------------------------- batched md5
+# One vectorized C pass per BATCH instead of one hashlib call per Python
+# row: DuckDB's md5() over a registered Arrow column produces the exact
+# same hex bytes as hashlib (it IS the oracle's md5), so every dedup
+# oracle stays bit-identical while the hot emit stages stop paying
+# per-row Python overhead. The per-process connection is pinned to one
+# thread — a Ray task/actor slot is one CPU.
+
+_DUCK_CON = None
+
+
+def _duck():
+    global _DUCK_CON
+    if _DUCK_CON is None:
+        import duckdb
+
+        _DUCK_CON = duckdb.connect()
+        _DUCK_CON.execute("SET threads=1")
+    return _DUCK_CON
+
+
+def md5_hex_many(strings) -> "np.ndarray":
+    """md5 hex digests of a string sequence (list / numpy / pyarrow),
+    order-preserving; one vectorized DuckDB pass. Identical bytes to
+    ``[md5_hex(s) for s in strings]`` (tested)."""
+    import pyarrow as pa
+
+    arr = strings if isinstance(strings, (pa.Array, pa.ChunkedArray)) else \
+        pa.array(list(strings), pa.string())
+    if len(arr) == 0:
+        return np.asarray([], dtype=object)
+    tbl = pa.table({"s": arr})
+    con = _duck()
+    con.register("_md5_in", tbl)
+    out = con.execute("SELECT md5(s) AS h FROM _md5_in").arrow()
+    con.unregister("_md5_in")
+    return np.asarray(out["h"].to_pylist(), dtype=object)
+
+
+def stable_hash64_many(strings) -> "np.ndarray":
+    """Vectorized :func:`stable_hash64`: first 8 md5 bytes as uint64,
+    one DuckDB pass + one bulk hex decode (no per-row int.from_bytes)."""
+    hexes = md5_hex_many(strings)
+    if len(hexes) == 0:
+        return np.asarray([], dtype=np.uint64)
+    joined = "".join(h[:16] for h in hexes)
+    return np.frombuffer(bytes.fromhex(joined), dtype=">u8").astype(np.uint64)
 
 
 def shingles(tokens: list, n: int = 3) -> list:

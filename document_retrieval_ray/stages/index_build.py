@@ -51,10 +51,10 @@ from .tokenize import flatten_tokens
 
 
 def add_part(batch: pa.Table, num_parts: int) -> pa.Table:
-    urls = batch["url"].to_pylist()
-    parts = np.fromiter(
-        (stable_hash64(u) % num_parts for u in urls), dtype=np.int64, count=len(urls)
-    )
+    from ..functions.hashing import stable_hash64_many
+
+    parts = (stable_hash64_many(batch["url"].combine_chunks())
+             % np.uint64(num_parts)).astype(np.int64)
     return batch.append_column("part", pa.array(parts, pa.int64()))
 
 
