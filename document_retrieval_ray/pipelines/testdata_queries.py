@@ -4296,6 +4296,154 @@ def q_dedup_bucket_audit(sf_dir: str, k: int = AUDIT_BUCKET_K):
     return df
 
 
+def q_jaccard_prefix_audit(sf_dir: str, k: int = AUDIT_BUCKET_K):
+    """Prefix-index bucket audit for the exact n-gram Jaccard join — the
+    "no silent caps" counter of ``shingle_bucket_pairs_partition``'s
+    ``max_bucket`` truncation as a first-class oracled result: every
+    shingle-hash bucket of the df-ascending PREFIX index holding more
+    than ``k`` docs, with the count a ``max_bucket=k`` run would drop.
+    Same distributed plan as q_ngram_jaccard through the prefix stage
+    (df by sh-hash colocation, per-doc prefix by doc-hash colocation);
+    the report is degenerate-bucket-sized."""
+    docs = _docs(sf_dir)
+    sh_tbl = docs.map_batches(
+        emit_doc_shingles, fn_kwargs={"n": DEFAULT_DEDUP.shingle_n},
+        batch_format="pyarrow",
+    )
+    exploded = sh_tbl.map_batches(explode_shingle_rows, batch_format="pyarrow")
+    with_df = _parted(exploded, ("sh",)).map_groups(
+        shingle_df_partition, batch_format="pandas"
+    )
+    prefix = _parted(with_df, ("doc_id",)).map_groups(
+        lambda g: prefix_rows_partition(g, NGRAM_JACCARD_THRESHOLD),
+        batch_format="pandas",
+    )
+    agg = prefix.groupby("sh").aggregate(
+        ray.data.aggregate.Count(alias_name="bucket_size")
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        size = t["bucket_size"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = size > k
+        return pa.table({
+            "sh": pc.cast(t["sh"], pa.int64()).filter(pa.array(keep)),
+            "bucket_size": pa.array(size[keep], pa.int64()),
+            "dropped": pa.array(size[keep] - k, pa.int64()),
+        })
+
+    df = agg.map_batches(fin, batch_format="pyarrow").to_pandas()
+    if df.empty:
+        return pd.DataFrame({
+            "sh": pd.Series(dtype="int64"),
+            "bucket_size": pd.Series(dtype="int64"),
+            "dropped": pd.Series(dtype="int64"),
+        })
+    return df
+
+
+def q_containment_audit(sf_dir: str, k: int = AUDIT_BUCKET_K):
+    """Bucket audit for the directional containment join — per shingle
+    hash, the PREFIX-side and FULL-side doc counts that
+    ``containment_bucket_pairs_partition`` would truncate at
+    ``max_bucket=k``, with the summed drop. The full side is df-sized
+    (every doc holding the shingle), so this is the join's hottest cap;
+    a production run ships the report alongside the pair list."""
+    docs = _docs(sf_dir)
+    sh_tbl = docs.map_batches(
+        emit_doc_shingles, fn_kwargs={"n": DEFAULT_DEDUP.shingle_n},
+        batch_format="pyarrow",
+    ).materialize()
+    exploded = sh_tbl.map_batches(explode_shingle_rows, batch_format="pyarrow")
+    with_df = _parted(exploded, ("sh",)).map_groups(
+        shingle_df_partition, batch_format="pandas"
+    )
+    prefix = _parted(with_df, ("doc_id",)).map_groups(
+        lambda g: prefix_rows_partition(g, CONTAINMENT_THRESHOLD),
+        batch_format="pandas",
+    )
+
+    def _mark(role):
+        def mark(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "sh": pc.cast(t["sh"], pa.int64()),
+                "role": pa.array(
+                    np.full(t.num_rows, role, np.int64), pa.int64()),
+            })
+
+        return mark
+
+    marked = prefix.map_batches(_mark(1), batch_format="pyarrow").union(
+        exploded.map_batches(_mark(0), batch_format="pyarrow")
+    )
+    agg = marked.groupby("sh").aggregate(
+        ray.data.aggregate.Count(alias_name="n_rows"),
+        ray.data.aggregate.Sum("role", alias_name="n_prefix"),
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        rows = t["n_rows"].to_numpy(zero_copy_only=False).astype(np.int64)
+        npre = t["n_prefix"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nfull = rows - npre
+        keep = (npre > k) | (nfull > k)
+        return pa.table({
+            "sh": pc.cast(t["sh"], pa.int64()).filter(pa.array(keep)),
+            "n_prefix": pa.array(npre[keep], pa.int64()),
+            "n_full": pa.array(nfull[keep], pa.int64()),
+            "dropped": pa.array(
+                np.maximum(npre[keep] - k, 0) + np.maximum(nfull[keep] - k, 0),
+                pa.int64()),
+        })
+
+    df = agg.map_batches(fin, batch_format="pyarrow").to_pandas()
+    if df.empty:
+        return pd.DataFrame({
+            "sh": pd.Series(dtype="int64"),
+            "n_prefix": pd.Series(dtype="int64"),
+            "n_full": pd.Series(dtype="int64"),
+            "dropped": pd.Series(dtype="int64"),
+        })
+    return df
+
+
+def q_simhash_band_audit(sf_dir: str, k: int = AUDIT_BUCKET_K):
+    """SimHash (band, chunk) bucket audit — the counter behind
+    ``simhash_band_pairs``' deterministic ``max_bucket`` truncation as
+    an oracled result: every 16-bit-chunk bucket holding more than
+    ``k`` docs with the would-be drop at ``max_bucket=k``. One
+    (band, chunk)-keyed exchange of signature rows (the pair pipeline's
+    own shuffle shape)."""
+    sig = (
+        _docs(sf_dir)
+        .map_batches(add_simhash, batch_format="pyarrow")
+        .select_columns(["doc_id", "simhash"])
+    )
+    bands = sig.map_batches(emit_simhash_bands, batch_format="pyarrow")
+    agg = bands.groupby(["band", "chunk"]).aggregate(
+        ray.data.aggregate.Count(alias_name="bucket_size")
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        size = t["bucket_size"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = size > k
+        ka = pa.array(keep)
+        return pa.table({
+            "band": pc.cast(t["band"], pa.int64()).filter(ka),
+            "chunk": pc.cast(t["chunk"], pa.int64()).filter(ka),
+            "bucket_size": pa.array(size[keep], pa.int64()),
+            "dropped": pa.array(size[keep] - k, pa.int64()),
+        })
+
+    df = agg.map_batches(fin, batch_format="pyarrow").to_pandas()
+    if df.empty:
+        return pd.DataFrame({
+            "band": pd.Series(dtype="int64"),
+            "chunk": pd.Series(dtype="int64"),
+            "bucket_size": pd.Series(dtype="int64"),
+            "dropped": pd.Series(dtype="int64"),
+        })
+    return df
+
+
 _DUP_RATE_BY_SOURCE_SQL = """
 WITH g AS (SELECT text, count(*) AS c FROM documents GROUP BY text),
 d AS (SELECT documents.source AS source, g.c AS c
@@ -9989,6 +10137,9 @@ QUERIES = {
     "token_fertility": q_token_fertility,
     "dup_rate_by_source": q_dup_rate_by_source,
     "dedup_bucket_audit": q_dedup_bucket_audit,
+    "jaccard_prefix_audit": q_jaccard_prefix_audit,
+    "containment_audit": q_containment_audit,
+    "simhash_band_audit": q_simhash_band_audit,
     "rep_quality": q_rep_quality,
     "dup_spans": q_dup_spans,
     "dup_span_docs": q_dup_span_docs,
@@ -10186,6 +10337,77 @@ JOIN sizes za ON za.doc_id = i.a
 WHERE CAST(ni AS DOUBLE) / za.n >= 0.8
 """
 
+# stable_hash64 replayed in SQL: the first 16 hex chars of md5 parsed
+# big-endian into HUGEINT (per-position multipliers 16^(16-p)), wrapped
+# to the engine's SIGNED int64 view. Consumes a CTE `sh(doc_id,
+# shingle)`; produces `shv(doc_id, sh)` (distinct by hash, like
+# emit_doc_shingles).
+_HEX_MULTS = ", ".join(f"({p}, {16 ** (16 - p)})" for p in range(1, 17))
+_SH64_CTES = f"""
+h16 AS (SELECT * FROM (VALUES {_HEX_MULTS}) m(p, mult)),
+shh AS (
+  SELECT doc_id, shingle,
+         sum(CAST(strpos('0123456789abcdef',
+                  substring(md5(shingle), CAST(m.p AS INT), 1)) - 1 AS HUGEINT)
+             * CAST(m.mult AS HUGEINT)) AS uh
+  FROM sh CROSS JOIN h16 m GROUP BY doc_id, shingle
+),
+shv AS (
+  SELECT DISTINCT doc_id,
+         CAST(CASE WHEN uh >= 9223372036854775808
+                   THEN uh - 18446744073709551616 ELSE uh END AS BIGINT) AS sh
+  FROM shh
+)"""
+
+_SHINGLE_SH_CTES = f"""{{toks}},
+shl AS (
+  SELECT doc_id,
+         CASE WHEN len(l) < {SHINGLE_N} THEN [array_to_string(l, ' ')]
+              ELSE list_transform(range(1, len(l) - {SHINGLE_N - 2}),
+                                  i -> array_to_string(list_slice(l, i, i + {SHINGLE_N - 1}), ' '))
+         END AS sh_list
+  FROM toks WHERE len(l) >= 1
+),
+sh AS (SELECT DISTINCT doc_id, unnest(sh_list) AS shingle FROM shl),
+{_SH64_CTES},
+dfs AS (SELECT sh, count(*) AS df FROM shv GROUP BY sh),
+sizes AS (SELECT doc_id, count(*) AS n FROM shv GROUP BY doc_id)"""
+
+
+def _prefix_cte(threshold: float) -> str:
+    """`pr(doc_id, sh)`: each doc's df-ascending lossless prefix under
+    the engine's canonical (df asc, signed-hash asc) order."""
+    return f"""pr AS (
+  SELECT doc_id, sh FROM (
+    SELECT v.doc_id AS doc_id, v.sh AS sh,
+           row_number() OVER (PARTITION BY v.doc_id ORDER BY d.df, v.sh) AS rk,
+           z.n AS n
+    FROM shv v JOIN dfs d USING (sh) JOIN sizes z USING (doc_id)
+  ) WHERE rk <= n - CAST(ceil({threshold} * n) AS BIGINT) + 1
+)"""
+
+
+_JACCARD_PREFIX_AUDIT_SQL = f"""
+WITH {_SHINGLE_SH_CTES.format(toks=_TOKS_CTE)},
+{_prefix_cte(NGRAM_JACCARD_THRESHOLD)}
+SELECT sh, CAST(count(*) AS BIGINT) AS bucket_size,
+       CAST(count(*) - {AUDIT_BUCKET_K} AS BIGINT) AS dropped
+FROM pr GROUP BY sh HAVING count(*) > {AUDIT_BUCKET_K}
+"""
+
+_CONTAINMENT_AUDIT_SQL = f"""
+WITH {_SHINGLE_SH_CTES.format(toks=_TOKS_CTE)},
+{_prefix_cte(CONTAINMENT_THRESHOLD)},
+np_ AS (SELECT sh, count(*) AS n_prefix FROM pr GROUP BY sh)
+SELECT d.sh AS sh,
+       CAST(coalesce(p.n_prefix, 0) AS BIGINT) AS n_prefix,
+       CAST(d.df AS BIGINT) AS n_full,
+       CAST(greatest(coalesce(p.n_prefix, 0) - {AUDIT_BUCKET_K}, 0)
+            + greatest(d.df - {AUDIT_BUCKET_K}, 0) AS BIGINT) AS dropped
+FROM dfs d LEFT JOIN np_ p USING (sh)
+WHERE coalesce(p.n_prefix, 0) > {AUDIT_BUCKET_K} OR d.df > {AUDIT_BUCKET_K}
+"""
+
 _EMB_UNNEST = """
 u AS (
   SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS i,
@@ -10242,6 +10464,36 @@ ham AS (
   GROUP BY c.a, c.b
 )
 SELECT a, b FROM ham WHERE hd <= 3
+"""
+
+# (band, chunk) bucket audit over the same bit-exact SQL signature
+# recomputation as _SIMHASH_SQL (CTEs shared verbatim through `chunks`)
+_SIMHASH_BAND_AUDIT_SQL = f"""
+WITH {_TOK_CTE},
+r AS (SELECT i FROM range(0, 64) t(i)),
+nib AS (
+  SELECT tok.doc_id AS doc_id, r.i AS i,
+         (CASE WHEN ((strpos('0123456789abcdef',
+                      substring(md5(tok.term), CAST(16 - r.i // 4 AS INT), 1)) - 1)
+                     >> CAST(r.i % 4 AS INT)) & 1 = 1
+               THEN 1 ELSE -1 END) * tok.tf AS sgn
+  FROM tok CROSS JOIN r
+),
+accs AS (SELECT doc_id, i, sum(sgn) AS acc FROM nib GROUP BY doc_id, i),
+bits AS (
+  SELECT d.doc_id AS doc_id, r.i AS i,
+         CASE WHEN coalesce(a.acc, 0) > 0 THEN 1 ELSE 0 END AS bit
+  FROM documents d CROSS JOIN r
+  LEFT JOIN accs a ON a.doc_id = d.doc_id AND a.i = r.i
+),
+chunks AS (
+  SELECT doc_id, CAST(i // 16 AS BIGINT) AS band,
+         CAST(sum(bit * (1 << CAST(i % 16 AS INT))) AS BIGINT) AS chunk
+  FROM bits GROUP BY doc_id, i // 16
+)
+SELECT band, chunk, CAST(count(*) AS BIGINT) AS bucket_size,
+       CAST(count(*) - {AUDIT_BUCKET_K} AS BIGINT) AS dropped
+FROM chunks GROUP BY band, chunk HAVING count(*) > {AUDIT_BUCKET_K}
 """
 
 _PLANE_VALUES = ", ".join(
@@ -11167,6 +11419,9 @@ WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
     "token_fertility": _TOKEN_FERTILITY_SQL,
     "dup_rate_by_source": _DUP_RATE_BY_SOURCE_SQL,
     "dedup_bucket_audit": _DEDUP_BUCKET_AUDIT_SQL,
+    "jaccard_prefix_audit": _JACCARD_PREFIX_AUDIT_SQL,
+    "containment_audit": _CONTAINMENT_AUDIT_SQL,
+    "simhash_band_audit": _SIMHASH_BAND_AUDIT_SQL,
     "source_cap": f"""
 SELECT doc_id, source, src_rank FROM (
   SELECT doc_id, source,
