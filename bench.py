@@ -54,8 +54,17 @@ def _scaling() -> None:
             GRAFT_BENCH_DOCS=os.environ.get("GRAFT_BENCH_DOCS", "2000000"),
             # the scorer pool's ~2.6 s actor-ramp is a per-EXECUTION
             # constant (absent in steady-state serving); 8k queries keep
-            # the measured stage dominated by throughput, not ramp
-            GRAFT_BENCH_QUERIES=os.environ.get("GRAFT_BENCH_QUERIES", "8000"),
+            # the measured stage dominated by throughput, not ramp. The
+            # reference-compat tokenizer serves ~0.4x the tokens/query
+            # (stopword removal) so its per-query work is smaller and
+            # the same fixed ramp looms larger over an 8k burst — its
+            # legs default to 24k queries for the same steady-state
+            # measurement (round 5; per-query p50/p99 is unchanged,
+            # only the burst length over which the ramp amortizes)
+            GRAFT_BENCH_QUERIES=os.environ.get(
+                "GRAFT_BENCH_QUERIES",
+                "8000" if BENCH_TOKENIZER == "simple" else "24000",
+            ),
             # 2M docs shuffle ~30 GiB of posting triples; keep both legs
             # out of spill with the same (fixed) store size
             GRAFT_OBJ_STORE_GB=os.environ.get("GRAFT_OBJ_STORE_GB", "48"),

@@ -257,12 +257,16 @@ def build_shared_payload(index_dir: str, lang: str, block_size: int = None,
         else None
     )
 
+    term_arr, term_sorter, term_overflow = _pack_terms(post["term"])
+
     return {
         "lang": lang,
         "n_docs": m["n_docs"],
         "avgdl": m["avgdl"],
         "block_size": bs,
-        "terms": post["term"].to_pylist(),
+        "term_arr": term_arr,
+        "term_sorter": term_sorter,
+        "term_overflow": term_overflow,
         "df": df_arr,
         "post_buf": post_buf, "post_off": post_off,
         "bo_buf": bo_buf, "bo_off": bo_off,
@@ -281,6 +285,99 @@ def build_shared_payload(index_dir: str, lang: str, block_size: int = None,
             else None
         ),
     }
+
+
+_TERM_WIDTH_CAP = 64  # bytes; longer (junk) terms go to the overflow dict
+
+
+def _pack_terms(term_col) -> tuple:
+    """Vocabulary as a FIXED-WIDTH numpy bytes matrix (row order) + an
+    argsort permutation — the zero-copy replacement for the old
+    per-worker ``{term: row}`` dict. A Python list/dict of the vocab is
+    pickled per worker and rebuilt per process (~seconds at the
+    multi-million-term vocabularies a bigram tokenizer produces — the
+    fixed per-worker cost that capped the ref-compat query stage's N→4N
+    scaling); numpy arrays in the payload are plasma-mapped, so lookup
+    state costs a worker NOTHING. Terms longer than
+    ``_TERM_WIDTH_CAP`` bytes (web junk tail) live in a small pickled
+    overflow dict instead of inflating every row's width."""
+    tb = pc.cast(term_col.combine_chunks(), pa.large_binary())
+    n = len(tb)
+    if n == 0:
+        return (np.empty(0, dtype="S1"), np.empty(0, np.int64), {})
+    off = np.frombuffer(tb.buffers()[1], np.int64)[tb.offset:tb.offset + n + 1]
+    vals = np.frombuffer(tb.buffers()[2] or b"", np.uint8)[off[0]:off[-1]]
+    off = (off - off[0]).astype(np.int64)
+    lens = np.diff(off)
+    width = int(min(max(int(lens.max()), 1), _TERM_WIDTH_CAP))
+    fit = lens <= width
+    overflow = {}
+    if not fit.all():
+        vb = vals.tobytes()
+        for i in np.flatnonzero(~fit):
+            overflow[vb[off[i]:off[i + 1]]] = int(i)
+    # scatter the utf-8 bytes into the padded matrix (vectorized);
+    # overflow rows become all-0xFF sentinels — 0xFF never occurs in
+    # valid utf-8, so no probe can ever match one
+    out = np.zeros((n, width), np.uint8)
+    out[~fit] = 0xFF
+    lens_f = np.where(fit, lens, 0)
+    rows = np.repeat(np.arange(n, dtype=np.int64), lens_f)
+    cols = np.arange(len(rows), dtype=np.int64) - np.repeat(
+        np.cumsum(lens_f) - lens_f, lens_f)
+    src = np.repeat(off[:-1], lens_f) + cols
+    out[rows, cols] = vals[src]
+    term_arr = out.view(f"S{width}").ravel()
+    return term_arr, np.argsort(term_arr, kind="stable"), overflow
+
+
+class _TermLookup:
+    """dict-shaped (`get` / `in`) exact-match lookup over the packed
+    vocabulary: binary search through the shared sorter permutation,
+    plus a bounded per-instance cache for the Zipf-head repeats."""
+
+    __slots__ = ("arr", "sorter", "overflow", "width", "cache")
+    _CACHE_CAP = 65536
+
+    def __init__(self, arr: np.ndarray, sorter: np.ndarray, overflow: dict):
+        self.arr = arr
+        self.sorter = sorter
+        self.overflow = overflow
+        self.width = arr.dtype.itemsize if len(arr) else 0
+        self.cache: dict = {}
+
+    def get(self, term, default=None):
+        if term in self.cache:
+            row = self.cache[term]
+            return default if row is None else row
+        b = term.encode("utf-8") if isinstance(term, str) else bytes(term)
+        row = None
+        if len(b) > self.width:
+            row = self.overflow.get(b)
+        elif len(self.arr):
+            pos = int(np.searchsorted(self.arr, np.bytes_(b),
+                                      sorter=self.sorter))
+            if pos < len(self.arr):
+                j = int(self.sorter[pos])
+                if self.arr[j] == b:
+                    row = j
+        if len(self.cache) < self._CACHE_CAP:
+            self.cache[term] = row
+        return default if row is None else row
+
+    def __contains__(self, term) -> bool:
+        return self.get(term) is not None
+
+    def __len__(self) -> int:
+        return len(self.arr)
+
+    def __iter__(self):
+        # row order, like the dict this replaces (diagnostics/tests only
+        # — vocab-sized, never on the serving path)
+        inv = {row: b for b, row in self.overflow.items()}
+        for i in range(len(self.arr)):
+            b = inv.get(i)
+            yield (bytes(self.arr[i]) if b is None else b).decode("utf-8")
 
 
 class LangIndex:
@@ -309,7 +406,8 @@ class LangIndex:
         self.n_docs = p["n_docs"]
         self.avgdl = p["avgdl"]
         self.block_size = p["block_size"]
-        self._terms = {t: i for i, t in enumerate(p["terms"])}
+        self._terms = _TermLookup(
+            p["term_arr"], p["term_sorter"], p.get("term_overflow") or {})
         self._df = p["df"]
         self._post_buf, self._post_off = p["post_buf"], p["post_off"]
         self._bo_buf, self._bo_off = p["bo_buf"], p["bo_off"]
