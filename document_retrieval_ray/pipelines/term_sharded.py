@@ -459,6 +459,147 @@ def merge_term_partials(g: pd.DataFrame, index_dir: str, k: int,
     return _concat(parts).to_pandas()
 
 
+# ------------------------------------------------------- pruned serving
+# DISTRIBUTED MaxScore over the term-range bucket group: the single-
+# index MaxScore plan (state/index_shard.py:score_bm25_maxscore) with
+# each term's step executed by its OWNING bucket.
+#
+#   P1  every bucket holding a RARE query term (df <= hot_df) emits that
+#       term's full (doc, contribution) postings — Σ df(rare) rows, the
+#       same candidate-generation work as single-index MaxScore, just
+#       partitioned; the coordinator merges them into the candidate set.
+#   P2  every bucket holding a HOT term gathers its contribution for
+#       exactly the candidate docs (searchsorted into its cached
+#       postings — |C| rows back) and reports the term's clamped upper
+#       bound from its block metadata.
+#   SAFE when rounded(Σ hot upper bounds) < rounded(k-th candidate
+#       total) and the candidates fill the top-k — identical to the
+#       single-index check, so the fast path holds exactly as often
+#       (Zipf head terms have tiny idf; flat-partial workloads that
+#       defeat per-bucket top-m exchanges don't defeat this). Otherwise
+#       the exact full-TAAT merge runs.
+#
+# A first-cut top-m-per-bucket exchange (pipelined term-distributed
+# evaluation) was measured at 77% certification failure on the Zipf
+# workload — per-bucket m-th-partial bounds are too flat to beat a
+# k-th-best SUM threshold; anchoring candidates on rare terms is what
+# makes single-index MaxScore work, and it distributes cleanly because
+# a term lives in exactly one bucket.
+#
+# Exchange volume: Σ df(rare) + |C|·#hot rows instead of every
+# positive partial (corpus-sized for hot terms) under the TAAT merge.
+
+
+def score_term_sharded_pruned(buckets: list, tokens, cfg: BM25Config,
+                              k: int = 10, round_dp=4,
+                              hot_df: int = 50_000):
+    """Exact global top-k over a term-range bucket group WITHOUT a full
+    TAAT of every bucket (header comment). ``buckets`` = LangIndex per
+    bucket (None for buckets not holding this lang). Returns
+    (totals, cand_doc_ids) — rank with ``topk_with_ties`` over the
+    group's shared urls. Rank-identical to the single index (tested)."""
+    from ..state.index_shard import _bm25_contrib, _term_weights
+
+    active = []
+    for idx in buckets:
+        if idx is None:
+            continue
+        btoks = [t for t in tokens if t in idx._terms]
+        if btoks:
+            active.append((idx, btoks))
+    if not active:
+        return np.empty(0, np.float64), np.empty(0, np.int64)
+
+    rare, hot = [], []  # (bucket idx, term, weight)
+    for bidx, btoks in active:
+        for t, w in _term_weights(btoks, cfg.compat):
+            d = bidx.df(t)
+            if d is None:
+                continue
+            (rare if d <= hot_df else hot).append((bidx, t, w))
+    if not rare and not hot:
+        return np.empty(0, np.float64), np.empty(0, np.int64)
+    if not rare:  # stopword-class query: no candidate anchor — exact merge
+        return _term_sharded_taat(active, cfg)
+
+    # P1: candidate set from the rare terms' owning buckets — dense
+    # scatter vs sparse unique+bincount by the same crossover as
+    # single-index MaxScore (O(n_docs) zero+scan vs O(R log R) sort)
+    n_docs = active[0][0].n_docs
+    ids_parts, contrib_parts = [], []
+    R = 0
+    for bidx, t, w in rare:
+        doc_ids = bidx.postings(t)[0]
+        idf = bidx.idf(t, cfg.idf)
+        ids_parts.append(doc_ids.astype(np.int64, copy=False))
+        contrib_parts.append((w * idf) * bidx.term_contrib(t, cfg))
+        R += len(doc_ids)
+    if n_docs <= (1 << 19) or R >= n_docs // 8:
+        scores = np.zeros(n_docs, dtype=np.float64)
+        for doc_ids, con in zip(ids_parts, contrib_parts):
+            scores[doc_ids] += con
+        cand = np.nonzero(scores > 0)[0]
+        cscores = scores[cand]
+    else:
+        all_ids = np.concatenate(ids_parts)
+        cand, inv = np.unique(all_ids, return_inverse=True)
+        cscores = np.bincount(
+            inv, weights=np.concatenate(contrib_parts), minlength=cand.size)
+        pos_mask = cscores > 0
+        cand, cscores = cand[pos_mask], cscores[pos_mask]
+
+    # P2: hot-term gathers onto the candidates + clamped upper bounds
+    hot_ub = 0.0
+    for bidx, t, w in hot:
+        i, _nb = bidx.term_blocks(t)
+        mt = bidx._blocks(i, "max_tf").astype(np.float64)
+        md = bidx._blocks(i, "min_dl").astype(np.float64)
+        idf = bidx.idf(t, cfg.idf)
+        ub = float(((w * idf) * _bm25_contrib(mt, md, cfg, bidx.avgdl)).max())
+        hot_ub += max(ub, 0.0)  # absent negative-idf term → best case 0
+        doc_ids = bidx.postings(t)[0]
+        pos = np.searchsorted(doc_ids, cand.astype(doc_ids.dtype, copy=False))
+        pos = np.clip(pos, 0, len(doc_ids) - 1)
+        match = doc_ids[pos] == cand
+        cscores[match] += (w * idf) * bidx.term_contrib(t, cfg)[pos[match]]
+
+    if hot:
+        k_eff = min(k, cscores.size)
+        kth = (
+            np.partition(cscores, cscores.size - k_eff)[cscores.size - k_eff]
+            if cscores.size else 0.0
+        )
+        scale = 10.0 ** round_dp if round_dp is not None else None
+        if scale is not None:
+            safe = np.floor(hot_ub * scale + 0.5) < np.floor(kth * scale + 0.5)
+        else:
+            safe = hot_ub < kth
+        if not (cscores.size >= k and safe):
+            return _term_sharded_taat(active, cfg)  # exact fallback
+    return cscores, cand
+
+
+def _term_sharded_taat(active, cfg: BM25Config):
+    """Exact fallback: dense partial sum across buckets (what the batch
+    merge computes), candidates = positive totals. One shared
+    accumulator — per-bucket arrays + a merge would pay B n_docs-sized
+    zero/add passes for the same Σ df of scatter work."""
+    from ..state.index_shard import _term_weights
+
+    total = np.zeros(active[0][0].n_docs, np.float64)
+    for idx, btoks in active:
+        if idx.avgdl <= 0:
+            continue
+        for term, w in _term_weights(btoks, cfg.compat):
+            p = idx.postings(term)
+            if p is None:
+                continue
+            total[p[0]] += (w * idx.idf(term, cfg.idf)) * \
+                idx.term_contrib(term, cfg)
+    cand = np.flatnonzero(total > 0)
+    return total[cand], cand
+
+
 def bm25_search_term_sharded(
     queries: ray.data.Dataset,
     index_dir: str,

@@ -165,3 +165,70 @@ def test_distributed_cuts_byte_identical(term_shard_setup):
     # small must lengthen the prefix and still land on identical cuts
     assert compute_term_cuts(single, 3, prefix_len=1,
                              max_fetch_terms=4) == expected(3)
+
+
+def test_pruned_term_sharded_rank_identical(term_shard_setup):
+    """score_term_sharded_pruned (distributed MaxScore — rare terms'
+    owning buckets anchor the candidate set, hot buckets gather onto it
+    with clamped bounds) is rank-identical to the single index at the
+    serving contract, across the corpus query set plus crafted
+    multi-bucket queries, at hot_df settings that exercise the pure-rare
+    path, the hot-gather path, and the all-hot exact-merge fallback."""
+    from document_retrieval_ray.functions.tokenizer import tokenize_cfg
+    from document_retrieval_ray.pipelines.term_sharded import (
+        read_term_buckets, score_term_sharded_pruned,
+    )
+    from document_retrieval_ray.state.index_shard import (
+        LangIndex, score_bm25_taat, topk_with_ties,
+    )
+
+    single_dir = term_shard_setup["single"]
+    bdir = term_shard_setup["buckets"]
+    table = read_term_buckets(bdir)
+    nb = table["num_buckets"]
+    qt = pq.read_table(term_shard_setup["queries"]).to_pandas()
+    cases = [(r["query"], r["lang"]) for _, r in qt.iterrows()]
+    # crafted: span all buckets (cut-list terms), repeat-heavy, unknowns
+    for lang, cuts in table["cuts"].items():
+        cases.append((" ".join(cuts) + " " + (cuts[0] if cuts else ""), lang))
+        cases.append(("zzznotaterm " + " ".join(cuts[:1]) * 3, lang))
+
+    singles, buckets = {}, {}
+    for _, lang in cases:
+        if lang in singles:
+            continue
+        singles[lang] = LangIndex(single_dir, lang)
+        row = []
+        for b in range(nb):
+            try:
+                row.append(LangIndex(os.path.join(bdir, f"bucket-{b:04d}"),
+                                     lang))
+            except FileNotFoundError:
+                row.append(None)
+        buckets[lang] = row
+
+    n_nonempty = 0
+    for hot_df in (50_000, 2, 0):
+        for q, lang in cases:
+            toks = tokenize_cfg(q, lang, TokenizerConfig(mode="simple"))
+            if not toks:
+                continue
+            sidx = singles[lang]
+            want_scores = score_bm25_taat(sidx, toks, BM25)
+            w_r, w_sel, w_key = topk_with_ties(want_scores, sidx.urls, 10, 4)
+            totals, cand = score_term_sharded_pruned(
+                buckets[lang], toks, BM25, k=10, round_dp=4, hot_df=hot_df)
+            g_r, g_sel, g_key = topk_with_ties(
+                totals, sidx.urls.select(cand), 10, 4)
+            assert list(w_r) == list(g_r), (q, lang)
+            assert list(w_key) == list(g_key), (q, lang)
+            want_urls = [sidx.urls[int(i)] for i in w_sel]
+            got_urls = [sidx.urls[int(cand[int(i)])] for i in g_sel]
+            assert want_urls == got_urls, (q, lang)
+            # raw totals: ulp tolerance (cross-bucket sum regrouping)
+            got_raw = {u: totals[int(i)] for u, i in zip(got_urls, g_sel)}
+            for u, i in zip(want_urls, w_sel):
+                assert abs(got_raw[u] - want_scores[int(i)]) < 1e-9
+            if len(w_r):
+                n_nonempty += 1
+    assert n_nonempty > 0
