@@ -133,6 +133,25 @@ class _GlobalView:
         doc_ids, tfs = p
         return _bm25_contrib(tfs, self.dl[doc_ids], cfg, self.avgdl)
 
+    # pass-throughs that let the term-sharded scorers
+    # (pipelines/term_sharded.py) run against a doc-shard's bucket with
+    # GLOBAL stats — the (doc-range × term-range) grid composition.
+    # Membership/blocks are LOCAL (this bucket's vocabulary slice);
+    # df/idf/avgdl above are GLOBAL.
+    @property
+    def _terms(self):
+        return self._idx._terms
+
+    def term_blocks(self, term: str):
+        return self._idx.term_blocks(term)
+
+    def _blocks(self, i: int, which: str):
+        return self._idx._blocks(i, which)
+
+    def term_cmax(self, term: str, cfg) -> float:
+        con = self.term_contrib(term, cfg)
+        return float(con.max()) if con is not None and con.size else 0.0
+
 
 class ShardedBM25Scorer:
     """Group stage over (shard_id, qpart)-keyed query rows: per-shard
