@@ -56,8 +56,11 @@ __all__ = [
 ]
 
 
-def emit_positions(batch: pa.Table, num_parts: int) -> pa.Table:
-    """(doc_id, text) batch → (thash, term, doc_id, positions) rows.
+def emit_positions(batch: pa.Table, num_parts: int,
+                   doc_shift: int = None) -> pa.Table:
+    """(doc_id, text) batch → (thash, term, doc_id, positions) rows,
+    plus a ``dbucket = doc_id >> doc_shift`` doc-range column when
+    ``doc_shift`` is set (the hot-term sub-partitioning axis).
 
     Fully vectorized: Arrow lower/regex/split, flat values + offsets,
     dictionary-encode for integer term codes, one lexsort, run-length
@@ -99,14 +102,15 @@ def emit_positions(batch: pa.Table, num_parts: int) -> pa.Table:
         parent, pos, codes = parent[keep], pos[keep], codes[keep]
 
     if len(parent) == 0:
-        return pa.table(
-            {
-                "thash": pa.array([], pa.int64()),
-                "term": pa.array([], pa.string()),
-                "doc_id": pa.array([], pa.int64()),
-                "positions": pa.array([], pa.list_(pa.int32())),
-            }
-        )
+        cols = {
+            "thash": pa.array([], pa.int64()),
+            "term": pa.array([], pa.string()),
+            "doc_id": pa.array([], pa.int64()),
+            "positions": pa.array([], pa.list_(pa.int32())),
+        }
+        if doc_shift is not None:
+            cols["dbucket"] = pa.array([], pa.int64())
+        return pa.table(cols)
 
     # packed-key radix argsort (see TokenizeStage._count), 1 pass vs
     # lexsort's 3; (parent, code, pos) triples are distinct so order is
@@ -130,16 +134,18 @@ def emit_positions(batch: pa.Table, num_parts: int) -> pa.Table:
         count=len(vocab_np),
     )
     doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-    return pa.table(
-        {
-            "thash": pa.array(vhash[codes[starts]], pa.int64()),
-            "term": denc.dictionary.take(pa.array(codes[starts])),
-            "doc_id": pa.array(doc_ids[parent[starts]], pa.int64()),
-            "positions": pa.ListArray.from_arrays(
-                pa.array(list_offsets), pa.array(pos.astype(np.int32))
-            ),
-        }
-    )
+    row_docs = doc_ids[parent[starts]].astype(np.int64)
+    cols = {
+        "thash": pa.array(vhash[codes[starts]], pa.int64()),
+        "term": denc.dictionary.take(pa.array(codes[starts])),
+        "doc_id": pa.array(row_docs, pa.int64()),
+        "positions": pa.ListArray.from_arrays(
+            pa.array(list_offsets), pa.array(pos.astype(np.int32))
+        ),
+    }
+    if doc_shift is not None:
+        cols["dbucket"] = pa.array(row_docs >> doc_shift, pa.int64())
+    return pa.table(cols)
 
 
 def _manifest_path(index_dir: str) -> str:
@@ -159,11 +165,22 @@ def build_positional_index(
     index_dir: str,
     num_parts: int = 32,
     input_ds_factory=None,
+    doc_shift: int = 14,
 ) -> dict:
     """One-pass, shuffle-free positional index build. Idempotent: a
     committed ``pos_manifest.json`` (atomic rename, written AFTER the
     parquet) makes re-runs a no-op — the resume unit is the whole
-    artifact because the build is a single streaming pass."""
+    artifact because the build is a single streaming pass.
+
+    ``doc_shift``: positions are hive-partitioned by (thash, dbucket =
+    doc_id >> doc_shift) — the doc-range axis lets a phrase query read a
+    HOT term's rows only for the doc ranges its rare terms produced
+    (SCALE.md's "per-term partition sharding for hot positional terms"),
+    bounding the read by candidates instead of df ≈ N. A term-count
+    sidecar (``term_stats/thash=H`` — exact per-term doc counts, NO
+    shuffle: a term's rows all share its thash partition, so
+    within-partition counts are global) feeds the rare/hot split at
+    query time."""
     m = read_pos_manifest(index_dir)
     if m is not None:
         return m
@@ -172,11 +189,32 @@ def build_positional_index(
     else:
         ds = read_parquet_clean(docs_path, columns=["doc_id", "text"])
     out = ds.map_batches(
-        emit_positions, fn_kwargs={"num_parts": num_parts}, batch_format="pyarrow"
+        emit_positions,
+        fn_kwargs={"num_parts": num_parts, "doc_shift": doc_shift},
+        batch_format="pyarrow",
     )
     pos_dir = os.path.join(index_dir, "positions")
-    out.write_parquet(pos_dir, partition_cols=["thash"])
-    manifest = {"num_parts": num_parts, "source": docs_path}
+    out.write_parquet(pos_dir, partition_cols=["thash", "dbucket"])
+
+    # term_stats sidecar: per-batch (thash, term, n_docs) partials — a
+    # term's rows are COLOCATED in its thash partition lineage, and the
+    # query sums partials per term, so no shuffle is ever needed
+    def _count(t: pa.Table) -> pa.Table:
+        g = pa.table({
+            "thash": t["thash"], "term": t["term"],
+        }).group_by(["thash", "term"]).aggregate([("term", "count")])
+        return g.rename_columns(["thash", "term", "n_docs"])
+
+    ray.data.read_parquet(pos_dir, columns=["term", "thash"]).map_batches(
+        _count, batch_format="pyarrow"
+    ).write_parquet(
+        os.path.join(index_dir, "term_stats"), partition_cols=["thash"]
+    )
+    manifest = {
+        "num_parts": num_parts,
+        "source": docs_path,
+        "doc_shift": doc_shift,
+    }
     os.makedirs(index_dir, exist_ok=True)
     tmp = _manifest_path(index_dir) + ".tmp"
     with open(tmp, "w") as f:
@@ -335,6 +373,16 @@ def _near_match_partition(group: pd.DataFrame, pairs, window: int) -> pd.DataFra
     )
 
 
+def _walk_parquet(d: str) -> list:
+    """All parquet files under ``d`` — one level (legacy thash-only
+    layout) or two (thash/dbucket)."""
+    out = []
+    for root, _dirs, files in os.walk(d):
+        out.extend(os.path.join(root, f) for f in files
+                   if f.endswith(".parquet"))
+    return sorted(out)
+
+
 def _candidate_rows(index_dir: str, terms, num_parts_hint=None):
     """Shared read path: prune to the terms' thash partition dirs —
     across the base AND every committed positional generation — and
@@ -345,21 +393,11 @@ def _candidate_rows(index_dir: str, terms, num_parts_hint=None):
     if num_parts is None:
         raise ValueError(f"no pos_manifest.json under {index_dir}")
     hashes = sorted({stable_hash64(w) % num_parts for w in terms})
-    dirs = [
-        os.path.join(root, "positions", f"thash={h}")
-        for root in _pos_dirs(index_dir)
-        for h in hashes
-    ]
-    files: list[str] = []
-    for d in dirs:
-        if os.path.isdir(d):
+    files: list = []
+    for root in _pos_dirs(index_dir):
+        for h in hashes:
             files.extend(
-                sorted(
-                    os.path.join(d, f)
-                    for f in os.listdir(d)
-                    if f.endswith(".parquet")
-                )
-            )
+                _walk_parquet(os.path.join(root, "positions", f"thash={h}")))
     if not files:
         return None
     tset = pa.array(sorted(terms), pa.string())
@@ -371,13 +409,140 @@ def _candidate_rows(index_dir: str, terms, num_parts_hint=None):
     return ray.data.read_parquet(files).map_batches(flt, batch_format="pyarrow")
 
 
-def proximity_query(index_dir: str, pairs, window: int, num_parts_hint=None):
+def term_doc_counts(index_dir: str, terms) -> dict | None:
+    """Exact per-term doc counts from the ``term_stats`` sidecars (thash
+    partition-pruned reads, partials summed across base + generations).
+    None when any root predates the sidecar (legacy artifact)."""
+    import pyarrow.parquet as _pq
+
+    m = read_pos_manifest(index_dir)
+    if m is None:
+        return None
+    num_parts = int(m["num_parts"])
+    counts = {t: 0 for t in terms}
+    hashes = sorted({stable_hash64(t) % num_parts for t in terms})
+    tset = sorted(terms)
+    for root in _pos_dirs(index_dir):
+        sdir = os.path.join(root, "term_stats")
+        if not os.path.isdir(sdir):
+            return None
+        for h in hashes:
+            p = os.path.join(sdir, f"thash={h}")
+            if not os.path.isdir(p):
+                continue
+            t = _pq.read_table(p, columns=["term", "n_docs"])
+            t = t.filter(pc.is_in(pc.cast(t["term"], pa.string()),
+                                  value_set=pa.array(tset, pa.string())))
+            for term, n in zip(t["term"].to_pylist(),
+                               t["n_docs"].to_pylist()):
+                counts[term] += int(n)
+    return counts
+
+
+def _candidate_rows_pruned(index_dir: str, term_groups, hot_df: int,
+                           anchor_cap: int, num_parts_hint=None):
+    """Hot-term-aware read (SCALE.md's stated fix for the df≈N phrase
+    degeneration): terms with df <= ``hot_df`` read as today; HOT terms
+    read only (thash, dbucket) partition dirs covering the ANCHOR docs —
+    the docs holding each group's rarest term — and filter to that doc
+    set. Lossless: a doc matching group G contains G's anchor term, so
+    every hot row a match needs survives.
+
+    Degenerate contract (documented, audited): a group whose RAREST
+    term is itself hotter than ``anchor_cap`` docs cannot be anchored —
+    the whole call falls back to the full read (a worker-visible
+    RuntimeWarning names the term), preserving exact results at the
+    legacy cost. Returns (Dataset | None)."""
+    import warnings
+
+    all_terms = sorted({t for g in term_groups for t in g})
+    dfs = term_doc_counts(index_dir, all_terms)
+    if dfs is None:  # legacy artifact — no stats sidecar
+        return _candidate_rows(index_dir, all_terms, num_parts_hint)
+    anchors = set()
+    for g in term_groups:
+        present = [t for t in g if dfs.get(t, 0) > 0]
+        if not present:
+            continue  # a group with an absent term matches nothing
+        anchors.add(min(present, key=lambda t: (dfs[t], t)))
+    hot = {t for t in all_terms
+           if dfs.get(t, 0) > hot_df and t not in anchors}
+    if not hot:
+        return _candidate_rows(index_dir, all_terms, num_parts_hint)
+    if any(dfs[a] > anchor_cap for a in anchors):
+        worst = max(anchors, key=lambda a: dfs[a])
+        warnings.warn(
+            f"positional pruned read: anchor term {worst!r} has "
+            f"df={dfs[worst]} > anchor_cap={anchor_cap} — every term of "
+            "its group is stopword-class, falling back to the full "
+            "partition read (exact, corpus-proportional). Consider a "
+            "parse-time stoplist for this phrase.",
+            RuntimeWarning, stacklevel=3,
+        )
+        return _candidate_rows(index_dir, all_terms, num_parts_hint)
+
+    rare = sorted(set(all_terms) - hot)
+    rare_ds = _candidate_rows(index_dir, rare, num_parts_hint)
+    if rare_ds is None:
+        return None
+    rare_ds = rare_ds.materialize()
+
+    # anchor doc set (df(anchor)-bounded — the small side, broadcast)
+    aset = pa.array(sorted(anchors), pa.string())
+
+    def _adocs(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(pc.cast(t["term"], pa.string()),
+                              value_set=aset))
+        return t.select(["doc_id"])
+
+    parts = rare_ds.map_batches(_adocs, batch_format="pyarrow").take_all()
+    if not parts:
+        return rare_ds
+    anchor_docs = np.unique(np.asarray(
+        [r["doc_id"] for r in parts], dtype=np.int64))
+
+    m = read_pos_manifest(index_dir)
+    num_parts = int(m["num_parts"])
+    hot_hashes = sorted({stable_hash64(t) % num_parts for t in hot})
+    hot_files: list = []
+    for root in _pos_dirs(index_dir):
+        rm = read_pos_manifest(root) if root != index_dir else m
+        shift = (rm or {}).get("doc_shift")
+        for h in hot_hashes:
+            hdir = os.path.join(root, "positions", f"thash={h}")
+            if shift is None:  # legacy root: no doc-range axis
+                hot_files.extend(_walk_parquet(hdir))
+            else:
+                for b in np.unique(anchor_docs >> np.int64(shift)):
+                    hot_files.extend(
+                        _walk_parquet(os.path.join(hdir, f"dbucket={b}")))
+    if not hot_files:
+        return rare_ds
+    hset = pa.array(sorted(hot), pa.string())
+
+    def _hflt(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(pc.cast(t["term"], pa.string()),
+                              value_set=hset))
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(anchor_docs, ids)
+        pos = np.clip(pos, 0, len(anchor_docs) - 1)
+        t = t.filter(pa.array(anchor_docs[pos] == ids))
+        return t.select(["term", "doc_id", "positions"])
+
+    hot_ds = ray.data.read_parquet(hot_files).map_batches(
+        _hflt, batch_format="pyarrow")
+    return rare_ds.union(hot_ds)
+
+
+def proximity_query(index_dir: str, pairs, window: int, num_parts_hint=None,
+                    hot_df: int = 100_000, anchor_cap: int = 5_000_000):
     """Index-backed NEAR search: docs where ``ta`` and ``tb`` occur
     within ``window`` tokens of each other (unordered), with the pair
     count. ``pairs`` is [(pair_id, term_a, term_b)]. Same pruned read as
-    phrase_query."""
-    terms = {t for _, a, b in pairs for t in (a, b)}
-    cand = _candidate_rows(index_dir, terms, num_parts_hint)
+    phrase_query (each pair anchors on its rarer side)."""
+    cand = _candidate_rows_pruned(
+        index_dir, [{a, b} for _, a, b in pairs], hot_df, anchor_cap,
+        num_parts_hint)
     empty = pd.DataFrame(
         {
             "pair_id": pd.Series(dtype=object),
@@ -400,14 +565,18 @@ def proximity_query(index_dir: str, pairs, window: int, num_parts_hint=None):
     )
 
 
-def phrase_query(index_dir: str, phrases, num_parts_hint: int | None = None):
+def phrase_query(index_dir: str, phrases, num_parts_hint: int | None = None,
+                 hot_df: int = 100_000, anchor_cap: int = 5_000_000):
     """Index-backed phrase search: reads ONLY the partition directories
     of the phrase terms (path-level pruning), filters to the exact
     terms, doc_id-cogroups, intersects positions. ``phrases`` is
-    [(phrase_id, "w1 w2 ...")]."""
+    [(phrase_id, "w1 w2 ...")]. Terms hotter than ``hot_df`` docs read
+    only the doc-range sub-partitions covering each phrase's
+    rarest-term candidates (``_candidate_rows_pruned``)."""
     parsed = [(pid, p.split()) for pid, p in phrases]
-    terms = {w for _, ws in parsed for w in ws}
-    cand = _candidate_rows(index_dir, terms, num_parts_hint)
+    cand = _candidate_rows_pruned(
+        index_dir, [set(ws) for _, ws in parsed], hot_df, anchor_cap,
+        num_parts_hint)
     empty = pd.DataFrame(
         {
             "phrase_id": pd.Series(dtype=object),

@@ -298,3 +298,71 @@ def test_append_positional_requires_base(ray_session, tmp_path):
     p = _write_docs(str(tmp_path), ["a b"])
     with pytest.raises(FileNotFoundError):
         append_positional_index(p, str(tmp_path / "nothing"))
+
+
+def test_hot_term_phrase_bounded_read(ray_session, tmp_path):
+    """SCALE.md's df≈N phrase degeneration and its fix: a stopword-class
+    phrase term reads ONLY the (thash, dbucket) sub-partitions covering
+    the rare anchor's candidate docs — the hot side's ingested rows are
+    bounded by candidates, not df — while results stay identical to the
+    unpruned read; an un-anchorable (all-hot) group warns and falls back
+    to the exact full read."""
+    import pandas as pd
+    import pyarrow as pa_
+    import pyarrow.parquet as pq_
+
+    from document_retrieval_ray.pipelines.positional import (
+        _candidate_rows, _candidate_rows_pruned, build_positional_index,
+        phrase_query, term_doc_counts,
+    )
+
+    n = 120
+    rare_docs = {7, 33, 77}
+    rows = []
+    for d in range(n):
+        text = "filler common words here"
+        if d in rare_docs:
+            text = "filler rareword " + text
+        rows.append({"doc_id": d, "text": text})
+    p = str(tmp_path / "docs.parquet")
+    pq_.write_table(pa_.Table.from_pylist(rows), p)
+    idx = str(tmp_path / "posidx")
+    # doc_shift=3 → 8-doc buckets: pruning visible at this scale
+    build_positional_index(p, idx, num_parts=8, doc_shift=3)
+
+    dfs = term_doc_counts(idx, ["filler", "rareword", "absent"])
+    assert dfs == {"filler": n, "rareword": len(rare_docs), "absent": 0}
+
+    groups = [{"filler", "rareword"}]
+    full = _candidate_rows(idx, {"filler", "rareword"}).to_pandas()
+    pruned = _candidate_rows_pruned(idx, groups, hot_df=4,
+                                    anchor_cap=10**6).to_pandas()
+    full_hot = (full["term"] == "filler").sum()
+    pruned_hot = (pruned["term"] == "filler").sum()
+    assert full_hot == n
+    # bounded: ≤ |anchor dbuckets| × bucket size, ≪ corpus
+    assert pruned_hot <= len(rare_docs) * 8
+    assert pruned_hot < full_hot / 2
+    # and exactly the anchor docs' rows survive the doc filter
+    assert set(pruned.loc[pruned["term"] == "filler", "doc_id"]) == rare_docs
+
+    # end-to-end: pruned phrase results == unpruned
+    want = (
+        phrase_query(idx, [("p", "filler rareword")], hot_df=10**9)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    got = (
+        phrase_query(idx, [("p", "filler rareword")], hot_df=4)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert set(got["doc_id"]) == rare_docs
+    pd.testing.assert_frame_equal(got, want)
+
+    # all-hot group: un-anchorable → audited exact fallback
+    with pytest.warns(RuntimeWarning, match="anchor_cap"):
+        fb = (
+            phrase_query(idx, [("p", "filler common")], hot_df=4,
+                         anchor_cap=2)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+    assert len(fb) == n  # every doc matches "filler common"
