@@ -255,15 +255,20 @@ def main() -> None:
     # distort the N-vs-4N comparison (wider pools pay MORE cold starts).
     @ray.remote(num_cpus=1)
     def _warm_worker():
+        import os as _os
         import time as _t
 
         from document_retrieval_ray.stages import index_build, score  # noqa: F401
 
         _t.sleep(0.3)  # hold the slot so the tasks spread across workers
-        return 0
+        return _os.getpid()
 
     with timed("pool_warm"):
-        ray.get([_warm_worker.remote() for _ in range(NUM_CPUS)])
+        warm_pids = ray.get([_warm_worker.remote() for _ in range(NUM_CPUS)])
+    # warm coverage is best-effort (the slot-hold is a spread heuristic,
+    # not a barrier) — record how many distinct workers actually warmed
+    # so a cold-start leak into the timed stages is visible in the JSON
+    timings["pool_warm_distinct_workers"] = len(set(warm_pids))
 
     # GRAFT_BENCH_READ_BLOCKS pins the corpus-read block count (scaling
     # legs set it so both cluster sizes run the SAME job — like

@@ -59,7 +59,7 @@ IDF_LAWS = {
 def build_shared_payload(index_dir: str, lang: str, block_size: int = None,
                          hot_decode_df: int = 50_000,
                          contrib_cfg: "BM25Config" = None,
-                         dense_df_frac: int = 8) -> dict:
+                         dense_df_frac: int = None) -> dict:
     """Load one language shard into FLAT numpy buffers suitable for
     zero-copy sharing via ``ray.put``: every scorer actor then maps the
     same plasma memory instead of re-reading and re-materializing the
@@ -96,8 +96,15 @@ def build_shared_payload(index_dir: str, lang: str, block_size: int = None,
     float32 × n_docs per dense term, bounded by the df threshold to
     ~dense_df_frac arrays' worth of postings.
 
+    ``dense_df_frac=None`` resolves from the ``DRR_DENSE_DF_FRAC`` env
+    var (default 8; **0 disables**) — dense arrays can add up to ~2× the
+    Zipf-head postings bytes per lang payload in plasma, so
+    memory-constrained deployments opt out without touching call sites.
+
     Layout: per-term variable-length data (postings bytes, block metadata
     lists) concatenated into one buffer + an int64 offsets array."""
+    if dense_df_frac is None:
+        dense_df_frac = int(os.environ.get("DRR_DENSE_DF_FRAC", "8"))
     m = read_manifest(os.path.join(index_dir, "manifests", str(lang)))
     if m is None:
         raise FileNotFoundError(f"no committed manifest for lang={lang}")
@@ -907,6 +914,30 @@ def topk_with_ties(scores: np.ndarray, urls, k: int, round_dp=4, after=None):
     )
 
 
+def dense_est_worthwhile(idx: LangIndex, tokens, cfg: BM25Config,
+                         min_share: float = 0.5) -> bool:
+    """Cheap pre-gate for :func:`score_bm25_dense_est` at the MaxScore
+    fallback sites: the estimate pass is a full O(n_docs) float32 scan
+    that can still return None (exactness guard), after which the exact
+    float64 TAAT runs anyway — nearly doubling the corpus-wide work.
+    Only attempt it when at least ``min_share`` of the query's present
+    terms have payload dense arrays (the sparse remainder both slows
+    the estimate and widens the error bound that fails the guard)."""
+    if idx.avgdl <= 0 or not idx._dense:
+        return False
+    if (cfg.k1, cfg.b, cfg.compat) != idx._contrib_key:
+        return False
+    present = n_dense = 0
+    for term, _w in _term_weights(tokens, cfg.compat):
+        i = idx._terms.get(term)
+        if i is None:
+            continue
+        present += 1
+        if i in idx._dense:
+            n_dense += 1
+    return present > 0 and n_dense >= max(1, int(np.ceil(min_share * present)))
+
+
 def score_bm25_dense_est(idx: LangIndex, tokens, cfg: BM25Config, k: int = 10,
                          round_dp=4):
     """Exact top-k via a float32 dense ESTIMATE + float64 candidate
@@ -1058,7 +1089,11 @@ def score_bm25_maxscore(idx: LangIndex, tokens, cfg: BM25Config, k: int = 10,
     if not rare:
         # all-hot (stopword-class) query: try the float32 dense-estimate
         # + exact-rescore path before paying the full float64 TAAT scan
-        alt = score_bm25_dense_est(idx, tokens, cfg, k, round_dp)
+        # (gated — a failed estimate would ADD a corpus-wide f32 pass)
+        alt = (
+            score_bm25_dense_est(idx, tokens, cfg, k, round_dp)
+            if dense_est_worthwhile(idx, tokens, cfg) else None
+        )
         if alt is not None:
             return alt
         return score_bm25_taat(idx, tokens, cfg), None
@@ -1132,7 +1167,10 @@ def score_bm25_maxscore(idx: LangIndex, tokens, cfg: BM25Config, k: int = 10,
         # candidates must fill the whole top-k, else outside docs would
         # occupy the remaining ranks
         if not (cscores.size >= k and safe):
-            alt = score_bm25_dense_est(idx, tokens, cfg, k, round_dp)
+            alt = (
+                score_bm25_dense_est(idx, tokens, cfg, k, round_dp)
+                if dense_est_worthwhile(idx, tokens, cfg) else None
+            )
             if alt is not None:
                 return alt
             return score_bm25_taat(idx, tokens, cfg), None  # exact fallback

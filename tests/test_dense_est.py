@@ -69,7 +69,8 @@ def _queries(n=250, seed=3):
 )
 def test_dense_est_bit_identical_to_taat(dense_index, cfg, dp):
     payload = build_shared_payload(
-        dense_index, "en", hot_decode_df=20, contrib_cfg=cfg
+        dense_index, "en", hot_decode_df=20, contrib_cfg=cfg,
+        dense_df_frac=8,  # explicit: independent of DRR_DENSE_DF_FRAC
     )
     idx = LangIndex.from_payload(payload)
     assert len(idx._dense) > 0, "dense arrays must exist for this test"
@@ -122,7 +123,7 @@ def test_dense_est_declines_on_cfg_mismatch(dense_index):
     other_cfg = BM25Config(k1=1.5, b=0.75, compat="standard")
     idx = LangIndex.from_payload(
         build_shared_payload(dense_index, "en", hot_decode_df=20,
-                             contrib_cfg=built_cfg)
+                             contrib_cfg=built_cfg, dense_df_frac=8)
     )
     assert len(idx._dense) > 0
     toks = tokenize_cfg("entok1 entok2", "en", TOK)
@@ -140,3 +141,31 @@ def test_dense_est_declines_on_cfg_mismatch(dense_index):
         rm = topk_with_ties(ss, su, 10, 4)
         got = [(int(r), su[int(i)], float(k)) for r, i, k in zip(*rm)]
     assert got == exp
+
+
+def test_dense_est_worthwhile_gate(dense_index):
+    """The MaxScore fallback pre-gate: attempts the estimate only when
+    >= half the present query terms have dense arrays (a failed
+    estimate ADDS a corpus-wide float32 pass before the exact TAAT)."""
+    from document_retrieval_ray.state.index_shard import (
+        dense_est_worthwhile,
+    )
+
+    cfg = BM25Config(k1=1.2, b=0.75, compat="standard")
+    idx = LangIndex.from_payload(
+        build_shared_payload(dense_index, "en", hot_decode_df=20,
+                             contrib_cfg=cfg, dense_df_frac=8)
+    )
+    dense_terms = [t for t in idx._terms if idx._dense.get(
+        idx._terms.get(t)) is not None]
+    sparse_terms = [t for t in idx._terms if idx._dense.get(
+        idx._terms.get(t)) is None]
+    assert dense_terms and len(sparse_terms) >= 3
+    assert dense_est_worthwhile(idx, dense_terms[:1], cfg)
+    assert dense_est_worthwhile(idx, dense_terms[:1] + sparse_terms[:1], cfg)
+    assert not dense_est_worthwhile(
+        idx, dense_terms[:1] + sparse_terms[:3], cfg)
+    assert not dense_est_worthwhile(idx, sparse_terms[:2], cfg)
+    # cfg mismatch / no dense arrays → never worthwhile
+    other = BM25Config(k1=1.5, b=0.75, compat="standard")
+    assert not dense_est_worthwhile(idx, dense_terms[:1], other)
