@@ -869,7 +869,7 @@ def test_term_contrib_shared_vs_computed(tmp_path, ray_session):
     idx_shared = LangIndex.from_payload(pay)
     idx_plain = LangIndex(index_dir, "en", hot_decode_df=5)  # no contrib
 
-    terms = [t for t in pay["terms"]][:40]
+    terms = list(idx_shared._terms)[:40]  # packed vocab iterates row order
     for term in terms:
         a = idx_shared.term_contrib(term, cfg)
         b = idx_plain.term_contrib(term, cfg)
