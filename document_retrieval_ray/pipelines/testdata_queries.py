@@ -876,6 +876,219 @@ FROM cand WHERE rank <= {SUGGEST_K}
 """
 
 
+# did-you-mean inputs: deterministic misspellings of corpus vocabulary
+# (last entry matches nothing — the empty-result contract is part of
+# the oracle)
+DYM_SET = [
+    ("d1", "spak", "en"),
+    ("d2", "joinn", "en"),
+    ("d3", "windoow", "en"),
+    ("d4", "mergge", "de"),
+    ("d5", "vectro", "es"),
+    ("d6", "qqqqqq", "en"),
+]
+DYM_MAX_DIST = 2
+DYM_K = 3
+
+
+def q_did_you_mean(sf_dir: str):
+    """Spelling suggestion ("did you mean") served from the index's
+    vocabulary artifact: per misspelled input, same-language vocabulary
+    terms within Levenshtein distance ≤ DYM_MAX_DIST, ranked
+    (distance asc, df desc, term asc), top DYM_K.
+
+    Scale plan: the vocabulary never leaves the cluster — each df-table
+    batch computes its candidates with ONE vectorized DuckDB
+    ``levenshtein`` pass (the oracle's own function, so distances are
+    identical by construction) behind a lossless length prefilter;
+    only candidate rows (≤ |inputs| × near-matches per batch) reach
+    the driver merge. The oracle recomputes df from the raw corpus
+    (the same parity contract as ``suggest``)."""
+    from ..functions.hashing import _duck
+
+    index_dir = _index_for(sf_dir)
+    dfv = read_parquet_clean(
+        os.path.join(index_dir, "df"), columns=["lang", "term", "df"]
+    )
+    vals = ", ".join(
+        f"('{qid}', '{term}', '{lang}')" for qid, term, lang in DYM_SET
+    )
+
+    def cand(t: pa.Table) -> pa.Table:
+        con = _duck()
+        con.register("_dym_v", t)
+        out = con.execute(f"""
+            SELECT q.qid AS qid, q.qterm AS qterm, v.term AS term,
+                   CAST(v.df AS BIGINT) AS df,
+                   CAST(levenshtein(v.term, q.qterm) AS BIGINT) AS dist
+            FROM _dym_v v
+            JOIN (VALUES {vals}) q(qid, qterm, qlang) ON v.lang = q.qlang
+            WHERE abs(length(v.term) - length(q.qterm)) <= {DYM_MAX_DIST}
+              AND levenshtein(v.term, q.qterm) <= {DYM_MAX_DIST}
+        """).arrow()
+        con.unregister("_dym_v")
+        return out
+
+    allc = pd.DataFrame(
+        dfv.map_batches(cand, batch_format="pyarrow").take_all()
+    )
+    if allc.empty:
+        return pd.DataFrame({
+            "qid": pd.Series(dtype=object),
+            "qterm": pd.Series(dtype=object),
+            "term": pd.Series(dtype=object),
+            "df": pd.Series(dtype="int64"),
+            "dist": pd.Series(dtype="int64"),
+            "rank": pd.Series(dtype="int64"),
+        })
+    allc = allc.sort_values(
+        ["qid", "dist", "df", "term"],
+        ascending=[True, True, False, True], kind="mergesort",
+    )
+    allc["rank"] = (allc.groupby("qid", sort=False).cumcount() + 1).astype(
+        np.int64)
+    allc = allc[allc["rank"] <= DYM_K]
+    allc["df"] = allc["df"].astype(np.int64)
+    allc["dist"] = allc["dist"].astype(np.int64)
+    return allc[["qid", "qterm", "term", "df", "dist", "rank"]].reset_index(
+        drop=True)
+
+
+def _did_you_mean_sql() -> str:
+    vals = ", ".join(
+        f"('{qid}', '{term}', '{lang}')" for qid, term, lang in DYM_SET
+    )
+    return f"""
+WITH tok AS (SELECT DISTINCT doc_id, lang, term
+             FROM (SELECT doc_id, lang, unnest({TOKLIST.format(col='text')}) AS term
+                   FROM documents)),
+dfx AS (SELECT lang, term, count(*) AS df FROM tok GROUP BY lang, term),
+q(qid, qterm, qlang) AS (VALUES {vals}),
+cand AS (
+  SELECT q.qid AS qid, q.qterm AS qterm, dfx.term AS term,
+         CAST(dfx.df AS BIGINT) AS df,
+         CAST(levenshtein(dfx.term, q.qterm) AS BIGINT) AS dist
+  FROM dfx JOIN q ON dfx.lang = q.qlang
+  WHERE levenshtein(dfx.term, q.qterm) <= {DYM_MAX_DIST}
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY qid
+                               ORDER BY dist, df DESC, term) AS rank
+  FROM cand
+)
+SELECT qid, qterm, term, df, dist, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {DYM_K}
+"""
+
+
+PRF_TOP_DOCS = 10
+PRF_K = 5
+
+
+def q_prf_expansion(sf_dir: str):
+    """Pseudo-relevance-feedback query expansion (RM1-style counts):
+    each query's top-{PRF_TOP_DOCS} BM25 docs vote expansion terms by
+    summed tf; the query's own terms are excluded; top-{PRF_K} per query
+    on (tf_sum desc, term asc) — the classic two-pass retrieval
+    expansion, exact-integer so the oracle replays it.
+
+    Scale plan: pass 1 is the standard BM25 serving path; pass 2
+    broadcasts only the tiny (doc → queries) feedback map, filters the
+    corpus scan to the ≤ |Q|·k feedback docs per batch, and ships
+    (query, term, tf) votes — feedback-sized, never corpus-sized."""
+    from collections import Counter
+
+    from .query import bm25_search
+
+    index_dir = _index_for(sf_dir)
+    res = bm25_search(
+        _query_ds(), index_dir,
+        cfg=BM25Config(k1=1.2, b=0.75, idf="lucene", compat="standard"),
+        round_dp=4,
+    ).to_pandas()
+    res = res[res["rank"] <= PRF_TOP_DOCS]
+    doc2q: dict = {}
+    for qid, url in zip(res["query_id"], res["url"]):
+        doc2q.setdefault(int(url), []).append(qid)
+    qterms = {qid: set(tokenize_simple(text)) for qid, text, _l in QUERYSET}
+
+    def emit(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        keep = np.asarray([int(d) in doc2q for d in ids], dtype=bool)
+        o_q, o_t, o_f = [], [], []
+        if keep.any():
+            sub = t.filter(pa.array(keep))
+            for did, text in zip(sub["doc_id"].to_pylist(),
+                                 sub["text"].to_pylist()):
+                counts = Counter(tokenize_simple(text or ""))
+                for qid in doc2q[int(did)]:
+                    for term, tf in counts.items():
+                        o_q.append(qid)
+                        o_t.append(term)
+                        o_f.append(tf)
+        return pa.table({
+            "query_id": pa.array(o_q, pa.string()),
+            "term": pa.array(o_t, pa.string()),
+            "tf": pa.array(o_f, pa.int64()),
+        })
+
+    rows = pd.DataFrame(
+        _docs(sf_dir).map_batches(emit, batch_format="pyarrow").take_all()
+    )
+    empty = pd.DataFrame({
+        "query_id": pd.Series(dtype=object),
+        "term": pd.Series(dtype=object),
+        "tf_sum": pd.Series(dtype="int64"),
+        "rank": pd.Series(dtype="int64"),
+    })
+    if rows.empty:
+        return empty
+    votes = rows.groupby(["query_id", "term"], sort=True)["tf"].sum() \
+        .reset_index().rename(columns={"tf": "tf_sum"})
+    votes = votes[[t not in qterms[q]
+                   for q, t in zip(votes["query_id"], votes["term"])]]
+    if votes.empty:
+        return empty
+    votes = votes.sort_values(["query_id", "tf_sum", "term"],
+                              ascending=[True, False, True],
+                              kind="mergesort")
+    votes["rank"] = (votes.groupby("query_id", sort=False).cumcount() + 1
+                     ).astype(np.int64)
+    votes = votes[votes["rank"] <= PRF_K]
+    votes["tf_sum"] = votes["tf_sum"].astype(np.int64)
+    return votes[["query_id", "term", "tf_sum", "rank"]].reset_index(
+        drop=True)
+
+
+def _prf_expansion_sql() -> str:
+    """Shares _bm25_sql's scoring CTEs (same no-drift contract as the
+    collapsed oracle), replacing the final cut with the vote/rank tail."""
+    base = _bm25_sql(1.2, 0.75, reference_quirk=False, dedup=False)
+    tail = "SELECT query_id, rank, doc_id, score_x FROM ranked WHERE rank <= 10"
+    assert tail in base, "bm25 oracle tail changed; update _prf_expansion_sql"
+    return base.replace(tail, f"""
+, picked AS (
+  SELECT query_id, doc_id FROM ranked WHERE rank <= {PRF_TOP_DOCS}
+),
+votes AS (
+  SELECT p.query_id AS query_id, tok.term AS term,
+         CAST(sum(tok.tf) AS BIGINT) AS tf_sum
+  FROM picked p JOIN tok ON tok.doc_id = p.doc_id
+  WHERE NOT EXISTS (SELECT 1 FROM q
+                    WHERE q.query_id = p.query_id AND q.term = tok.term)
+  GROUP BY p.query_id, tok.term
+),
+rankedx AS (
+  SELECT query_id, term, tf_sum,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY tf_sum DESC, term ASC) AS rank
+  FROM votes
+)
+SELECT query_id, term, tf_sum, CAST(rank AS BIGINT) AS rank
+FROM rankedx WHERE rank <= {PRF_K}
+""")
+
+
 _INDEX_INTEGRITY_SQL = f"""
 WITH dl AS (SELECT doc_id, lang, len({TOKLIST.format(col='text')}) AS dl
             FROM documents),
@@ -10136,6 +10349,8 @@ QUERIES = {
     "source_stats": q_source_stats,
     "token_fertility": q_token_fertility,
     "dup_rate_by_source": q_dup_rate_by_source,
+    "did_you_mean": q_did_you_mean,
+    "prf_expansion": q_prf_expansion,
     "dedup_bucket_audit": q_dedup_bucket_audit,
     "jaccard_prefix_audit": q_jaccard_prefix_audit,
     "containment_audit": q_containment_audit,
@@ -11475,6 +11690,8 @@ SELECT lang, term, total_tf, rank FROM ranked WHERE rank <= 10
     "bm25_collapsed": _bm25_collapsed_sql(),
     "index_integrity": _INDEX_INTEGRITY_SQL,
     "suggest": _suggest_sql(),
+    "did_you_mean": _did_you_mean_sql(),
+    "prf_expansion": _prf_expansion_sql(),
     "percolate": _percolate_sql(),
     "item_ctr": _ITEM_CTR_SQL,
     "lm_dirichlet": _lm_sql(LM_MU),
