@@ -1060,6 +1060,135 @@ def q_prf_expansion(sf_dir: str):
         drop=True)
 
 
+SNIPPET_TOP_DOCS = 3
+SNIPPET_W = 8
+
+
+def q_snippets(sf_dir: str):
+    """Result snippets (hit highlighting): for each query's top-3 BM25
+    docs, the best {SNIPPET_W}-token window — the one holding the most
+    DISTINCT query terms, leftmost on ties, anchored at a query-term
+    occurrence — with its 1-based start, distinct-term count, and the
+    window text itself (reproduced in SQL via list_slice +
+    array_to_string, so the string is oracle-checked byte-for-byte).
+
+    Scale plan: identical to prf_expansion's pass 2 — the corpus scan
+    filters to the ≤ |Q|·k result docs per batch (broadcast tiny map);
+    window scoring is per-doc local and result-sized."""
+    from .query import bm25_search
+
+    index_dir = _index_for(sf_dir)
+    res = bm25_search(
+        _query_ds(), index_dir,
+        cfg=BM25Config(k1=1.2, b=0.75, idf="lucene", compat="standard"),
+        round_dp=4,
+    ).to_pandas()
+    res = res[res["rank"] <= SNIPPET_TOP_DOCS]
+    doc2q: dict = {}
+    for qid, url in zip(res["query_id"], res["url"]):
+        doc2q.setdefault(int(url), []).append(qid)
+    qterms = {qid: set(tokenize_simple(text)) for qid, text, _l in QUERYSET}
+
+    def emit(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        keep = np.asarray([int(d) in doc2q for d in ids], dtype=bool)
+        o_q, o_d, o_s, o_n, o_t = [], [], [], [], []
+        if keep.any():
+            sub = t.filter(pa.array(keep))
+            for did, text in zip(sub["doc_id"].to_pylist(),
+                                 sub["text"].to_pylist()):
+                toks = tokenize_simple(text or "")
+                for qid in doc2q[int(did)]:
+                    qs = qterms[qid]
+                    best = None  # (-n_terms, start0)
+                    for a, tok in enumerate(toks):
+                        if tok not in qs:
+                            continue
+                        win = toks[a:a + SNIPPET_W]
+                        n = len(qs.intersection(win))
+                        key = (-n, a)
+                        if best is None or key < best:
+                            best = key
+                    if best is not None:
+                        a = best[1]
+                        o_q.append(qid)
+                        o_d.append(int(did))
+                        o_s.append(a + 1)  # 1-based, like SQL ordinality
+                        o_n.append(-best[0])
+                        o_t.append(" ".join(toks[a:a + SNIPPET_W]))
+        return pa.table({
+            "query_id": pa.array(o_q, pa.string()),
+            "doc_id": pa.array(o_d, pa.int64()),
+            "win_start": pa.array(o_s, pa.int64()),
+            "n_terms": pa.array(o_n, pa.int64()),
+            "snippet": pa.array(o_t, pa.string()),
+        })
+
+    rows = pd.DataFrame(
+        _docs(sf_dir).map_batches(emit, batch_format="pyarrow").take_all()
+    )
+    if rows.empty:
+        return pd.DataFrame({
+            "query_id": pd.Series(dtype=object),
+            "doc_id": pd.Series(dtype="int64"),
+            "win_start": pd.Series(dtype="int64"),
+            "n_terms": pd.Series(dtype="int64"),
+            "snippet": pd.Series(dtype=object),
+        })
+    return rows.sort_values(["query_id", "doc_id"]).reset_index(drop=True)
+
+
+def _snippets_sql() -> str:
+    """Shares _bm25_sql's scoring CTEs; the window search is replayed
+    over 1-based token ordinals (generate_subscripts) and the snippet
+    string via list_slice + array_to_string."""
+    base = _bm25_sql(1.2, 0.75, reference_quirk=False, dedup=False)
+    tail = "SELECT query_id, rank, doc_id, score_x FROM ranked WHERE rank <= 10"
+    assert tail in base, "bm25 oracle tail changed; update _snippets_sql"
+    return base.replace(tail, f"""
+, picked AS (
+  SELECT query_id, doc_id FROM ranked WHERE rank <= {SNIPPET_TOP_DOCS}
+),
+dtoks AS (
+  SELECT d.doc_id AS doc_id, {TOKLIST.format(col='d.text')} AS l
+  FROM documents d JOIN (SELECT DISTINCT doc_id FROM picked) pd
+    ON pd.doc_id = d.doc_id
+),
+posx AS (
+  SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS ord
+  FROM dtoks
+),
+qd AS (SELECT DISTINCT query_id, term FROM q),
+anchors AS (
+  SELECT p.query_id AS query_id, p.doc_id AS doc_id, x.ord AS s
+  FROM picked p
+  JOIN posx x ON x.doc_id = p.doc_id
+  JOIN qd ON qd.query_id = p.query_id AND qd.term = x.term
+),
+wins AS (
+  SELECT a.query_id, a.doc_id, a.s,
+         count(DISTINCT x2.term) AS n_terms
+  FROM anchors a
+  JOIN posx x2 ON x2.doc_id = a.doc_id
+   AND x2.ord >= a.s AND x2.ord < a.s + {SNIPPET_W}
+  JOIN qd q2 ON q2.query_id = a.query_id AND q2.term = x2.term
+  GROUP BY a.query_id, a.doc_id, a.s
+),
+best AS (
+  SELECT query_id, doc_id, s, n_terms,
+         row_number() OVER (PARTITION BY query_id, doc_id
+                            ORDER BY n_terms DESC, s ASC) AS rn
+  FROM wins
+)
+SELECT b.query_id AS query_id, b.doc_id AS doc_id,
+       CAST(b.s AS BIGINT) AS win_start,
+       CAST(b.n_terms AS BIGINT) AS n_terms,
+       array_to_string(list_slice(d.l, b.s, b.s + {SNIPPET_W - 1}), ' ')
+         AS snippet
+FROM best b JOIN dtoks d ON d.doc_id = b.doc_id WHERE rn = 1
+""")
+
+
 def _prf_expansion_sql() -> str:
     """Shares _bm25_sql's scoring CTEs (same no-drift contract as the
     collapsed oracle), replacing the final cut with the vote/rank tail."""
@@ -10351,6 +10480,7 @@ QUERIES = {
     "dup_rate_by_source": q_dup_rate_by_source,
     "did_you_mean": q_did_you_mean,
     "prf_expansion": q_prf_expansion,
+    "snippets": q_snippets,
     "dedup_bucket_audit": q_dedup_bucket_audit,
     "jaccard_prefix_audit": q_jaccard_prefix_audit,
     "containment_audit": q_containment_audit,
@@ -11692,6 +11822,7 @@ SELECT lang, term, total_tf, rank FROM ranked WHERE rank <= 10
     "suggest": _suggest_sql(),
     "did_you_mean": _did_you_mean_sql(),
     "prf_expansion": _prf_expansion_sql(),
+    "snippets": _snippets_sql(),
     "percolate": _percolate_sql(),
     "item_ctr": _ITEM_CTR_SQL,
     "lm_dirichlet": _lm_sql(LM_MU),
