@@ -1060,6 +1060,179 @@ def q_prf_expansion(sf_dir: str):
         drop=True)
 
 
+MLT_SEEDS = (3, 17, 42)
+MLT_TERMS = 5
+MLT_K = 10
+
+
+def q_more_like_this(sf_dir: str):
+    """More-like-this (Lucene MLT semantics): for each seed doc, pick
+    its top-{MLT_TERMS} terms by fixed-point tf·idf (idf = lucene law
+    over the seed's language), run them as a BM25 query (distinct
+    terms, w=1), exclude the seed, top-{MLT_K}.
+
+    Scale plan: the seed pass is a broadcast-filtered corpus scan
+    (seed-sized); idf comes from the index's df artifact pruned to the
+    seed vocabulary; serving is the standard BM25 path. Nothing
+    corpus-sized moves besides the one serving scan."""
+    from collections import Counter
+
+    from .query import bm25_search
+    from ..state.manifest import read_manifest
+
+    index_dir = _index_for(sf_dir)
+    seeds = set(int(s) for s in MLT_SEEDS)
+
+    def emit(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        keep = np.asarray([int(d) in seeds for d in ids], dtype=bool)
+        o_s, o_l, o_t, o_f = [], [], [], []
+        if keep.any():
+            sub = t.filter(pa.array(keep))
+            for did, text, lang in zip(sub["doc_id"].to_pylist(),
+                                       sub["text"].to_pylist(),
+                                       sub["lang"].to_pylist()):
+                for term, tf in Counter(tokenize_simple(text or "")).items():
+                    o_s.append(int(did))
+                    o_l.append(lang)
+                    o_t.append(term)
+                    o_f.append(tf)
+        return pa.table({
+            "seed": pa.array(o_s, pa.int64()),
+            "lang": pa.array(o_l, pa.string()),
+            "term": pa.array(o_t, pa.string()),
+            "tf": pa.array(o_f, pa.int64()),
+        })
+
+    srows = pd.DataFrame(
+        _docs(sf_dir).map_batches(emit, batch_format="pyarrow").take_all()
+    )
+    empty = pd.DataFrame({
+        "seed": pd.Series(dtype="int64"),
+        "rank": pd.Series(dtype="int64"),
+        "doc_id": pd.Series(dtype="int64"),
+        "score_x": pd.Series(dtype="int64"),
+    })
+    if srows.empty:
+        return empty
+
+    # idf inputs: df from the index artifact, pruned to the seed vocab
+    want = set(zip(srows["lang"], srows["term"]))
+    langs = sorted({l for l, _t in want})
+    dfv = read_parquet_clean(
+        os.path.join(index_dir, "df"), columns=["lang", "term", "df"]
+    )
+
+    def flt(t: pa.Table) -> pa.Table:
+        keep = np.asarray(
+            [(l, x) in want for l, x in zip(t["lang"].to_pylist(),
+                                            t["term"].to_pylist())],
+            dtype=bool,
+        )
+        return t.filter(pa.array(keep))
+
+    dfd = pd.DataFrame(
+        dfv.map_batches(flt, batch_format="pyarrow").take_all()
+    )
+    dfmap = {(l, t): int(d) for l, t, d in zip(
+        dfd.get("lang", []), dfd.get("term", []), dfd.get("df", []))}
+    nmap = {
+        l: int(read_manifest(os.path.join(index_dir, "manifests", l))
+               ["n_docs"]) for l in langs
+    }
+
+    # per-seed top-MLT_TERMS by (fixed-point tf*idf desc, term asc)
+    wx = []
+    for _i, r in srows.iterrows():
+        d = dfmap.get((r["lang"], r["term"]))
+        if d is None:
+            wx.append(-1)
+            continue
+        n = nmap[r["lang"]]
+        w = float(r["tf"]) * np.log(1 + (n - d + 0.5) / (d + 0.5))
+        wx.append(int(np.floor(w * 10000.0 + 0.5)))
+    srows = srows.assign(w_x=np.asarray(wx, np.int64))
+    srows = srows[srows["w_x"] >= 0].sort_values(
+        ["seed", "w_x", "term"], ascending=[True, False, True],
+        kind="mergesort",
+    )
+    srows["rn"] = srows.groupby("seed", sort=False).cumcount() + 1
+    picked = srows[srows["rn"] <= MLT_TERMS]
+
+    qrows = []
+    for seed, g in picked.groupby("seed", sort=True):
+        qrows.append({
+            "query_id": f"mlt{int(seed)}",
+            "query": " ".join(g["term"]),
+            "lang": g["lang"].iloc[0],
+        })
+    if not qrows:
+        return empty
+    res = bm25_search(
+        ray.data.from_items(qrows), index_dir,
+        cfg=BM25Config(k1=1.2, b=0.75, idf="lucene", compat="standard",
+                       k=MLT_K + 1),
+        round_dp=4,
+    ).to_pandas()
+    res["seed"] = res["query_id"].str.removeprefix("mlt").astype(np.int64)
+    res["doc_id"] = res["url"].astype(np.int64)
+    res = res[res["doc_id"] != res["seed"]]
+    res = res.sort_values(["seed", "rank"], kind="mergesort")
+    res["rank"] = (res.groupby("seed", sort=False).cumcount() + 1).astype(
+        np.int64)
+    res = res[res["rank"] <= MLT_K]
+    return res[["seed", "rank", "doc_id", "score_x"]].reset_index(drop=True)
+
+
+def _more_like_this_sql() -> str:
+    seeds = ", ".join(f"({int(s)})" for s in MLT_SEEDS)
+    return f"""
+WITH {_TOK_CTE}, {_DL_CTE}, {_STATS_CTE}, {_DF_CTE},
+seeds(seed) AS (VALUES {seeds}),
+sterm AS (
+  SELECT s.seed AS seed, tok.lang AS lang, tok.term AS term, tok.tf AS tf
+  FROM seeds s JOIN tok ON tok.doc_id = s.seed
+),
+sw AS (
+  SELECT st.seed, st.lang, st.term,
+         {_fx('st.tf * ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))')}
+           AS w_x
+  FROM sterm st
+  JOIN df ON df.lang = st.lang AND df.term = st.term
+  JOIN stats s ON s.lang = st.lang
+),
+qsel AS (
+  SELECT seed, lang, term FROM (
+    SELECT *, row_number() OVER (PARTITION BY seed
+                                 ORDER BY w_x DESC, term ASC) AS rn
+    FROM sw
+  ) WHERE rn <= {MLT_TERMS}
+),
+scores AS (
+  SELECT q.seed AS seed, tok.doc_id AS doc_id,
+         sum( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * (tok.tf * (1.2 + 1))
+              / (tok.tf + 1.2*(1 - 0.75 + 0.75 * d.dl / s.avgdl)) ) AS score
+  FROM qsel q
+  JOIN tok ON tok.lang = q.lang AND tok.term = q.term
+  JOIN df ON df.lang = q.lang AND df.term = q.term
+  JOIN dl d ON d.doc_id = tok.doc_id
+  JOIN stats s ON s.lang = q.lang
+  WHERE tok.doc_id <> q.seed
+  GROUP BY q.seed, tok.doc_id
+),
+ranked AS (
+  SELECT seed, doc_id, {_fx('score')} AS score_x,
+         row_number() OVER (PARTITION BY seed
+                            ORDER BY {_fx('score')} DESC, doc_id ASC) AS rank
+  FROM scores WHERE score > 0
+)
+SELECT CAST(seed AS BIGINT) AS seed, CAST(rank AS BIGINT) AS rank,
+       doc_id, score_x
+FROM ranked WHERE rank <= {MLT_K}
+"""
+
+
 SNIPPET_TOP_DOCS = 3
 SNIPPET_W = 8
 
@@ -10481,6 +10654,7 @@ QUERIES = {
     "did_you_mean": q_did_you_mean,
     "prf_expansion": q_prf_expansion,
     "snippets": q_snippets,
+    "more_like_this": q_more_like_this,
     "dedup_bucket_audit": q_dedup_bucket_audit,
     "jaccard_prefix_audit": q_jaccard_prefix_audit,
     "containment_audit": q_containment_audit,
@@ -11823,6 +11997,7 @@ SELECT lang, term, total_tf, rank FROM ranked WHERE rank <= 10
     "did_you_mean": _did_you_mean_sql(),
     "prf_expansion": _prf_expansion_sql(),
     "snippets": _snippets_sql(),
+    "more_like_this": _more_like_this_sql(),
     "percolate": _percolate_sql(),
     "item_ctr": _ITEM_CTR_SQL,
     "lm_dirichlet": _lm_sql(LM_MU),
