@@ -1060,6 +1060,142 @@ def q_prf_expansion(sf_dir: str):
         drop=True)
 
 
+PMI_ANCHORS = ("spark", "join", "window", "dup")
+PMI_MIN_SUPPORT = 2
+PMI_K = 5
+
+
+def q_related_terms(sf_dir: str):
+    """"Related searches" via co-occurrence PMI: for each anchor term,
+    the top-{PMI_K} en-language terms by fixed-point
+    ln(N·df_ab / (df_a·df_b)) with support df_ab ≥ {PMI_MIN_SUPPORT},
+    anchor excluded, ties on term asc.
+
+    Scale plan: the co-occurrence count is a broadcast-anchored scan —
+    batches keep only docs holding an anchor, emit per-batch partial
+    (anchor, term) doc counts (exact: a doc lives in one batch), one
+    (anchor, term)-keyed fold; df_a/df_b come from the index's df
+    artifact pruned to the co-occurring vocabulary (bounded by Heaps
+    law over the anchor doc sets, NOT the corpus vocabulary)."""
+    from ..state.manifest import read_manifest
+
+    index_dir = _index_for(sf_dir)
+    anchors = set(PMI_ANCHORS)
+
+    def emit(t: pa.Table) -> pa.Table:
+        o_a, o_t, o_c = [], [], []
+        langs = t["lang"].to_pylist()
+        texts = t["text"].to_pylist()
+        from collections import Counter
+
+        cnt: "Counter" = Counter()
+        for lang, text in zip(langs, texts):
+            if lang != "en":
+                continue
+            terms = set(tokenize_simple(text or ""))
+            hit = terms & anchors
+            for a in hit:
+                for term in terms:
+                    cnt[(a, term)] += 1
+        for (a, term), c in cnt.items():
+            o_a.append(a)
+            o_t.append(term)
+            o_c.append(c)
+        return pa.table({
+            "anchor": pa.array(o_a, pa.string()),
+            "term": pa.array(o_t, pa.string()),
+            "n": pa.array(o_c, pa.int64()),
+        })
+
+    cooc = (
+        _docs(sf_dir).map_batches(emit, batch_format="pyarrow")
+        .groupby(["anchor", "term"])
+        .aggregate(ray.data.aggregate.Sum("n", alias_name="df_ab"))
+        .to_pandas()
+    )
+    empty = pd.DataFrame({
+        "anchor": pd.Series(dtype=object),
+        "term": pd.Series(dtype=object),
+        "df_ab": pd.Series(dtype="int64"),
+        "pmi_x": pd.Series(dtype="int64"),
+        "rank": pd.Series(dtype="int64"),
+    })
+    if cooc.empty:
+        return empty
+    cooc = cooc[(cooc["df_ab"] >= PMI_MIN_SUPPORT)
+                & (cooc["term"] != cooc["anchor"])]
+    if cooc.empty:
+        return empty
+
+    want = set(cooc["term"]) | anchors
+    dfv = read_parquet_clean(
+        os.path.join(index_dir, "df", "lang=en"), columns=["term", "df"]
+    )
+
+    def flt(t: pa.Table) -> pa.Table:
+        keep = np.asarray([x in want for x in t["term"].to_pylist()],
+                          dtype=bool)
+        return t.filter(pa.array(keep))
+
+    dfd = pd.DataFrame(
+        dfv.map_batches(flt, batch_format="pyarrow").take_all()
+    )
+    dfmap = {t: int(d) for t, d in zip(dfd["term"], dfd["df"])}
+    n = int(read_manifest(
+        os.path.join(index_dir, "manifests", "en"))["n_docs"])
+
+    df_a = cooc["anchor"].map(dfmap).to_numpy(dtype=np.float64)
+    df_b = cooc["term"].map(dfmap).to_numpy(dtype=np.float64)
+    df_ab = cooc["df_ab"].to_numpy(dtype=np.float64)
+    pmi = np.log((n * df_ab) / (df_a * df_b))
+    cooc = cooc.assign(
+        pmi_x=np.floor(pmi * 10000.0 + 0.5).astype(np.int64))
+    cooc = cooc.sort_values(["anchor", "pmi_x", "term"],
+                            ascending=[True, False, True], kind="mergesort")
+    cooc["rank"] = (cooc.groupby("anchor", sort=False).cumcount() + 1
+                    ).astype(np.int64)
+    cooc = cooc[cooc["rank"] <= PMI_K]
+    cooc["df_ab"] = cooc["df_ab"].astype(np.int64)
+    return cooc[["anchor", "term", "df_ab", "pmi_x", "rank"]].reset_index(
+        drop=True)
+
+
+def _related_terms_sql() -> str:
+    vals = ", ".join(f"('{a}')" for a in PMI_ANCHORS)
+    return f"""
+WITH {_TOK_CTE}, {_DL_CTE}, {_STATS_CTE}, {_DF_CTE},
+a(anchor) AS (VALUES {vals}),
+adocs AS (
+  SELECT a.anchor AS anchor, tok.doc_id AS doc_id
+  FROM a JOIN tok ON tok.lang = 'en' AND tok.term = a.anchor
+),
+cooc AS (
+  SELECT ad.anchor AS anchor, tok.term AS term,
+         CAST(count(*) AS BIGINT) AS df_ab
+  FROM adocs ad JOIN tok ON tok.doc_id = ad.doc_id AND tok.lang = 'en'
+  GROUP BY ad.anchor, tok.term
+  HAVING count(*) >= {PMI_MIN_SUPPORT}
+),
+scored AS (
+  SELECT c.anchor, c.term, c.df_ab,
+         {_fx('ln( (s.n_docs * c.df_ab) / (dfa.df * dfb.df) )')} AS pmi_x
+  FROM cooc c
+  JOIN df dfa ON dfa.lang = 'en' AND dfa.term = c.anchor
+  JOIN df dfb ON dfb.lang = 'en' AND dfb.term = c.term
+  JOIN stats s ON s.lang = 'en'
+  WHERE c.term <> c.anchor
+),
+ranked AS (
+  SELECT anchor, term, df_ab, pmi_x,
+         row_number() OVER (PARTITION BY anchor
+                            ORDER BY pmi_x DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT anchor, term, df_ab, pmi_x, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {PMI_K}
+"""
+
+
 MLT_SEEDS = (3, 17, 42)
 MLT_TERMS = 5
 MLT_K = 10
@@ -10655,6 +10791,7 @@ QUERIES = {
     "prf_expansion": q_prf_expansion,
     "snippets": q_snippets,
     "more_like_this": q_more_like_this,
+    "related_terms": q_related_terms,
     "dedup_bucket_audit": q_dedup_bucket_audit,
     "jaccard_prefix_audit": q_jaccard_prefix_audit,
     "containment_audit": q_containment_audit,
@@ -11998,6 +12135,7 @@ SELECT lang, term, total_tf, rank FROM ranked WHERE rank <= 10
     "prf_expansion": _prf_expansion_sql(),
     "snippets": _snippets_sql(),
     "more_like_this": _more_like_this_sql(),
+    "related_terms": _related_terms_sql(),
     "percolate": _percolate_sql(),
     "item_ctr": _ITEM_CTR_SQL,
     "lm_dirichlet": _lm_sql(LM_MU),
