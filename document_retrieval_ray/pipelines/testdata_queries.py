@@ -4957,32 +4957,41 @@ def q_jaccard_prefix_audit(sf_dir: str, k: int = AUDIT_BUCKET_K):
     (df by sh-hash colocation, per-doc prefix by doc-hash colocation);
     the report is degenerate-bucket-sized."""
     docs = _docs(sf_dir)
+    # materialized like q_ngram_jaccard's: chaining three lazy keyed
+    # exchanges through the streaming planner measured ~6x slower than
+    # cutting the lineage here
     sh_tbl = docs.map_batches(
         emit_doc_shingles, fn_kwargs={"n": DEFAULT_DEDUP.shingle_n},
         batch_format="pyarrow",
-    )
+    ).materialize()
     exploded = sh_tbl.map_batches(explode_shingle_rows, batch_format="pyarrow")
     with_df = _parted(exploded, ("sh",)).map_groups(
         shingle_df_partition, batch_format="pandas"
-    )
+    ).materialize()
     prefix = _parted(with_df, ("doc_id",)).map_groups(
         lambda g: prefix_rows_partition(g, NGRAM_JACCARD_THRESHOLD),
         batch_format="pandas",
     )
-    agg = prefix.groupby("sh").aggregate(
-        ray.data.aggregate.Count(alias_name="bucket_size")
-    )
 
-    def fin(t: pa.Table) -> pa.Table:
-        size = t["bucket_size"].to_numpy(zero_copy_only=False).astype(np.int64)
-        keep = size > k
-        return pa.table({
-            "sh": pc.cast(t["sh"], pa.int64()).filter(pa.array(keep)),
-            "bucket_size": pa.array(size[keep], pa.int64()),
-            "dropped": pa.array(size[keep] - k, pa.int64()),
+    # bucket sizes by sh-hash COLOCATION (every row of a shingle lands
+    # in one partition, so in-partition counts are global) — the repo's
+    # cogroup idiom; a sort-based groupby over the lazy 3-exchange
+    # lineage measured ~7x slower here
+    def part_sizes(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=[c for c in ("kpart",) if c in g.columns])
+        sizes = g.groupby("sh", sort=True).size()
+        sizes = sizes[sizes > k]
+        return pd.DataFrame({
+            "sh": sizes.index.to_numpy(dtype=np.int64),
+            "bucket_size": sizes.to_numpy(dtype=np.int64),
+            "dropped": (sizes - k).to_numpy(dtype=np.int64),
         })
 
-    df = agg.map_batches(fin, batch_format="pyarrow").to_pandas()
+    # to_pandas, NOT take_all: row-dict conversion of pandas blocks
+    # measured ~0.5 ms/row — 9.5 s vs 0.13 s on this report
+    df = _parted(prefix, ("sh",)).map_groups(
+        part_sizes, batch_format="pandas"
+    ).to_pandas()
     if df.empty:
         return pd.DataFrame({
             "sh": pd.Series(dtype="int64"),
