@@ -1060,6 +1060,126 @@ def q_prf_expansion(sf_dir: str):
         drop=True)
 
 
+INDEX_DIFF_K = 10
+
+
+def q_index_diff(sf_dir: str):
+    """Generational index diff — the pre-merge audit an incremental
+    deployment runs before compaction: per language, the base-vs-delta
+    vocabulary movement (terms only in the base, terms the generations
+    introduced, terms present in both) plus the top-{INDEX_DIFF_K}
+    NEW terms by delta df (df desc, term asc). Served entirely from the
+    per-generation df ARTIFACTS (vocabulary-sized — the index's own
+    metadata, no corpus re-scan); the oracle recomputes both sides from
+    the raw corpus via the generational doc_id%5 slice definition."""
+    from .incremental import read_generations
+
+    index_dir = _incr_index_for(sf_dir)
+    gens = read_generations(index_dir)["generations"]
+    base_ds = read_parquet_clean(os.path.join(index_dir, "df"),
+                                 columns=["lang", "term", "df"])
+    gen_parts = [
+        read_parquet_clean(
+            os.path.join(index_dir, "generations", g, "df"),
+            columns=["lang", "term", "df"])
+        for g in gens
+    ]
+
+    def tag(side):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "lang": t["lang"], "term": t["term"],
+                "df_base": pc.multiply(
+                    pc.cast(t["df"], pa.int64()), 1 - side),
+                "df_delta": pc.multiply(
+                    pc.cast(t["df"], pa.int64()), side),
+            })
+
+        return f
+
+    merged = base_ds.map_batches(tag(0), batch_format="pyarrow")
+    for g in gen_parts:
+        merged = merged.union(g.map_batches(tag(1), batch_format="pyarrow"))
+    agg = merged.groupby(["lang", "term"]).aggregate(
+        ray.data.aggregate.Sum("df_base", alias_name="df_base"),
+        ray.data.aggregate.Sum("df_delta", alias_name="df_delta"),
+    ).to_pandas()
+    agg["df_base"] = agg["df_base"].astype(np.int64)
+    agg["df_delta"] = agg["df_delta"].astype(np.int64)
+
+    status = np.where(
+        (agg["df_base"] > 0) & (agg["df_delta"] > 0), "both",
+        np.where(agg["df_base"] > 0, "base_only", "new"),
+    )
+    agg = agg.assign(status=status)
+    summary = (
+        agg.groupby(["lang", "status"], sort=True).size()
+        .reset_index(name="n_terms")
+    )
+    new_terms = agg[agg["status"] == "new"].sort_values(
+        ["lang", "df_delta", "term"], ascending=[True, False, True],
+        kind="mergesort",
+    )
+    new_terms = new_terms.assign(
+        rank=(new_terms.groupby("lang", sort=False).cumcount() + 1
+              ).astype(np.int64))
+    new_terms = new_terms[new_terms["rank"] <= INDEX_DIFF_K]
+    # one result frame: summary rows (term='', rank=0) + top-new rows
+    out = pd.concat([
+        pd.DataFrame({
+            "lang": summary["lang"], "status": summary["status"],
+            "term": "", "n": summary["n_terms"].astype(np.int64),
+            "rank": np.int64(0),
+        }),
+        pd.DataFrame({
+            "lang": new_terms["lang"], "status": "new_top",
+            "term": new_terms["term"],
+            "n": new_terms["df_delta"].astype(np.int64),
+            "rank": new_terms["rank"],
+        }),
+    ], ignore_index=True)
+    return out.sort_values(["lang", "status", "rank", "term"]).reset_index(
+        drop=True)
+
+
+def _index_diff_sql() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lang, {TOKLIST.format(col='text')} AS l FROM documents
+),
+tok AS (
+  SELECT DISTINCT doc_id, lang, unnest(l) AS term FROM toks
+),
+sides AS (
+  SELECT lang, term,
+         count(CASE WHEN doc_id % 5 < 3 THEN 1 END) AS df_base,
+         count(CASE WHEN doc_id % 5 >= 3 THEN 1 END) AS df_delta
+  FROM tok GROUP BY lang, term
+),
+tagged AS (
+  SELECT lang, term, df_base, df_delta,
+         CASE WHEN df_base > 0 AND df_delta > 0 THEN 'both'
+              WHEN df_base > 0 THEN 'base_only' ELSE 'new' END AS status
+  FROM sides
+),
+summary AS (
+  SELECT lang, status, '' AS term, CAST(count(*) AS BIGINT) AS n,
+         CAST(0 AS BIGINT) AS rank
+  FROM tagged GROUP BY lang, status
+),
+new_top AS (
+  SELECT lang, 'new_top' AS status, term, CAST(df_delta AS BIGINT) AS n,
+         CAST(row_number() OVER (PARTITION BY lang
+                                 ORDER BY df_delta DESC, term ASC)
+              AS BIGINT) AS rank
+  FROM tagged WHERE status = 'new'
+)
+SELECT lang, status, term, n, rank FROM summary
+UNION ALL
+SELECT lang, status, term, n, rank FROM new_top WHERE rank <= {INDEX_DIFF_K}
+"""
+
+
 PMI_ANCHORS = ("spark", "join", "window", "dup")
 PMI_MIN_SUPPORT = 2
 PMI_K = 5
@@ -10801,6 +10921,7 @@ QUERIES = {
     "snippets": q_snippets,
     "more_like_this": q_more_like_this,
     "related_terms": q_related_terms,
+    "index_diff": q_index_diff,
     "dedup_bucket_audit": q_dedup_bucket_audit,
     "jaccard_prefix_audit": q_jaccard_prefix_audit,
     "containment_audit": q_containment_audit,
@@ -12145,6 +12266,7 @@ SELECT lang, term, total_tf, rank FROM ranked WHERE rank <= 10
     "snippets": _snippets_sql(),
     "more_like_this": _more_like_this_sql(),
     "related_terms": _related_terms_sql(),
+    "index_diff": _index_diff_sql(),
     "percolate": _percolate_sql(),
     "item_ctr": _ITEM_CTR_SQL,
     "lm_dirichlet": _lm_sql(LM_MU),
