@@ -600,6 +600,108 @@ def _term_sharded_taat(active, cfg: BM25Config):
     return total[cand], cand
 
 
+class TermGroupScorerStage:
+    """Colocated bucket-GROUP scorer: one stage instance holds views of
+    EVERY term bucket of the langs it serves and answers whole queries
+    via :func:`score_term_sharded_pruned` — the coordinator+shards
+    topology when a serving replica maps all buckets zero-copy from
+    plasma (the buckets partition the postings, so the group costs the
+    same bytes as the single index). Batch serving then needs ONE
+    map_batches — no per-bucket fan-out, no partial-score exchange, no
+    merge shuffle; the fan-out path (:func:`bm25_search_term_sharded`)
+    remains the topology for buckets living on different nodes."""
+
+    MAX_CACHED_LANGS = 2
+
+    def __init__(self, index_dir: str, buckets_dir: str, num_buckets: int,
+                 cfg: BM25Config, tokenizer: TokenizerConfig,
+                 round_dp=4):
+        from collections import OrderedDict
+
+        self.index_dir = index_dir
+        self.buckets_dir = buckets_dir
+        self.num_buckets = num_buckets
+        self.cfg = cfg
+        self.tok = tokenizer
+        self.round_dp = round_dp
+        self._cache: "OrderedDict" = OrderedDict()
+
+    def _group(self, lang: str):
+        hit = self._cache.get(lang)
+        if hit is not None:
+            self._cache.move_to_end(lang)
+            return hit
+        buckets = []
+        for b in range(self.num_buckets):
+            try:
+                buckets.append(LangIndex(
+                    os.path.join(self.buckets_dir, f"bucket-{b:04d}"), lang))
+            except FileNotFoundError:
+                buckets.append(None)
+        urls = (_cached_urls(self.index_dir, lang)
+                if any(b is not None for b in buckets) else None)
+        hit = (buckets, urls)
+        self._cache[lang] = hit
+        if len(self._cache) > self.MAX_CACHED_LANGS:
+            self._cache.popitem(last=False)
+        return hit
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..stages.score import _concat, _rows
+        from ..state.index_shard import topk_with_ties
+
+        parts = []
+        for qid, q, lang in zip(batch["query_id"].to_pylist(),
+                                batch["query"].to_pylist(),
+                                batch["lang"].to_pylist()):
+            buckets, urls = self._group(lang)
+            if urls is None:
+                continue
+            tokens = tokenize_cfg(q, lang, self.tok)
+            if not tokens:
+                continue
+            totals, cand = score_term_sharded_pruned(
+                buckets, tokens, self.cfg, k=self.cfg.k,
+                round_dp=self.round_dp)
+            if cand.size == 0:
+                continue
+            urls_sub = urls[cand]
+            ranks, sel, keys = topk_with_ties(
+                totals, urls_sub, self.cfg.k, self.round_dp)
+            if len(ranks):
+                parts.append(_rows(qid, ranks, sel, keys, totals,
+                                   urls_sub, self.round_dp))
+        return _concat(parts)
+
+
+def bm25_search_term_sharded_pruned(
+    queries: ray.data.Dataset,
+    index_dir: str,
+    buckets_dir: str,
+    cfg: BM25Config = BM25Config(),
+    tokenizer: TokenizerConfig = TokenizerConfig(),
+    round_dp=4,
+    concurrency=None,
+    batch_size: int = 256,
+) -> ray.data.Dataset:
+    """Rank-identical BM25 over the bucket group via the colocated
+    :class:`TermGroupScorerStage` — one actor-pool map, zero shuffles."""
+    table = read_term_buckets(buckets_dir)
+    if concurrency is None:
+        concurrency = default_pool(0.5)
+    return queries.map_batches(
+        TermGroupScorerStage,
+        fn_constructor_kwargs=dict(
+            index_dir=index_dir, buckets_dir=buckets_dir,
+            num_buckets=int(table["num_buckets"]), cfg=cfg,
+            tokenizer=tokenizer, round_dp=round_dp,
+        ),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
 def bm25_search_term_sharded(
     queries: ray.data.Dataset,
     index_dir: str,

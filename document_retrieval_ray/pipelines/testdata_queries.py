@@ -679,6 +679,30 @@ def q_bm25_term_sharded(sf_dir: str):
     return _results_to_docids(res.to_pandas())
 
 
+def q_bm25_term_sharded_pruned(sf_dir: str):
+    """BM25 over the SAME term-bucket group through the colocated
+    distributed-MaxScore path (pipelines/term_sharded.py
+    TermGroupScorerStage: rare buckets anchor candidates, hot buckets
+    gather with clamped bounds, exact fallback) — one actor-pool map,
+    zero shuffles — hash-checked against the same full-corpus oracle as
+    bm25_standard."""
+    from .term_sharded import (
+        bm25_search_term_sharded_pruned, build_term_buckets,
+    )
+
+    index_dir = _index_for(sf_dir)
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    bdir = f"/tmp/drr_cache/{key}/term_buckets"
+    if not os.path.exists(os.path.join(bdir, "term_buckets.json")):
+        build_term_buckets(index_dir, bdir, num_buckets=3)
+    res = bm25_search_term_sharded_pruned(
+        _query_ds(), index_dir, bdir,
+        cfg=BM25Config(k1=1.2, b=0.75, idf="lucene", compat="standard"),
+        tokenizer=TokenizerConfig(mode="simple"), round_dp=4,
+    )
+    return _results_to_docids(res.to_pandas())
+
+
 def q_bm25_wand(sf_dir: str):
     from .query import bm25_search
 
@@ -10826,6 +10850,7 @@ QUERIES = {
     "bm25_reference": q_bm25_reference,
     "bm25_standard": q_bm25_standard,
     "bm25_term_sharded": q_bm25_term_sharded,
+    "bm25_term_sharded_pruned": q_bm25_term_sharded_pruned,
     "bm25_incremental": q_bm25_incremental,
     "bm25_deleted": q_bm25_deleted,
     "bm25_compacted": q_bm25_compacted,
@@ -12245,6 +12270,8 @@ SELECT lang, term, total_tf, rank FROM ranked WHERE rank <= 10
     "bm25_reference": _bm25_sql(1.5, 0.75, reference_quirk=True, dedup=True),
     "bm25_standard": _bm25_sql(1.2, 0.75, reference_quirk=False, dedup=False),
     "bm25_term_sharded": _bm25_sql(1.2, 0.75, reference_quirk=False, dedup=False),
+    "bm25_term_sharded_pruned": _bm25_sql(1.2, 0.75, reference_quirk=False,
+                                          dedup=False),
     # the incremental (append) path must equal a full-corpus build
     "bm25_incremental": _bm25_sql(1.2, 0.75, reference_quirk=False, dedup=False),
     # live tombstones: FULL-corpus stats, scored docs filtered (Lucene)

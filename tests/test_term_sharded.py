@@ -232,3 +232,34 @@ def test_pruned_term_sharded_rank_identical(term_shard_setup):
             if len(w_r):
                 n_nonempty += 1
     assert n_nonempty > 0
+
+
+def test_colocated_pruned_batch_equals_fanout(term_shard_setup):
+    """bm25_search_term_sharded_pruned (colocated group scorer, one
+    map, zero shuffles) matches the fan-out/merge pipeline row for row
+    at the serving contract."""
+    import ray.data
+
+    from document_retrieval_ray.pipelines.term_sharded import (
+        bm25_search_term_sharded, bm25_search_term_sharded_pruned,
+    )
+
+    qds = ray.data.read_parquet(term_shard_setup["queries"])
+    want = (
+        bm25_search_term_sharded(
+            qds, term_shard_setup["single"], term_shard_setup["buckets"],
+            cfg=BM25, tokenizer=TokenizerConfig(mode="simple"), round_dp=4,
+        ).to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    got = (
+        bm25_search_term_sharded_pruned(
+            qds, term_shard_setup["single"], term_shard_setup["buckets"],
+            cfg=BM25, tokenizer=TokenizerConfig(mode="simple"), round_dp=4,
+        ).to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    assert len(want) > 0
+    pd.testing.assert_frame_equal(
+        got[["query_id", "rank", "url", "score_x"]],
+        want[["query_id", "rank", "url", "score_x"]],
+    )
+    assert (got["score"] - want["score"]).abs().max() < 1e-9
