@@ -6073,6 +6073,152 @@ def q_spell_correct(sf_dir: str):
 
 # ------------------------------------------------ faceted search counts
 
+# ------------------------------------------------ fuzzy retrieval (term~1)
+
+# fuzzy query set: typo'd tokens, Lucene `term~1` semantics — every
+# same-language vocabulary term within levenshtein distance 1 of a query
+# token joins the scored term multiset, weighted by the token's
+# multiplicity (f03's doubled token exercises the weight sum)
+FUZZYSET = [
+    ("f01", "spak join", "en"),
+    ("f02", "windw merge", "en"),
+    ("f03", "vectr sortt sortt", "es"),
+    ("f04", "hash streem", "de"),
+]
+
+
+def _fuzzy_expanded_queries(sf_dir: str) -> list[dict]:
+    """Distributed `term~1` expansion over the (lang, term, df) vocab:
+    the vocabulary never leaves the cluster — each batch generates its
+    deletion variants (the spell_correct kernel) and probes the
+    broadcast query-variant set; only result-sized candidates reach the
+    driver for the exact-distance verify and weight fold."""
+    var2m: dict[str, list[tuple[str, str, int]]] = {}
+    for qid, text, lang in FUZZYSET:
+        counts: dict[str, int] = {}
+        for m in tokenize_simple(text):
+            counts[m] = counts.get(m, 0) + 1
+        for m, w in counts.items():
+            for v in {m} | {m[:i] + m[i + 1:] for i in range(len(m))}:
+                var2m.setdefault(lang + "\x00" + v, []).append((qid, m, w))
+    qvars = pa.array(sorted(var2m), pa.string())
+
+    def scan(t: pa.Table) -> pa.Table:
+        terms = t["term"]
+        if isinstance(terms, pa.ChunkedArray):
+            terms = terms.combine_chunks()
+        langs = t["lang"]
+        if isinstance(langs, pa.ChunkedArray):
+            langs = langs.combine_chunks()
+        n = len(terms)
+        idx = np.arange(n, dtype=np.int64)
+        vidx, variants = _deletion_variants(terms)
+        all_idx = np.concatenate([idx, vidx])
+        all_var = pa.concat_arrays([terms, variants])
+        keys = pc.binary_join_element_wise(
+            langs.take(pa.array(all_idx)), all_var, "\x00"
+        )
+        hit = pc.is_in(keys, value_set=qvars).to_numpy(zero_copy_only=False)
+        sel = all_idx[hit]
+        return pa.table(
+            {
+                "key": keys.filter(pa.array(hit)),
+                "term": terms.take(pa.array(sel)),
+            }
+        )
+
+    cand = q_term_df(sf_dir).map_batches(scan, batch_format="pyarrow").to_pandas()
+
+    # a (qterm, vocab-term) pair can intersect on several variants (the
+    # exact-match case shares its whole neighborhood) — dedupe BEFORE the
+    # weight fold so each pair contributes its multiplicity exactly once
+    pairs: set[tuple[str, str, str, int]] = set()
+    for key, term in cand.itertuples(index=False):
+        for qid, m, w in var2m.get(key, ()):
+            pairs.add((qid, m, term, w))
+    weights: dict[tuple[str, str], int] = {}
+    for qid, m, term, w in pairs:
+        if _lev_le1(m, term):
+            weights[(qid, term)] = weights.get((qid, term), 0) + w
+
+    by_q: dict[str, list[str]] = {}
+    for (qid, term), w in sorted(weights.items()):
+        by_q.setdefault(qid, []).extend([term] * w)
+    lang_of = {qid: lang for qid, _, lang in FUZZYSET}
+    return [
+        {"query_id": qid, "query": " ".join(terms), "lang": lang_of[qid]}
+        for qid, terms in sorted(by_q.items())
+    ]
+
+
+def q_fuzzy_search(sf_dir: str):
+    """Fuzzy retrieval (Lucene `term~1`): each query token expands to
+    every same-language vocabulary term within levenshtein distance 1
+    (SymSpell deletion-neighborhood candidates + exact verify — the
+    spell_correct kernel), then standard BM25 (k1=1.2, b=0.75, lucene
+    idf) over the expanded weighted term multiset through the SAME
+    cached index + scorer pool as bm25_standard. Reference analog:
+    query-side preprocessing feeding retrieve_test_queries_optimized
+    (final_implementation.py:290-506); fuzzy matching itself is an
+    engine extension.
+
+    Scale shape: the vocab is scanned in place (variants per batch,
+    probed against the broadcast query-variant set — neighborhoods are
+    tiny in a real vocab, so the expansion is result-sized); serving
+    reuses the zero-copy shared-shard BM25 stage unchanged."""
+    from .query import bm25_search
+
+    index_dir = _index_for(sf_dir)
+    fq = _fuzzy_expanded_queries(sf_dir)
+    res = bm25_search(
+        ray.data.from_items(fq), index_dir,
+        cfg=BM25Config(k1=1.2, b=0.75, idf="lucene", compat="standard"),
+        round_dp=4,
+    )
+    return _results_to_docids(res.to_pandas())
+
+
+def _fuzzy_sql(k1: float = 1.2, b: float = 0.75) -> str:
+    rows = []
+    for qid, text, lang in FUZZYSET:
+        c: dict[str, int] = {}
+        for t in tokenize_simple(text):
+            c[t] = c.get(t, 0) + 1
+        for t, w in sorted(c.items()):
+            rows.append(f"('{qid}', '{lang}', '{t}', {w})")
+    qvalues = ", ".join(rows)
+    denom = f"(tok.tf + {k1}*(1 - {b} + {b} * d.dl / s.avgdl))"
+    return f"""
+WITH {_TOK_CTE}, {_DL_CTE}, {_STATS_CTE}, {_DF_CTE},
+q(query_id, lang, qterm, w) AS (VALUES {qvalues}),
+fq AS (
+  SELECT q.query_id AS query_id, q.lang AS lang, df.term AS term,
+         sum(q.w) AS w
+  FROM q JOIN df ON df.lang = q.lang
+              AND levenshtein(df.term, q.qterm) <= 1
+  GROUP BY q.query_id, q.lang, df.term
+),
+scores AS (
+  SELECT fq.query_id AS query_id, tok.doc_id AS doc_id,
+         sum( fq.w * ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * (tok.tf * ({k1} + 1)) / {denom} ) AS score
+  FROM fq
+  JOIN tok ON tok.lang = fq.lang AND tok.term = fq.term
+  JOIN df ON df.lang = fq.lang AND df.term = fq.term
+  JOIN dl d ON d.doc_id = tok.doc_id
+  JOIN stats s ON s.lang = fq.lang
+  GROUP BY fq.query_id, tok.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, {_fx('score')} AS score_x,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY {_fx('score')} DESC, doc_id ASC) AS rank
+  FROM scores WHERE score > 0
+)
+SELECT query_id, rank, doc_id, score_x FROM ranked WHERE rank <= 10
+"""
+
+
 def q_facet_counts(sf_dir: str):
     """Facet aggregation over retrieval results: for each query, how many
     of its BM25 top-10 docs come from each corpus source. The doc->source
@@ -10963,6 +11109,7 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "spell_correct": q_spell_correct,
     "facet_counts": q_facet_counts,
+    "fuzzy_search": q_fuzzy_search,
     "dense_rerank": q_dense_rerank,
     "dense_rerank_mlp": q_dense_rerank_mlp,
     "bm25f": q_bm25f,
@@ -12202,6 +12349,7 @@ ORACLE_SQL = {
     "facet_counts": _FACET_SQL.format(
         bm25=_bm25_sql(1.2, 0.75, reference_quirk=False, dedup=False)
     ),
+    "fuzzy_search": _fuzzy_sql(),
     "query_expand": _QEXP_SQL.format(
         bm25=_bm25_sql(1.2, 0.75, reference_quirk=False, dedup=False)
     ),
