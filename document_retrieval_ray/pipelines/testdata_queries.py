@@ -15,6 +15,7 @@ Matching rules (shared with the SQL strings):
 from __future__ import annotations
 
 import hashlib
+import math
 import os
 
 import numpy as np
@@ -6219,6 +6220,301 @@ SELECT query_id, rank, doc_id, score_x FROM ranked WHERE rank <= 10
 """
 
 
+# ------------------------------------------- learning-to-rank features
+
+
+def q_ltr_features(sf_dir: str):
+    """LTR training-feature extraction: for every (query, doc) pair in
+    the BM25 top-10 candidates, the classic per-pair feature vector —
+    retrieval score (bm25_x), summed query-term tf, matched distinct
+    query terms, doc length, and summed lucene idf of the matched terms
+    (fixed-point). This is the feature-join a training-data pipeline
+    runs between retrieval and a ranker fit.
+
+    Scale shape: ONE postings scan, filtered to the broadcast query-term
+    set, emits (a) per-batch partial df counts for those terms and (b)
+    the candidate-pair rows (semi-join on the broadcast result-sized
+    (query, doc) set) — both result-sized outputs; no doc-table
+    materialization, no second corpus pass. At a 10^9-term vocab the df
+    partials become an index-artifact lookup instead."""
+    top = q_bm25_standard(sf_dir)
+
+    qterms = {qid: sorted(set(tokenize_simple(text))) for qid, text, _l in QUERYSET}
+    lang_of = {qid: lang for qid, _t, lang in QUERYSET}
+    term_set = pa.array(
+        sorted({t for ts in qterms.values() for t in ts}), pa.string()
+    )
+    cand_docs = docid_to_url(
+        pa.array(sorted(set(top["doc_id"].astype(np.int64))), pa.int64())
+    )
+
+    def scan(t: pa.Table) -> pa.Table:
+        m = pc.is_in(t["term"], value_set=term_set)
+        t = t.filter(m)
+        # (a) partial df per (lang, term): urls are unique per term here
+        pdf = pd.DataFrame(
+            {
+                "lang": np.asarray(t["lang"].to_pandas(), dtype=object),
+                "term": np.asarray(t["term"].to_pandas(), dtype=object),
+            }
+        )
+        dfp = pdf.groupby(["lang", "term"], sort=False).size().reset_index(name="n")
+        out_a = pa.table(
+            {
+                "kind": pa.array(np.zeros(len(dfp), np.int64)),
+                "lang": pa.array(dfp["lang"], pa.string()),
+                "term": pa.array(dfp["term"], pa.string()),
+                "url": pa.array([""] * len(dfp), pa.string()),
+                "dl": pa.array(np.zeros(len(dfp), np.int64)),
+                "tf": pa.array(dfp["n"].to_numpy().astype(np.int64)),
+            }
+        )
+        # (b) candidate-pair rows
+        c = t.filter(pc.is_in(t["url"], value_set=cand_docs))
+        out_b = pa.table(
+            {
+                "kind": pa.array(np.ones(len(c), np.int64)),
+                "lang": c["lang"],
+                "term": c["term"],
+                "url": c["url"],
+                "dl": pc.cast(c["dl"], pa.int64()),
+                "tf": pc.cast(c["tf"], pa.int64()),
+            }
+        )
+        return pa.concat_tables([out_a, out_b])
+
+    rows = _postings_ds(sf_dir).map_batches(scan, batch_format="pyarrow").to_pandas()
+    dfc = (
+        rows[rows["kind"] == 0]
+        .groupby(["lang", "term"], sort=False)["tf"]
+        .sum()
+        .to_dict()
+    )
+    n_docs = {
+        r["lang"]: r["count()"]
+        for r in read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["lang"])
+        .groupby("lang")
+        .count()
+        .take_all()
+    }
+
+    cand = rows[rows["kind"] == 1]
+    tf_of: dict[tuple[str, str, str], int] = {}
+    dl_of: dict[str, int] = {}
+    for _k, lang, term, url, dl_, tf_ in cand.itertuples(index=False):
+        tf_of[(lang, term, url)] = int(tf_)
+        dl_of[url] = int(dl_)
+
+    out = []
+    for qid, rank, doc_id, score_x in top[
+        ["query_id", "rank", "doc_id", "score_x"]
+    ].itertuples(index=False):
+        lang = lang_of[qid]
+        url = docid_to_url(pa.array([int(doc_id)], pa.int64()))[0].as_py()
+        tf_sum = matched = 0
+        idf_sum = 0.0
+        for term in qterms[qid]:
+            tf_ = tf_of.get((lang, term, url), 0)
+            if tf_ > 0:
+                tf_sum += tf_
+                matched += 1
+                df_ = dfc[(lang, term)]
+                idf_sum += math.log(
+                    1 + (n_docs[lang] - df_ + 0.5) / (df_ + 0.5)
+                )
+        out.append(
+            (
+                qid, int(doc_id), int(rank), int(score_x), tf_sum, matched,
+                dl_of[url], int(math.floor(idf_sum * 10000.0 + 0.5)),
+            )
+        )
+    return pd.DataFrame(
+        out,
+        columns=[
+            "query_id", "doc_id", "rank", "bm25_x", "tf_sum", "matched",
+            "dl", "idf_sum_x",
+        ],
+    ).sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+def _ltr_sql(k1: float = 1.2, b: float = 0.75) -> str:
+    qd_rows = []
+    for qid, text, lang in QUERYSET:
+        for t in sorted(set(tokenize_simple(text))):
+            qd_rows.append(f"('{qid}', '{lang}', '{t}')")
+    denom = f"(tok.tf + {k1}*(1 - {b} + {b} * d.dl / s.avgdl))"
+    return f"""
+WITH {_TOK_CTE}, {_DL_CTE}, {_STATS_CTE}, {_DF_CTE},
+q(query_id, lang, term, w) AS (VALUES {_query_values(dedup=False)}),
+qd(query_id, lang, term) AS (VALUES {", ".join(qd_rows)}),
+scores AS (
+  SELECT q.query_id AS query_id, tok.doc_id AS doc_id,
+         sum( q.w * ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * (tok.tf * ({k1} + 1)) / {denom} ) AS score
+  FROM q
+  JOIN tok ON tok.lang = q.lang AND tok.term = q.term
+  JOIN df ON df.lang = q.lang AND df.term = q.term
+  JOIN dl d ON d.doc_id = tok.doc_id
+  JOIN stats s ON s.lang = q.lang
+  GROUP BY q.query_id, tok.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, {_fx('score')} AS bm25_x,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY {_fx('score')} DESC, doc_id ASC) AS rank
+  FROM scores WHERE score > 0
+),
+top AS (SELECT * FROM ranked WHERE rank <= 10),
+feat AS (
+  SELECT r.query_id AS query_id, r.doc_id AS doc_id, r.rank AS rank,
+         r.bm25_x AS bm25_x,
+         CAST(sum(tok.tf) AS BIGINT) AS tf_sum,
+         CAST(count(*) AS BIGINT) AS matched,
+         {_fx('sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)))')}
+           AS idf_sum_x
+  FROM top r
+  JOIN qd ON qd.query_id = r.query_id
+  JOIN tok ON tok.doc_id = r.doc_id AND tok.lang = qd.lang
+           AND tok.term = qd.term
+  JOIN df ON df.lang = qd.lang AND df.term = qd.term
+  JOIN stats s ON s.lang = qd.lang
+  GROUP BY r.query_id, r.doc_id, r.rank, r.bm25_x
+)
+SELECT f.query_id, f.doc_id, f.rank, f.bm25_x, f.tf_sum, f.matched,
+       CAST(d.dl AS BIGINT) AS dl, f.idf_sum_x
+FROM feat f JOIN dl d ON d.doc_id = f.doc_id
+ORDER BY f.query_id, f.rank
+"""
+
+
+# ------------------------------------------------ wildcard term search
+
+# Lucene-style wildcard patterns (`*` = any run, may be leading/infix —
+# unlike prefix_search's prefix-only scan path, this one expands against
+# the VOCABULARY and scores through the postings, the way a real index
+# serves `te*m` queries)
+WILDSET = [("w1", "s*k"), ("w2", "st*m"), ("w3", "*ow"), ("w4", "*er*")]
+
+
+def q_wildcard_search(sf_dir: str):
+    """Wildcard retrieval: each pattern expands to the matching
+    vocabulary terms (distributed LIKE scan over the df artifact — the
+    vocab never leaves the cluster; only matched terms, a
+    query-selective set, reach the driver), then one postings scan
+    scores every doc by total matched tf + distinct matched terms, with
+    per-block partial top-10 and an O(blocks x patterns x 10) driver
+    merge (the prefix_search merge shape, but index-backed).
+
+    Scale note: leading-wildcard patterns scan the whole vocab — same
+    contract as Lucene (the scan is distributed here); the matched-term
+    broadcast assumes query-selective patterns."""
+    likes = [(pid, p.replace("*", "%")) for pid, p in WILDSET]
+
+    def match_terms(t: pa.Table) -> pa.Table:
+        terms = t["term"]
+        if isinstance(terms, pa.ChunkedArray):
+            terms = terms.combine_chunks()
+        out_pid, out_terms = [], []
+        for pid, like in likes:
+            m = pc.match_like(terms, like)
+            sel = terms.filter(m)
+            out_pid.extend([pid] * len(sel))
+            out_terms.append(sel)
+        return pa.table(
+            {
+                "pattern_id": pa.array(out_pid, pa.string()),
+                "term": pa.concat_arrays(out_terms)
+                if out_terms
+                else pa.array([], pa.string()),
+            }
+        )
+
+    matched = (
+        q_term_df(sf_dir)
+        .map_batches(match_terms, batch_format="pyarrow")
+        .to_pandas()
+    )
+    by_pat = {
+        pid: pa.array(sorted(set(g["term"])), pa.string())
+        for pid, g in matched.groupby("pattern_id")
+    }
+
+    def score(t: pa.Table) -> pa.Table:
+        terms = t["term"]
+        if isinstance(terms, pa.ChunkedArray):
+            terms = terms.combine_chunks()
+        urls = t["url"].to_numpy(zero_copy_only=False)
+        tfs = t["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+        frames = []
+        for pid, _like in likes:
+            tset = by_pat.get(pid)
+            if tset is None or len(tset) == 0:
+                continue
+            m = pc.is_in(terms, value_set=tset).to_numpy(zero_copy_only=False)
+            if not m.any():
+                continue
+            pdf = pd.DataFrame({"doc_id": urls[m].astype(np.int64), "tf": tfs[m]})
+            g = pdf.groupby("doc_id", sort=False)["tf"].agg(["sum", "count"])
+            g = g.reset_index()
+            g.columns = ["doc_id", "total_tf", "n_terms"]
+            g.insert(0, "pattern_id", pid)
+            frames.append(g)
+        if not frames:
+            return pa.table(
+                {
+                    "pattern_id": pa.array([], pa.string()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "total_tf": pa.array([], pa.int64()),
+                    "n_terms": pa.array([], pa.int64()),
+                }
+            )
+        out = pd.concat(frames, ignore_index=True)
+        # a doc's postings live in one batch -> per-batch rows are final;
+        # keep only each block's partial top-10 per pattern
+        out = out.sort_values(
+            ["pattern_id", "total_tf", "doc_id"], ascending=[True, False, True]
+        )
+        out = out.groupby("pattern_id", sort=False).head(10)
+        out["total_tf"] = out["total_tf"].astype(np.int64)
+        out["n_terms"] = out["n_terms"].astype(np.int64)
+        return from_pandas_clean(out, preserve_index=False)
+
+    parts = (
+        _postings_ds(sf_dir).map_batches(score, batch_format="pyarrow").to_pandas()
+    )
+    parts = parts.sort_values(
+        ["pattern_id", "total_tf", "doc_id"], ascending=[True, False, True]
+    )
+    top = parts.groupby("pattern_id", sort=False).head(10).reset_index(drop=True)
+    top["rank"] = top.groupby("pattern_id").cumcount().astype(np.int64) + 1
+    return top[["pattern_id", "rank", "doc_id", "total_tf", "n_terms"]]
+
+
+def _wildcard_sql() -> str:
+    pvalues = ", ".join(
+        f"('{pid}', '{p.replace('*', '%')}')" for pid, p in WILDSET
+    )
+    return f"""
+WITH {_TOK_CTE},
+pat(pattern_id, pat) AS (VALUES {pvalues}),
+m AS (
+  SELECT p.pattern_id AS pattern_id, tok.doc_id AS doc_id,
+         sum(tok.tf) AS total_tf, count(*) AS n_terms
+  FROM pat p JOIN tok ON tok.term LIKE p.pat
+  GROUP BY p.pattern_id, tok.doc_id
+),
+ranked AS (
+  SELECT pattern_id, doc_id, CAST(total_tf AS BIGINT) AS total_tf,
+         CAST(n_terms AS BIGINT) AS n_terms,
+         row_number() OVER (PARTITION BY pattern_id
+                            ORDER BY total_tf DESC, doc_id ASC) AS rank
+  FROM m
+)
+SELECT pattern_id, rank, doc_id, total_tf, n_terms
+FROM ranked WHERE rank <= 10
+"""
+
+
 def q_facet_counts(sf_dir: str):
     """Facet aggregation over retrieval results: for each query, how many
     of its BM25 top-10 docs come from each corpus source. The doc->source
@@ -11110,6 +11406,8 @@ QUERIES = {
     "spell_correct": q_spell_correct,
     "facet_counts": q_facet_counts,
     "fuzzy_search": q_fuzzy_search,
+    "wildcard_search": q_wildcard_search,
+    "ltr_features": q_ltr_features,
     "dense_rerank": q_dense_rerank,
     "dense_rerank_mlp": q_dense_rerank_mlp,
     "bm25f": q_bm25f,
@@ -12350,6 +12648,8 @@ ORACLE_SQL = {
         bm25=_bm25_sql(1.2, 0.75, reference_quirk=False, dedup=False)
     ),
     "fuzzy_search": _fuzzy_sql(),
+    "wildcard_search": _wildcard_sql(),
+    "ltr_features": _ltr_sql(),
     "query_expand": _QEXP_SQL.format(
         bm25=_bm25_sql(1.2, 0.75, reference_quirk=False, dedup=False)
     ),
