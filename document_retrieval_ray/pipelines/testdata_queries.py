@@ -6220,6 +6220,75 @@ SELECT query_id, rank, doc_id, score_x FROM ranked WHERE rank <= 10
 """
 
 
+# -------------------------------------------- federated multi-shard search
+
+FEDERATED_LANGS = ("de", "en", "es", "fr", "zh")
+
+
+def q_bm25_federated(sf_dir: str):
+    """Federated scatter-gather retrieval: every query fans out to EVERY
+    language shard (each scored with that shard's own N/avgdl/df — the
+    reference's per-language models, final_implementation.py:290-322,
+    searched as one federation instead of routed to a single lang), and
+    the per-shard top-10s merge to a global top-10 by (score desc,
+    doc_id asc). This is the Elasticsearch-style cross-shard merge: the
+    gather sees only shards x k rows per query, never shard-interior
+    state, so the merge cost is independent of corpus size."""
+    from .query import bm25_search
+
+    index_dir = _index_for(sf_dir)
+    items = [
+        {"query_id": qid, "query": text, "lang": lang}
+        for qid, text, _l in QUERYSET
+        for lang in FEDERATED_LANGS
+    ]
+    res = bm25_search(
+        ray.data.from_items(items), index_dir,
+        cfg=BM25Config(k1=1.2, b=0.75, idf="lucene", compat="standard"),
+        round_dp=4,
+    )
+    pdf = _results_to_docids(res.to_pandas())
+    pdf = pdf.sort_values(
+        ["query_id", "score_x", "doc_id"], ascending=[True, False, True]
+    )
+    top = pdf.groupby("query_id", sort=False).head(10).reset_index(drop=True)
+    top["rank"] = top.groupby("query_id").cumcount().astype(np.int64) + 1
+    return top[["query_id", "rank", "doc_id", "score_x"]]
+
+
+def _federated_sql(k1: float = 1.2, b: float = 0.75) -> str:
+    rows = []
+    for qid, text, _lang in QUERYSET:
+        c: dict[str, int] = {}
+        for t in tokenize_simple(text):
+            c[t] = c.get(t, 0) + 1
+        for t, w in sorted(c.items()):
+            rows.append(f"('{qid}', '{t}', {w})")
+    denom = f"(tok.tf + {k1}*(1 - {b} + {b} * d.dl / s.avgdl))"
+    return f"""
+WITH {_TOK_CTE}, {_DL_CTE}, {_STATS_CTE}, {_DF_CTE},
+q(query_id, term, w) AS (VALUES {", ".join(rows)}),
+scores AS (
+  SELECT q.query_id AS query_id, tok.doc_id AS doc_id,
+         sum( q.w * ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * (tok.tf * ({k1} + 1)) / {denom} ) AS score
+  FROM q
+  JOIN tok ON tok.term = q.term
+  JOIN df ON df.lang = tok.lang AND df.term = q.term
+  JOIN dl d ON d.doc_id = tok.doc_id
+  JOIN stats s ON s.lang = tok.lang
+  GROUP BY q.query_id, tok.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, {_fx('score')} AS score_x,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY {_fx('score')} DESC, doc_id ASC) AS rank
+  FROM scores WHERE score > 0
+)
+SELECT query_id, rank, doc_id, score_x FROM ranked WHERE rank <= 10
+"""
+
+
 # ------------------------------------------- learning-to-rank features
 
 
@@ -11408,6 +11477,7 @@ QUERIES = {
     "fuzzy_search": q_fuzzy_search,
     "wildcard_search": q_wildcard_search,
     "ltr_features": q_ltr_features,
+    "bm25_federated": q_bm25_federated,
     "dense_rerank": q_dense_rerank,
     "dense_rerank_mlp": q_dense_rerank_mlp,
     "bm25f": q_bm25f,
@@ -12650,6 +12720,7 @@ ORACLE_SQL = {
     "fuzzy_search": _fuzzy_sql(),
     "wildcard_search": _wildcard_sql(),
     "ltr_features": _ltr_sql(),
+    "bm25_federated": _federated_sql(),
     "query_expand": _QEXP_SQL.format(
         bm25=_bm25_sql(1.2, 0.75, reference_quirk=False, dedup=False)
     ),
