@@ -6220,6 +6220,230 @@ SELECT query_id, rank, doc_id, score_x FROM ranked WHERE rank <= 10
 """
 
 
+# ---------------------------------------- stopword auto-detection
+
+# index-time stopword candidates: terms present in >= this fraction of a
+# language's docs (the df/N census an analyzer build runs before fixing
+# its stop list)
+STOPWORD_DF_RATIO = 0.5
+
+
+def q_stopword_detect(sf_dir: str):
+    """Stopword auto-detection: per language, every term whose document
+    frequency reaches STOPWORD_DF_RATIO of the language's corpus, with
+    the fixed-point ratio. Zero-shuffle beyond the df groupby the df
+    artifact already pays; per-lang N is a thin one-column scan
+    broadcast into the filter."""
+    n_docs = {
+        r["lang"]: r["count()"]
+        for r in read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["lang"])
+        .groupby("lang")
+        .count()
+        .take_all()
+    }
+    n_ref = ray.put(n_docs)
+
+    def pick(t: pa.Table) -> pa.Table:
+        n = ray.get(n_ref)
+        langs = t["lang"].to_pylist()
+        dfs = t["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nd = np.array([n[l] for l in langs], np.int64)
+        ratio = dfs / nd
+        keep = ratio >= STOPWORD_DF_RATIO
+        ratio_x = np.floor(ratio * 10000.0 + 0.5).astype(np.int64)
+        out = pa.table(
+            {
+                "lang": pa.array(np.asarray(langs, object)[keep], pa.string()),
+                "term": pc.cast(t["term"], pa.string()).filter(
+                    pa.array(keep)
+                ),
+                "df": pa.array(dfs[keep], pa.int64()),
+                "n_docs": pa.array(nd[keep], pa.int64()),
+                "ratio_x": pa.array(ratio_x[keep], pa.int64()),
+            }
+        )
+        return out
+
+    return q_term_df(sf_dir).map_batches(pick, batch_format="pyarrow")
+
+
+_STOPWORD_SQL = f"""
+WITH {_TOK_CTE},
+df AS (SELECT lang, term, count(*) AS df FROM tok GROUP BY lang, term),
+n AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang)
+SELECT df.lang AS lang, df.term AS term, CAST(df.df AS BIGINT) AS df,
+       CAST(n.n_docs AS BIGINT) AS n_docs,
+       {_fx('df.df / CAST(n.n_docs AS DOUBLE)')} AS ratio_x
+FROM df JOIN n ON n.lang = df.lang
+WHERE df.df / CAST(n.n_docs AS DOUBLE) >= {STOPWORD_DF_RATIO}
+"""
+
+
+# ---------------------------------------- champion-list (top-docs) pruning
+
+CHAMP_M = 5
+
+
+def q_champion_topk(sf_dir: str):
+    """Champion-list retrieval (impact-ordered pruning, IIR ch.7): each
+    term keeps a precomputed champion list — its top CHAMP_M docs by
+    (tf desc, doc asc) — and a query is scored ONLY on the union of its
+    terms' champion lists, with exact BM25 (standard k1=1.2/b=0.75,
+    lucene idf, multiplicity weights) on that candidate set.
+
+    Scale shape: at 100 TB the champion lists are an impact-ordered
+    index artifact written at build time (one extra per-term top-m
+    kept while encoding postings — no extra pass). This demo derives
+    them in ONE corpus pass: each tokenize batch emits (a) exact
+    per-lang dl-sum/count partials and (b) the query terms' postings
+    rows; the driver folds stats, df, champion cuts, and the
+    candidate-set scores, all result-sized except the hot-term postings
+    rows (which the build-time artifact removes)."""
+    from ..stages.postings import emit_postings
+
+    qterm_w: dict[str, dict[str, int]] = {}
+    for qid, text, _l in QUERYSET:
+        c: dict[str, int] = {}
+        for t in tokenize_simple(text):
+            c[t] = c.get(t, 0) + 1
+        qterm_w[qid] = c
+    lang_of = {qid: lang for qid, _t, lang in QUERYSET}
+    term_set = pa.array(
+        sorted({t for c in qterm_w.values() for t in c}), pa.string()
+    )
+
+    def scan(t: pa.Table) -> pa.Table:
+        p = emit_postings(t)
+        p = p.filter(pc.is_in(p["term"], value_set=term_set))
+        langs = np.asarray(t["lang"].to_pandas(), dtype=object)
+        dls = t["dl"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sp = (
+            pd.DataFrame({"lang": langs, "dl": dls})
+            .groupby("lang", sort=False)["dl"]
+            .agg(["sum", "count"])
+            .reset_index()
+        )
+        out_a = pa.table(
+            {
+                "kind": pa.array(np.zeros(len(sp), np.int64)),
+                "lang": pa.array(sp["lang"], pa.string()),
+                "term": pa.array([""] * len(sp), pa.string()),
+                "url": pa.array([""] * len(sp), pa.string()),
+                "dl": pa.array(sp["sum"].to_numpy().astype(np.int64)),
+                "tf": pa.array(sp["count"].to_numpy().astype(np.int64)),
+            }
+        )
+        out_b = pa.table(
+            {
+                "kind": pa.array(np.ones(len(p), np.int64)),
+                "lang": p["lang"],
+                "term": p["term"],
+                "url": p["url"],
+                "dl": pc.cast(p["dl"], pa.int64()),
+                "tf": pc.cast(p["tf"], pa.int64()),
+            }
+        )
+        return pa.concat_tables([out_a, out_b])
+
+    rows = _tokens_ds(sf_dir).map_batches(scan, batch_format="pyarrow").to_pandas()
+
+    sp = rows[rows["kind"] == 0].groupby("lang")[["dl", "tf"]].sum()
+    stats = {
+        lang: (int(r["tf"]), int(r["dl"]) / int(r["tf"]))  # (N, exact avgdl)
+        for lang, r in sp.iterrows()
+    }
+    post = rows[rows["kind"] == 1]
+    dfc = post.groupby(["lang", "term"], sort=False).size().to_dict()
+
+    champs: dict[tuple[str, str], list[str]] = {
+        key: list(
+            g.sort_values(["tf", "url"], ascending=[False, True]).head(CHAMP_M)[
+                "url"
+            ]
+        )
+        for key, g in post.groupby(["lang", "term"], sort=False)
+    }
+    tf_of = {
+        (lang, term, url): int(tf_)
+        for _k, lang, term, url, _dl, tf_ in post.itertuples(index=False)
+    }
+    dl_of = {
+        url: int(dl_) for _k, _l, _t, url, dl_, _tf in post.itertuples(index=False)
+    }
+
+    k1, b = 1.2, 0.75
+    out = []
+    for qid, c in qterm_w.items():
+        lang = lang_of[qid]
+        if lang not in stats:
+            continue
+        n, avgdl = stats[lang]
+        cand = sorted(
+            {u for term in c for u in champs.get((lang, term), ())}
+        )
+        scored = []
+        for url in cand:
+            s = 0.0
+            for term, w in c.items():
+                tf_ = tf_of.get((lang, term, url), 0)
+                if tf_ == 0:
+                    continue
+                df_ = dfc[(lang, term)]
+                idf = math.log(1 + (n - df_ + 0.5) / (df_ + 0.5))
+                s += (
+                    w * idf * (tf_ * (k1 + 1))
+                    / (tf_ + k1 * (1 - b + b * dl_of[url] / avgdl))
+                )
+            if s > 0:
+                scored.append((int(math.floor(s * 10000.0 + 0.5)), int(url)))
+        scored.sort(key=lambda r: (-r[0], r[1]))
+        for rank, (sx, did) in enumerate(scored[:10], 1):
+            out.append((qid, rank, did, sx))
+    return pd.DataFrame(
+        out, columns=["query_id", "rank", "doc_id", "score_x"]
+    ).sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+def _champion_sql(k1: float = 1.2, b: float = 0.75) -> str:
+    denom = f"(tok.tf + {k1}*(1 - {b} + {b} * d.dl / s.avgdl))"
+    return f"""
+WITH {_TOK_CTE}, {_DL_CTE}, {_STATS_CTE}, {_DF_CTE},
+q(query_id, lang, term, w) AS (VALUES {_query_values(dedup=False)}),
+champ AS (
+  SELECT lang, term, doc_id FROM (
+    SELECT lang, term, doc_id,
+           row_number() OVER (PARTITION BY lang, term
+                              ORDER BY tf DESC, doc_id ASC) AS rn
+    FROM tok
+  ) WHERE rn <= {CHAMP_M}
+),
+cand AS (
+  SELECT DISTINCT q.query_id AS query_id, c.doc_id AS doc_id
+  FROM q JOIN champ c ON c.lang = q.lang AND c.term = q.term
+),
+scores AS (
+  SELECT q.query_id AS query_id, cand.doc_id AS doc_id,
+         sum( q.w * ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * (tok.tf * ({k1} + 1)) / {denom} ) AS score
+  FROM q
+  JOIN cand ON cand.query_id = q.query_id
+  JOIN tok ON tok.doc_id = cand.doc_id AND tok.lang = q.lang
+           AND tok.term = q.term
+  JOIN df ON df.lang = q.lang AND df.term = q.term
+  JOIN dl d ON d.doc_id = cand.doc_id
+  JOIN stats s ON s.lang = q.lang
+  GROUP BY q.query_id, cand.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, {_fx('score')} AS score_x,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY {_fx('score')} DESC, doc_id ASC) AS rank
+  FROM scores WHERE score > 0
+)
+SELECT query_id, rank, doc_id, score_x FROM ranked WHERE rank <= 10
+"""
+
+
 # -------------------------------------------- federated multi-shard search
 
 FEDERATED_LANGS = ("de", "en", "es", "fr", "zh")
@@ -11478,6 +11702,8 @@ QUERIES = {
     "wildcard_search": q_wildcard_search,
     "ltr_features": q_ltr_features,
     "bm25_federated": q_bm25_federated,
+    "stopword_detect": q_stopword_detect,
+    "champion_topk": q_champion_topk,
     "dense_rerank": q_dense_rerank,
     "dense_rerank_mlp": q_dense_rerank_mlp,
     "bm25f": q_bm25f,
@@ -12721,6 +12947,8 @@ ORACLE_SQL = {
     "wildcard_search": _wildcard_sql(),
     "ltr_features": _ltr_sql(),
     "bm25_federated": _federated_sql(),
+    "stopword_detect": _STOPWORD_SQL,
+    "champion_topk": _champion_sql(),
     "query_expand": _QEXP_SQL.format(
         bm25=_bm25_sql(1.2, 0.75, reference_quirk=False, dedup=False)
     ),
