@@ -408,6 +408,10 @@ def main() -> None:
                   lambda: tq.q_covisit(SF_DIR).count())
         timed_min("testdata_extract_summary",
                   lambda: tq.q_extract_summary(SF_DIR).count())
+        timed_min("testdata_fuzzy",
+                  lambda: len(tq.q_fuzzy_search(SF_DIR)))
+        timed_min("testdata_federated",
+                  lambda: len(tq.q_bm25_federated(SF_DIR)))
 
     headline = timings["index_build"] + timings["bm25_queries"]
     out = {
