@@ -100,6 +100,11 @@ def main(argv=None) -> int:
     q.add_argument("--term-buckets", default=None,
                    help="serve through a (lang, term-range) bucket group"
                         " built by the term-buckets command")
+    q.add_argument("--fuzzy", action="store_true",
+                   help="Lucene term~1: expand each query token to every"
+                        " same-language vocabulary term within edit"
+                        " distance 1 (served from the index df artifact)"
+                        " before scoring")
 
     tb = sub.add_parser("term-buckets", parents=[common],
                         help="split an index's postings into volume-"
@@ -266,6 +271,12 @@ def main(argv=None) -> int:
 
         k1 = args.k1 if args.k1 is not None else (1.5 if args.compat == "reference" else 1.2)
         cfg = BM25Config(k1=k1, b=args.b, compat=args.compat, k=args.k)
+        if args.fuzzy:
+            from .pipelines.query import fuzzy_expand
+
+            queries = fuzzy_expand(
+                queries, args.index, tokenizer=_index_tokenizer(args.index)
+            )
         # tokenize queries the way the index was BUILT (recorded in its
         # manifests) — a mismatch silently misses the vocabulary
         if args.term_buckets:

@@ -199,3 +199,125 @@ def to_submission(results: ray.data.Dataset, num_parts: int = 64,
         .groupby("qpart")
         .map_groups(collect_part, batch_format="pandas")
     )
+
+
+def fuzzy_expand(
+    queries,
+    index_dir: str,
+    tokenizer: TokenizerConfig = TokenizerConfig(),
+) -> ray.data.Dataset:
+    """Lucene `term~1` query expansion served from the index's df
+    artifact: every query token expands to each same-language vocabulary
+    term within levenshtein distance 1, weighted by the token's
+    multiplicity (the expanded query repeats each matched term w times,
+    which the downstream scorer's multiplicity weighting folds back).
+
+    Scale shape: the vocabulary never leaves the cluster — each df-shard
+    batch generates its deletion variants (functions.fuzzy, Arrow slice
+    kernels) and probes the BROADCAST query-variant set; only matching
+    candidates (edit-distance-1 neighborhoods are tiny in a real vocab)
+    reach the driver for the exact verify. The query set itself is
+    driver-resident (batch serving; stream it per-batch if the query
+    log outgrows the driver).
+
+    Simple-mode tokenizers only: expanded terms must round-trip through
+    the tokenizer unchanged, which `[a-z0-9]+` vocabularies guarantee.
+    """
+    import os
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..functions.fuzzy import deletion_variants, lev_le1
+    from ..functions.tokenizer import tokenize_cfg
+    from ..util import read_parquet_clean
+
+    if tokenizer.mode != "simple":
+        raise ValueError(
+            "fuzzy_expand requires a simple-mode tokenizer (expanded "
+            "vocabulary terms must round-trip through tokenization)"
+        )
+    rows = (
+        queries.take_all()
+        if isinstance(queries, ray.data.Dataset)
+        else list(queries)
+    )
+    var2m: dict[str, list[tuple[str, str, int]]] = {}
+    lang_of: dict[str, str] = {}
+    for r in rows:
+        qid, text, lang = r["query_id"], r["query"], r["lang"]
+        lang_of[qid] = lang
+        counts: dict[str, int] = {}
+        for m in tokenize_cfg(text, lang, tokenizer):
+            counts[m] = counts.get(m, 0) + 1
+        for m, w in counts.items():
+            for v in {m} | {m[:i] + m[i + 1:] for i in range(len(m))}:
+                var2m.setdefault(lang + "\x00" + v, []).append((qid, m, w))
+    qvars = pa.array(sorted(var2m), pa.string())
+
+    def scan(t: pa.Table) -> pa.Table:
+        terms = t["term"]
+        if isinstance(terms, pa.ChunkedArray):
+            terms = terms.combine_chunks()
+        langs = t["lang"]
+        if isinstance(langs, pa.ChunkedArray):
+            langs = langs.combine_chunks()
+        n = len(terms)
+        idx = np.arange(n, dtype=np.int64)
+        vidx, variants = deletion_variants(terms)
+        all_idx = np.concatenate([idx, vidx])
+        all_var = pa.concat_arrays([terms, variants])
+        keys = pc.binary_join_element_wise(
+            langs.take(pa.array(all_idx)), all_var, "\x00"
+        )
+        hit = pc.is_in(keys, value_set=qvars).to_numpy(zero_copy_only=False)
+        sel = all_idx[hit]
+        return pa.table(
+            {
+                "key": keys.filter(pa.array(hit)),
+                "term": terms.take(pa.array(sel)),
+            }
+        )
+
+    dfv = read_parquet_clean(
+        os.path.join(index_dir, "df"), columns=["lang", "term"]
+    )
+    cand = dfv.map_batches(scan, batch_format="pyarrow").to_pandas()
+
+    # a (qtoken, vocab-term) pair can intersect on several variants (the
+    # exact-match case shares its whole neighborhood) — dedupe BEFORE
+    # the weight fold so each pair contributes its multiplicity once
+    pairs: set[tuple[str, str, str, int]] = set()
+    for key, term in cand.itertuples(index=False):
+        for qid, m, w in var2m.get(key, ()):
+            pairs.add((qid, m, term, w))
+    weights: dict[tuple[str, str], int] = {}
+    for qid, m, term, w in pairs:
+        if lev_le1(m, term):
+            weights[(qid, term)] = weights.get((qid, term), 0) + w
+
+    by_q: dict[str, list[str]] = {}
+    for (qid, term), w in sorted(weights.items()):
+        by_q.setdefault(qid, []).extend([term] * w)
+    return ray.data.from_items(
+        [
+            {"query_id": qid, "query": " ".join(terms), "lang": lang_of[qid]}
+            for qid, terms in sorted(by_q.items())
+        ]
+    )
+
+
+def bm25_search_fuzzy(
+    queries,
+    index_dir: str,
+    cfg: BM25Config = BM25Config(),
+    tokenizer: TokenizerConfig = TokenizerConfig(),
+    **kwargs,
+) -> ray.data.Dataset:
+    """Fuzzy (`term~1`) BM25 retrieval: :func:`fuzzy_expand` against the
+    index vocabulary, then the unchanged :func:`bm25_search` serving
+    path over the expanded weighted term multisets."""
+    fq = fuzzy_expand(queries, index_dir, tokenizer=tokenizer)
+    return bm25_search(fq, index_dir, cfg=cfg, tokenizer=tokenizer, **kwargs)

@@ -5935,55 +5935,11 @@ SPELL_MIN_LEN = 5
 SPELL_TOPK = 3
 
 
-def _lev_le1(a: str, b: str) -> bool:
-    """Exact levenshtein(a, b) <= 1 (unit costs, same as DuckDB's)."""
-    if a == b:
-        return True
-    la, lb = len(a), len(b)
-    if abs(la - lb) > 1:
-        return False
-    if la == lb:
-        return sum(x != y for x, y in zip(a, b)) == 1
-    if la > lb:
-        a, b, la, lb = b, a, lb, la
-    i = j = 0
-    skipped = False
-    while i < la:
-        if a[i] == b[j]:
-            i += 1
-            j += 1
-        elif not skipped:
-            skipped = True
-            j += 1
-        else:
-            return False
-    return True
-
-
-def _deletion_variants(terms: pa.Array) -> tuple[np.ndarray, pa.Array]:
-    """(row_idx, variant) for every single-character deletion of every
-    term — vectorized per deletion POSITION with Arrow slice kernels, so
-    the loop count is max term length, not vocabulary size."""
-    if isinstance(terms, pa.ChunkedArray):
-        terms = terms.combine_chunks()
-    n = len(terms)
-    lens = pc.utf8_length(terms)
-    maxlen = pc.max(lens).as_py() if n else 0
-    idx_parts, var_parts = [], []
-    base = np.arange(n, dtype=np.int64)
-    for i in range(maxlen or 0):
-        mask = pc.greater(lens, i)
-        sel = pc.filter(terms, mask)
-        var = pc.binary_join_element_wise(
-            pc.utf8_slice_codeunits(sel, 0, i),
-            pc.utf8_slice_codeunits(sel, i + 1, 2**30),
-            "",
-        )
-        idx_parts.append(base[mask.to_numpy(zero_copy_only=False)])
-        var_parts.append(var)
-    if not idx_parts:
-        return np.empty(0, np.int64), pa.array([], pa.string())
-    return np.concatenate(idx_parts), pa.concat_arrays(var_parts)
+# shared edit-distance-1 kernels (also the fuzzy_search serving path)
+from ..functions.fuzzy import (  # noqa: E402
+    deletion_variants as _deletion_variants,
+    lev_le1 as _lev_le1,
+)
 
 
 def _en_vocab_ds(sf_dir: str):
@@ -6088,91 +6044,35 @@ FUZZYSET = [
 ]
 
 
-def _fuzzy_expanded_queries(sf_dir: str) -> list[dict]:
-    """Distributed `term~1` expansion over the (lang, term, df) vocab:
-    the vocabulary never leaves the cluster — each batch generates its
-    deletion variants (the spell_correct kernel) and probes the
-    broadcast query-variant set; only result-sized candidates reach the
-    driver for the exact-distance verify and weight fold."""
-    var2m: dict[str, list[tuple[str, str, int]]] = {}
-    for qid, text, lang in FUZZYSET:
-        counts: dict[str, int] = {}
-        for m in tokenize_simple(text):
-            counts[m] = counts.get(m, 0) + 1
-        for m, w in counts.items():
-            for v in {m} | {m[:i] + m[i + 1:] for i in range(len(m))}:
-                var2m.setdefault(lang + "\x00" + v, []).append((qid, m, w))
-    qvars = pa.array(sorted(var2m), pa.string())
-
-    def scan(t: pa.Table) -> pa.Table:
-        terms = t["term"]
-        if isinstance(terms, pa.ChunkedArray):
-            terms = terms.combine_chunks()
-        langs = t["lang"]
-        if isinstance(langs, pa.ChunkedArray):
-            langs = langs.combine_chunks()
-        n = len(terms)
-        idx = np.arange(n, dtype=np.int64)
-        vidx, variants = _deletion_variants(terms)
-        all_idx = np.concatenate([idx, vidx])
-        all_var = pa.concat_arrays([terms, variants])
-        keys = pc.binary_join_element_wise(
-            langs.take(pa.array(all_idx)), all_var, "\x00"
-        )
-        hit = pc.is_in(keys, value_set=qvars).to_numpy(zero_copy_only=False)
-        sel = all_idx[hit]
-        return pa.table(
-            {
-                "key": keys.filter(pa.array(hit)),
-                "term": terms.take(pa.array(sel)),
-            }
-        )
-
-    cand = q_term_df(sf_dir).map_batches(scan, batch_format="pyarrow").to_pandas()
-
-    # a (qterm, vocab-term) pair can intersect on several variants (the
-    # exact-match case shares its whole neighborhood) — dedupe BEFORE the
-    # weight fold so each pair contributes its multiplicity exactly once
-    pairs: set[tuple[str, str, str, int]] = set()
-    for key, term in cand.itertuples(index=False):
-        for qid, m, w in var2m.get(key, ()):
-            pairs.add((qid, m, term, w))
-    weights: dict[tuple[str, str], int] = {}
-    for qid, m, term, w in pairs:
-        if _lev_le1(m, term):
-            weights[(qid, term)] = weights.get((qid, term), 0) + w
-
-    by_q: dict[str, list[str]] = {}
-    for (qid, term), w in sorted(weights.items()):
-        by_q.setdefault(qid, []).extend([term] * w)
-    lang_of = {qid: lang for qid, _, lang in FUZZYSET}
-    return [
-        {"query_id": qid, "query": " ".join(terms), "lang": lang_of[qid]}
-        for qid, terms in sorted(by_q.items())
-    ]
-
-
 def q_fuzzy_search(sf_dir: str):
-    """Fuzzy retrieval (Lucene `term~1`): each query token expands to
-    every same-language vocabulary term within levenshtein distance 1
-    (SymSpell deletion-neighborhood candidates + exact verify — the
-    spell_correct kernel), then standard BM25 (k1=1.2, b=0.75, lucene
-    idf) over the expanded weighted term multiset through the SAME
-    cached index + scorer pool as bm25_standard. Reference analog:
+    """Fuzzy retrieval (Lucene `term~1`) through the LIBRARY serving
+    path (pipelines.query.bm25_search_fuzzy, also the CLI `query
+    --fuzzy` path): each query token expands against the index's df
+    artifact to every same-language vocabulary term within levenshtein
+    distance 1 (SymSpell deletion-neighborhood candidates + exact
+    verify, functions/fuzzy.py), then standard BM25 (k1=1.2, b=0.75,
+    lucene idf) over the expanded weighted term multiset through the
+    SAME cached index + scorer pool as bm25_standard. Reference analog:
     query-side preprocessing feeding retrieve_test_queries_optimized
     (final_implementation.py:290-506); fuzzy matching itself is an
     engine extension.
 
-    Scale shape: the vocab is scanned in place (variants per batch,
-    probed against the broadcast query-variant set — neighborhoods are
-    tiny in a real vocab, so the expansion is result-sized); serving
-    reuses the zero-copy shared-shard BM25 stage unchanged."""
-    from .query import bm25_search
+    Scale shape: the vocab is scanned in place (variants per df-shard
+    batch, probed against the broadcast query-variant set —
+    neighborhoods are tiny in a real vocab, so the expansion is
+    result-sized); serving reuses the zero-copy shared-shard BM25
+    stage unchanged."""
+    from .query import bm25_search_fuzzy
 
     index_dir = _index_for(sf_dir)
-    fq = _fuzzy_expanded_queries(sf_dir)
-    res = bm25_search(
-        ray.data.from_items(fq), index_dir,
+    res = bm25_search_fuzzy(
+        ray.data.from_items(
+            [
+                {"query_id": qid, "query": text, "lang": lang}
+                for qid, text, lang in FUZZYSET
+            ]
+        ),
+        index_dir,
         cfg=BM25Config(k1=1.2, b=0.75, idf="lucene", compat="standard"),
         round_dp=4,
     )

@@ -194,3 +194,51 @@ def test_cli_term_buckets_and_task_pool(tiny_corpus, tmp_path, capsys):
             got[["query_id", "rank", "url", "score_x"]],
             plain[["query_id", "rank", "url", "score_x"]],
         )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cli_fuzzy_query(tiny_corpus, tmp_path, capsys):
+    """--fuzzy expands a typo'd token against the index vocabulary: the
+    misspelled query returns 0 rows plain but >0 rows fuzzy, and an
+    exact token's fuzzy result still includes its exact-match docs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from document_retrieval_ray.cli import main
+
+    index_dir = str(tmp_path / "fuzzy_index")
+    assert main(["build", "--input", tiny_corpus["documents"],
+                 "--index", index_dir, "--no-cosine-norms"]) == 0
+    capsys.readouterr()
+
+    q_path = str(tmp_path / "fuzzy_queries.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "query_id": ["fz1"],
+                "query": ["entok3q"],  # not in vocab; dist 1 from entok3
+                "lang": ["en"],
+            }
+        ),
+        q_path,
+    )
+
+    out_plain = str(tmp_path / "fuzzy_out_plain")
+    assert main(["query", "--index", index_dir, "--queries", q_path,
+                 "--out", out_plain]) == 0
+    # 0 results: the sink writes nothing (or an empty dir)
+    import os as _os
+
+    n_plain = (
+        len(pq.read_table(out_plain))
+        if _os.path.isdir(out_plain) and _os.listdir(out_plain)
+        else 0
+    )
+    assert n_plain == 0
+
+    out_fuzzy = str(tmp_path / "fuzzy_out")
+    assert main(["query", "--index", index_dir, "--queries", q_path,
+                 "--out", out_fuzzy, "--fuzzy"]) == 0
+    res = pq.read_table(out_fuzzy).to_pandas()
+    assert len(res) > 0
+    assert set(res["query_id"]) == {"fz1"}
