@@ -6589,28 +6589,24 @@ ORDER BY f.query_id, f.rank
 WILDSET = [("w1", "s*k"), ("w2", "st*m"), ("w3", "*ow"), ("w4", "*er*")]
 
 
-def q_wildcard_search(sf_dir: str):
-    """Wildcard retrieval: each pattern expands to the matching
-    vocabulary terms (distributed LIKE scan over the df artifact — the
-    vocab never leaves the cluster; only matched terms, a
-    query-selective set, reach the driver), then one postings scan
+def _termset_retrieval(sf_dir: str, matchers) -> pd.DataFrame:
+    """Shared multi-term retrieval core for the vocabulary-expansion
+    query family (wildcard / regex): ``matchers`` is [(pattern_id,
+    fn(terms: pa.Array) -> pa.BooleanArray)]. Each pattern expands to
+    its matching vocabulary terms (distributed scan over the df
+    artifact — the vocab never leaves the cluster; only matched terms,
+    a query-selective set, reach the driver), then ONE postings scan
     scores every doc by total matched tf + distinct matched terms, with
     per-block partial top-10 and an O(blocks x patterns x 10) driver
-    merge (the prefix_search merge shape, but index-backed).
-
-    Scale note: leading-wildcard patterns scan the whole vocab — same
-    contract as Lucene (the scan is distributed here); the matched-term
-    broadcast assumes query-selective patterns."""
-    likes = [(pid, p.replace("*", "%")) for pid, p in WILDSET]
+    merge (the prefix_search merge shape, but index-backed)."""
 
     def match_terms(t: pa.Table) -> pa.Table:
         terms = t["term"]
         if isinstance(terms, pa.ChunkedArray):
             terms = terms.combine_chunks()
         out_pid, out_terms = [], []
-        for pid, like in likes:
-            m = pc.match_like(terms, like)
-            sel = terms.filter(m)
+        for pid, fn in matchers:
+            sel = terms.filter(fn(terms))
             out_pid.extend([pid] * len(sel))
             out_terms.append(sel)
         return pa.table(
@@ -6639,7 +6635,7 @@ def q_wildcard_search(sf_dir: str):
         urls = t["url"].to_numpy(zero_copy_only=False)
         tfs = t["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
         frames = []
-        for pid, _like in likes:
+        for pid, _fn in matchers:
             tset = by_pat.get(pid)
             if tset is None or len(tset) == 0:
                 continue
@@ -6681,6 +6677,68 @@ def q_wildcard_search(sf_dir: str):
     top = parts.groupby("pattern_id", sort=False).head(10).reset_index(drop=True)
     top["rank"] = top.groupby("pattern_id").cumcount().astype(np.int64) + 1
     return top[["pattern_id", "rank", "doc_id", "total_tf", "n_terms"]]
+
+
+def q_wildcard_search(sf_dir: str):
+    """Wildcard retrieval (`s*k`, leading `*ow`, infix `*er*`) through
+    the shared vocabulary-expansion core (:func:`_termset_retrieval`,
+    Arrow match_like = SQL LIKE semantics).
+
+    Scale note: leading-wildcard patterns scan the whole vocab — same
+    contract as Lucene (the scan is distributed here); the matched-term
+    broadcast assumes query-selective patterns."""
+    matchers = [
+        (pid, (lambda like: lambda terms: pc.match_like(terms, like))(
+            p.replace("*", "%")
+        ))
+        for pid, p in WILDSET
+    ]
+    return _termset_retrieval(sf_dir, matchers)
+
+
+# Lucene RegexpQuery analog: RE2 patterns (unanchored in both Arrow's
+# match_substring_regex and DuckDB's regexp_matches — anchor explicitly)
+REGEXSET = [
+    ("rx1", "^s.a.k$"),
+    ("rx2", "^st.*m$"),
+    ("rx3", "ow$"),
+    ("rx4", "^[a-z]{3}$"),
+]
+
+
+def q_regex_search(sf_dir: str):
+    """Regex retrieval (Lucene RegexpQuery): each RE2 pattern expands to
+    its matching vocabulary terms and scores through the postings, via
+    the same shared core (and the same scale contract) as
+    wildcard_search."""
+    matchers = [
+        (pid, (lambda rx: lambda terms: pc.match_substring_regex(terms, rx))(p))
+        for pid, p in REGEXSET
+    ]
+    return _termset_retrieval(sf_dir, matchers)
+
+
+def _regex_sql() -> str:
+    pvalues = ", ".join(f"('{pid}', '{p}')" for pid, p in REGEXSET)
+    return f"""
+WITH {_TOK_CTE},
+pat(pattern_id, pat) AS (VALUES {pvalues}),
+m AS (
+  SELECT p.pattern_id AS pattern_id, tok.doc_id AS doc_id,
+         sum(tok.tf) AS total_tf, count(*) AS n_terms
+  FROM pat p JOIN tok ON regexp_matches(tok.term, p.pat)
+  GROUP BY p.pattern_id, tok.doc_id
+),
+ranked AS (
+  SELECT pattern_id, doc_id, CAST(total_tf AS BIGINT) AS total_tf,
+         CAST(n_terms AS BIGINT) AS n_terms,
+         row_number() OVER (PARTITION BY pattern_id
+                            ORDER BY total_tf DESC, doc_id ASC) AS rank
+  FROM m
+)
+SELECT pattern_id, rank, doc_id, total_tf, n_terms
+FROM ranked WHERE rank <= 10
+"""
 
 
 def _wildcard_sql() -> str:
@@ -11600,6 +11658,7 @@ QUERIES = {
     "facet_counts": q_facet_counts,
     "fuzzy_search": q_fuzzy_search,
     "wildcard_search": q_wildcard_search,
+    "regex_search": q_regex_search,
     "ltr_features": q_ltr_features,
     "bm25_federated": q_bm25_federated,
     "stopword_detect": q_stopword_detect,
@@ -12845,6 +12904,7 @@ ORACLE_SQL = {
     ),
     "fuzzy_search": _fuzzy_sql(),
     "wildcard_search": _wildcard_sql(),
+    "regex_search": _regex_sql(),
     "ltr_features": _ltr_sql(),
     "bm25_federated": _federated_sql(),
     "stopword_detect": _STOPWORD_SQL,

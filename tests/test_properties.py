@@ -250,3 +250,56 @@ def test_grouped_pairs_matches_bruteforce(rows, cap, oversize):
         exp.extend(combinations(items[:cap], 2))
     assert got == sorted(exp)
     assert all(x < y for x, y in got)
+
+
+# ---------------------------------------------------------------- fuzzy
+
+def _lev_dp(a: str, b: str) -> int:
+    """Reference O(len(a)*len(b)) levenshtein (unit costs)."""
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@given(
+    st.text(alphabet="abc", max_size=8),
+    st.text(alphabet="abc", max_size=8),
+)
+@settings(max_examples=400, deadline=None)
+def test_lev_le1_matches_dp(a, b):
+    from document_retrieval_ray.functions.fuzzy import lev_le1
+
+    assert lev_le1(a, b) == (_lev_dp(a, b) <= 1)
+
+
+@given(
+    st.text(alphabet="abcd", min_size=1, max_size=8),
+    st.text(alphabet="abcd", min_size=1, max_size=8),
+)
+@settings(max_examples=400, deadline=None)
+def test_deletion_neighborhood_is_lossless_filter(a, b):
+    """The SymSpell candidate probe never drops a true match:
+    lev(a,b) <= 1 implies ({a} | D1(a)) intersects ({b} | D1(b)).
+    False candidates (e.g. transpositions at distance 2) are allowed —
+    that's what the exact verify removes — so probe AND lev_le1
+    together equal the exact distance predicate."""
+    import pyarrow as pa
+
+    from document_retrieval_ray.functions.fuzzy import (
+        deletion_variants, lev_le1,
+    )
+
+    def hood(s: str) -> set:
+        _idx, var = deletion_variants(pa.array([s], pa.string()))
+        return {s} | set(var.to_pylist())
+
+    probe = bool(hood(a) & hood(b))
+    truth = _lev_dp(a, b) <= 1
+    if truth:
+        assert probe  # lossless: no false negatives
+    assert (probe and lev_le1(a, b)) == truth
