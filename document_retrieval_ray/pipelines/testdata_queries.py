@@ -6120,6 +6120,235 @@ SELECT query_id, rank, doc_id, score_x FROM ranked WHERE rank <= 10
 """
 
 
+# ------------------------------------- query-performance prediction
+
+
+def q_query_clarity(sf_dir: str):
+    """Query clarity score (Cronen-Townsend QPP): KL divergence between
+    the feedback language model (BM25 top-10 docs, ML estimate
+    P(w|F_q) = tf_Fq(w)/|F_q|) and the collection model
+    P(w|C) = cf(w)/|C|, summed over the feedback vocabulary — the
+    pre-retrieval dashboard signal for "is this query well-specified".
+
+    Scale shape: pass 1 is one tokenize scan emitting per-lang exact
+    (sum_dl, n_docs) partials and the candidate docs' postings rows
+    (semi-join on the broadcast result-sized id set); pass 2 computes
+    collection frequencies ONLY for the feedback vocabulary (a filtered
+    postings scan folding per-batch partial cf sums — at a 10^9-term
+    vocab this becomes a cf-artifact lookup). Driver state is feedback-
+    sized throughout."""
+    from ..stages.postings import emit_postings
+
+    top = q_bm25_standard(sf_dir)
+    lang_of = {qid: lang for qid, _t, lang in QUERYSET}
+    cand_urls = docid_to_url(
+        pa.array(sorted(set(top["doc_id"].astype(np.int64))), pa.int64())
+    )
+
+    def scan1(t: pa.Table) -> pa.Table:
+        p = emit_postings(t)
+        p = p.filter(pc.is_in(p["url"], value_set=cand_urls))
+        langs = np.asarray(t["lang"].to_pandas(), dtype=object)
+        dls = t["dl"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sp = (
+            pd.DataFrame({"lang": langs, "dl": dls})
+            .groupby("lang", sort=False)["dl"]
+            .sum()
+            .reset_index()
+        )
+        out_a = pa.table(
+            {
+                "kind": pa.array(np.zeros(len(sp), np.int64)),
+                "lang": pa.array(sp["lang"], pa.string()),
+                "term": pa.array([""] * len(sp), pa.string()),
+                "url": pa.array([""] * len(sp), pa.string()),
+                "dl": pa.array(sp["dl"].to_numpy().astype(np.int64)),
+                "tf": pa.array(np.zeros(len(sp), np.int64)),
+            }
+        )
+        out_b = pa.table(
+            {
+                "kind": pa.array(np.ones(len(p), np.int64)),
+                "lang": p["lang"],
+                "term": p["term"],
+                "url": p["url"],
+                "dl": pc.cast(p["dl"], pa.int64()),
+                "tf": pc.cast(p["tf"], pa.int64()),
+            }
+        )
+        return pa.concat_tables([out_a, out_b])
+
+    rows = _tokens_ds(sf_dir).map_batches(scan1, batch_format="pyarrow").to_pandas()
+    coll_len = (
+        rows[rows["kind"] == 0].groupby("lang")["dl"].sum().to_dict()
+    )
+    fb = rows[rows["kind"] == 1]
+
+    fb_terms = pa.array(sorted(set(fb["term"])), pa.string())
+
+    def scan2(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["term"], value_set=fb_terms))
+        pdf = pd.DataFrame(
+            {
+                "lang": np.asarray(t["lang"].to_pandas(), dtype=object),
+                "term": np.asarray(t["term"].to_pandas(), dtype=object),
+                "tf": t["tf"].to_numpy(zero_copy_only=False).astype(np.int64),
+            }
+        )
+        g = pdf.groupby(["lang", "term"], sort=False)["tf"].sum().reset_index()
+        return from_pandas_clean(g, preserve_index=False)
+
+    cfp = _postings_ds(sf_dir).map_batches(scan2, batch_format="pyarrow").to_pandas()
+    cf = cfp.groupby(["lang", "term"], sort=False)["tf"].sum().to_dict()
+
+    tf_q: dict[tuple[str, str], int] = {}
+    fb_dl: dict[str, int] = {}
+    for _k, lang, term, url, dl_, tf_ in fb.itertuples(index=False):
+        fb_dl[url] = int(dl_)
+    doc_q = {}
+    for qid, _rank, doc_id, _sx in top[
+        ["query_id", "rank", "doc_id", "score_x"]
+    ].itertuples(index=False):
+        url = docid_to_url(pa.array([int(doc_id)], pa.int64()))[0].as_py()
+        doc_q.setdefault(url, []).append(qid)
+    for _k, lang, term, url, _dl, tf_ in fb.itertuples(index=False):
+        for qid in doc_q.get(url, ()):
+            key = (qid, term)
+            tf_q[key] = tf_q.get(key, 0) + int(tf_)
+
+    flen: dict[str, int] = {}
+    for qid, _rank, doc_id, _sx in top[
+        ["query_id", "rank", "doc_id", "score_x"]
+    ].itertuples(index=False):
+        url = docid_to_url(pa.array([int(doc_id)], pa.int64()))[0].as_py()
+        flen[qid] = flen.get(qid, 0) + fb_dl[url]
+
+    out = []
+    for qid in sorted({q for q, _t in tf_q}):
+        lang = lang_of[qid]
+        cl = coll_len[lang]
+        fl = flen[qid]
+        clarity = 0.0
+        n_terms = 0
+        for (q2, term), tfv in sorted(tf_q.items()):
+            if q2 != qid:
+                continue
+            n_terms += 1
+            pwf = tfv / fl
+            pwc = cf[(lang, term)] / cl
+            clarity += pwf * math.log(pwf / pwc)
+        out.append(
+            (qid, int(math.floor(clarity * 10000.0 + 0.5)), n_terms)
+        )
+    return pd.DataFrame(
+        out, columns=["query_id", "clarity_x", "n_terms"]
+    ).sort_values("query_id").reset_index(drop=True)
+
+
+def _clarity_sql(k1: float = 1.2, b: float = 0.75) -> str:
+    bm25 = _bm25_sql(k1, b, reference_quirk=False, dedup=False)
+    return f"""
+WITH top AS ({bm25}),
+{_TOK_CTE}, {_DL_CTE},
+fb AS (
+  SELECT r.query_id AS query_id, tok.lang AS lang, tok.term AS term,
+         sum(tok.tf) AS tfq
+  FROM top r JOIN tok ON tok.doc_id = r.doc_id
+  GROUP BY r.query_id, tok.lang, tok.term
+),
+flen AS (
+  SELECT r.query_id AS query_id, sum(d.dl) AS fl
+  FROM top r JOIN dl d ON d.doc_id = r.doc_id
+  GROUP BY r.query_id
+),
+cf AS (SELECT lang, term, sum(tf) AS cf FROM tok GROUP BY lang, term),
+coll AS (SELECT lang, sum(dl) AS cl FROM dl GROUP BY lang),
+clar AS (
+  SELECT fb.query_id AS query_id,
+         sum( (fb.tfq / CAST(f.fl AS DOUBLE))
+              * ln( (fb.tfq / CAST(f.fl AS DOUBLE))
+                    / (cf.cf / CAST(c.cl AS DOUBLE)) ) ) AS clarity,
+         CAST(count(*) AS BIGINT) AS n_terms
+  FROM fb
+  JOIN flen f ON f.query_id = fb.query_id
+  JOIN cf ON cf.lang = fb.lang AND cf.term = fb.term
+  JOIN coll c ON c.lang = fb.lang
+  GROUP BY fb.query_id
+)
+SELECT query_id, {_fx('clarity')} AS clarity_x, n_terms
+FROM clar ORDER BY query_id
+"""
+
+
+# ------------------------------------- function-score rescore window
+
+
+def q_rescore_boost(sf_dir: str):
+    """Function-score rescore (the Elasticsearch rescore-window +
+    FunctionScoreQuery pattern): the BM25 top-10 window is re-ranked by
+    boosted_x = floor(score_x * boost_x / 10000), where boost_x is the
+    fixed-point doc-length prior 1 + ln(1 + n_chars/1000) — all-integer
+    arithmetic after the two fixed-point floors, so engine and oracle
+    agree bit-for-bit. The metadata lookup is a broadcast result-sized
+    id set against a column-pruned documents scan (never a doc-table
+    materialization); the rescore itself touches window-sized state
+    only."""
+    top = q_bm25_standard(sf_dir)
+    ids = pa.array(sorted(set(top["doc_id"].astype(np.int64))), pa.int64())
+
+    def pick(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["doc_id"], value_set=ids))
+
+    meta = (
+        read_parquet_clean(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+        )
+        .map_batches(pick, batch_format="pyarrow")
+        .to_pandas()
+    )
+    nchars = dict(zip(meta["doc_id"].astype(np.int64),
+                      meta["n_chars"].astype(np.int64)))
+
+    out = top.copy()
+    boosts = np.array(
+        [
+            int(math.floor((1.0 + math.log(1.0 + nchars[d] / 1000.0))
+                           * 10000.0 + 0.5))
+            for d in out["doc_id"].astype(np.int64)
+        ],
+        np.int64,
+    )
+    out["boost_x"] = boosts
+    out["boosted_x"] = (
+        out["score_x"].astype(np.int64) * boosts
+    ) // 10000
+    out = out.sort_values(
+        ["query_id", "boosted_x", "doc_id"], ascending=[True, False, True]
+    ).reset_index(drop=True)
+    out["rank"] = out.groupby("query_id").cumcount().astype(np.int64) + 1
+    return out[["query_id", "rank", "doc_id", "boosted_x", "boost_x"]]
+
+
+def _rescore_boost_sql() -> str:
+    bm25 = _bm25_sql(1.2, 0.75, reference_quirk=False, dedup=False)
+    return f"""
+WITH top AS ({bm25}),
+boosted AS (
+  SELECT t.query_id AS query_id, t.doc_id AS doc_id,
+         (t.score_x * {_fx('1.0 + ln(1.0 + d.n_chars / 1000.0)')})
+           // 10000 AS boosted_x,
+         {_fx('1.0 + ln(1.0 + d.n_chars / 1000.0)')} AS boost_x
+  FROM top t JOIN documents d ON d.doc_id = t.doc_id
+)
+SELECT query_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY boosted_x DESC, doc_id ASC)
+            AS BIGINT) AS rank,
+       doc_id, boosted_x, boost_x
+FROM boosted
+"""
+
+
 # ---------------------------------------- stopword auto-detection
 
 # index-time stopword candidates: terms present in >= this fraction of a
@@ -11662,6 +11891,8 @@ QUERIES = {
     "ltr_features": q_ltr_features,
     "bm25_federated": q_bm25_federated,
     "stopword_detect": q_stopword_detect,
+    "rescore_boost": q_rescore_boost,
+    "query_clarity": q_query_clarity,
     "champion_topk": q_champion_topk,
     "dense_rerank": q_dense_rerank,
     "dense_rerank_mlp": q_dense_rerank_mlp,
@@ -12908,6 +13139,8 @@ ORACLE_SQL = {
     "ltr_features": _ltr_sql(),
     "bm25_federated": _federated_sql(),
     "stopword_detect": _STOPWORD_SQL,
+    "rescore_boost": _rescore_boost_sql(),
+    "query_clarity": _clarity_sql(),
     "champion_topk": _champion_sql(),
     "query_expand": _QEXP_SQL.format(
         bm25=_bm25_sql(1.2, 0.75, reference_quirk=False, dedup=False)
