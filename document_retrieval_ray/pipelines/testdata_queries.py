@@ -6573,6 +6573,52 @@ SELECT query_id, rank, doc_id, score_x FROM ranked WHERE rank <= 10
 """
 
 
+# ---------------------------------------------- tiered-index serving
+
+
+def q_tiered_bm25(sf_dir: str):
+    """Tiered-index serving policy (IIR 7.2.1): tier 1 scores only the
+    champion lists (champion_topk); a query whose tier-1 result already
+    holds a full top-10 is answered from tier 1 alone, otherwise it
+    falls back to the full index (bm25_standard). The output tags which
+    tier answered. At scale this is the latency/recall dial — tier 1
+    touches m·|q| postings per query regardless of corpus size, and the
+    fallback rate is the observable quality counter."""
+    t1 = q_champion_topk(sf_dir)
+    full = q_bm25_standard(sf_dir)
+
+    counts = t1.groupby("query_id").size()
+    tier1_full = {q for q, n in counts.items() if n >= 10}
+
+    keep1 = t1[t1["query_id"].isin(tier1_full)].copy()
+    keep1["tier"] = np.int64(1)
+    keep2 = full[~full["query_id"].isin(tier1_full)].copy()
+    keep2["tier"] = np.int64(2)
+    out = pd.concat([keep1, keep2], ignore_index=True)
+    out["tier"] = out["tier"].astype(np.int64)
+    return out[["query_id", "rank", "doc_id", "score_x", "tier"]].sort_values(
+        ["query_id", "rank"]
+    ).reset_index(drop=True)
+
+
+def _tiered_sql() -> str:
+    champ = _champion_sql()
+    full = _bm25_sql(1.2, 0.75, reference_quirk=False, dedup=False)
+    return f"""
+WITH t1 AS ({champ}),
+full_r AS ({full}),
+t1full AS (
+  SELECT query_id FROM t1 GROUP BY query_id HAVING count(*) >= 10
+)
+SELECT t1.query_id AS query_id, t1.rank AS rank, t1.doc_id AS doc_id,
+       t1.score_x AS score_x, CAST(1 AS BIGINT) AS tier
+FROM t1 WHERE t1.query_id IN (SELECT query_id FROM t1full)
+UNION ALL
+SELECT f.query_id, f.rank, f.doc_id, f.score_x, CAST(2 AS BIGINT) AS tier
+FROM full_r f WHERE f.query_id NOT IN (SELECT query_id FROM t1full)
+"""
+
+
 # -------------------------------------------- federated multi-shard search
 
 FEDERATED_LANGS = ("de", "en", "es", "fr", "zh")
@@ -11893,6 +11939,7 @@ QUERIES = {
     "stopword_detect": q_stopword_detect,
     "rescore_boost": q_rescore_boost,
     "query_clarity": q_query_clarity,
+    "tiered_bm25": q_tiered_bm25,
     "champion_topk": q_champion_topk,
     "dense_rerank": q_dense_rerank,
     "dense_rerank_mlp": q_dense_rerank_mlp,
@@ -13141,6 +13188,7 @@ ORACLE_SQL = {
     "stopword_detect": _STOPWORD_SQL,
     "rescore_boost": _rescore_boost_sql(),
     "query_clarity": _clarity_sql(),
+    "tiered_bm25": _tiered_sql(),
     "champion_topk": _champion_sql(),
     "query_expand": _QEXP_SQL.format(
         bm25=_bm25_sql(1.2, 0.75, reference_quirk=False, dedup=False)
