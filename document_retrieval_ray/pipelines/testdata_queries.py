@@ -6573,6 +6573,72 @@ SELECT query_id, rank, doc_id, score_x FROM ranked WHERE rank <= 10
 """
 
 
+# -------------------------------------- language-label QA report
+
+
+def q_lang_mismatch(sf_dir: str):
+    """Corpus-QA confusion report: labeled language vs the n-gram
+    language detector's prediction, per (labeled, predicted) cell with
+    a mismatch flag — the audit a crawl pipeline runs before trusting
+    source-provided language tags. Per-batch partial counts before one
+    tiny cells-sized groupby; zero doc-sized exchanges."""
+
+    def scan(t: pa.Table) -> pa.Table:
+        pred = langid_batch(t)
+        pdf = pd.DataFrame(
+            {
+                "labeled_lang": np.asarray(t["lang"].to_pandas(), object),
+                "pred_lang": np.asarray(
+                    pred["pred_lang"].to_pandas(), object
+                ),
+            }
+        )
+        g = (
+            pdf.groupby(["labeled_lang", "pred_lang"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return from_pandas_clean(g, preserve_index=False)
+
+    agg = (
+        _docs(sf_dir)
+        .map_batches(scan, batch_format="pyarrow")
+        .groupby(["labeled_lang", "pred_lang"])
+        .sum("n")
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        lab = t["labeled_lang"]
+        pred = t["pred_lang"]
+        n = pc.cast(t["sum(n)"], pa.int64())
+        mism = pc.cast(
+            pc.not_equal(pc.cast(lab, pa.string()), pc.cast(pred, pa.string())),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "labeled_lang": lab,
+                "pred_lang": pred,
+                "n": n,
+                "mismatch": mism,
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _lang_mismatch_sql() -> str:
+    return f"""
+WITH li AS ({_langid_sql()})
+SELECT d.lang AS labeled_lang, li.pred_lang AS pred_lang,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(CASE WHEN d.lang <> li.pred_lang THEN 1 ELSE 0 END AS BIGINT)
+         AS mismatch
+FROM li JOIN documents d ON d.doc_id = li.doc_id
+GROUP BY d.lang, li.pred_lang
+"""
+
+
 # ---------------------------------------------- tiered-index serving
 
 
@@ -11940,6 +12006,7 @@ QUERIES = {
     "rescore_boost": q_rescore_boost,
     "query_clarity": q_query_clarity,
     "tiered_bm25": q_tiered_bm25,
+    "lang_mismatch": q_lang_mismatch,
     "champion_topk": q_champion_topk,
     "dense_rerank": q_dense_rerank,
     "dense_rerank_mlp": q_dense_rerank_mlp,
@@ -13189,6 +13256,7 @@ ORACLE_SQL = {
     "rescore_boost": _rescore_boost_sql(),
     "query_clarity": _clarity_sql(),
     "tiered_bm25": _tiered_sql(),
+    "lang_mismatch": _lang_mismatch_sql(),
     "champion_topk": _champion_sql(),
     "query_expand": _QEXP_SQL.format(
         bm25=_bm25_sql(1.2, 0.75, reference_quirk=False, dedup=False)
