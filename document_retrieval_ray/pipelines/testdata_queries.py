@@ -6573,6 +6573,68 @@ SELECT query_id, rank, doc_id, score_x FROM ranked WHERE rank <= 10
 """
 
 
+# ------------------------------------------- span-first positional query
+
+SPANFIRST_TERMS = ("spark", "window", "merge")
+SPANFIRST_N = 3  # the term must occur within the first N tokens
+
+
+def q_span_first(sf_dir: str):
+    """Lucene SpanFirstQuery: every doc where the term occurs within the
+    first SPANFIRST_N tokens, with its 0-based first position — served
+    from the positional index (thash-partition-pruned read of ONLY the
+    query terms' partition dirs; the per-batch kernel takes each
+    positions-list head via offset arrays, no Python loop over rows).
+    The title/lead-paragraph boost primitive of web ranking."""
+    from .positional import _candidate_rows, build_positional_index
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    index_dir = f"/tmp/drr_cache/{key}/posindex"
+    build_positional_index(
+        f"{sf_dir}/documents.parquet", index_dir, num_parts=32
+    )
+    ds = _candidate_rows(index_dir, SPANFIRST_TERMS)
+
+    def pick(t: pa.Table) -> pa.Table:
+        pos = t["positions"]
+        if isinstance(pos, pa.ChunkedArray):
+            pos = pos.combine_chunks()
+        offsets = pos.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = pos.values.to_numpy(zero_copy_only=False).astype(np.int64)
+        first = vals[offsets[:-1]]
+        keep = first < SPANFIRST_N
+        return pa.table(
+            {
+                "term": pc.cast(t["term"], pa.string()).filter(
+                    pa.array(keep)
+                ),
+                "doc_id": pc.cast(t["doc_id"], pa.int64()).filter(
+                    pa.array(keep)
+                ),
+                "first_pos": pa.array(first[keep], pa.int64()),
+            }
+        )
+
+    out = ds.map_batches(pick, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["term", "doc_id"]).reset_index(drop=True)
+
+
+def _span_first_sql() -> str:
+    tvalues = ", ".join(f"('{t}')" for t in SPANFIRST_TERMS)
+    return f"""
+WITH {_TOKS_CTE},
+st(term) AS (VALUES {tvalues}),
+hits AS (
+  SELECT st.term AS term, toks.doc_id AS doc_id,
+         CAST(list_position(toks.l, st.term) - 1 AS BIGINT) AS first_pos
+  FROM st JOIN toks ON list_position(toks.l, st.term) > 0
+)
+SELECT term, doc_id, first_pos FROM hits
+WHERE first_pos < {SPANFIRST_N}
+ORDER BY term, doc_id
+"""
+
+
 # -------------------------------------- language-label QA report
 
 
@@ -12007,6 +12069,7 @@ QUERIES = {
     "query_clarity": q_query_clarity,
     "tiered_bm25": q_tiered_bm25,
     "lang_mismatch": q_lang_mismatch,
+    "span_first": q_span_first,
     "champion_topk": q_champion_topk,
     "dense_rerank": q_dense_rerank,
     "dense_rerank_mlp": q_dense_rerank_mlp,
@@ -13257,6 +13320,7 @@ ORACLE_SQL = {
     "query_clarity": _clarity_sql(),
     "tiered_bm25": _tiered_sql(),
     "lang_mismatch": _lang_mismatch_sql(),
+    "span_first": _span_first_sql(),
     "champion_topk": _champion_sql(),
     "query_expand": _QEXP_SQL.format(
         bm25=_bm25_sql(1.2, 0.75, reference_quirk=False, dedup=False)
