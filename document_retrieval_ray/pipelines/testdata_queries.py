@@ -6573,6 +6573,33 @@ SELECT query_id, rank, doc_id, score_x FROM ranked WHERE rank <= 10
 """
 
 
+# --------------------------------------- near-dup cluster-size report
+
+
+def q_neardup_cluster_sizes(sf_dir: str):
+    """Near-dup cluster-size distribution (the dedup-dashboard
+    histogram: how much of the corpus collapses, and into how large
+    clusters): component sizes from the verified minhash pair graph,
+    then clusters per size. Two tiny groupbys over the result-sized
+    component table — the pair graph and its components never touch
+    doc-sized state."""
+    comp = q_neardup_components(sf_dir).to_pandas()
+    sizes = comp.groupby("rep").size().reset_index(name="size")
+    hist = sizes.groupby("size").size().reset_index(name="n_clusters")
+    hist["size"] = hist["size"].astype(np.int64)
+    hist["n_clusters"] = hist["n_clusters"].astype(np.int64)
+    return hist.sort_values("size").reset_index(drop=True)
+
+
+def _cluster_sizes_sql() -> str:
+    return """
+WITH comp AS ({comp}),
+sizes AS (SELECT rep, count(*) AS sz FROM comp GROUP BY rep)
+SELECT CAST(sz AS BIGINT) AS size, CAST(count(*) AS BIGINT) AS n_clusters
+FROM sizes GROUP BY sz ORDER BY size
+"""
+
+
 # ------------------------------------------- span-first positional query
 
 SPANFIRST_TERMS = ("spark", "window", "merge")
@@ -12070,6 +12097,7 @@ QUERIES = {
     "tiered_bm25": q_tiered_bm25,
     "lang_mismatch": q_lang_mismatch,
     "span_first": q_span_first,
+    "neardup_cluster_sizes": q_neardup_cluster_sizes,
     "champion_topk": q_champion_topk,
     "dense_rerank": q_dense_rerank,
     "dense_rerank_mlp": q_dense_rerank_mlp,
@@ -13928,6 +13956,9 @@ ranked AS (
 SELECT query_vec, rank, vec_id, cos_x FROM ranked WHERE rank <= 10
 """
 ORACLE_SQL["covisit"] = _COVISIT_SQL
+ORACLE_SQL["neardup_cluster_sizes"] = _cluster_sizes_sql().format(
+    comp=ORACLE_SQL["neardup_components"]
+)
 ORACLE_SQL["popularity_decay"] = _POPULARITY_DECAY_SQL
 ORACLE_SQL["streaks"] = _STREAKS_SQL
 ORACLE_SQL["group_distinct"] = _GROUP_DISTINCT_SQL
