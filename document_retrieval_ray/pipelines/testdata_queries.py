@@ -6413,21 +6413,13 @@ WHERE df.df / CAST(n.n_docs AS DOUBLE) >= {STOPWORD_DF_RATIO}
 CHAMP_M = 5
 
 
-def q_champion_topk(sf_dir: str):
-    """Champion-list retrieval (impact-ordered pruning, IIR ch.7): each
-    term keeps a precomputed champion list — its top CHAMP_M docs by
-    (tf desc, doc asc) — and a query is scored ONLY on the union of its
-    terms' champion lists, with exact BM25 (standard k1=1.2/b=0.75,
-    lucene idf, multiplicity weights) on that candidate set.
-
-    Scale shape: at 100 TB the champion lists are an impact-ordered
-    index artifact written at build time (one extra per-term top-m
-    kept while encoding postings — no extra pass). This demo derives
-    them in ONE corpus pass: each tokenize batch emits (a) exact
-    per-lang dl-sum/count partials and (b) the query terms' postings
-    rows; the driver folds stats, df, champion cuts, and the
-    candidate-set scores, all result-sized except the hot-term postings
-    rows (which the build-time artifact removes)."""
+def _qterm_scan(sf_dir: str):
+    """ONE corpus pass shared by the candidate-restricted exact-BM25
+    family (champion_topk, msm_search): each tokenize batch emits (a)
+    exact per-lang (dl-sum, n_docs) partials and (b) the QUERYSET
+    terms' postings rows. Returns (qterm_w, lang_of, stats, post, dfc):
+    per-query term multiplicities, query langs, per-lang (N, exact
+    avgdl), the query-term postings frame, and per-(lang, term) df."""
     from ..stages.postings import emit_postings
 
     qterm_w: dict[str, dict[str, int]] = {}
@@ -6483,6 +6475,25 @@ def q_champion_topk(sf_dir: str):
     }
     post = rows[rows["kind"] == 1]
     dfc = post.groupby(["lang", "term"], sort=False).size().to_dict()
+    return qterm_w, lang_of, stats, post, dfc
+
+
+def q_champion_topk(sf_dir: str):
+    """Champion-list retrieval (impact-ordered pruning, IIR ch.7): each
+    term keeps a precomputed champion list — its top CHAMP_M docs by
+    (tf desc, doc asc) — and a query is scored ONLY on the union of its
+    terms' champion lists, with exact BM25 (standard k1=1.2/b=0.75,
+    lucene idf, multiplicity weights) on that candidate set.
+
+    Scale shape: at 100 TB the champion lists are an impact-ordered
+    index artifact written at build time (one extra per-term top-m
+    kept while encoding postings — no extra pass). This demo derives
+    them in ONE corpus pass: each tokenize batch emits (a) exact
+    per-lang dl-sum/count partials and (b) the query terms' postings
+    rows; the driver folds stats, df, champion cuts, and the
+    candidate-set scores, all result-sized except the hot-term postings
+    rows (which the build-time artifact removes)."""
+    qterm_w, lang_of, stats, post, dfc = _qterm_scan(sf_dir)
 
     champs: dict[tuple[str, str], list[str]] = {
         key: list(
@@ -6771,6 +6782,103 @@ FROM t1 WHERE t1.query_id IN (SELECT query_id FROM t1full)
 UNION ALL
 SELECT f.query_id, f.rank, f.doc_id, f.score_x, CAST(2 AS BIGINT) AS tier
 FROM full_r f WHERE f.query_id NOT IN (SELECT query_id FROM t1full)
+"""
+
+
+# --------------------------------------- minimum-should-match retrieval
+
+MSM_M = 2  # a doc must match at least this many DISTINCT query terms
+
+
+def q_msm_search(sf_dir: str):
+    """Minimum-should-match retrieval (Lucene `minimum_should_match`):
+    only docs containing >= MSM_M distinct query terms qualify, ranked
+    by exact standard BM25 (k1=1.2/b=0.75, lucene idf, multiplicity
+    weights) — the precision knob that kills one-hot-term matches on
+    multi-term queries. Shares the champion family's ONE-pass scan
+    (:func:`_qterm_scan`); the qualifying filter and scores fold over
+    result-sized driver state."""
+    qterm_w, lang_of, stats, post, dfc = _qterm_scan(sf_dir)
+
+    tf_of: dict[tuple[str, str, str], int] = {}
+    dl_of: dict[str, int] = {}
+    docs_of: dict[tuple[str, str], list[str]] = {}
+    for _k, lang, term, url, dl_, tf_ in post.itertuples(index=False):
+        tf_of[(lang, term, url)] = int(tf_)
+        dl_of[url] = int(dl_)
+        docs_of.setdefault((lang, term), []).append(url)
+
+    k1, b = 1.2, 0.75
+    out = []
+    for qid, c in sorted(qterm_w.items()):
+        lang = lang_of[qid]
+        if lang not in stats:
+            continue
+        n, avgdl = stats[lang]
+        hits: dict[str, int] = {}
+        for term in c:
+            for url in docs_of.get((lang, term), ()):
+                hits[url] = hits.get(url, 0) + 1
+        cand = sorted(u for u, k in hits.items() if k >= MSM_M)
+        scored = []
+        for url in cand:
+            s = 0.0
+            for term, w in c.items():
+                tf_ = tf_of.get((lang, term, url), 0)
+                if tf_ == 0:
+                    continue
+                df_ = dfc[(lang, term)]
+                idf = math.log(1 + (n - df_ + 0.5) / (df_ + 0.5))
+                s += (
+                    w * idf * (tf_ * (k1 + 1))
+                    / (tf_ + k1 * (1 - b + b * dl_of[url] / avgdl))
+                )
+            if s > 0:
+                scored.append((int(math.floor(s * 10000.0 + 0.5)), int(url)))
+        scored.sort(key=lambda r: (-r[0], r[1]))
+        for rank, (sx, did) in enumerate(scored[:10], 1):
+            out.append((qid, rank, did, sx))
+    return pd.DataFrame(
+        out, columns=["query_id", "rank", "doc_id", "score_x"]
+    ).sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+def _msm_sql(k1: float = 1.2, b: float = 0.75) -> str:
+    qd_rows = []
+    for qid, text, lang in QUERYSET:
+        for t in sorted(set(tokenize_simple(text))):
+            qd_rows.append(f"('{qid}', '{lang}', '{t}')")
+    denom = f"(tok.tf + {k1}*(1 - {b} + {b} * d.dl / s.avgdl))"
+    return f"""
+WITH {_TOK_CTE}, {_DL_CTE}, {_STATS_CTE}, {_DF_CTE},
+q(query_id, lang, term, w) AS (VALUES {_query_values(dedup=False)}),
+qd(query_id, lang, term) AS (VALUES {", ".join(qd_rows)}),
+qual AS (
+  SELECT qd.query_id AS query_id, tok.doc_id AS doc_id
+  FROM qd JOIN tok ON tok.lang = qd.lang AND tok.term = qd.term
+  GROUP BY qd.query_id, tok.doc_id
+  HAVING count(*) >= {MSM_M}
+),
+scores AS (
+  SELECT q.query_id AS query_id, tok.doc_id AS doc_id,
+         sum( q.w * ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * (tok.tf * ({k1} + 1)) / {denom} ) AS score
+  FROM q
+  JOIN qual ON qual.query_id = q.query_id
+  JOIN tok ON tok.doc_id = qual.doc_id AND tok.lang = q.lang
+           AND tok.term = q.term
+  JOIN df ON df.lang = q.lang AND df.term = q.term
+  JOIN dl d ON d.doc_id = qual.doc_id
+  JOIN stats s ON s.lang = q.lang
+  GROUP BY q.query_id, tok.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, {_fx('score')} AS score_x,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY {_fx('score')} DESC, doc_id ASC) AS rank
+  FROM scores WHERE score > 0
+)
+SELECT query_id, rank, doc_id, score_x FROM ranked WHERE rank <= 10
 """
 
 
@@ -12098,6 +12206,7 @@ QUERIES = {
     "lang_mismatch": q_lang_mismatch,
     "span_first": q_span_first,
     "neardup_cluster_sizes": q_neardup_cluster_sizes,
+    "msm_search": q_msm_search,
     "champion_topk": q_champion_topk,
     "dense_rerank": q_dense_rerank,
     "dense_rerank_mlp": q_dense_rerank_mlp,
@@ -13350,6 +13459,7 @@ ORACLE_SQL = {
     "lang_mismatch": _lang_mismatch_sql(),
     "span_first": _span_first_sql(),
     "champion_topk": _champion_sql(),
+    "msm_search": _msm_sql(),
     "query_expand": _QEXP_SQL.format(
         bm25=_bm25_sql(1.2, 0.75, reference_quirk=False, dedup=False)
     ),
