@@ -373,6 +373,50 @@ def _near_match_partition(group: pd.DataFrame, pairs, window: int) -> pd.DataFra
     )
 
 
+def _ordered_near_partition(group: pd.DataFrame, pairs,
+                            max_gap: int) -> pd.DataFrame:
+    """Ordered proximity (Lucene SpanNear inOrder=true): n_matches =
+    |{(pa, pb): 1 <= pb - pa <= max_gap}| per (pair, doc) — the
+    one-sided variant of :func:`_near_match_partition`'s packed-key
+    range count (b strictly AFTER a, within the gap)."""
+    assert 0 < max_gap < POS_LIMIT
+    out_pid, out_doc, out_cnt = [], [], []
+    by_term = {t: g for t, g in group.groupby("term", sort=False)}
+    for pid, ta, tb in pairs:
+        sa, sb = by_term.get(ta), by_term.get(tb)
+        if sa is None or sb is None or len(sa) == 0 or len(sb) == 0:
+            continue
+        adoc, akeys = _flat_keys(sa)
+        _, bkeys = _flat_keys(sb)
+        bkeys = np.sort(bkeys)
+        cnt = np.searchsorted(
+            bkeys, akeys + max_gap, side="right"
+        ) - np.searchsorted(bkeys, akeys, side="right")
+        hit = cnt > 0
+        if not hit.any():
+            continue
+        docs, inv = np.unique(adoc[hit], return_inverse=True)
+        totals = np.bincount(inv, weights=cnt[hit]).astype(np.int64)
+        out_pid.extend([pid] * len(docs))
+        out_doc.append(docs)
+        out_cnt.append(totals)
+    if not out_doc:
+        return pd.DataFrame(
+            {
+                "pair_id": pd.Series(dtype=object),
+                "doc_id": pd.Series(dtype="int64"),
+                "n_matches": pd.Series(dtype="int64"),
+            }
+        )
+    return pd.DataFrame(
+        {
+            "pair_id": out_pid,
+            "doc_id": np.concatenate(out_doc),
+            "n_matches": np.concatenate(out_cnt),
+        }
+    )
+
+
 def _walk_parquet(d: str) -> list:
     """All parquet files under ``d`` — one level (legacy thash-only
     layout) or two (thash/dbucket)."""
@@ -560,6 +604,37 @@ def proximity_query(index_dir: str, pairs, window: int, num_parts_hint=None,
         .groupby("kpart")
         .map_groups(
             lambda g: _near_match_partition(g, pairs, window),
+            batch_format="pandas",
+        )
+    )
+
+
+def ordered_proximity_query(index_dir: str, pairs, max_gap: int,
+                            num_parts_hint=None, hot_df: int = 100_000,
+                            anchor_cap: int = 5_000_000):
+    """Ordered NEAR (``ta`` before ``tb``, gap <= ``max_gap`` tokens) —
+    the sloppy ordered-phrase primitive; same pruned read + doc-hash
+    cogroup shape as :func:`proximity_query`, ordered kernel."""
+    cand = _candidate_rows_pruned(
+        index_dir, [{a, b} for _, a, b in pairs], hot_df, anchor_cap,
+        num_parts_hint)
+    empty = pd.DataFrame(
+        {
+            "pair_id": pd.Series(dtype=object),
+            "doc_id": pd.Series(dtype="int64"),
+            "n_matches": pd.Series(dtype="int64"),
+        }
+    )
+    if cand is None:
+        return ray.data.from_pandas(empty)
+    return (
+        cand.map_batches(
+            add_kpart, fn_kwargs={"num_parts": 64, "cols": ("doc_id",)},
+            batch_format="pyarrow",
+        )
+        .groupby("kpart")
+        .map_groups(
+            lambda g: _ordered_near_partition(g, pairs, max_gap),
             batch_format="pandas",
         )
     )

@@ -6611,6 +6611,55 @@ FROM sizes GROUP BY sz ORDER BY size
 """
 
 
+# --------------------------------------- ordered sloppy-phrase query
+
+# (pair_id, first_term, second_term): first must precede second within
+# SLOP_GAP tokens (Lucene SpanNearQuery inOrder=true)
+SLOPSET = [
+    ("sp1", "hash", "join"),
+    ("sp2", "window", "merge"),
+    ("sp3", "big", "data"),
+]
+SLOP_GAP = 3
+
+
+def q_phrase_slop(sf_dir: str):
+    """Ordered sloppy phrase (Lucene SpanNear inOrder=true): docs where
+    term A occurs BEFORE term B with gap <= SLOP_GAP tokens, with the
+    ordered-pair count — the directional complement of near_search's
+    unordered window, served from the SAME positional index
+    (thash-pruned reads, doc-hash cogroup, one-sided packed-key
+    searchsorted kernel: positional.py _ordered_near_partition)."""
+    from .positional import build_positional_index, ordered_proximity_query
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    index_dir = f"/tmp/drr_cache/{key}/posindex"
+    build_positional_index(
+        f"{sf_dir}/documents.parquet", index_dir, num_parts=32
+    )
+    return ordered_proximity_query(index_dir, SLOPSET, SLOP_GAP)
+
+
+def _phrase_slop_sql() -> str:
+    pvalues = ", ".join(
+        f"('{pid}', '{a}', '{b}')" for pid, a, b in SLOPSET
+    )
+    return f"""
+WITH {_TOKS_CTE},
+pos AS (SELECT doc_id, unnest(l) AS term, unnest(range(1, len(l)+1)) AS p FROM toks),
+pr(pair_id, ta, tb) AS (VALUES {pvalues}),
+m AS (
+  SELECT pr.pair_id AS pair_id, a.doc_id AS doc_id, count(*) AS n_matches
+  FROM pr
+  JOIN pos a ON a.term = pr.ta
+  JOIN pos b ON b.doc_id = a.doc_id AND b.term = pr.tb
+  WHERE b.p - a.p BETWEEN 1 AND {SLOP_GAP}
+  GROUP BY pr.pair_id, a.doc_id
+)
+SELECT pair_id, doc_id, CAST(n_matches AS BIGINT) AS n_matches FROM m
+"""
+
+
 # ------------------------------------------- span-first positional query
 
 SPANFIRST_TERMS = ("spark", "window", "merge")
@@ -12207,6 +12256,7 @@ QUERIES = {
     "span_first": q_span_first,
     "neardup_cluster_sizes": q_neardup_cluster_sizes,
     "msm_search": q_msm_search,
+    "phrase_slop": q_phrase_slop,
     "champion_topk": q_champion_topk,
     "dense_rerank": q_dense_rerank,
     "dense_rerank_mlp": q_dense_rerank_mlp,
@@ -13460,6 +13510,7 @@ ORACLE_SQL = {
     "span_first": _span_first_sql(),
     "champion_topk": _champion_sql(),
     "msm_search": _msm_sql(),
+    "phrase_slop": _phrase_slop_sql(),
     "query_expand": _QEXP_SQL.format(
         bm25=_bm25_sql(1.2, 0.75, reference_quirk=False, dedup=False)
     ),
