@@ -6834,6 +6834,180 @@ FROM full_r f WHERE f.query_id NOT IN (SELECT query_id FROM t1full)
 """
 
 
+# ----------------------------------------- synonym-expanded retrieval
+
+# static synonym table (Lucene SynonymGraphFilter semantics: the synonym
+# joins the query at the same position/weight as the original token) —
+# the table is part of the operator spec, like patterns and thresholds
+SYNONYMS = {"join": ("merge",), "sort": ("order",), "big": ("small",)}
+
+
+def q_synonym_search(sf_dir: str):
+    """Synonym-expanded retrieval: each query token also contributes its
+    synonym-table entries at the same weight (Lucene synonym filter at
+    query time), then standard BM25 through the UNCHANGED shared-shard
+    scorer pool. Expansion is a driver-side constant-table rewrite —
+    the serving path, candidate generation and scoring are exactly
+    bm25_standard's."""
+    from .query import bm25_search
+
+    index_dir = _index_for(sf_dir)
+    items = []
+    for qid, text, lang in QUERYSET:
+        toks = list(tokenize_simple(text))
+        expanded = list(toks)
+        for t in toks:
+            expanded.extend(SYNONYMS.get(t, ()))
+        items.append(
+            {"query_id": qid, "query": " ".join(expanded), "lang": lang}
+        )
+    res = bm25_search(
+        ray.data.from_items(items), index_dir,
+        cfg=BM25Config(k1=1.2, b=0.75, idf="lucene", compat="standard"),
+        round_dp=4,
+    )
+    return _results_to_docids(res.to_pandas())
+
+
+def _synonym_sql(k1: float = 1.2, b: float = 0.75) -> str:
+    rows = []
+    for qid, text, lang in QUERYSET:
+        toks = list(tokenize_simple(text))
+        expanded = list(toks)
+        for t in toks:
+            expanded.extend(SYNONYMS.get(t, ()))
+        c: dict[str, int] = {}
+        for t in expanded:
+            c[t] = c.get(t, 0) + 1
+        for t, w in sorted(c.items()):
+            rows.append(f"('{qid}', '{lang}', '{t}', {w})")
+    denom = f"(tok.tf + {k1}*(1 - {b} + {b} * d.dl / s.avgdl))"
+    return f"""
+WITH {_TOK_CTE}, {_DL_CTE}, {_STATS_CTE}, {_DF_CTE},
+q(query_id, lang, term, w) AS (VALUES {", ".join(rows)}),
+scores AS (
+  SELECT q.query_id AS query_id, tok.doc_id AS doc_id,
+         sum( q.w * ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * (tok.tf * ({k1} + 1)) / {denom} ) AS score
+  FROM q
+  JOIN tok ON tok.lang = q.lang AND tok.term = q.term
+  JOIN df ON df.lang = q.lang AND df.term = q.term
+  JOIN dl d ON d.doc_id = tok.doc_id
+  JOIN stats s ON s.lang = q.lang
+  GROUP BY q.query_id, tok.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, {_fx('score')} AS score_x,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY {_fx('score')} DESC, doc_id ASC) AS rank
+  FROM scores WHERE score > 0
+)
+SELECT query_id, rank, doc_id, score_x FROM ranked WHERE rank <= 10
+"""
+
+
+# ------------------------------------------ common-terms query policy
+
+CT_DF_RATIO = 0.5  # df/N above this = "common" (stopword-class) term
+
+
+def q_common_terms(sf_dir: str):
+    """Common-terms query (Lucene CommonTermsQuery): query terms split
+    into rare (df/N <= CT_DF_RATIO) and common; only docs matching at
+    least one RARE term qualify, then exact BM25 over ALL the query's
+    terms on that candidate set — hot terms boost ranking but cannot
+    select candidates, which is the policy that keeps stopword-class
+    terms from exploding the candidate set at scale. Shares the
+    champion family's one-pass scan."""
+    qterm_w, lang_of, stats, post, dfc = _qterm_scan(sf_dir)
+
+    tf_of: dict[tuple[str, str, str], int] = {}
+    dl_of: dict[str, int] = {}
+    docs_of: dict[tuple[str, str], list[str]] = {}
+    for _k, lang, term, url, dl_, tf_ in post.itertuples(index=False):
+        tf_of[(lang, term, url)] = int(tf_)
+        dl_of[url] = int(dl_)
+        docs_of.setdefault((lang, term), []).append(url)
+
+    k1, b = 1.2, 0.75
+    out = []
+    for qid, c in sorted(qterm_w.items()):
+        lang = lang_of[qid]
+        if lang not in stats:
+            continue
+        n, avgdl = stats[lang]
+        rare = [
+            t for t in c
+            if (lang, t) in dfc and dfc[(lang, t)] / n <= CT_DF_RATIO
+        ]
+        cand = sorted({u for t in rare for u in docs_of.get((lang, t), ())})
+        scored = []
+        for url in cand:
+            s = 0.0
+            for term, w in c.items():
+                tf_ = tf_of.get((lang, term, url), 0)
+                if tf_ == 0:
+                    continue
+                df_ = dfc[(lang, term)]
+                idf = math.log(1 + (n - df_ + 0.5) / (df_ + 0.5))
+                s += (
+                    w * idf * (tf_ * (k1 + 1))
+                    / (tf_ + k1 * (1 - b + b * dl_of[url] / avgdl))
+                )
+            if s > 0:
+                scored.append((int(math.floor(s * 10000.0 + 0.5)), int(url)))
+        scored.sort(key=lambda r: (-r[0], r[1]))
+        for rank, (sx, did) in enumerate(scored[:10], 1):
+            out.append((qid, rank, did, sx))
+    return pd.DataFrame(
+        out, columns=["query_id", "rank", "doc_id", "score_x"]
+    ).sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+def _common_terms_sql(k1: float = 1.2, b: float = 0.75) -> str:
+    qd_rows = []
+    for qid, text, lang in QUERYSET:
+        for t in sorted(set(tokenize_simple(text))):
+            qd_rows.append(f"('{qid}', '{lang}', '{t}')")
+    denom = f"(tok.tf + {k1}*(1 - {b} + {b} * d.dl / s.avgdl))"
+    return f"""
+WITH {_TOK_CTE}, {_DL_CTE}, {_STATS_CTE}, {_DF_CTE},
+q(query_id, lang, term, w) AS (VALUES {_query_values(dedup=False)}),
+qd(query_id, lang, term) AS (VALUES {", ".join(qd_rows)}),
+rare AS (
+  SELECT qd.query_id AS query_id, qd.lang AS lang, qd.term AS term
+  FROM qd
+  JOIN df ON df.lang = qd.lang AND df.term = qd.term
+  JOIN stats s ON s.lang = qd.lang
+  WHERE df.df / CAST(s.n_docs AS DOUBLE) <= {CT_DF_RATIO}
+),
+qual AS (
+  SELECT DISTINCT r.query_id AS query_id, tok.doc_id AS doc_id
+  FROM rare r JOIN tok ON tok.lang = r.lang AND tok.term = r.term
+),
+scores AS (
+  SELECT q.query_id AS query_id, tok.doc_id AS doc_id,
+         sum( q.w * ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * (tok.tf * ({k1} + 1)) / {denom} ) AS score
+  FROM q
+  JOIN qual ON qual.query_id = q.query_id
+  JOIN tok ON tok.doc_id = qual.doc_id AND tok.lang = q.lang
+           AND tok.term = q.term
+  JOIN df ON df.lang = q.lang AND df.term = q.term
+  JOIN dl d ON d.doc_id = qual.doc_id
+  JOIN stats s ON s.lang = q.lang
+  GROUP BY q.query_id, tok.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, {_fx('score')} AS score_x,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY {_fx('score')} DESC, doc_id ASC) AS rank
+  FROM scores WHERE score > 0
+)
+SELECT query_id, rank, doc_id, score_x FROM ranked WHERE rank <= 10
+"""
+
+
 # --------------------------------------- minimum-should-match retrieval
 
 MSM_M = 2  # a doc must match at least this many DISTINCT query terms
@@ -12257,6 +12431,8 @@ QUERIES = {
     "neardup_cluster_sizes": q_neardup_cluster_sizes,
     "msm_search": q_msm_search,
     "phrase_slop": q_phrase_slop,
+    "synonym_search": q_synonym_search,
+    "common_terms": q_common_terms,
     "champion_topk": q_champion_topk,
     "dense_rerank": q_dense_rerank,
     "dense_rerank_mlp": q_dense_rerank_mlp,
@@ -13511,6 +13687,8 @@ ORACLE_SQL = {
     "champion_topk": _champion_sql(),
     "msm_search": _msm_sql(),
     "phrase_slop": _phrase_slop_sql(),
+    "synonym_search": _synonym_sql(),
+    "common_terms": _common_terms_sql(),
     "query_expand": _QEXP_SQL.format(
         bm25=_bm25_sql(1.2, 0.75, reference_quirk=False, dedup=False)
     ),
