@@ -6834,6 +6834,118 @@ FROM full_r f WHERE f.query_id NOT IN (SELECT query_id FROM t1full)
 """
 
 
+# --------------------------------------------- exact heavy hitters
+
+HH_K = 64  # report terms with share > 1/HH_K of a language's tokens
+
+
+def q_heavy_hitters(sf_dir: str):
+    """EXACT heavy hitters (terms with > 1/HH_K of a language's token
+    occurrences) via the classic two-pass pattern: pass 1 emits each
+    batch's LOCAL heavy candidates (batch_tf x K > batch_total — by
+    pigeonhole a globally-heavy item is locally heavy in at least one
+    batch, so the union is a lossless candidate filter, <= K per
+    (batch, lang)) plus exact per-lang token totals; pass 2 recounts
+    ONLY the candidates exactly. This is how exact heavy hitters run at
+    100 TB — the candidate exchange is K-bounded per batch, never
+    vocabulary-sized, and the verify pass is a filtered scan."""
+    def pass1(t: pa.Table) -> pa.Table:
+        pdf = pd.DataFrame(
+            {
+                "lang": np.asarray(t["lang"].to_pandas(), dtype=object),
+                "term": np.asarray(t["term"].to_pandas(), dtype=object),
+                "tf": t["tf"].to_numpy(zero_copy_only=False).astype(np.int64),
+            }
+        )
+        g = pdf.groupby(["lang", "term"], sort=False)["tf"].sum().reset_index()
+        tot = g.groupby("lang", sort=False)["tf"].sum().rename("total")
+        g = g.join(tot, on="lang")
+        cand = g[g["tf"] * HH_K > g["total"]]
+        out_tot = tot.reset_index()
+        return pa.table(
+            {
+                "kind": pa.array(
+                    np.concatenate(
+                        [np.zeros(len(out_tot), np.int64),
+                         np.ones(len(cand), np.int64)]
+                    )
+                ),
+                "lang": pa.array(
+                    list(out_tot["lang"]) + list(cand["lang"]), pa.string()
+                ),
+                "term": pa.array(
+                    [""] * len(out_tot) + list(cand["term"]), pa.string()
+                ),
+                "tf": pa.array(
+                    np.concatenate(
+                        [out_tot["total"].to_numpy().astype(np.int64),
+                         np.zeros(len(cand), np.int64)]
+                    )
+                ),
+            }
+        )
+
+    p1 = _postings_ds(sf_dir).map_batches(pass1, batch_format="pyarrow").to_pandas()
+    totals = p1[p1["kind"] == 0].groupby("lang")["tf"].sum().to_dict()
+    cand_keys = pa.array(
+        sorted(
+            {l + "\x00" + t for _k, l, t, _tf in
+             p1[p1["kind"] == 1].itertuples(index=False)}
+        ),
+        pa.string(),
+    )
+
+    def pass2(t: pa.Table) -> pa.Table:
+        langs = t["lang"]
+        if isinstance(langs, pa.ChunkedArray):
+            langs = langs.combine_chunks()
+        terms = t["term"]
+        if isinstance(terms, pa.ChunkedArray):
+            terms = terms.combine_chunks()
+        keys = pc.binary_join_element_wise(langs, terms, "\x00")
+        m = pc.is_in(keys, value_set=cand_keys)
+        t2 = t.filter(m)
+        pdf = pd.DataFrame(
+            {
+                "lang": np.asarray(t2["lang"].to_pandas(), dtype=object),
+                "term": np.asarray(t2["term"].to_pandas(), dtype=object),
+                "tf": t2["tf"].to_numpy(zero_copy_only=False).astype(np.int64),
+            }
+        )
+        g = pdf.groupby(["lang", "term"], sort=False)["tf"].sum().reset_index()
+        return from_pandas_clean(g, preserve_index=False)
+
+    counts = (
+        _postings_ds(sf_dir)
+        .map_batches(pass2, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["lang", "term"], sort=False)["tf"]
+        .sum()
+        .reset_index()
+    )
+    counts["total"] = counts["lang"].map(totals).astype(np.int64)
+    out = counts[counts["tf"] * HH_K > counts["total"]].copy()
+    out["share_x"] = np.floor(
+        out["tf"] / out["total"] * 10000.0 + 0.5
+    ).astype(np.int64)
+    out["tf"] = out["tf"].astype(np.int64)
+    return out[["lang", "term", "tf", "share_x"]].sort_values(
+        ["lang", "term"]
+    ).reset_index(drop=True)
+
+
+_HEAVY_SQL = f"""
+WITH {_TOK_CTE},
+tt AS (SELECT lang, sum(tf) AS total FROM tok GROUP BY lang),
+s AS (SELECT lang, term, sum(tf) AS tf FROM tok GROUP BY lang, term)
+SELECT s.lang AS lang, s.term AS term, CAST(s.tf AS BIGINT) AS tf,
+       {_fx('s.tf / CAST(tt.total AS DOUBLE)')} AS share_x
+FROM s JOIN tt ON tt.lang = s.lang
+WHERE s.tf * {HH_K} > tt.total
+ORDER BY lang, term
+"""
+
+
 # ----------------------------------------- synonym-expanded retrieval
 
 # static synonym table (Lucene SynonymGraphFilter semantics: the synonym
@@ -12433,6 +12545,7 @@ QUERIES = {
     "phrase_slop": q_phrase_slop,
     "synonym_search": q_synonym_search,
     "common_terms": q_common_terms,
+    "heavy_hitters": q_heavy_hitters,
     "champion_topk": q_champion_topk,
     "dense_rerank": q_dense_rerank,
     "dense_rerank_mlp": q_dense_rerank_mlp,
@@ -13689,6 +13802,7 @@ ORACLE_SQL = {
     "phrase_slop": _phrase_slop_sql(),
     "synonym_search": _synonym_sql(),
     "common_terms": _common_terms_sql(),
+    "heavy_hitters": _HEAVY_SQL,
     "query_expand": _QEXP_SQL.format(
         bm25=_bm25_sql(1.2, 0.75, reference_quirk=False, dedup=False)
     ),
