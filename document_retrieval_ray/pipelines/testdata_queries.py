@@ -6834,6 +6834,80 @@ FROM full_r f WHERE f.query_id NOT IN (SELECT query_id FROM t1full)
 """
 
 
+# ----------------------------------------------- burst detection
+
+
+def q_burst_windows(sf_dir: str):
+    """Stream burst detection (Kleinberg-style threshold form, all
+    integer): per (event_type, hour) counts, then a window is a burst
+    when its count exceeds 1.5x the sum of its 3 PRECEDING windows
+    (3n > 2*prev3, row-lag semantics — gaps don't reset). Per-batch
+    partial counts collapse before the one (type, hour) exchange; the
+    lag pass is a per-type map_groups over the windows-sized aggregate,
+    so post-aggregation state never scales with the event count."""
+    ev = _events(sf_dir, columns=["ts", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        tsu = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {
+                "event_type": np.asarray(
+                    t["event_type"].to_pandas(), dtype=object
+                ),
+                "hour_ts": (tsu // 3_600_000_000) * 3600,
+            }
+        )
+        g = (
+            df.groupby(["event_type", "hour_ts"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return from_pandas_clean(g, preserve_index=False)
+
+    counts = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "hour_ts"])
+        .sum("n")
+    )
+
+    def lag(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.rename(columns={"sum(n)": "n"}).sort_values("hour_ts")
+        n = g["n"].to_numpy(np.int64)
+        prev3 = np.array(
+            [n[max(0, i - 3):i].sum() for i in range(len(n))], np.int64
+        )
+        rn = np.arange(1, len(n) + 1)
+        g = g.reset_index(drop=True)
+        g["n"] = n
+        g["prev3"] = prev3
+        g["burst"] = ((rn > 3) & (3 * n > 2 * prev3)).astype(np.int64)
+        g["hour_ts"] = g["hour_ts"].astype(np.int64)
+        return g[["event_type", "hour_ts", "n", "prev3", "burst"]]
+
+    return counts.groupby("event_type").map_groups(lag, batch_format="pandas")
+
+
+_BURST_SQL = """
+WITH w AS (
+  SELECT event_type, CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_ts,
+         count(*) AS n
+  FROM events GROUP BY event_type, CAST(epoch(date_trunc('hour', ts)) AS BIGINT)
+),
+l AS (
+  SELECT event_type, hour_ts, CAST(n AS BIGINT) AS n,
+         CAST(coalesce(sum(n) OVER (PARTITION BY event_type ORDER BY hour_ts
+                                    ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS prev3,
+         row_number() OVER (PARTITION BY event_type ORDER BY hour_ts) AS rn
+  FROM w
+)
+SELECT event_type, hour_ts, n, prev3,
+       CAST(CASE WHEN rn > 3 AND 3*n > 2*prev3 THEN 1 ELSE 0 END AS BIGINT)
+         AS burst
+FROM l
+"""
+
+
 # --------------------------------------------- exact heavy hitters
 
 HH_K = 64  # report terms with share > 1/HH_K of a language's tokens
@@ -12546,6 +12620,7 @@ QUERIES = {
     "synonym_search": q_synonym_search,
     "common_terms": q_common_terms,
     "heavy_hitters": q_heavy_hitters,
+    "burst_windows": q_burst_windows,
     "champion_topk": q_champion_topk,
     "dense_rerank": q_dense_rerank,
     "dense_rerank_mlp": q_dense_rerank_mlp,
@@ -13803,6 +13878,7 @@ ORACLE_SQL = {
     "synonym_search": _synonym_sql(),
     "common_terms": _common_terms_sql(),
     "heavy_hitters": _HEAVY_SQL,
+    "burst_windows": _BURST_SQL,
     "query_expand": _QEXP_SQL.format(
         bm25=_bm25_sql(1.2, 0.75, reference_quirk=False, dedup=False)
     ),
