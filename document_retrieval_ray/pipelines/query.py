@@ -246,9 +246,16 @@ def fuzzy_expand(
     )
     var2m: dict[str, list[tuple[str, str, int]]] = {}
     lang_of: dict[str, str] = {}
+    extras_of: dict[str, dict] = {}
     for r in rows:
         qid, text, lang = r["query_id"], r["query"], r["lang"]
         lang_of[qid] = lang
+        # carry non-core columns (e.g. search-after cursor columns)
+        # through the expansion unchanged
+        extras_of[qid] = {
+            k: v for k, v in r.items()
+            if k not in ("query_id", "query", "lang")
+        }
         counts: dict[str, int] = {}
         for m in tokenize_cfg(text, lang, tokenizer):
             counts[m] = counts.get(m, 0) + 1
@@ -281,9 +288,15 @@ def fuzzy_expand(
             }
         )
 
-    dfv = read_parquet_clean(
-        os.path.join(index_dir, "df"), columns=["lang", "term"]
+    # a generational index's live vocabulary is the merged global_df
+    # version (base df/ alone misses terms first seen in appends)
+    from .incremental import read_generations
+
+    g = read_generations(index_dir)
+    df_dir = os.path.join(
+        index_dir, g["global_df"] if g["generations"] else "df"
     )
+    dfv = read_parquet_clean(df_dir, columns=["lang", "term"])
     cand = dfv.map_batches(scan, batch_format="pyarrow").to_pandas()
 
     # a (qtoken, vocab-term) pair can intersect on several variants (the
@@ -303,7 +316,12 @@ def fuzzy_expand(
         by_q.setdefault(qid, []).extend([term] * w)
     return ray.data.from_items(
         [
-            {"query_id": qid, "query": " ".join(terms), "lang": lang_of[qid]}
+            {
+                "query_id": qid,
+                "query": " ".join(terms),
+                "lang": lang_of[qid],
+                **extras_of[qid],
+            }
             for qid, terms in sorted(by_q.items())
         ]
     )

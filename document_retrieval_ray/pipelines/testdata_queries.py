@@ -6201,38 +6201,36 @@ def q_query_clarity(sf_dir: str):
     cfp = _postings_ds(sf_dir).map_batches(scan2, batch_format="pyarrow").to_pandas()
     cf = cfp.groupby(["lang", "term"], sort=False)["tf"].sum().to_dict()
 
-    tf_q: dict[tuple[str, str], int] = {}
     fb_dl: dict[str, int] = {}
     for _k, lang, term, url, dl_, tf_ in fb.itertuples(index=False):
         fb_dl[url] = int(dl_)
-    doc_q = {}
-    for qid, _rank, doc_id, _sx in top[
-        ["query_id", "rank", "doc_id", "score_x"]
-    ].itertuples(index=False):
-        url = docid_to_url(pa.array([int(doc_id)], pa.int64()))[0].as_py()
-        doc_q.setdefault(url, []).append(qid)
-    for _k, lang, term, url, _dl, tf_ in fb.itertuples(index=False):
-        for qid in doc_q.get(url, ()):
-            key = (qid, term)
-            tf_q[key] = tf_q.get(key, 0) + int(tf_)
-
+    # ONE vectorized docid->url pass over the result frame (review fix:
+    # no per-row single-element Arrow kernel calls), folding doc->query
+    # membership and feedback length together
+    top_urls = docid_to_url(
+        pa.array(top["doc_id"].astype(np.int64), pa.int64())
+    ).to_pylist()
+    doc_q: dict[str, list[str]] = {}
     flen: dict[str, int] = {}
-    for qid, _rank, doc_id, _sx in top[
-        ["query_id", "rank", "doc_id", "score_x"]
-    ].itertuples(index=False):
-        url = docid_to_url(pa.array([int(doc_id)], pa.int64()))[0].as_py()
+    for qid, url in zip(top["query_id"], top_urls):
+        doc_q.setdefault(url, []).append(qid)
         flen[qid] = flen.get(qid, 0) + fb_dl[url]
 
+    # tf per (query, term), grouped by query in one pass
+    tf_by_q: dict[str, dict[str, int]] = {}
+    for _k, lang, term, url, _dl, tf_ in fb.itertuples(index=False):
+        for qid in doc_q.get(url, ()):
+            d = tf_by_q.setdefault(qid, {})
+            d[term] = d.get(term, 0) + int(tf_)
+
     out = []
-    for qid in sorted({q for q, _t in tf_q}):
+    for qid in sorted(tf_by_q):
         lang = lang_of[qid]
         cl = coll_len[lang]
         fl = flen[qid]
         clarity = 0.0
         n_terms = 0
-        for (q2, term), tfv in sorted(tf_q.items()):
-            if q2 != qid:
-                continue
+        for term, tfv in sorted(tf_by_q[qid].items()):
             n_terms += 1
             pwf = tfv / fl
             pwc = cf[(lang, term)] / cl
@@ -6478,49 +6476,36 @@ def _qterm_scan(sf_dir: str):
     return qterm_w, lang_of, stats, post, dfc
 
 
-def q_champion_topk(sf_dir: str):
-    """Champion-list retrieval (impact-ordered pruning, IIR ch.7): each
-    term keeps a precomputed champion list — its top CHAMP_M docs by
-    (tf desc, doc asc) — and a query is scored ONLY on the union of its
-    terms' champion lists, with exact BM25 (standard k1=1.2/b=0.75,
-    lucene idf, multiplicity weights) on that candidate set.
-
-    Scale shape: at 100 TB the champion lists are an impact-ordered
-    index artifact written at build time (one extra per-term top-m
-    kept while encoding postings — no extra pass). This demo derives
-    them in ONE corpus pass: each tokenize batch emits (a) exact
-    per-lang dl-sum/count partials and (b) the query terms' postings
-    rows; the driver folds stats, df, champion cuts, and the
-    candidate-set scores, all result-sized except the hot-term postings
-    rows (which the build-time artifact removes)."""
+def _score_candidate_sets(sf_dir: str, cand_fn, k1: float = 1.2,
+                          b: float = 0.75) -> pd.DataFrame:
+    """Shared exact-BM25-on-candidates core for the candidate-restricted
+    query policies (champion_topk / msm_search / common_terms): runs
+    :func:`_qterm_scan`, then per query scores ``cand_fn(qid, c, lang,
+    ctx)``'s candidate urls with standard BM25 (multiplicity weights,
+    lucene idf, fixed-point), ranked top-10 by (score_x desc, doc asc).
+    ``ctx`` carries {docs_of, tf_of, dfc, stats, post}. The policies
+    differ ONLY in candidate selection."""
     qterm_w, lang_of, stats, post, dfc = _qterm_scan(sf_dir)
 
-    champs: dict[tuple[str, str], list[str]] = {
-        key: list(
-            g.sort_values(["tf", "url"], ascending=[False, True]).head(CHAMP_M)[
-                "url"
-            ]
-        )
-        for key, g in post.groupby(["lang", "term"], sort=False)
-    }
-    tf_of = {
-        (lang, term, url): int(tf_)
-        for _k, lang, term, url, _dl, tf_ in post.itertuples(index=False)
-    }
-    dl_of = {
-        url: int(dl_) for _k, _l, _t, url, dl_, _tf in post.itertuples(index=False)
+    tf_of: dict[tuple[str, str, str], int] = {}
+    dl_of: dict[str, int] = {}
+    docs_of: dict[tuple[str, str], list[str]] = {}
+    for _k, lang, term, url, dl_, tf_ in post.itertuples(index=False):
+        tf_of[(lang, term, url)] = int(tf_)
+        dl_of[url] = int(dl_)
+        docs_of.setdefault((lang, term), []).append(url)
+    ctx = {
+        "docs_of": docs_of, "tf_of": tf_of, "dfc": dfc,
+        "stats": stats, "post": post,
     }
 
-    k1, b = 1.2, 0.75
     out = []
-    for qid, c in qterm_w.items():
+    for qid, c in sorted(qterm_w.items()):
         lang = lang_of[qid]
         if lang not in stats:
             continue
         n, avgdl = stats[lang]
-        cand = sorted(
-            {u for term in c for u in champs.get((lang, term), ())}
-        )
+        cand = cand_fn(qid, c, lang, ctx)
         scored = []
         for url in cand:
             s = 0.0
@@ -6542,6 +6527,44 @@ def q_champion_topk(sf_dir: str):
     return pd.DataFrame(
         out, columns=["query_id", "rank", "doc_id", "score_x"]
     ).sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+def q_champion_topk(sf_dir: str):
+    """Champion-list retrieval (impact-ordered pruning, IIR ch.7): each
+    term keeps a precomputed champion list — its top CHAMP_M docs by
+    (tf desc, doc asc) — and a query is scored ONLY on the union of its
+    terms' champion lists, with exact BM25 (standard k1=1.2/b=0.75,
+    lucene idf, multiplicity weights) on that candidate set.
+
+    Scale shape: at 100 TB the champion lists are an impact-ordered
+    index artifact written at build time (one extra per-term top-m
+    kept while encoding postings — no extra pass). This demo derives
+    them in ONE corpus pass: each tokenize batch emits (a) exact
+    per-lang dl-sum/count partials and (b) the query terms' postings
+    rows; the driver folds stats, df, champion cuts, and the
+    candidate-set scores, all result-sized except the hot-term postings
+    rows (which the build-time artifact removes)."""
+    champs_cache: dict = {}
+
+    def cand_fn(qid, c, lang, ctx):
+        if not champs_cache:
+            champs_cache.update(
+                {
+                    key: list(
+                        g.sort_values(
+                            ["tf", "url"], ascending=[False, True]
+                        ).head(CHAMP_M)["url"]
+                    )
+                    for key, g in ctx["post"].groupby(
+                        ["lang", "term"], sort=False
+                    )
+                }
+            )
+        return sorted(
+            {u for term in c for u in champs_cache.get((lang, term), ())}
+        )
+
+    return _score_candidate_sets(sf_dir, cand_fn)
 
 
 def _champion_sql(k1: float = 1.2, b: float = 0.75) -> str:
@@ -6681,6 +6704,14 @@ def q_span_first(sf_dir: str):
         f"{sf_dir}/documents.parquet", index_dir, num_parts=32
     )
     ds = _candidate_rows(index_dir, SPANFIRST_TERMS)
+    if ds is None:  # no partition holds any query term
+        return pd.DataFrame(
+            {
+                "term": pd.Series(dtype=object),
+                "doc_id": pd.Series(dtype="int64"),
+                "first_pos": pd.Series(dtype="int64"),
+            }
+        )
 
     def pick(t: pa.Table) -> pa.Table:
         pos = t["positions"]
@@ -7104,50 +7135,21 @@ def q_common_terms(sf_dir: str):
     terms on that candidate set — hot terms boost ranking but cannot
     select candidates, which is the policy that keeps stopword-class
     terms from exploding the candidate set at scale. Shares the
-    champion family's one-pass scan."""
-    qterm_w, lang_of, stats, post, dfc = _qterm_scan(sf_dir)
+    champion family's one-pass scan + candidate-scoring core
+    (:func:`_score_candidate_sets`)."""
 
-    tf_of: dict[tuple[str, str, str], int] = {}
-    dl_of: dict[str, int] = {}
-    docs_of: dict[tuple[str, str], list[str]] = {}
-    for _k, lang, term, url, dl_, tf_ in post.itertuples(index=False):
-        tf_of[(lang, term, url)] = int(tf_)
-        dl_of[url] = int(dl_)
-        docs_of.setdefault((lang, term), []).append(url)
-
-    k1, b = 1.2, 0.75
-    out = []
-    for qid, c in sorted(qterm_w.items()):
-        lang = lang_of[qid]
-        if lang not in stats:
-            continue
-        n, avgdl = stats[lang]
+    def cand_fn(qid, c, lang, ctx):
+        n, _avgdl = ctx["stats"][lang]
+        dfc = ctx["dfc"]
         rare = [
             t for t in c
             if (lang, t) in dfc and dfc[(lang, t)] / n <= CT_DF_RATIO
         ]
-        cand = sorted({u for t in rare for u in docs_of.get((lang, t), ())})
-        scored = []
-        for url in cand:
-            s = 0.0
-            for term, w in c.items():
-                tf_ = tf_of.get((lang, term, url), 0)
-                if tf_ == 0:
-                    continue
-                df_ = dfc[(lang, term)]
-                idf = math.log(1 + (n - df_ + 0.5) / (df_ + 0.5))
-                s += (
-                    w * idf * (tf_ * (k1 + 1))
-                    / (tf_ + k1 * (1 - b + b * dl_of[url] / avgdl))
-                )
-            if s > 0:
-                scored.append((int(math.floor(s * 10000.0 + 0.5)), int(url)))
-        scored.sort(key=lambda r: (-r[0], r[1]))
-        for rank, (sx, did) in enumerate(scored[:10], 1):
-            out.append((qid, rank, did, sx))
-    return pd.DataFrame(
-        out, columns=["query_id", "rank", "doc_id", "score_x"]
-    ).sort_values(["query_id", "rank"]).reset_index(drop=True)
+        return sorted(
+            {u for t in rare for u in ctx["docs_of"].get((lang, t), ())}
+        )
+
+    return _score_candidate_sets(sf_dir, cand_fn)
 
 
 def _common_terms_sql(k1: float = 1.2, b: float = 0.75) -> str:
@@ -7204,52 +7206,18 @@ def q_msm_search(sf_dir: str):
     only docs containing >= MSM_M distinct query terms qualify, ranked
     by exact standard BM25 (k1=1.2/b=0.75, lucene idf, multiplicity
     weights) — the precision knob that kills one-hot-term matches on
-    multi-term queries. Shares the champion family's ONE-pass scan
-    (:func:`_qterm_scan`); the qualifying filter and scores fold over
-    result-sized driver state."""
-    qterm_w, lang_of, stats, post, dfc = _qterm_scan(sf_dir)
+    multi-term queries. Shares the champion family's ONE-pass scan +
+    candidate-scoring core (:func:`_score_candidate_sets`); the
+    qualifying filter folds over result-sized driver state."""
 
-    tf_of: dict[tuple[str, str, str], int] = {}
-    dl_of: dict[str, int] = {}
-    docs_of: dict[tuple[str, str], list[str]] = {}
-    for _k, lang, term, url, dl_, tf_ in post.itertuples(index=False):
-        tf_of[(lang, term, url)] = int(tf_)
-        dl_of[url] = int(dl_)
-        docs_of.setdefault((lang, term), []).append(url)
-
-    k1, b = 1.2, 0.75
-    out = []
-    for qid, c in sorted(qterm_w.items()):
-        lang = lang_of[qid]
-        if lang not in stats:
-            continue
-        n, avgdl = stats[lang]
+    def cand_fn(qid, c, lang, ctx):
         hits: dict[str, int] = {}
         for term in c:
-            for url in docs_of.get((lang, term), ()):
+            for url in ctx["docs_of"].get((lang, term), ()):
                 hits[url] = hits.get(url, 0) + 1
-        cand = sorted(u for u, k in hits.items() if k >= MSM_M)
-        scored = []
-        for url in cand:
-            s = 0.0
-            for term, w in c.items():
-                tf_ = tf_of.get((lang, term, url), 0)
-                if tf_ == 0:
-                    continue
-                df_ = dfc[(lang, term)]
-                idf = math.log(1 + (n - df_ + 0.5) / (df_ + 0.5))
-                s += (
-                    w * idf * (tf_ * (k1 + 1))
-                    / (tf_ + k1 * (1 - b + b * dl_of[url] / avgdl))
-                )
-            if s > 0:
-                scored.append((int(math.floor(s * 10000.0 + 0.5)), int(url)))
-        scored.sort(key=lambda r: (-r[0], r[1]))
-        for rank, (sx, did) in enumerate(scored[:10], 1):
-            out.append((qid, rank, did, sx))
-    return pd.DataFrame(
-        out, columns=["query_id", "rank", "doc_id", "score_x"]
-    ).sort_values(["query_id", "rank"]).reset_index(drop=True)
+        return sorted(u for u, k in hits.items() if k >= MSM_M)
+
+    return _score_candidate_sets(sf_dir, cand_fn)
 
 
 def _msm_sql(k1: float = 1.2, b: float = 0.75) -> str:
@@ -7293,8 +7261,6 @@ SELECT query_id, rank, doc_id, score_x FROM ranked WHERE rank <= 10
 
 # -------------------------------------------- federated multi-shard search
 
-FEDERATED_LANGS = ("de", "en", "es", "fr", "zh")
-
 
 def q_bm25_federated(sf_dir: str):
     """Federated scatter-gather retrieval: every query fans out to EVERY
@@ -7308,10 +7274,14 @@ def q_bm25_federated(sf_dir: str):
     from .query import bm25_search
 
     index_dir = _index_for(sf_dir)
+    # the shard list comes from the index manifests — never a hard-coded
+    # language tuple (review fix: a corpus with additional languages must
+    # federate over ALL its shards, as the oracle does)
+    langs = sorted(os.listdir(os.path.join(index_dir, "manifests")))
     items = [
         {"query_id": qid, "query": text, "lang": lang}
         for qid, text, _l in QUERYSET
-        for lang in FEDERATED_LANGS
+        for lang in langs
     ]
     res = bm25_search(
         ray.data.from_items(items), index_dir,
@@ -7445,12 +7415,16 @@ def q_ltr_features(sf_dir: str):
         tf_of[(lang, term, url)] = int(tf_)
         dl_of[url] = int(dl_)
 
+    # ONE vectorized docid->url pass (review fix: no per-row Arrow calls)
+    top_urls = docid_to_url(
+        pa.array(top["doc_id"].astype(np.int64), pa.int64())
+    ).to_pylist()
     out = []
-    for qid, rank, doc_id, score_x in top[
-        ["query_id", "rank", "doc_id", "score_x"]
-    ].itertuples(index=False):
+    for (qid, rank, doc_id, score_x), url in zip(
+        top[["query_id", "rank", "doc_id", "score_x"]].itertuples(index=False),
+        top_urls,
+    ):
         lang = lang_of[qid]
-        url = docid_to_url(pa.array([int(doc_id)], pa.int64()))[0].as_py()
         tf_sum = matched = 0
         idf_sum = 0.0
         for term in qterms[qid]:
@@ -7576,6 +7550,10 @@ def _termset_retrieval(sf_dir: str, matchers) -> pd.DataFrame:
     }
 
     def score(t: pa.Table) -> pa.Table:
+        # per-batch PARTIALS only (no top-k cut here): a doc's postings
+        # can straddle batches once Ray splits an oversized block, so
+        # finality is established by the (pattern, doc) groupby below,
+        # not by batch locality (review fix)
         terms = t["term"]
         if isinstance(terms, pa.ChunkedArray):
             terms = terms.combine_chunks()
@@ -7605,19 +7583,31 @@ def _termset_retrieval(sf_dir: str, matchers) -> pd.DataFrame:
                 }
             )
         out = pd.concat(frames, ignore_index=True)
-        # a doc's postings live in one batch -> per-batch rows are final;
-        # keep only each block's partial top-10 per pattern
-        out = out.sort_values(
-            ["pattern_id", "total_tf", "doc_id"], ascending=[True, False, True]
-        )
-        out = out.groupby("pattern_id", sort=False).head(10)
         out["total_tf"] = out["total_tf"].astype(np.int64)
         out["n_terms"] = out["n_terms"].astype(np.int64)
         return from_pandas_clean(out, preserve_index=False)
 
-    parts = (
-        _postings_ds(sf_dir).map_batches(score, batch_format="pyarrow").to_pandas()
+    agg = (
+        _postings_ds(sf_dir)
+        .map_batches(score, batch_format="pyarrow")
+        .groupby(["pattern_id", "doc_id"])
+        .sum(["total_tf", "n_terms"])
     )
+
+    def block_top(t: pa.Table) -> pa.Table:
+        # post-groupby a (pattern, doc) group lives in exactly one
+        # block, so the per-block top-10 cut is now sound
+        pdf = t.to_pandas().rename(
+            columns={"sum(total_tf)": "total_tf", "sum(n_terms)": "n_terms"}
+        )
+        pdf = pdf.sort_values(
+            ["pattern_id", "total_tf", "doc_id"], ascending=[True, False, True]
+        ).groupby("pattern_id", sort=False).head(10)
+        pdf["total_tf"] = pdf["total_tf"].astype(np.int64)
+        pdf["n_terms"] = pdf["n_terms"].astype(np.int64)
+        return from_pandas_clean(pdf, preserve_index=False)
+
+    parts = agg.map_batches(block_top, batch_format="pyarrow").to_pandas()
     parts = parts.sort_values(
         ["pattern_id", "total_tf", "doc_id"], ascending=[True, False, True]
     )

@@ -242,3 +242,52 @@ def test_cli_fuzzy_query(tiny_corpus, tmp_path, capsys):
     res = pq.read_table(out_fuzzy).to_pandas()
     assert len(res) > 0
     assert set(res["query_id"]) == {"fz1"}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cli_fuzzy_sees_generation_vocab(tiny_corpus, tmp_path, capsys):
+    """--fuzzy expansion must read the generational global_df: a term
+    first seen in an APPEND is matched by a typo'd fuzzy query."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from document_retrieval_ray.cli import main
+
+    docs = pq.read_table(tiny_corpus["documents"])
+    half = docs.num_rows // 2
+    base_p = str(tmp_path / "fz_base.parquet")
+    delta_p = str(tmp_path / "fz_delta.parquet")
+    pq.write_table(docs.slice(0, half), base_p)
+    delta = docs.slice(half)
+    # the appended docs carry a vocabulary term the base never saw
+    delta = delta.set_column(
+        delta.schema.get_field_index("text"),
+        "text",
+        pa.array(["zzzuniq appended document"] * delta.num_rows,
+                 pa.large_string()),
+    )
+    pq.write_table(delta, delta_p)
+
+    index_dir = str(tmp_path / "fz_incr_index")
+    assert main(["build", "--input", base_p, "--index", index_dir,
+                 "--no-cosine-norms"]) == 0
+    assert main(["append", "--input", delta_p, "--index", index_dir]) == 0
+    capsys.readouterr()
+
+    q_path = str(tmp_path / "fz_gen_queries.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "query_id": ["g1"],
+                "query": ["zzzuniqx"],  # dist 1 from the appended term
+                "lang": ["en"],
+            }
+        ),
+        q_path,
+    )
+    out_dir = str(tmp_path / "fz_gen_out")
+    assert main(["query", "--index", index_dir, "--queries", q_path,
+                 "--out", out_dir, "--fuzzy"]) == 0
+    res = pq.read_table(out_dir).to_pandas()
+    assert len(res) > 0
+    assert set(res["query_id"]) == {"g1"}
