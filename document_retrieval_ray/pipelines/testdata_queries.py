@@ -6483,19 +6483,30 @@ def _score_candidate_sets(sf_dir: str, cand_fn, k1: float = 1.2,
     :func:`_qterm_scan`, then per query scores ``cand_fn(qid, c, lang,
     ctx)``'s candidate urls with standard BM25 (multiplicity weights,
     lucene idf, fixed-point), ranked top-10 by (score_x desc, doc asc).
-    ``ctx`` carries {docs_of, tf_of, dfc, stats, post}. The policies
+    ``ctx`` carries {get_docs_of, tf_of, dfc, stats, post}. The policies
     differ ONLY in candidate selection."""
     qterm_w, lang_of, stats, post, dfc = _qterm_scan(sf_dir)
 
     tf_of: dict[tuple[str, str, str], int] = {}
     dl_of: dict[str, int] = {}
-    docs_of: dict[tuple[str, str], list[str]] = {}
     for _k, lang, term, url, dl_, tf_ in post.itertuples(index=False):
         tf_of[(lang, term, url)] = int(tf_)
         dl_of[url] = int(dl_)
-        docs_of.setdefault((lang, term), []).append(url)
+
+    _docs_of_cache: dict = {}
+
+    def get_docs_of() -> dict:
+        # built lazily — champion's cand_fn re-groups post itself and
+        # never needs the per-(lang, term) url lists
+        if not _docs_of_cache:
+            d: dict[tuple[str, str], list[str]] = {}
+            for _k, lang, term, url, _dl, _tf in post.itertuples(index=False):
+                d.setdefault((lang, term), []).append(url)
+            _docs_of_cache["d"] = d
+        return _docs_of_cache["d"]
+
     ctx = {
-        "docs_of": docs_of, "tf_of": tf_of, "dfc": dfc,
+        "get_docs_of": get_docs_of, "tf_of": tf_of, "dfc": dfc,
         "stats": stats, "post": post,
     }
 
@@ -7146,7 +7157,7 @@ def q_common_terms(sf_dir: str):
             if (lang, t) in dfc and dfc[(lang, t)] / n <= CT_DF_RATIO
         ]
         return sorted(
-            {u for t in rare for u in ctx["docs_of"].get((lang, t), ())}
+            {u for t in rare for u in ctx["get_docs_of"]().get((lang, t), ())}
         )
 
     return _score_candidate_sets(sf_dir, cand_fn)
@@ -7213,7 +7224,7 @@ def q_msm_search(sf_dir: str):
     def cand_fn(qid, c, lang, ctx):
         hits: dict[str, int] = {}
         for term in c:
-            for url in ctx["docs_of"].get((lang, term), ()):
+            for url in ctx["get_docs_of"]().get((lang, term), ()):
                 hits[url] = hits.get(url, 0) + 1
         return sorted(u for u, k in hits.items() if k >= MSM_M)
 
@@ -7517,9 +7528,12 @@ def _termset_retrieval(sf_dir: str, matchers) -> pd.DataFrame:
     its matching vocabulary terms (distributed scan over the df
     artifact — the vocab never leaves the cluster; only matched terms,
     a query-selective set, reach the driver), then ONE postings scan
-    scores every doc by total matched tf + distinct matched terms, with
-    per-block partial top-10 and an O(blocks x patterns x 10) driver
-    merge (the prefix_search merge shape, but index-backed)."""
+    emits per-batch (pattern, doc) partials that a (pattern_id, doc_id)
+    groupby finalizes — a matched-docs-sized shuffle, NOT zero-shuffle:
+    batch locality is not trusted because Ray splits oversized blocks
+    mid-doc. Post-groupby each group lives in one block, so a per-block
+    partial top-10 then an O(blocks x patterns x 10) driver re-cut are
+    sound."""
 
     def match_terms(t: pa.Table) -> pa.Table:
         terms = t["term"]
