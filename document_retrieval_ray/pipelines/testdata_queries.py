@@ -6876,6 +6876,89 @@ FROM full_r f WHERE f.query_id NOT IN (SELECT query_id FROM t1full)
 """
 
 
+# -------------------------------------------- data-mixture planning
+
+MIX_BUDGET = 10_000  # docs in the planned training mixture
+
+
+def q_mix_plan(sf_dir: str):
+    """Training-data mixture plan (domain-reweighting, DoReMi-style
+    bookkeeping): per source, the corpus share, the uniform-target
+    sampling weight (target_share / actual_share, fixed-point) and the
+    planned doc count under MIX_BUDGET, capped at availability — the
+    plan a data loader executes when rebalancing skewed web sources.
+    One thin (source, n_chars) scan with per-batch partials into a
+    sources-sized groupby; everything downstream is sources-sized."""
+    ds = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["source", "n_chars"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        pdf = pd.DataFrame(
+            {
+                "source": np.asarray(t["source"].to_pandas(), dtype=object),
+                "n_chars": t["n_chars"].to_numpy(zero_copy_only=False).astype(
+                    np.int64
+                ),
+            }
+        )
+        g = (
+            pdf.groupby("source", sort=False)["n_chars"]
+            .agg(["count", "sum"])
+            .reset_index()
+        )
+        g.columns = ["source", "n_docs", "sum_chars"]
+        return from_pandas_clean(g, preserve_index=False)
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .sum(["n_docs", "sum_chars"])
+        .to_pandas()
+        .rename(columns={"sum(n_docs)": "n_docs", "sum(sum_chars)": "sum_chars"})
+    )
+    total = int(agg["n_docs"].sum())
+    n_sources = len(agg)
+    agg = agg.sort_values("source").reset_index(drop=True)
+    agg["n_docs"] = agg["n_docs"].astype(np.int64)
+    agg["sum_chars"] = agg["sum_chars"].astype(np.int64)
+    agg["avg_chars_x"] = np.floor(
+        agg["sum_chars"] / agg["n_docs"] * 10000.0 + 0.5
+    ).astype(np.int64)
+    target = 1.0 / n_sources
+    agg["weight_x"] = np.floor(
+        target / (agg["n_docs"] / total) * 10000.0 + 0.5
+    ).astype(np.int64)
+    agg["planned"] = np.minimum(
+        agg["n_docs"].to_numpy(),
+        np.floor(target * MIX_BUDGET).astype(np.int64),
+    ).astype(np.int64)
+    return agg[
+        ["source", "n_docs", "sum_chars", "avg_chars_x", "weight_x", "planned"]
+    ]
+
+
+_MIX_SQL = f"""
+WITH s AS (
+  SELECT source, count(*) AS n_docs, sum(n_chars) AS sum_chars
+  FROM documents GROUP BY source
+),
+t AS (SELECT sum(n_docs) AS total, count(*) AS n_sources FROM s)
+SELECT s.source AS source, CAST(s.n_docs AS BIGINT) AS n_docs,
+       CAST(s.sum_chars AS BIGINT) AS sum_chars,
+       CAST(floor(s.sum_chars / CAST(s.n_docs AS DOUBLE) * 10000.0 + 0.5)
+            AS BIGINT) AS avg_chars_x,
+       CAST(floor((1.0 / t.n_sources)
+                  / (s.n_docs / CAST(t.total AS DOUBLE)) * 10000.0 + 0.5)
+            AS BIGINT) AS weight_x,
+       CAST(least(s.n_docs,
+                  CAST(floor((1.0 / t.n_sources) * {MIX_BUDGET}) AS BIGINT))
+            AS BIGINT) AS planned
+FROM s, t
+ORDER BY source
+"""
+
+
 # ----------------------------------------------- burst detection
 
 
@@ -12625,6 +12708,7 @@ QUERIES = {
     "common_terms": q_common_terms,
     "heavy_hitters": q_heavy_hitters,
     "burst_windows": q_burst_windows,
+    "mix_plan": q_mix_plan,
     "champion_topk": q_champion_topk,
     "dense_rerank": q_dense_rerank,
     "dense_rerank_mlp": q_dense_rerank_mlp,
@@ -13883,6 +13967,7 @@ ORACLE_SQL = {
     "common_terms": _common_terms_sql(),
     "heavy_hitters": _HEAVY_SQL,
     "burst_windows": _BURST_SQL,
+    "mix_plan": _MIX_SQL,
     "query_expand": _QEXP_SQL.format(
         bm25=_bm25_sql(1.2, 0.75, reference_quirk=False, dedup=False)
     ),
