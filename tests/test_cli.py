@@ -243,6 +243,19 @@ def test_cli_fuzzy_query(tiny_corpus, tmp_path, capsys):
     assert len(res) > 0
     assert set(res["query_id"]) == {"fz1"}
 
+    # --fuzzy composes with the warm-task-pool serving mode: identical rows
+    out_task = str(tmp_path / "fuzzy_out_task")
+    assert main(["query", "--index", index_dir, "--queries", q_path,
+                 "--out", out_task, "--fuzzy", "--pool", "task"]) == 0
+    task_res = (
+        pq.read_table(out_task).to_pandas()
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        res.sort_values(["query_id", "rank"]).reset_index(drop=True),
+        task_res,
+    )
+
 
 @pytest.mark.usefixtures("ray_session")
 def test_cli_fuzzy_sees_generation_vocab(tiny_corpus, tmp_path, capsys):
